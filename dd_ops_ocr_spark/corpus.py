@@ -1,0 +1,188 @@
+"""Deterministic interleaved-spans corpus generator.
+
+Derives the graded input table
+``(doc_id: string, spans: array<struct<kind,text,media_ref,offset:int32>>)``
+from the driver-provided ``documents`` parquet (TESTDATA.md), per
+FIXTURES.md §1. The generator is pure arithmetic (splitmix64 mixing — no
+RNG state), so the Spark input-prep path and the pure-Python oracle see
+byte-identical fixtures without any shared state or network calls.
+
+Distribution goals (FIXTURES.md §1 table):
+  * pages/doc mostly 1-5, ~1% tail docs with 100 pages  -> skew salting
+  * 10-73 spans per page                                 -> band math
+  * ~10% two-up pages (bimodal x, empty gutter)          -> K9 L/R split
+  * repeated header/footer spans on >=80% of pages in ~1/3
+    of multi-page docs                                   -> K15 strip
+  * ~8% media spans with distinct media_ref              -> F6 classify
+  * whitespace noise runs inside text spans              -> C14 collapse
+  * occasional all-whitespace spans                      -> F11 empty drop
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from dd_ops_ocr_spark.schema import PAGE_H, PAGE_W, SPANS_SCHEMA, STRIDE, CX
+
+_MASK = (1 << 64) - 1
+
+
+def mix64(x: int) -> int:
+    """splitmix64 finalizer — deterministic, stateless hash mixing."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+def rng(*parts: int) -> int:
+    """Combine integer parts into one 64-bit pseudo-random value."""
+    h = 0
+    for p in parts:
+        h = mix64(h ^ (p & _MASK))
+    return h
+
+
+_FALLBACK_TEXT = (
+    "WHEREAS the parties agree to the terms set forth herein, including "
+    "Article 1 scope, Article 2 term, and Article 3 compensation."
+)
+
+_HEADER_FMT = "CONFIDENTIAL AGREEMENT {doc}"
+_FOOTER_TEXT = "Standard Terms apply - dd-ops"
+
+# Tail-doc page count (the p99 skew case, FIXTURES.md §1).
+TAIL_MOD = 101
+TAIL_RESIDUE = 7
+TAIL_PAGES = 100
+
+
+def n_pages_for(doc_key: int) -> int:
+    if doc_key % TAIL_MOD == TAIL_RESIDUE:
+        return TAIL_PAGES
+    return 1 + rng(doc_key, 1) % 5
+
+
+def doc_spans(doc_key: int, base_text: str) -> list[dict]:
+    """Generate the span list for one document. Returns spans in a
+    deterministically shuffled order (the pipeline's reading-order sort is
+    load-bearing); offsets are unique within the doc."""
+    base = base_text if base_text else _FALLBACK_TEXT
+    lbase = len(base)
+    pages = n_pages_for(doc_key)
+    has_hf = pages >= 3 and rng(doc_key, 2) % 3 == 0
+    header_text = _HEADER_FMT.format(doc=doc_key)
+
+    spans: list[dict] = []
+    for p in range(pages):
+        used: set[int] = set()
+
+        def place(y: int, x: int) -> int:
+            off = p * STRIDE + y * PAGE_W + x
+            while off in used:
+                off += 1
+            used.add(off)
+            return off
+
+        two_up = rng(doc_key, 3, p) % 10 == 3
+        n_body = 10 + rng(doc_key, 4, p) % 64
+        for i in range(n_body):
+            u = rng(doc_key, 5, p, i)
+            y = 256 + (u >> 8) % (PAGE_H - 512)
+            if two_up:
+                if (u >> 16) & 1:
+                    x = CX + 128 + (u >> 24) % (PAGE_W - CX - 192)
+                else:
+                    x = 64 + (u >> 24) % (CX - 256)
+            else:
+                x = 64 + (u >> 24) % (PAGE_W - 128)
+            off = place(y, x)
+            if u % 12 == 5:
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": None,
+                        "media_ref": f"img_{doc_key}_{p}_{i}",
+                        "offset": off,
+                    }
+                )
+                continue
+            if u % 53 == 9:
+                chunk = "   \n\n  "  # pure whitespace -> dropped by F11
+            else:
+                start = (u >> 32) % max(1, lbase - 48)
+                ln = 6 + (u >> 40) % 40
+                chunk = base[start : start + ln]
+                v = u % 7
+                if v == 0:
+                    chunk = chunk[:2] + "\n\n\n" + chunk[2:]
+                elif v == 1:
+                    chunk = "  " + chunk + " \n\n"
+                elif v == 2:
+                    chunk = chunk + "\n\n" + chunk[:3]
+            spans.append(
+                {"kind": "text", "text": chunk, "media_ref": None, "offset": off}
+            )
+        if has_hf:
+            uh = rng(doc_key, 6, p)
+            if uh % 10 < 9:
+                off = place(16 + uh % 80, 64 + (uh >> 16) % 1900)
+                spans.append(
+                    {"kind": "text", "text": header_text, "media_ref": None, "offset": off}
+                )
+            uf = rng(doc_key, 7, p)
+            if uf % 10 < 9:
+                off = place(PAGE_H - 96 + uf % 80, 64 + (uf >> 16) % 1900)
+                spans.append(
+                    {"kind": "text", "text": _FOOTER_TEXT, "media_ref": None, "offset": off}
+                )
+
+    shuffle_seed = rng(doc_key, 8)
+    spans.sort(key=lambda s: mix64(s["offset"] ^ shuffle_seed))
+    return spans
+
+
+def doc_id_str(doc_key: int) -> str:
+    return f"doc_{doc_key:06d}"
+
+
+def spans_pandas(documents: pd.DataFrame) -> pd.DataFrame:
+    """documents (doc_id:int64, text, ...) -> (doc_id:str, spans:list[dict])."""
+    out_ids: list[str] = []
+    out_spans: list[list[dict]] = []
+    for doc_key, text in zip(documents["doc_id"], documents["text"]):
+        out_ids.append(doc_id_str(int(doc_key)))
+        out_spans.append(doc_spans(int(doc_key), text or ""))
+    return pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+
+def build_spans_df(spark, sf_dir: str):
+    """Spark DataFrame of (doc_id, spans) synthesized from ``documents``.
+
+    Generation runs distributed via mapInPandas so it parallelizes across
+    executor cores; each batch is independent (generator is stateless).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield spans_pandas(pdf)
+
+    return docs.mapInPandas(gen, schema=SPANS_SCHEMA)
+
+
+def materialize_spans(spark, sf_dir: str, out_path: str, n_partitions: int = 32) -> str:
+    """Write the synthetic spans table to parquet once (bench input cache)."""
+    df = build_spans_df(spark, sf_dir).repartition(n_partitions, "doc_id")
+    df.write.mode("overwrite").parquet(out_path)
+    return out_path
+
+
+def decode_geometry(offset: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """offset -> (page, y, x) per schema.py encoding. Vectorized."""
+    page = offset // STRIDE
+    rem = offset % STRIDE
+    return page, rem // PAGE_W, rem % PAGE_W

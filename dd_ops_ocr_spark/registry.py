@@ -1,0 +1,47 @@
+"""Central query/oracle registry consumed by ``__spark_entry__``.
+
+Every implemented operator from SURVEY.md §2 gets a ``QUERIES`` entry;
+SQL-expressible ones also get an ``ORACLE_SQL`` entry (DuckDB dialect,
+run by the driver against the same parquet at sf0.01). Flagship-family
+queries over the synthesized spans table are rows-only here and covered
+by the pytest span-equality suite instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(mod) -> None:
+    QUERIES.update(mod.QUERIES)
+    ORACLE_SQL.update(getattr(mod, "ORACLE_SQL", {}))
+
+
+def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark import corpus, pipeline
+
+    return pipeline.extract(corpus.build_spans_df(spark, sf_dir))
+
+
+def _flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark import corpus, pipeline
+
+    out = pipeline.extract(corpus.build_spans_df(spark, sf_dir))
+    return pipeline.metrics(out)
+
+
+QUERIES["flagship_extract"] = _flagship_extract
+QUERIES["flagship_metrics"] = _flagship_metrics
+
+from dd_ops_ocr_spark.operators import geometry as _geometry  # noqa: E402
+from dd_ops_ocr_spark.operators import merges as _merges  # noqa: E402
+from dd_ops_ocr_spark.operators import textops as _textops  # noqa: E402
+
+_register(_geometry)
+_register(_merges)
+_register(_textops)
