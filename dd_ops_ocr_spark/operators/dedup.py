@@ -1,0 +1,277 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (its dedup is the PubSub deliveryAttempt
+guard, api/main.py:496-501); these are the standard corpus-dedup suite a
+100 TB pipeline needs, built Spark-first:
+
+  * exact dedup       — hash groupBy, one shuffle on the digest
+  * MinHash signature — shingle -> per-seed min of md5(seed|shingle);
+                        portable across engines because md5 hex strings
+                        compare lexicographically == numerically
+  * LSH banding       — band key = md5 of the band's signature; a
+                        bucket-join (groupBy having count>1) yields
+                        candidate pairs WITHOUT the O(n^2) cross join
+  * n-gram Jaccard    — exact verify on LSH candidates only
+
+At scale: the shingle explode is map-side only; the signature agg is one
+shuffle keyed by doc; LSH buckets replace the quadratic pair join — the
+same plan shape published for web-scale near-dedup (MinHashLSH).
+
+The test corpus has no full duplicates, so dedup queries union in exact
+copies (doc_id + 10_000_000) — both engines apply the identical union, so
+every query is still oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+N_MINHASH = 4
+SHINGLE = 3
+COPY_OFFSET = 10_000_000
+
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus exact copies of every 20th doc (guaranteed dup pairs)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+_SQL_DOCS_WITH_COPIES = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 20 = 0
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) -> keeper = min(doc_id), n_copies.
+    One hash-agg shuffle keyed by digest; keeper selection is an agg,
+    not a window, so no second shuffle."""
+    d = _docs_with_copies(spark, sf_dir)
+    return (
+        d.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH d AS ({_SQL_DOCS_WITH_COPIES})
+SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM d
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Explode each doc into its character SHINGLE-grams (distinct).
+    Map-side only — no shuffle until the signature agg."""
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(1, length(text) - {SHINGLE - 1})),"
+                    f" i -> substring(text, i, {SHINGLE}))"
+                )
+            )
+        ).alias("sh"),
+    )
+
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id, substr(text, CAST(t.i AS INT), {SHINGLE}) AS sh
+  FROM d, UNNEST(range(1, GREATEST(1, LENGTH(text) - {SHINGLE - 1}) + 1)) AS t(i)
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature: mh_j = min over shingles of md5(j || '|' || sh).
+    md5 hex is lowercase fixed-width, so string MIN == numeric MIN — the
+    trick that makes the signature engine-portable."""
+    d = _docs_with_copies(spark, sf_dir)
+    sh = _shingles(d)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH d AS ({_SQL_DOCS_WITH_COPIES}),
+sh AS ({_SQL_SHINGLES})
+SELECT doc_id,
+       {", ".join(f"MIN(md5('{j}|' || sh)) AS mh{j}" for j in range(N_MINHASH))}
+FROM sh
+GROUP BY doc_id
+"""
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signature: band0 = md5(mh0|mh1),
+    band1 = md5(mh2|mh3); docs sharing any band bucket are candidates.
+    Self-join per bucket (buckets are tiny) replaces the O(n^2) pair join."""
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.md5(F.concat_ws("|", F.lit("b0"), "mh0", "mh1")),
+                F.md5(F.concat_ws("|", F.lit("b1"), "mh2", "mh3")),
+            )
+        ).alias("bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SQL_LSH_CANDIDATE_PAIRS = f"""
+WITH d AS ({_SQL_DOCS_WITH_COPIES}),
+sh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{j}|' || sh)) AS mh{j}" for j in range(N_MINHASH))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5('b0' || '|' || mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5('b1' || '|' || mh2 || '|' || mh3) AS bucket FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification on the LSH candidate pairs:
+    |A ∩ B| / |A ∪ B| over distinct shingles. Runs only on candidates —
+    the scale-correct pattern (LSH prunes, Jaccard verifies)."""
+    d = _docs_with_copies(spark, sf_dir)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = q_lsh_candidate_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "raw_j",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("raw_j") >= 0.8)
+        .select("doc_a", "doc_b", F.round(F.col("raw_j"), 6).alias("jaccard"))
+    )
+    return out
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH d AS ({_SQL_DOCS_WITH_COPIES}),
+sh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{j}|' || sh)) AS mh{j}" for j in range(N_MINHASH))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5('b0' || '|' || mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5('b1' || '|' || mh2 || '|' || mh3) AS bucket FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (bucket)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.8
+"""
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> reproducible in pure Python
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint, entirely JVM-side:
+    tokens -> 60-bit hash via conv(md5[:15], 16, 10) -> per-bit +/-1 vote
+    sums -> sign bits assembled with shift/or. No Python in the plan; the
+    per-bit votes are 60 agg columns (codegen'd), not a 60x explode.
+    Rows-only for the driver; pytest cross-checks a pure-Python oracle
+    (tests/test_dedup_extra.py)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "simhash": q_simhash,
+    "minhash_signature": q_minhash_signature,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signature": SQL_MINHASH_SIGNATURE,
+    "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+}

@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+
+  * brute-force cosine top-k — the exactness baseline. The query set is
+    small and broadcast; candidates stream map-side; only the final
+    top-k window shuffles (keyed by query, k rows per query survive the
+    partial window). Dot products are computed as IN-ORDER float64 folds
+    (F.aggregate over zip_with), which makes them bit-identical to
+    DuckDB's list_dot_product(CAST AS DOUBLE[])) — verified exact, so
+    the oracle comparison needs no tolerance.
+
+  * LSH-bucketed ANN — the scale path: random-hyperplane sign bits
+    (deterministic splitmix64 planes) computed by a vectorized numpy
+    matmul inside mapInPandas; candidates only within matching buckets,
+    exact cosine re-rank after. No O(n^2) pair join. Covered by a pytest
+    numpy oracle (hyperplane arithmetic is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+TOP_K = 5
+QUERY_MOD = 50  # queries = vec_id % 50 == 0
+N_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _dot(a, b):
+    """In-order float64 fold — deterministic, engine-portable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (queries broadcast)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+    joined = cands.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 9).alias("sim"))
+    )
+
+
+SQL_ANN_BRUTE_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v)
+           / (SQRT(list_dot_product(q.qv, q.qv))
+              * SQRT(list_dot_product(e.v, e.v))) AS sim
+  FROM q, e
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, neighbor_id, ROUND(sim, 9) AS sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _planes(dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via splitmix64."""
+    from dd_ops_ocr_spark.corpus import mix64
+
+    vals = np.array(
+        [mix64(j * 100_003 + i) for j in range(N_PLANES) for i in range(dim)],
+        dtype=np.float64,
+    )
+    return (vals / 2.0**64 - 0.5).reshape(N_PLANES, dim)
+
+
+def lsh_signatures(df: DataFrame, dim: int = 64) -> DataFrame:
+    """vec_id + sign-bit bucket via vectorized numpy matmul (mapInPandas)."""
+    planes = _planes(dim)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())  # (n, dim) float64
+            bits = (m @ planes.T) >= 0  # (n, N_PLANES)
+            bucket = (bits.astype(np.uint32) << np.arange(N_PLANES, dtype=np.uint32)).sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "bucket": bucket.astype("int32")}
+            )
+
+    return df.mapInPandas(sig, schema="vec_id long, bucket int")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates restricted to the query's sign-bucket,
+    exact cosine re-rank, top-3 per query. Rows-only for the driver
+    (hyperplane arithmetic is not SQL-expressible); pytest checks the
+    bucket assignment and re-rank against a pure-numpy reference."""
+    emb = _emb(spark, sf_dir)
+    sigs = lsh_signatures(emb)
+    embs = emb.join(sigs, "vec_id")
+    queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = embs.select(
+        F.col("vec_id").alias("neighbor_id"), "v", F.col("bucket").alias("cbucket")
+    )
+    joined = cands.join(
+        F.broadcast(queries),
+        (F.col("cbucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 9).alias("sim"))
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norms and dims — sanity surface for the vector
+    column, and a portable agg (in-order folds, ints, exact doubles)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm2 = _dot(F.col("v"), F.col("v"))
+    return (
+        emb.select("label", F.size("v").cast("long").alias("dim"), norm2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            F.round(F.min("n2"), 9).alias("min_norm2"),
+            F.round(F.max("n2"), 9).alias("max_norm2"),
+        )
+    )
+
+
+SQL_EMBEDDING_STATS = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT label, LEN(v) AS dim, list_dot_product(v, v) AS n2 FROM e
+)
+SELECT label, COUNT(*) AS n_vecs,
+       MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+       ROUND(MIN(n2), 9) AS min_norm2, ROUND(MAX(n2), 9) AS max_norm2
+FROM s
+GROUP BY label
+"""
+
+
+QUERIES = {
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_stats": q_embedding_stats,
+}
+
+ORACLE_SQL = {
+    "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "embedding_stats": SQL_EMBEDDING_STATS,
+}

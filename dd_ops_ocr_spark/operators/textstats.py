@@ -1,0 +1,215 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side expressions built from length/replace/regexp arithmetic so
+the DuckDB oracle computes bit-identical values (no floating-point
+summation-order hazards: every ratio is a single division of integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# marker -> language, probed by substring-occurrence counting.
+_LANG_MARKERS = [
+    ("en", " the "),
+    ("de", " der "),
+    ("fr", " le "),
+    ("es", " el "),
+    ("zh", " shi "),
+]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _occ(col, marker: str):
+    """#occurrences of marker: (len(s) - len(replace(s, m, ''))) / len(m)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language ID heuristic: count per-language marker
+    words in ' '+lower(text)+' '; predict the first language (in fixed
+    priority order en,de,fr,es,zh) achieving the max count; 'und' if all
+    zero. Deterministic tie-break = priority order."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).alias("s"),
+    )
+    for code, marker in _LANG_MARKERS:
+        d = d.withColumn(f"c_{code}", _occ(F.col("s"), marker))
+    counts = [F.col(f"c_{code}") for code, _ in _LANG_MARKERS]
+    best = F.greatest(*counts)
+    pred = F.lit("und")
+    for code, _ in reversed(_LANG_MARKERS):
+        pred = F.when(
+            (F.col(f"c_{code}") == best) & (best > 0), code
+        ).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"c_{code}") for code, _ in _LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def _sql_occ(expr: str, marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (
+        f"CAST((LENGTH({expr}) - LENGTH(REPLACE({expr}, '{m}', '')))"
+        f" / {len(marker)} AS BIGINT)"
+    )
+
+
+_sql_counts = ",\n         ".join(
+    f"{_sql_occ('s', marker)} AS c_{code}" for code, marker in _LANG_MARKERS
+)
+_sql_best = "GREATEST(" + ", ".join(f"c_{c}" for c, _ in _LANG_MARKERS) + ")"
+_sql_pred = "CASE "
+for code, _ in _LANG_MARKERS:
+    _sql_pred += f"WHEN c_{code} = {_sql_best} AND {_sql_best} > 0 THEN '{code}' "
+_sql_pred += "ELSE 'und' END"
+
+SQL_LANG_ID = f"""
+WITH d AS (
+  SELECT doc_id, lang, ' ' || LOWER(text) || ' ' AS s FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         {_sql_counts}
+  FROM d
+)
+SELECT doc_id, lang, c_en, c_de, c_fr, c_es, c_zh,
+       {_sql_pred} AS pred_lang
+FROM c
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, space/punct counts, word count, mean word
+    length, stopword ratio — the standard pretraining-corpus filters
+    (C4/Gopher-style rules), all integer-derived so engine-portable."""
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("t"))
+    n = F.length("t")
+    spaces = n - F.length(F.replace(F.col("t"), F.lit(" "), F.lit("")))
+    dots = n - F.length(F.replace(F.col("t"), F.lit("."), F.lit("")))
+    commas = n - F.length(F.replace(F.col("t"), F.lit(","), F.lit("")))
+    words = spaces + 1
+    the_cnt = _occ(
+        F.concat(F.lit(" "), F.lower("t"), F.lit(" ")), " the "
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_chars"),
+        words.alias("n_words"),
+        ((dots + commas).cast("double") / n).alias("punct_ratio"),
+        ((n - spaces).cast("double") / words).alias("mean_word_len"),
+        (the_cnt.cast("double") / words).alias("stopword_ratio"),
+        (
+            (n >= 50)
+            & ((dots + commas).cast("double") / n < 0.1)
+            & ((n - spaces).cast("double") / words < 12.0)
+        ).cast("int").alias("passes_quality"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH d AS (
+  SELECT doc_id, text AS t,
+         LENGTH(text) AS n,
+         LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS spaces,
+         LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS dots,
+         LENGTH(text) - LENGTH(REPLACE(text, ',', '')) AS commas,
+         CAST((LENGTH(' ' || LOWER(text) || ' ')
+               - LENGTH(REPLACE(' ' || LOWER(text) || ' ', ' the ', '')))
+              / 5 AS BIGINT) AS the_cnt
+  FROM documents
+)
+SELECT doc_id, n AS n_chars, spaces + 1 AS n_words,
+       CAST(dots + commas AS DOUBLE) / n AS punct_ratio,
+       CAST(n - spaces AS DOUBLE) / (spaces + 1) AS mean_word_len,
+       CAST(the_cnt AS DOUBLE) / (spaces + 1) AS stopword_ratio,
+       CAST(n >= 50
+            AND CAST(dots + commas AS DOUBLE) / n < 0.1
+            AND CAST(n - spaces AS DOUBLE) / (spaces + 1) < 12.0 AS INT)
+         AS passes_quality
+FROM d
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens
+    (letter runs | digit runs | single non-alnum), per doc and total."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe_tokens = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+    return d.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       LEN(regexp_split_to_array(TRIM(text), '\s+')) AS ws_tokens,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS bpe_tokens
+FROM documents
+WHERE LENGTH(text) > 0
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min/max md5 over 8-gram windows (winnowing
+    collapsed to global extrema — a rolling-hash fingerprint that is
+    stable under concatenation order). Same portable-md5 trick as MinHash."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(1, length(text) - 7)),"
+                " i -> substring(text, i, 8))"
+            )
+        ).alias("g"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min(F.md5("g")).alias("fp_min"),
+        F.max(F.md5("g")).alias("fp_max"),
+        F.count("*").alias("n_windows"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+WITH grams AS (
+  SELECT doc_id, md5(substr(text, CAST(t.i AS INT), 8)) AS h
+  FROM documents, UNNEST(range(1, GREATEST(1, LENGTH(text) - 7) + 1)) AS t(i)
+)
+SELECT doc_id, MIN(h) AS fp_min, MAX(h) AS fp_max, COUNT(*) AS n_windows
+FROM grams
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLE_SQL = {
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+}

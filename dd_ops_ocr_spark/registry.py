@@ -38,10 +38,18 @@ def _flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["flagship_extract"] = _flagship_extract
 QUERIES["flagship_metrics"] = _flagship_metrics
 
+from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
+from dd_ops_ocr_spark.operators import multimodal as _multimodal  # noqa: E402
 from dd_ops_ocr_spark.operators import geometry as _geometry  # noqa: E402
 from dd_ops_ocr_spark.operators import merges as _merges  # noqa: E402
+from dd_ops_ocr_spark.operators import similarity as _similarity  # noqa: E402
 from dd_ops_ocr_spark.operators import textops as _textops  # noqa: E402
+from dd_ops_ocr_spark.operators import textstats as _textstats  # noqa: E402
 
 _register(_geometry)
 _register(_merges)
 _register(_textops)
+_register(_dedup)
+_register(_textstats)
+_register(_similarity)
+_register(_multimodal)

@@ -1,0 +1,126 @@
+"""Pure-Python/numpy oracles for the operators whose semantics are not
+SQL-expressible: SimHash, LSH-bucketed ANN, multimodal metadata plumbing.
+These back the rows-only entries in queries()."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+
+SF = SF_SMOKE
+
+
+def _docs(limit: int | None = None) -> pd.DataFrame:
+    q = f"select doc_id, text from read_parquet('{SF}/documents.parquet')"
+    if limit:
+        q += f" limit {limit}"
+    return duckdb.sql(q).df()
+
+
+def py_simhash(text: str, bits: int = 60) -> int:
+    votes = [0] * bits
+    for tok in re.split(r"\s+", text.strip().lower()):
+        if not tok:
+            continue
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(bits):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def test_simhash_matches_python_oracle(spark):
+    from dd_ops_ocr_spark.operators.dedup import q_simhash
+
+    got = q_simhash(spark, SF).toPandas().set_index("doc_id")["simhash"]
+    docs = _docs(limit=80)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        assert int(got.loc[doc_id]) == py_simhash(text), f"doc {doc_id}"
+
+
+def test_simhash_near_dup_property(spark):
+    """A lightly perturbed doc must land within small Hamming distance."""
+    t = "the quick brown fox jumps over the lazy dog " * 20
+    t2 = t + "extra token"
+    d = bin(py_simhash(t) ^ py_simhash(t2)).count("1")
+    assert d <= 10, f"near-dup hamming distance too large: {d}"
+    t3 = "completely different content about spark shuffle partitions " * 15
+    d2 = bin(py_simhash(t) ^ py_simhash(t3)).count("1")
+    assert d2 > d, "unrelated docs should be farther than near-dups"
+
+
+def test_lsh_ann_matches_numpy_oracle(spark):
+    from dd_ops_ocr_spark.operators.similarity import (
+        QUERY_MOD,
+        _planes,
+        q_ann_lsh_topk,
+    )
+
+    got = q_ann_lsh_topk(spark, SF).toPandas()
+    emb = duckdb.sql(
+        f"select vec_id, embedding from read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    planes = _planes(m.shape[1])
+    bits = (m @ planes.T) >= 0
+    buckets = (bits.astype(np.uint32) << np.arange(bits.shape[1], dtype=np.uint32)).sum(
+        axis=1
+    )
+    norms = np.sqrt((m * m).sum(axis=1))
+    expected = {}
+    for qi in np.where(ids % QUERY_MOD == 0)[0]:
+        mask = (buckets == buckets[qi]) & (ids != ids[qi])
+        cand = np.where(mask)[0]
+        if len(cand) == 0:
+            continue
+        sims = (m[cand] @ m[qi]) / (norms[cand] * norms[qi])
+        orderk = sorted(zip(-sims, ids[cand]))[:3]
+        expected[ids[qi]] = [int(v) for _, v in orderk]
+    got_map = {
+        q: g.sort_values("rank")["neighbor_id"].tolist()
+        for q, g in got.groupby("query_id")
+    }
+    assert set(got_map) == set(expected)
+    for q in expected:
+        assert got_map[q] == expected[q], f"query {q}"
+
+
+def test_media_metadata_plumbing(spark):
+    from dd_ops_ocr_spark.operators.multimodal import (
+        fake_decode_batch,
+        q_media_metadata,
+        synth_payload,
+    )
+
+    out = q_media_metadata(spark, SF).toPandas()
+    assert len(out) > 0
+    assert list(out.columns) == [
+        "media_ref", "n_bytes", "format", "width", "height", "phash",
+    ]
+    assert out["media_ref"].is_unique
+    assert set(out["format"]) <= {"jpeg", "png", "webp"}
+    assert (out["width"] >= 256).all() and (out["height"] >= 256).all()
+    # determinism: recompute one row locally
+    row = out.iloc[0]
+    meta = fake_decode_batch(pd.Series([synth_payload(row["media_ref"])]))
+    assert int(meta["phash"][0]) == int(row["phash"])
+    assert meta["format"][0] == row["format"]
+
+
+def test_decode_image_is_stubbed():
+    import pytest as _pytest
+
+    from dd_ops_ocr_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
