@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Times the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+
+  {"metric": "e2e_extract_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs_per_sec": <extract throughput>,
+   "scaling": {"cores_lo": 8, "cores_hi": N, "t_lo_sec": ..,
+               "t_hi_sec": .., "efficiency": ..}}
+
+Scaling evidence (north_rule: >=0.8 efficiency N -> 4N executors): the
+same extraction job runs at local[N] and local[4N] (default 4 and 16; see
+CORES_LO note) on the same cached input;
+efficiency = (T_lo / T_hi) / (cores_hi / cores_lo). Also appended to BENCH.md.
+
+The synthetic spans corpus is generated once per sf into
+.bench_cache/ (excluded from git) so the measured time is extraction,
+not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scaling pair: N -> 4N cores (BASELINE.md allows "N and 4N cores").
+# 16 is the highest level where JVM task threads + Python UDF workers
+# (~2 busy CPUs per core) still fit this 32-CPU box without
+# oversubscription; local[32] would measure scheduler thrash, not scaling.
+CORES_LO = int(os.environ.get("SPARK_GRAFT_CORES_LO", "4"))
+CORES_HI = int(os.environ.get("SPARK_GRAFT_CORES_HI", "16"))
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+# corpus replication for the extraction bench: the sf0.1 documents table is
+# only 5k rows; replicas (distinct ids + distinct deterministic content)
+# scale the corpus so the measurement isn't fixed-cost noise.
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/"))
+
+
+def _sf_value() -> float:
+    name = _sf_name()
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _dir_size(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _build(cores: int, spans_path: str | None = None):
+    from dd_ops_ocr_spark.session import build_spark
+
+    extra = {}
+    if spans_path and os.path.isdir(spans_path):
+        # size scan partitions for ~4 tasks per core at the HIGH parallelism
+        # level (same setting at both levels — identical plan, only cores
+        # differ). Oversized tasks serialize the run; see BENCH.md notes.
+        target = max(CPUS * 8, 256)
+        mpb = max(8 << 20, _dir_size(spans_path) // target)
+        extra["spark.sql.files.maxPartitionBytes"] = str(mpb)
+    # moderate heap: an oversized heap delays GC until Arrow buffers pile up
+    return build_spark(
+        app=f"bench_{cores}", cores=cores, shuffle_partitions=max(8, cores),
+        driver_memory="12g", extra=extra,
+    )
+
+
+def ensure_spans_cache(spark) -> str:
+    from dd_ops_ocr_spark import corpus
+
+    path = os.path.join(CACHE, f"spans_{_sf_name()}_x{REPLICATE}.parquet")
+    if not os.path.isdir(path):
+        os.makedirs(CACHE, exist_ok=True)
+        corpus.materialize_spans(
+            spark, SF_DIR, path, n_partitions=max(32, CPUS * 4),
+            replicate=REPLICATE,
+        )
+    return path
+
+
+def timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 3)
+
+
+def run_extract(spark, spans_path: str, repeats: int = 3) -> tuple[float, int, int]:
+    """Warm up once (python-worker spawn + imports + JIT), then report the
+    best of ``repeats`` timed runs — the steady-state number a long batch
+    job actually sees."""
+    from dd_ops_ocr_spark import pipeline
+
+    df = spark.read.parquet(spans_path)
+    n_docs = df.count()  # cheap (parquet row count), outside the timing
+    n_spans = pipeline.extract(df).count()  # warmup, full run
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        pipeline.extract(df).count()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3), n_docs, n_spans
+
+
+def main() -> None:
+    from dd_ops_ocr_spark import pipeline  # noqa: F401  (import check)
+    from dd_ops_ocr_spark.operators.dedup import q_minhash_signature
+    from dd_ops_ocr_spark.operators.merges import q_judgment_merge
+    from dd_ops_ocr_spark.operators.similarity import q_ann_brute_topk
+    from dd_ops_ocr_spark.plans.salting import extract_salted
+
+    queries: dict[str, float] = {}
+
+    spark = _build(CPUS)
+    spans_path = ensure_spans_cache(spark)
+    spark.stop()
+    spark = _build(CPUS, spans_path)
+
+    t_extract, n_docs, n_spans = run_extract(spark, spans_path)
+    queries["flagship_extract"] = t_extract
+
+    spans_df = spark.read.parquet(spans_path)
+    queries["flagship_extract_salted"] = timed(
+        lambda: extract_salted(spans_df).count()
+    )
+    queries["minhash_signature"] = timed(
+        lambda: q_minhash_signature(spark, SF_DIR).count()
+    )
+    queries["ann_brute_topk"] = timed(
+        lambda: q_ann_brute_topk(spark, SF_DIR).count()
+    )
+    queries["judgment_merge"] = timed(
+        lambda: q_judgment_merge(spark, SF_DIR).count()
+    )
+    spark.stop()
+
+    scaling = None
+    if not SKIP_SCALING:
+        # Alternate core levels over two rounds and take the min per level:
+        # the sandbox VM shows minutes-scale background noise, and a single
+        # unlucky session would poison one side of the ratio.
+        t_by_cores: dict[int, float] = {CORES_LO: float("inf"),
+                                        CORES_HI: float("inf")}
+        for _round in range(2):
+            for cores in (CORES_LO, CORES_HI):
+                s = _build(cores, spans_path)
+                t, _, _ = run_extract(s, spans_path)
+                t_by_cores[cores] = min(t_by_cores[cores], t)
+                s.stop()
+        eff = (t_by_cores[CORES_LO] / t_by_cores[CORES_HI]) / (CORES_HI / CORES_LO)
+        scaling = {
+            "cores_lo": CORES_LO,
+            "cores_hi": CORES_HI,
+            "t_lo_sec": t_by_cores[CORES_LO],
+            "t_hi_sec": t_by_cores[CORES_HI],
+            "docs_per_sec_lo": round(n_docs / t_by_cores[CORES_LO], 2),
+            "docs_per_sec_hi": round(n_docs / t_by_cores[CORES_HI], 2),
+            "efficiency": round(eff, 3),
+        }
+        _append_bench_md(n_docs, n_spans, scaling)
+
+    result = {
+        "metric": "e2e_extract_sec",
+        "value": t_extract,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_value(),
+        "n_docs": n_docs,
+        "n_spans_out": n_spans,
+        "docs_per_sec": round(n_docs / t_extract, 2),
+    }
+    if scaling:
+        result["scaling"] = scaling
+    print(json.dumps(result))
+
+
+def _append_bench_md(n_docs: int, n_spans: int, scaling: dict) -> None:
+    import datetime
+
+    path = os.path.join(REPO, "BENCH.md")
+    header_needed = not os.path.exists(path)
+    with open(path, "a") as f:
+        if header_needed:
+            f.write(
+                "# BENCH — scaling evidence\n\n"
+                "Same extraction job, same input, two parallelism levels\n"
+                "(sandbox proxy for N vs 4N executors per BASELINE.md).\n"
+                "efficiency = (T_lo / T_hi) / (cores_hi / cores_lo).\n\n"
+                "| when | sf | docs | spans out | cores_lo | t_lo (s) | "
+                "docs/s lo | cores_hi | t_hi (s) | docs/s hi | efficiency |\n"
+                "|---|---|---|---|---|---|---|---|---|---|---|\n"
+            )
+        f.write(
+            f"| {datetime.datetime.now(datetime.UTC).isoformat(timespec='seconds')} "
+            f"| {_sf_value()} | {n_docs} | {n_spans} "
+            f"| {scaling['cores_lo']} | {scaling['t_lo_sec']} "
+            f"| {scaling['docs_per_sec_lo']} "
+            f"| {scaling['cores_hi']} | {scaling['t_hi_sec']} "
+            f"| {scaling['docs_per_sec_hi']} | {scaling['efficiency']} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

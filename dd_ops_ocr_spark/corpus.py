@@ -159,13 +159,34 @@ def spans_pandas(documents: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
 
 
-def build_spans_df(spark, sf_dir: str):
+REPLICA_STRIDE = 10_000_000  # doc_key offset per corpus replica
+
+
+def build_spans_df(spark, sf_dir: str, replicate: int = 1):
     """Spark DataFrame of (doc_id, spans) synthesized from ``documents``.
 
     Generation runs distributed via mapInPandas so it parallelizes across
     executor cores; each batch is independent (generator is stateless).
+
+    ``replicate`` > 1 scales the corpus for benchmarking: replica k uses
+    doc_key + k * REPLICA_STRIDE, so replicas have distinct doc_ids AND
+    distinct deterministic content (the generator mixes the key into
+    every draw) — no artificial duplicate skew.
     """
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if replicate > 1:
+        reps = spark.range(replicate).select(
+            (F.col("id") * REPLICA_STRIDE).alias("rep_off")
+        )
+        docs = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") + F.col("rep_off")).alias("doc_id"), "text"
+        )
+    # the documents parquet is a single small file (one scan partition, and
+    # a broadcast cross-join preserves that) — spread generation over cores
+    n_par = docs.sparkSession.sparkContext.defaultParallelism * 4
+    docs = docs.repartition(n_par)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -174,9 +195,13 @@ def build_spans_df(spark, sf_dir: str):
     return docs.mapInPandas(gen, schema=SPANS_SCHEMA)
 
 
-def materialize_spans(spark, sf_dir: str, out_path: str, n_partitions: int = 32) -> str:
+def materialize_spans(
+    spark, sf_dir: str, out_path: str, n_partitions: int = 32, replicate: int = 1
+) -> str:
     """Write the synthetic spans table to parquet once (bench input cache)."""
-    df = build_spans_df(spark, sf_dir).repartition(n_partitions, "doc_id")
+    df = build_spans_df(spark, sf_dir, replicate=replicate).repartition(
+        n_partitions, "doc_id"
+    )
     df.write.mode("overwrite").parquet(out_path)
     return out_path
 

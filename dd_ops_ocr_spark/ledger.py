@@ -1,0 +1,105 @@
+"""Per-partition checkpoint ledger — resume-partition-exactly (north_rule).
+
+Spark batch has no built-in mid-job checkpointing; the reference's
+equivalent is its session-directory stale-file probing
+(api/main.py:785-853), replaced here by a keyed ledger:
+
+  output layout   {out_dir}/data/bucket={b}/part-*.parquet
+  ledger layout   {out_dir}/ledger/commit={run_id}_{b}/part-*.parquet
+     rows: (run_id, bucket, docs, spans_emitted, text_blocks,
+            media_blocks, committed_at_run)
+
+A bucket is the checkpoint unit: ``bucket = pmod(xxhash64(doc_id), N)``
+— deterministic across retries/runs, so a resumed run reprocesses
+exactly the buckets without a ledger commit and nothing else. The data
+write and the ledger append are two steps; order (data first, ledger
+last) makes the ledger a commit marker: a crash between them leaves an
+orphaned-but-ignored data dir that the resumed run simply overwrites
+(dynamic partition overwrite), never double-counts.
+
+Lineage/metrics columns ride with every ledger row (north_rule:
+pages_processed/blocks_classified/spans_emitted per partition).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_BUCKETS = 32
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+
+
+def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    path = f"{out_dir}/ledger"
+    if not os.path.isdir(path) or not os.listdir(path):
+        return set()
+    rows = spark.read.parquet(path).select("bucket").distinct().collect()
+    return {r["bucket"] for r in rows}
+
+
+def run_with_ledger(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    fail_after: int | None = None,
+    extractor=None,
+) -> dict:
+    """Extract with per-bucket checkpoint commits; resumable.
+
+    ``fail_after`` aborts after committing that many buckets (test hook
+    simulating a mid-run crash). Returns a summary dict.
+    """
+    from dd_ops_ocr_spark import pipeline
+
+    extractor = extractor or pipeline.extract
+    done = committed_buckets(spark, out_dir)
+    todo = [b for b in range(n_buckets) if b not in done]
+
+    src = spans_df.withColumn("bucket", bucket_col(n_buckets))
+    processed = 0
+    for b in todo:
+        part = src.filter(F.col("bucket") == b).drop("bucket")
+        out = extractor(part).withColumn("bucket", F.lit(b))
+        # data first (idempotent overwrite of this bucket's directory) ...
+        out.write.mode("overwrite").parquet(f"{out_dir}/data/bucket={b}")
+        # ... ledger commit marker last, with lineage + metrics.
+        stats = (
+            spark.read.parquet(f"{out_dir}/data/bucket={b}")
+            .agg(
+                F.countDistinct("doc_id").alias("docs"),
+                F.count("*").alias("spans_emitted"),
+                F.sum((F.col("kind") == "text").cast("long")).alias("text_blocks"),
+                F.sum((F.col("kind") != "text").cast("long")).alias("media_blocks"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("bucket", F.lit(b))
+            .withColumn("committed_at_run", F.lit(run_id))
+        )
+        stats.write.mode("overwrite").parquet(
+            f"{out_dir}/ledger/commit={run_id}_{b}"
+        )
+        processed += 1
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"injected failure after {processed} buckets")
+    return {
+        "run_id": run_id,
+        "buckets_total": n_buckets,
+        "buckets_resumed_from": len(done),
+        "buckets_processed": processed,
+    }
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/data")
+
+
+def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/ledger")

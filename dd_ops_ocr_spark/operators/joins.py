@@ -1,0 +1,170 @@
+"""Join-shaped operators (SURVEY §2.3) and remaining scalar/agg rows.
+
+The reference has no relational joins; its join-shaped patterns are a
+build/probe dict lookup (J1), an enrichment against a small dimension
+(J5), and positional zips (J3). Spark-first: broadcast the dimension,
+never shuffle the fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def q_dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J1: fact x small-dimension enrichment — broadcast hash join on
+    the dim (api/main.py:1038-1098 risk enrichment). The fact side never
+    shuffles; only the post-join aggregation does."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_DIM_ENRICH_JOIN = """
+SELECT p.p_type AS p_type, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+"""
+
+
+def q_success_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F7: the filter ladder — successful pages, present media refs,
+    .pdf extension (step2/04:69-86, api/main.py:597-599) — composed as one
+    pushed-down scan filter."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.filter(
+            (F.col("n_chars") > 0)
+            & F.col("text").isNotNull()
+            & (F.col("doc_id") % 7 != 3)
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_SUCCESS_FILTER = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE n_chars > 0 AND text IS NOT NULL AND doc_id % 7 <> 3
+"""
+
+
+def q_lenient_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: lenient to_bool/to_int coercion ladders
+    (step0/00_type_utils.py:9-85) as when() ladders over derived strings."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.element_at(
+            F.lit(["true", "True", "1", "yes", "false", "0", "no", ""]),
+            (F.col("doc_id") % 8).cast("int") + 1,
+        ).alias("raw"),
+    )
+    as_bool = (
+        F.when(F.lower("raw").isin("true", "1", "yes"), True)
+        .when(F.lower("raw").isin("false", "0", "no"), False)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return d.select("doc_id", "raw", as_bool.alias("as_bool"))
+
+
+SQL_LENIENT_COERCION = """
+WITH d AS (
+  SELECT doc_id,
+         (['true','True','1','yes','false','0','no',''])
+           [CAST(doc_id % 8 AS INT) + 1] AS raw
+  FROM documents
+)
+SELECT doc_id, raw,
+       CASE WHEN LOWER(raw) IN ('true','1','yes') THEN TRUE
+            WHEN LOWER(raw) IN ('false','0','no') THEN FALSE
+            ELSE NULL END AS as_bool
+FROM d
+"""
+
+
+def q_array_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: mean over an array column (token-confidence mean,
+    step6/04:135-147) via an IN-ORDER float64 fold — engine-exact."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    total = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.round(total / F.size("v"), 9).alias("mean_val"),
+        F.size("v").cast("long").alias("n_vals"),
+    )
+
+
+SQL_ARRAY_MEAN = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+       ROUND(list_sum(v) / LEN(v), 9) AS mean_val,
+       LEN(v) AS n_vals
+FROM e
+"""
+
+
+def q_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: positional zip of two parallel arrays (zip(paths, angles),
+    step3/02_image_rotator.py:204-216) -> arrays_zip + explode."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, cast(doc_id % 4 as int)),"
+            " i -> concat('p', cast(i as string)))"
+        ).alias("paths"),
+        F.expr(
+            "transform(sequence(0, cast(doc_id % 4 as int)),"
+            " i -> (doc_id * (i + 1)) % 360)"
+        ).alias("angles"),
+    )
+    z = d.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("paths", "angles")).alias("idx", "pair"),
+    )
+    return z.select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("pair.paths").alias("path"),
+        F.col("pair.angles").alias("angle"),
+    )
+
+
+SQL_POSITIONAL_ZIP = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS k FROM documents
+)
+SELECT doc_id, t.i AS idx,
+       'p' || t.i AS path,
+       (doc_id * (t.i + 1)) % 360 AS angle
+FROM d, UNNEST(range(0, d.k + 1)) AS t(i)
+"""
+
+
+QUERIES = {
+    "dim_enrich_join": q_dim_enrich_join,
+    "success_filter": q_success_filter,
+    "lenient_coercion": q_lenient_coercion,
+    "array_mean": q_array_mean,
+    "positional_zip": q_positional_zip,
+}
+
+ORACLE_SQL = {
+    "dim_enrich_join": SQL_DIM_ENRICH_JOIN,
+    "success_filter": SQL_SUCCESS_FILTER,
+    "lenient_coercion": SQL_LENIENT_COERCION,
+    "array_mean": SQL_ARRAY_MEAN,
+    "positional_zip": SQL_POSITIONAL_ZIP,
+}

@@ -1,0 +1,86 @@
+"""W3: overlap trimming between adjacent band texts.
+
+The reference splits pages into 5 overlapping bands (10% overlap,
+step5/01_image_splitter.py:55-69) and delegates the duplicate-text
+removal at band seams to an LLM prompt (llm_prompts.yaml:167-194
+``ocr_combination``). Deterministic replacement: for each adjacent pair
+(band i, band i+1) within a page, trim from band i+1 its longest prefix
+that equals a suffix of band i (the classic seam-dedup rule).
+
+Spark shape: window ``lag(text)`` over (doc, page) ordered by band, then
+a vectorized pandas UDF computing the longest suffix-prefix overlap per
+pair. The LCS-style scan is not SQL-expressible; the driver records a
+rows-only check and pytest verifies against a pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def suffix_prefix_overlap(prev: str, cur: str) -> int:
+    """Length of the longest prefix of ``cur`` equal to a suffix of
+    ``prev`` (bounded by the shorter string)."""
+    k = min(len(prev), len(cur))
+    for n in range(k, 0, -1):
+        if prev[-n:] == cur[:n]:
+            return n
+    return 0
+
+
+def trim_overlap_py(prev: str | None, cur: str) -> str:
+    if not prev:
+        return cur
+    return cur[suffix_prefix_overlap(prev, cur) :]
+
+
+def _make_trim_udf():
+    # built lazily: pandas_udf needs an active session to parse its DDL
+    @F.pandas_udf("string")
+    def _trim_udf(prev: pd.Series, cur: pd.Series) -> pd.Series:
+        out = []
+        for p, c in zip(prev, cur):
+            if c is None:
+                out.append(None)
+            elif p is None:
+                out.append(c)
+            else:
+                out.append(trim_overlap_py(p, c))
+        return pd.Series(out, dtype=object)
+
+    return _trim_udf
+
+
+def q_overlap_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band texts synthesized from documents (band i = a window of the doc
+    text with 20% overlap), then seam-deduped. Returns the trimmed band
+    texts with their lengths."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.length("text").alias("n")
+    ).filter(F.col("n") >= 50)
+    bands = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.expr(
+            "substring(text, cast(band * (n div 5) + 1 as int),"
+            " cast((n div 5) + (n div 25) as int))"
+        ).alias("band_text"),
+    )
+    w = W.partitionBy("doc_id").orderBy("band")
+    trim_udf = _make_trim_udf()
+    trimmed = bands.withColumn("prev_text", F.lag("band_text").over(w)).withColumn(
+        "trimmed", trim_udf(F.col("prev_text"), F.col("band_text"))
+    )
+    return trimmed.select(
+        "doc_id",
+        "band",
+        F.length("band_text").alias("raw_len"),
+        F.length("trimmed").alias("trimmed_len"),
+        "trimmed",
+    )
+
+
+QUERIES = {"overlap_trim": q_overlap_trim}
+ORACLE_SQL: dict[str, str] = {}

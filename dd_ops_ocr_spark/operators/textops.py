@@ -246,7 +246,53 @@ FROM d
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: session index = running count of gaps > 30 minutes
+    per user (lag + cumulative sum) — the batch equivalent of
+    session_window; exercises stacked window functions."""
+    e = _events(spark, sf_dir)
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet gives TIMESTAMP_NTZ, which can't cast straight to long;
+    # go via timestamp (session TZ is pinned UTC, so this is exact)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w_order)
+    e = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    w_run = w_order.rowsBetween(W.unboundedPreceding, 0)
+    e = e.withColumn("session_idx", F.sum("new_session").over(w_run))
+    return e.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
+    "sessionize": q_sessionize,
     "whitespace_collapse": q_whitespace_collapse,
     "angle_normalize": q_angle_normalize,
     "sentinel_split": q_sentinel_split,
@@ -258,6 +304,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sessionize": SQL_SESSIONIZE,
     "whitespace_collapse": SQL_WHITESPACE_COLLAPSE,
     "angle_normalize": SQL_ANGLE_NORMALIZE,
     "sentinel_split": SQL_SENTINEL_SPLIT,

@@ -12,10 +12,12 @@ Semantics (the spec), in order:
      strip  (reference C14: step6/02_text_result_manager.py:57-61)
   3. drop text spans that normalize to ""          (reference F11:
      step7/01_text_integration_engine.py:62-74)
-  4. per-page two-up detection -> side in {0,1}    (deterministic
-     replacement for K8/K9: step4/01 + step4/02_page_splitter.py:47-59)
-  5. header/footer boilerplate strip               (deterministic
-     replacement for K15: llm_prompts.yaml:160-164 cleanup)
+  4. header/footer boilerplate strip               (deterministic
+     replacement for K15: llm_prompts.yaml:160-164 cleanup);
+     n_pages counts distinct pages among post-empty-drop spans
+  5. per-page two-up detection -> side in {0,1}    (deterministic
+     replacement for K8/K9: step4/01 + step4/02_page_splitter.py:47-59),
+     computed on the spans that survive the strip
   6. reading-order sort by (page, side, y, x); order = 1-based rank
      (reference W1/O1-O3 ordering chain)
   7. emit (kind, text, media_ref, order); media spans pass through.
@@ -70,22 +72,8 @@ def extract_doc(spans: list[dict]) -> list[dict]:
                          "media_ref": s["media_ref"],
                          "page": page, "y": y, "x": x})
 
-    # 4: two-up detection per page.
-    pages: dict[int, list[dict]] = {}
-    for s in kept:
-        pages.setdefault(s["page"], []).append(s)
-    for pg, items in pages.items():
-        left = sum(1 for s in items if s["x"] < CX - GUTTER_HALF)
-        right = sum(1 for s in items if s["x"] >= CX + GUTTER_HALF)
-        gutter = sum(
-            1 for s in items if CX - GUTTER_HALF <= s["x"] < CX + GUTTER_HALF
-        )
-        two_up = gutter == 0 and left >= TWOUP_MIN_SIDE and right >= TWOUP_MIN_SIDE
-        for s in items:
-            s["side"] = 1 if (two_up and s["x"] >= CX) else 0
-
-    # 5: boilerplate strip (text spans only, top/bottom zones).
-    n_pages = len(pages)
+    # 4: boilerplate strip (text spans only, top/bottom zones).
+    n_pages = len({s["page"] for s in kept})
     if n_pages >= MIN_PAGES_BOILERPLATE:
         threshold = math.ceil(BOILERPLATE_FRAC * n_pages)
         zone_pages: dict[tuple[int, str], set[int]] = {}
@@ -106,6 +94,20 @@ def extract_doc(spans: list[dict]) -> list[dict]:
                 return zone != 0 and (zone, s["text"]) in drop_keys
 
             kept = [s for s in kept if not is_boiler(s)]
+
+    # 5: two-up detection per page, on surviving spans.
+    pages: dict[int, list[dict]] = {}
+    for s in kept:
+        pages.setdefault(s["page"], []).append(s)
+    for pg, items in pages.items():
+        left = sum(1 for s in items if s["x"] < CX - GUTTER_HALF)
+        right = sum(1 for s in items if s["x"] >= CX + GUTTER_HALF)
+        gutter = sum(
+            1 for s in items if CX - GUTTER_HALF <= s["x"] < CX + GUTTER_HALF
+        )
+        two_up = gutter == 0 and left >= TWOUP_MIN_SIDE and right >= TWOUP_MIN_SIDE
+        for s in items:
+            s["side"] = 1 if (two_up and s["x"] >= CX) else 0
 
     # 6-7: reading-order sort and emit.
     kept.sort(key=lambda s: (s["page"], s["side"], s["y"], s["x"]))

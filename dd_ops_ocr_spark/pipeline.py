@@ -58,7 +58,11 @@ _EMPTY_OUT = pd.DataFrame(
 )
 
 
-def extract_flat_pandas(flat: pd.DataFrame) -> pd.DataFrame:
+def extract_flat_pandas(
+    flat: pd.DataFrame,
+    strip_boilerplate: bool = True,
+    pre_normalized: bool = False,
+) -> pd.DataFrame:
     """Vectorized extraction over a flat span batch.
 
     ``flat`` columns: doc_id(str), kind(str), text(str|None),
@@ -68,6 +72,10 @@ def extract_flat_pandas(flat: pd.DataFrame) -> pd.DataFrame:
     Implements the same spec as ``oracle.extract_doc`` (see that module's
     docstring for the step-by-step semantics and reference citations), but
     as whole-batch numpy/pandas operations.
+
+    ``strip_boilerplate=False`` is used by the salted path, where the
+    boilerplate keys were already removed by a doc-global JVM-side pass
+    (plans/salting.py) and a bucket-local re-strip would be wrong.
     """
     if len(flat) == 0:
         return _EMPTY_OUT.copy()
@@ -82,13 +90,19 @@ def extract_flat_pandas(flat: pd.DataFrame) -> pd.DataFrame:
     is_text = kind == "text"
 
     # C14 whitespace normalization (vectorized pandas str ops).
-    norm = (
-        flat["text"]
-        .fillna("")
-        .str.replace(r"\n{2,}", "\n", regex=True)
-        .str.strip()
-        .to_numpy(dtype=object)
-    )
+    # pre_normalized: the caller already applied the identical collapse+strip
+    # (e.g. JVM-side regexp in plans/salting.py) — skip the Python regex,
+    # by far the hottest loop in this kernel.
+    if pre_normalized:
+        norm = flat["text"].fillna("").to_numpy(dtype=object)
+    else:
+        norm = (
+            flat["text"]
+            .fillna("")
+            .str.replace(r"\n{2,}", "\n", regex=True)
+            .str.strip()
+            .to_numpy(dtype=object)
+        )
 
     keep = ~is_text | (norm != "")
     df = pd.DataFrame(
@@ -105,7 +119,51 @@ def extract_flat_pandas(flat: pd.DataFrame) -> pd.DataFrame:
     if len(df) == 0:
         return _EMPTY_OUT.copy()
 
-    # Two-up detection per (doc, page): empty gutter + >=N spans per side.
+    # Boilerplate strip: normalized text repeating in the header/footer zone
+    # on >= ceil(BOILERPLATE_FRAC * n_pages) pages of a >=3-page doc.
+    # Runs BEFORE two-up detection (spec order) so the salted path, which
+    # strips doc-globally before salting, sees identical layout inputs.
+    if strip_boilerplate:
+        yv = df["y"].to_numpy()
+        zone = np.where(
+            yv < HEADER_ZONE, 1, np.where(yv >= PAGE_H - FOOTER_ZONE, 2, 0)
+        )
+        zone = np.where(df["kind"].to_numpy() == "text", zone, 0)
+        df["_zone"] = zone
+
+        n_pages = (
+            df[["doc_id", "page"]]
+            .drop_duplicates()
+            .groupby("doc_id", sort=False)
+            .size()
+        )
+        doc_n_pages = df["doc_id"].map(n_pages).to_numpy()
+        cand = df[df["_zone"] > 0]
+        if len(cand):
+            zc = (
+                cand.groupby(["doc_id", "_zone", "text"], sort=False)["page"]
+                .nunique()
+                .rename("zpages")
+            )
+            zpages = (
+                df[["doc_id", "_zone", "text"]]
+                .join(zc, on=["doc_id", "_zone", "text"])["zpages"]
+                .fillna(0)
+                .to_numpy()
+            )
+            thresh = np.ceil(BOILERPLATE_FRAC * doc_n_pages)
+            boiler = (
+                (df["_zone"].to_numpy() > 0)
+                & (doc_n_pages >= MIN_PAGES_BOILERPLATE)
+                & (zpages >= thresh)
+            )
+            df = df[~boiler]
+        df = df.drop(columns=["_zone"])
+        if len(df) == 0:
+            return _EMPTY_OUT.copy()
+
+    # Two-up detection per (doc, page): empty gutter + >=N spans per side,
+    # computed on the spans that survive the strip.
     xv = df["x"].to_numpy()
     df["_left"] = (xv < CX - GUTTER_HALF).astype(np.int32)
     df["_right"] = (xv >= CX + GUTTER_HALF).astype(np.int32)
@@ -118,46 +176,9 @@ def extract_flat_pandas(flat: pd.DataFrame) -> pd.DataFrame:
         & (gp["_left"].transform("sum") >= TWOUP_MIN_SIDE)
         & (gp["_right"].transform("sum") >= TWOUP_MIN_SIDE)
     ).to_numpy()
+    xv = df["x"].to_numpy()
     df["side"] = np.where(two_up & (xv >= CX), 1, 0).astype(np.int32)
-    df.drop(columns=["_left", "_right", "_gutter"], inplace=True)
-
-    # Boilerplate strip: normalized text repeating in the header/footer zone
-    # on >= ceil(BOILERPLATE_FRAC * n_pages) pages of a >=3-page doc.
-    yv = df["y"].to_numpy()
-    zone = np.where(yv < HEADER_ZONE, 1, np.where(yv >= PAGE_H - FOOTER_ZONE, 2, 0))
-    zone = np.where(df["kind"].to_numpy() == "text", zone, 0)
-    df["_zone"] = zone
-
-    n_pages = (
-        df[["doc_id", "page"]]
-        .drop_duplicates()
-        .groupby("doc_id", sort=False)
-        .size()
-    )
-    doc_n_pages = df["doc_id"].map(n_pages).to_numpy()
-    cand = df[df["_zone"] > 0]
-    if len(cand):
-        zc = (
-            cand.groupby(["doc_id", "_zone", "text"], sort=False)["page"]
-            .nunique()
-            .rename("zpages")
-        )
-        zpages = (
-            df[["doc_id", "_zone", "text"]]
-            .join(zc, on=["doc_id", "_zone", "text"])["zpages"]
-            .fillna(0)
-            .to_numpy()
-        )
-        thresh = np.ceil(BOILERPLATE_FRAC * doc_n_pages)
-        boiler = (
-            (df["_zone"].to_numpy() > 0)
-            & (doc_n_pages >= MIN_PAGES_BOILERPLATE)
-            & (zpages >= thresh)
-        )
-        df = df[~boiler]
-    df = df.drop(columns=["_zone"])
-    if len(df) == 0:
-        return _EMPTY_OUT.copy()
+    df = df.drop(columns=["_left", "_right", "_gutter"])
 
     # Reading-order sort within doc; order = 1-based rank.
     df = df.sort_values(
@@ -191,18 +212,177 @@ def flatten_nested_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return sdf
 
 
-def extract(df: DataFrame) -> DataFrame:
+def extract(df: DataFrame, use_arrow: bool = True) -> DataFrame:
     """Nested (doc_id, spans) -> exploded reading-order span sequence.
 
     Shuffle-free: each input row is a whole doc, so batches are always
     doc-complete and the kernel runs per Arrow batch.
+
+    ``use_arrow=True`` (default) flattens the array<struct> column with
+    zero-copy Arrow ops (mapInArrow) instead of materializing one Python
+    dict per span — same kernel, ~an order of magnitude less flattening
+    overhead at scale. ``use_arrow=False`` keeps the mapInPandas path
+    (both are oracle-tested).
     """
+    if use_arrow:
+        return df.mapInArrow(_run_arrow, schema=OUT_SPANS_DDL)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield extract_flat_pandas(flatten_nested_batch(pdf))
 
     return df.mapInPandas(run, schema=OUT_SPANS_DDL)
+
+
+def _run_arrow(batches):
+    """mapInArrow kernel: the whole extraction in Arrow compute + numpy.
+
+    No Python string objects anywhere — normalization runs in Arrow C++
+    (RE2 regex + utf8 trim), group statistics run as numpy bincounts over
+    factorized integer keys, and the output columns are produced with
+    ``pc.take`` on the original Arrow arrays. This keeps the kernel
+    compute-bound instead of allocator/bandwidth-bound, which is what
+    makes extraction scale with cores (see BENCH.md).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("order", pa.int32()),
+        ]
+    )
+    PAGE_CAP = 1024  # > max pages per doc (409 by int32 offset bound)
+
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch]).combine_chunks()
+        spans = tbl.column("spans").chunk(0)
+        counts = pc.list_value_length(spans).fill_null(0).to_numpy()
+        struct = pc.list_flatten(spans)
+        n = len(struct)
+        if n == 0:
+            yield pa.RecordBatch.from_pydict(
+                {f.name: pa.array([], type=f.type) for f in out_schema},
+                schema=out_schema,
+            )
+            continue
+
+        doc_ids = tbl.column("doc_id").chunk(0)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+
+        kind = struct.field("kind")
+        is_text = (
+            pc.equal(kind, "text")
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+
+        # C14 normalize in Arrow C++ (RE2): collapse newline runs, trim.
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                struct.field("text"), pattern="\n{2,}", replacement="\n"
+            )
+        )
+        norm_len = pc.binary_length(norm).fill_null(0).to_numpy()
+
+        offset = struct.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (~is_text) | (norm_len > 0)
+
+        ki = np.flatnonzero(keep)
+        doc_idx = doc_idx[ki]
+        offset = offset[ki]
+        is_text_k = is_text[ki]
+        page = offset // STRIDE
+        rem = offset % STRIDE
+        y = rem // PAGE_W
+        x = rem % PAGE_W
+
+        # Boilerplate strip via factorized keys + run counting.
+        zone = np.where(y < HEADER_ZONE, 1, np.where(y >= PAGE_H - FOOTER_ZONE, 2, 0))
+        zone = np.where(is_text_k, zone, 0)
+
+        dp = doc_idx * PAGE_CAP + page  # (doc, page) composite
+        n_pages = np.zeros(len(counts), dtype=np.int64)
+        updoc = np.unique(dp) // PAGE_CAP
+        udoc, upc = np.unique(updoc, return_counts=True)
+        n_pages[udoc] = upc
+        span_n_pages = n_pages[doc_idx]
+
+        boiler = np.zeros(len(ki), dtype=bool)
+        cand = np.flatnonzero(zone > 0)
+        if len(cand):
+            norm_k = pc.take(norm, pa.array(ki))
+            codes = pc.dictionary_encode(norm_k)
+            code_np = np.asarray(codes.indices.to_numpy(zero_copy_only=False),
+                                 dtype=np.int64)
+            # distinct pages per (doc, zone, code)
+            ukey = (doc_idx[cand] << 34) | (np.int64(1) * zone[cand] << 32) | code_np[cand]
+            pg = page[cand]
+            srt = np.lexsort((pg, ukey))
+            uk_s, pg_s = ukey[srt], pg[srt]
+            first = np.ones(len(srt), dtype=bool)
+            first[1:] = (uk_s[1:] != uk_s[:-1]) | (pg_s[1:] != pg_s[:-1])
+            uk_d = uk_s[first]
+            uniq_keys, zpages = np.unique(uk_d, return_counts=True)
+            # map back to candidate spans
+            pos = np.searchsorted(uniq_keys, ukey)
+            zp_span = zpages[pos]
+            thresh = np.ceil(BOILERPLATE_FRAC * span_n_pages[cand])
+            boiler[cand] = (span_n_pages[cand] >= MIN_PAGES_BOILERPLATE) & (
+                zp_span >= thresh
+            )
+
+        ki2 = np.flatnonzero(~boiler)
+        gi = ki[ki2]  # indices into the flattened struct
+        doc_idx = doc_idx[ki2]
+        page = page[ki2]
+        y = y[ki2]
+        x = x[ki2]
+        is_text_k = is_text_k[ki2]
+
+        # Two-up detection on surviving spans: bincount per (doc, page).
+        dp = doc_idx * PAGE_CAP + page
+        dp_codes, dp_inv = np.unique(dp, return_inverse=True)
+        m = len(dp_codes)
+        left = np.bincount(dp_inv[x < CX - GUTTER_HALF], minlength=m)
+        right = np.bincount(dp_inv[x >= CX + GUTTER_HALF], minlength=m)
+        gutter = np.bincount(
+            dp_inv[(x >= CX - GUTTER_HALF) & (x < CX + GUTTER_HALF)], minlength=m
+        )
+        two_up_page = (gutter == 0) & (left >= TWOUP_MIN_SIDE) & (right >= TWOUP_MIN_SIDE)
+        side = (two_up_page[dp_inv] & (x >= CX)).astype(np.int64)
+
+        # Reading-order sort + per-doc 1-based rank.
+        srt = np.lexsort((x, y, side, page, doc_idx))
+        d_s = doc_idx[srt]
+        starts = np.ones(len(srt), dtype=bool)
+        starts[1:] = d_s[1:] != d_s[:-1]
+        group_start = np.maximum.accumulate(np.where(starts, np.arange(len(srt)), 0))
+        order = (np.arange(len(srt)) - group_start + 1).astype(np.int32)
+
+        take_idx = pa.array(gi[srt])
+        out_norm = pc.take(norm, take_idx)
+        out_kind = pc.take(kind, take_idx)
+        out_media = pc.take(struct.field("media_ref"), take_idx)
+        text_mask = pa.array(is_text_k[srt])
+        out_text = pc.if_else(text_mask, out_norm, pa.scalar(None, pa.string()))
+        out_doc = pc.take(doc_ids, pa.array(d_s))
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                out_doc.combine_chunks() if hasattr(out_doc, "combine_chunks") else out_doc,
+                out_kind,
+                out_text,
+                out_media,
+                pa.array(order),
+            ],
+            schema=out_schema,
+        )
 
 
 def extract_exploded(flat_df: DataFrame) -> DataFrame:

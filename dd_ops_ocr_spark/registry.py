@@ -35,11 +35,21 @@ def _flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.metrics(out)
 
 
+def _flagship_extract_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark import corpus
+    from dd_ops_ocr_spark.plans.salting import extract_salted
+
+    return extract_salted(corpus.build_spans_df(spark, sf_dir))
+
+
 QUERIES["flagship_extract"] = _flagship_extract
+QUERIES["flagship_extract_salted"] = _flagship_extract_salted
 QUERIES["flagship_metrics"] = _flagship_metrics
 
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
+from dd_ops_ocr_spark.operators import joins as _joins  # noqa: E402
 from dd_ops_ocr_spark.operators import multimodal as _multimodal  # noqa: E402
+from dd_ops_ocr_spark.operators import overlap as _overlap  # noqa: E402
 from dd_ops_ocr_spark.operators import geometry as _geometry  # noqa: E402
 from dd_ops_ocr_spark.operators import merges as _merges  # noqa: E402
 from dd_ops_ocr_spark.operators import similarity as _similarity  # noqa: E402
@@ -53,3 +63,5 @@ _register(_dedup)
 _register(_textstats)
 _register(_similarity)
 _register(_multimodal)
+_register(_joins)
+_register(_overlap)

@@ -1,0 +1,69 @@
+"""Streaming ingestion — the Spark mapping of the reference's PubSub push
+webhook (api/main.py:453-650; SURVEY §2.10).
+
+One message = one document there; one row = one document here. The
+at-most-3-delivery guard (main.py:496-501) becomes per-batch
+``dropDuplicates("doc_id")`` + idempotent overwrite of each doc's output
+inside ``foreachBatch`` — re-delivered docs converge to the same spans
+(the extractor is deterministic), so the sink is effectively
+exactly-once at the doc level. No watermark needed: the reference has no
+event-time aggregation (each message is independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dd_ops_ocr_spark.schema import SPANS_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    trigger_once: bool = True,
+):
+    """File-source streaming extraction: landing dir of spans parquet ->
+    per-microbatch extraction -> parquet sink, exactly-once via
+    checkpointed source offsets + deterministic overwrite-by-batch."""
+    from dd_ops_ocr_spark import pipeline
+
+    src = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        deduped = batch_df.dropDuplicates(["doc_id"])
+        out = pipeline.extract(deduped)
+        (
+            out.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_metrics(spark: SparkSession, input_dir: str, schema):
+    """Watermarked windowed aggregation over an event stream (the metrics
+    side-channel; reference writes OcrPageCount rows per request,
+    api/main.py:190-234). 5-minute tumbling windows, 10-minute watermark
+    for late data."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    # parquet timestamps may load as TIMESTAMP_NTZ, which watermarks reject
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )

@@ -68,13 +68,15 @@ def test_kernel_matches_oracle_pandas():
         assert g[did] == w[did], f"mismatch for {did}"
 
 
-@pytest.mark.parametrize("path", ["nested", "exploded"])
+@pytest.mark.parametrize("path", ["arrow", "nested", "exploded"])
 def test_spark_pipeline_matches_oracle(spark, path):
     """End-to-end span-sequence equality at sf0.001 (500 docs)."""
     docs = _read_documents(SF_SMOKE)
     spans_df = corpus.build_spans_df(spark, SF_SMOKE)
-    if path == "nested":
-        out = pipeline.extract(spans_df)
+    if path == "arrow":
+        out = pipeline.extract(spans_df, use_arrow=True)
+    elif path == "nested":
+        out = pipeline.extract(spans_df, use_arrow=False)
     else:
         from pyspark.sql import functions as F
 

@@ -1,0 +1,64 @@
+"""Resume-partition-exactly: kill after k buckets, rerun, output must be
+identical to an uninterrupted run and only the missing buckets reprocess."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dd_ops_ocr_spark import corpus, ledger
+from tests.conftest import SF_SMOKE
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def spans(spark):
+    return corpus.build_spans_df(spark, SF_SMOKE).cache()
+
+
+def test_crash_and_resume_exact(spark, spans):
+    full_dir = tempfile.mkdtemp(prefix="ledger_full_")
+    crash_dir = tempfile.mkdtemp(prefix="ledger_crash_")
+    try:
+        ledger.run_with_ledger(spark, spans, full_dir, "run_full",
+                               n_buckets=N_BUCKETS)
+
+        with pytest.raises(RuntimeError, match="injected failure"):
+            ledger.run_with_ledger(spark, spans, crash_dir, "run_a",
+                                   n_buckets=N_BUCKETS, fail_after=3)
+        assert len(ledger.committed_buckets(spark, crash_dir)) == 3
+
+        summary = ledger.run_with_ledger(spark, spans, crash_dir, "run_b",
+                                         n_buckets=N_BUCKETS)
+        assert summary["buckets_resumed_from"] == 3
+        assert summary["buckets_processed"] == N_BUCKETS - 3
+
+        a = ledger.read_output(spark, full_dir)
+        b = ledger.read_output(spark, crash_dir)
+        assert a.count() == b.count()
+        cols = ["doc_id", "kind", "text", "media_ref", "order"]
+        assert (
+            a.select(cols).exceptAll(b.select(cols)).count() == 0
+            and b.select(cols).exceptAll(a.select(cols)).count() == 0
+        )
+
+        led = ledger.read_ledger(spark, crash_dir).toPandas()
+        assert len(led) == N_BUCKETS
+        assert set(led[led.committed_at_run == "run_a"].bucket) == set(range(3)) or \
+            len(led[led.committed_at_run == "run_a"]) == 3
+        assert led["spans_emitted"].sum() == a.count()
+    finally:
+        shutil.rmtree(full_dir, ignore_errors=True)
+        shutil.rmtree(crash_dir, ignore_errors=True)
+
+
+def test_bucket_assignment_deterministic(spark, spans):
+    b1 = spans.select("doc_id", ledger.bucket_col(N_BUCKETS).alias("b"))
+    b2 = spans.select("doc_id", ledger.bucket_col(N_BUCKETS).alias("b"))
+    assert b1.exceptAll(b2).count() == 0
+    n = b1.select("b").distinct().count()
+    assert n == N_BUCKETS

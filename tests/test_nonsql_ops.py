@@ -117,6 +117,41 @@ def test_media_metadata_plumbing(spark):
     assert meta["format"][0] == row["format"]
 
 
+def test_overlap_trim_matches_python_oracle(spark):
+    from dd_ops_ocr_spark.operators.overlap import (
+        q_overlap_trim,
+        trim_overlap_py,
+    )
+
+    got = q_overlap_trim(spark, SF).toPandas()
+    docs = _docs()
+    docs = docs[docs["text"].str.len() >= 50]
+    # independent oracle: rebuild bands in python and trim sequentially
+    mism = 0
+    gm = {(r.doc_id, r.band): r.trimmed for r in got.itertuples()}
+    for doc_id, text in zip(docs["doc_id"].head(100), docs["text"].head(100)):
+        n = len(text)
+        step = n // 5
+        width = step + n // 25
+        prev = None
+        for b in range(4):
+            band = text[b * step : b * step + width]
+            want = trim_overlap_py(prev, band)
+            if gm[(doc_id, b)] != want:
+                mism += 1
+            prev = band
+    assert mism == 0
+
+
+def test_overlap_trim_removes_seams():
+    from dd_ops_ocr_spark.operators.overlap import trim_overlap_py
+
+    assert trim_overlap_py("abcdef", "defghi") == "ghi"
+    assert trim_overlap_py("abc", "xyz") == "xyz"
+    assert trim_overlap_py(None, "xyz") == "xyz"
+    assert trim_overlap_py("aaa", "aaa") == ""
+
+
 def test_decode_image_is_stubbed():
     import pytest as _pytest
 

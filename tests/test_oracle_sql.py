@@ -32,7 +32,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            null = df[c].isna()
             df[c] = df[c].astype(str)
+            df.loc[null, c] = "<NULL>"
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64").round(9)
         elif pd.api.types.is_datetime64_any_dtype(df[c]):

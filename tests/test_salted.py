@@ -1,0 +1,75 @@
+"""Salted (skew-proof) extraction must be span-for-span identical to the
+nested path and the oracle — including across salt-bucket boundaries of
+the 100-page tail docs."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from dd_ops_ocr_spark import corpus, pipeline
+from dd_ops_ocr_spark.plans.salting import extract_salted
+from tests.conftest import SF_SMOKE
+
+
+def _tuples(df: pd.DataFrame) -> dict[str, list[tuple]]:
+    out: dict[str, list[tuple]] = {}
+    srt = df.sort_values(["doc_id", "order"])
+    for did, kind, text, ref, order in zip(
+        srt["doc_id"], srt["kind"], srt["text"], srt["media_ref"], srt["order"]
+    ):
+        out.setdefault(did, []).append(
+            (kind, None if pd.isna(text) else text,
+             None if pd.isna(ref) else ref, int(order))
+        )
+    return out
+
+
+def test_salted_matches_oracle(spark):
+    docs = duckdb.sql(
+        f"select doc_id, text from read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).df()
+    spans_df = corpus.build_spans_df(spark, SF_SMOKE)
+    got = _tuples(extract_salted(spans_df, pages_per_bucket=7).toPandas())
+    want = _tuples(pipeline.expected_output_pandas(docs))
+    assert set(got) == set(want)
+    mismatches = [d for d in want if got[d] != want[d]]
+    assert not mismatches, f"{len(mismatches)} docs mismatch, e.g. {mismatches[:3]}"
+    # the tail docs must actually cross bucket boundaries for this test to
+    # mean anything: 100 pages / 7 pages-per-bucket = 15 buckets
+    tail_docs = [
+        corpus.doc_id_str(int(k)) for k in docs["doc_id"]
+        if corpus.n_pages_for(int(k)) == corpus.TAIL_PAGES
+    ]
+    assert tail_docs and all(t in got for t in tail_docs)
+
+
+def test_salted_bounds_task_size(spark):
+    """Big-doc pass B groups may not exceed pages_per_bucket pages, and the
+    tail docs must actually route through the salted path."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.schema import STRIDE
+
+    ppb = 7
+    spans_df = corpus.build_spans_df(spark, SF_SMOKE)
+    routed = spans_df.withColumn(
+        "_maxpage",
+        F.expr(
+            f"aggregate(spans, bigint(0), (acc, s) -> greatest(acc, s.offset div {STRIDE}))"
+        ),
+    )
+    big = routed.filter(F.col("_maxpage") >= ppb)
+    assert big.count() > 0, "tail docs must route to the salted path"
+    flat = big.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.expr(f"s.offset div {STRIDE}").alias("page"),
+        F.expr(f"s.offset div {STRIDE * ppb}").alias("salt"),
+    )
+    mx = (
+        flat.groupBy("doc_id", "salt")
+        .agg(F.countDistinct("page").alias("np"))
+        .agg(F.max("np").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mx <= ppb
