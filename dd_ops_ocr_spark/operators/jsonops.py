@@ -1,0 +1,91 @@
+"""JSON / base64 / timestamp scalar operators (SURVEY §2.7 C6, C12, C13).
+
+The reference leniently parses LLM JSON replies (C6,
+step2/01_llm_judgment.py:111-160), base64-decodes PubSub payloads (C12,
+api/main.py:532-547), and stamps session ids (C13,
+main_pipeline.py:343-345). All JVM-side here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: JSON field extraction with lenient fallback — parse props.k;
+    if the payload is not valid JSON the value is null (the reference's
+    three-pattern fallback chain collapses to null-propagation here)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k.isNull(), "fallback_raw").otherwise("parsed").alias("parse_mode"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN json_extract(props, '$.k') IS NULL
+            THEN 'fallback_raw' ELSE 'parsed' END AS parse_mode
+FROM events
+"""
+
+
+def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: base64 encode/decode roundtrip of the doc text (PubSub payload
+    decode; api/main.py:532-547)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b64 = F.base64(F.col("text").cast("binary"))
+    return d.select(
+        "doc_id",
+        F.substring(b64, 1, 24).alias("b64_prefix"),
+        F.length(F.unbase64(b64).cast("string")).alias("decoded_len"),
+        (F.unbase64(b64).cast("string") == F.col("text")).cast("int")
+        .alias("roundtrip_ok"),
+    )
+
+
+SQL_BASE64_ROUNDTRIP = """
+SELECT doc_id,
+       SUBSTR(to_base64(encode(text)), 1, 24) AS b64_prefix,
+       LENGTH(decode(from_base64(to_base64(encode(text))))) AS decoded_len,
+       CAST(decode(from_base64(to_base64(encode(text)))) = text AS INT)
+         AS roundtrip_ok
+FROM documents
+"""
+
+
+def q_session_id_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: session-id timestamp formatting (strftime('%Y%m%d_%H%M%S');
+    main_pipeline.py:343-345). Event ts stands in for the wall clock so
+    the output is deterministic."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    return e.select(
+        "event_id",
+        F.date_format(ts, "yyyyMMdd_HHmmss").alias("session_id"),
+        F.date_format(ts, "yyyy-MM-dd").alias("day"),
+    )
+
+
+SQL_SESSION_ID_FORMAT = """
+SELECT event_id,
+       strftime(ts, '%Y%m%d_%H%M%S') AS session_id,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+"""
+
+
+QUERIES = {
+    "json_extract": q_json_extract,
+    "base64_roundtrip": q_base64_roundtrip,
+    "session_id_format": q_session_id_format,
+}
+
+ORACLE_SQL = {
+    "json_extract": SQL_JSON_EXTRACT,
+    "base64_roundtrip": SQL_BASE64_ROUNDTRIP,
+    "session_id_format": SQL_SESSION_ID_FORMAT,
+}

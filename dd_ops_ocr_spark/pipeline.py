@@ -318,8 +318,12 @@ def _run_arrow(batches):
         if len(cand):
             norm_k = pc.take(norm, pa.array(ki))
             codes = pc.dictionary_encode(norm_k)
-            code_np = np.asarray(codes.indices.to_numpy(zero_copy_only=False),
-                                 dtype=np.int64)
+            # media spans have null norm -> null index; they are never in
+            # `cand` (zone forced 0 for non-text), so any sentinel works
+            code_np = np.asarray(
+                pc.fill_null(codes.indices, -1).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
             # distinct pages per (doc, zone, code)
             ukey = (doc_idx[cand] << 34) | (np.int64(1) * zone[cand] << 32) | code_np[cand]
             pg = page[cand]

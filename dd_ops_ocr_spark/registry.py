@@ -47,7 +47,9 @@ QUERIES["flagship_extract_salted"] = _flagship_extract_salted
 QUERIES["flagship_metrics"] = _flagship_metrics
 
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
+from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
 from dd_ops_ocr_spark.operators import joins as _joins  # noqa: E402
+from dd_ops_ocr_spark.operators import jsonops as _jsonops  # noqa: E402
 from dd_ops_ocr_spark.operators import multimodal as _multimodal  # noqa: E402
 from dd_ops_ocr_spark.operators import overlap as _overlap  # noqa: E402
 from dd_ops_ocr_spark.operators import geometry as _geometry  # noqa: E402
@@ -65,3 +67,5 @@ _register(_similarity)
 _register(_multimodal)
 _register(_joins)
 _register(_overlap)
+_register(_heuristics)
+_register(_jsonops)

@@ -1,0 +1,61 @@
+"""Sources and sinks (SURVEY §2.1).
+
+The reference opens PDFs from disk, rejects corrupt/empty ones
+(S1, step1/01_pdf_reader.py:145-186), and writes per-session directories.
+Spark-first: one scan with a validity predicate; invalid rows are routed
+to a quarantine output instead of aborting the job (X1 warn-and-continue
+becomes row-level quarantine).
+
+At scale both outputs come from ONE pass: the validity flag is a cheap
+column, and Catalyst prunes the scan to (doc_id, spans) either way.
+Iceberg-table variants are gated behind an import-try (no Iceberg jars in
+this sandbox); plain parquet + the run ledger (ledger.py) stand in for
+snapshot isolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dd_ops_ocr_spark.schema import SPANS_SCHEMA
+
+
+def read_spans(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the interleaved-spans table with a declared schema (no
+    inference — S1's validate step becomes the schema contract)."""
+    return spark.read.schema(SPANS_SCHEMA).parquet(path)
+
+
+def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantine): a doc is invalid when it has no spans, a null
+    doc_id, or any span whose offset is negative (corrupt geometry) —
+    the reference's corrupt-PDF rejection, row-level."""
+    flagged = df.withColumn(
+        "_valid",
+        F.col("doc_id").isNotNull()
+        & (F.size("spans") > 0)
+        & F.expr("forall(spans, s -> s.offset >= 0)"),
+    )
+    valid = flagged.filter(F.col("_valid")).drop("_valid")
+    quarantine = flagged.filter(~F.col("_valid")).drop("_valid")
+    return valid, quarantine
+
+
+def write_output(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Final span-sequence sink, partitioned by a doc_id hash bucket so a
+    downstream reader can prune (S9's result sink, keyed not file-named)."""
+    out = df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+    out.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def try_iceberg_writer(df: DataFrame, table: str):
+    """Iceberg append when the runtime has the catalog; otherwise a clear
+    error — the sandbox has no Iceberg jars (stub per environment note)."""
+    try:
+        return df.writeTo(table).append()
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Iceberg catalog not available in this environment; use "
+            "write_output() + ledger.run_with_ledger() for snapshot-style "
+            "commits"
+        ) from exc

@@ -1,0 +1,165 @@
+"""Property-based span-equality: the vectorized kernel must match the
+pure-Python oracle on randomized adversarial geometries (SURVEY §7 hard
+part #1 — off-by-ones in zones, gutters, and thresholds).
+
+Spark-free (kernel-level): the Spark wrappers are covered by the
+end-to-end tests; this hammers the semantics where the bugs live.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from dd_ops_ocr_spark import oracle, pipeline
+from dd_ops_ocr_spark.schema import CX, GUTTER_HALF, HEADER_ZONE, PAGE_H, PAGE_W, STRIDE
+
+# adversarial coordinates: cluster around every decision boundary
+_ys = st.one_of(
+    st.integers(0, PAGE_H - 1),
+    st.sampled_from(
+        [0, HEADER_ZONE - 1, HEADER_ZONE, PAGE_H - 129, PAGE_H - 128, PAGE_H - 1]
+    ),
+)
+_xs = st.one_of(
+    st.integers(0, PAGE_W - 1),
+    st.sampled_from(
+        [0, CX - GUTTER_HALF - 1, CX - GUTTER_HALF, CX - 1, CX,
+         CX + GUTTER_HALF - 1, CX + GUTTER_HALF, PAGE_W - 1]
+    ),
+)
+_texts = st.one_of(
+    st.sampled_from(
+        ["", " ", "\n\n", "  \n \n ", "HEADER", "FOOTER", "a", "a\n\n\nb",
+         " x \n\n", "\n\nx\n\n"]
+    ),
+    st.text(alphabet="ab \n", max_size=12),
+)
+
+_span = st.tuples(
+    st.integers(0, 5),          # page
+    _ys,
+    _xs,
+    st.booleans(),              # is_media
+    _texts,
+)
+
+
+@st.composite
+def _doc(draw):
+    spans = draw(st.lists(_span, min_size=0, max_size=60))
+    out = []
+    used = set()
+    for i, (page, y, x, is_media, text) in enumerate(spans):
+        off = page * STRIDE + y * PAGE_W + x
+        while off in used:
+            off += 1
+        used.add(off)
+        if is_media:
+            out.append(
+                {"kind": "media", "text": None, "media_ref": f"m{i}", "offset": off}
+            )
+        else:
+            out.append(
+                {"kind": "text", "text": text, "media_ref": None, "offset": off}
+            )
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_doc(), min_size=1, max_size=4))
+def test_kernel_equals_oracle_on_random_geometry(docs):
+    flat_rows = []
+    want = {}
+    for i, spans in enumerate(docs):
+        did = f"d{i}"
+        want[did] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in oracle.extract_doc(spans)
+        ]
+        for s in spans:
+            flat_rows.append(
+                {
+                    "doc_id": did,
+                    "kind": s["kind"],
+                    "text": s["text"],
+                    "media_ref": s["media_ref"],
+                    "offset": s["offset"],
+                }
+            )
+    flat = pd.DataFrame(
+        flat_rows,
+        columns=["doc_id", "kind", "text", "media_ref", "offset"],
+    )
+    out = pipeline.extract_flat_pandas(flat)
+    got: dict[str, list] = {d: [] for d in want}
+    for r in out.itertuples():
+        got[r.doc_id].append(
+            (
+                r.kind,
+                None if pd.isna(r.text) else r.text,
+                None if pd.isna(r.media_ref) else r.media_ref,
+                int(r.order),
+            )
+        )
+    for did in want:
+        assert got.get(did, []) == want[did], f"{did}: {got.get(did)} != {want[did]}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc(), min_size=1, max_size=3))
+def test_arrow_kernel_equals_oracle(docs):
+    """Same property against the Arrow-native kernel (_run_arrow), which is
+    an independent implementation of the same spec."""
+    import pyarrow as pa
+
+    from dd_ops_ocr_spark.schema import SPAN_STRUCT
+
+    want = {}
+    ids, spans_col = [], []
+    for i, spans in enumerate(docs):
+        did = f"d{i}"
+        want[did] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in oracle.extract_doc(spans)
+        ]
+        ids.append(did)
+        spans_col.append(spans)
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "doc_id": ids,
+            "spans": spans_col,
+        },
+        schema=pa.schema(
+            [
+                ("doc_id", pa.string()),
+                (
+                    "spans",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.int32()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        ),
+    )
+    got: dict[str, list] = {d: [] for d in want}
+    for out in pipeline._run_arrow([batch]):
+        pdf = out.to_pandas()
+        for r in pdf.itertuples():
+            got[r.doc_id].append(
+                (
+                    r.kind,
+                    None if pd.isna(r.text) else r.text,
+                    None if pd.isna(r.media_ref) else r.media_ref,
+                    int(r.order),
+                )
+            )
+    for did in want:
+        assert got.get(did, []) == want[did], f"{did}"

@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+from dd_ops_ocr_spark import corpus, sources
+from dd_ops_ocr_spark.schema import SPANS_SCHEMA
+from tests.conftest import SF_SMOKE
+
+
+def test_split_valid_quarantines_corrupt_rows(spark):
+    good = corpus.build_spans_df(spark, SF_SMOKE).limit(10)
+    from pyspark.sql import types as T
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in SPANS_SCHEMA.fields]
+    )
+    bad = spark.createDataFrame(
+        [
+            ("doc_empty", []),
+            (None, [{"kind": "text", "text": "x", "media_ref": None, "offset": 1}]),
+            ("doc_neg", [{"kind": "text", "text": "x", "media_ref": None, "offset": -5}]),
+        ],
+        nullable,
+    )
+    valid, quarantine = sources.split_valid(good.unionByName(bad))
+    assert valid.count() == 10
+    assert quarantine.count() == 3
+
+
+def test_write_output_partitions_prunable(spark, tmp_path):
+    from dd_ops_ocr_spark import pipeline
+
+    df = corpus.build_spans_df(spark, SF_SMOKE).limit(50)
+    out = pipeline.extract(df)
+    path = str(tmp_path / "out")
+    sources.write_output(out, path)
+    back = spark.read.parquet(path)
+    assert back.count() == out.count()
+    # partition pruning: one bucket reads a subset of files
+    one = back.filter("bucket = 3")
+    assert one.count() < back.count()
