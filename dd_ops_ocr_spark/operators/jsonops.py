@@ -41,7 +41,7 @@ def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.substring(b64, 1, 24).alias("b64_prefix"),
-        F.length(F.unbase64(b64).cast("string")).alias("decoded_len"),
+        F.length(F.unbase64(b64).cast("string")).cast("long").alias("decoded_len"),
         (F.unbase64(b64).cast("string") == F.col("text")).cast("int")
         .alias("roundtrip_ok"),
     )

@@ -65,7 +65,7 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("query_id", "neighbor_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 9).alias("sim"))
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", F.round("sim", 9).alias("sim"))
     )
 
 
@@ -153,7 +153,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("query_id", "neighbor_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 9).alias("sim"))
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", F.round("sim", 9).alias("sim"))
     )
 
 

@@ -28,9 +28,8 @@ def q_whitespace_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.trim(F.regexp_replace("noisy", "\n{2,}", "\n")).alias("collapsed"),
-        F.length(F.trim(F.regexp_replace("noisy", "\n{2,}", "\n"))).alias(
-            "collapsed_len"
-        ),
+        F.length(F.trim(F.regexp_replace("noisy", "\n{2,}", "\n"))).cast("long")
+        .alias("collapsed_len"),
     )
 
 
@@ -114,7 +113,7 @@ def q_reading_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
-        "user_id", "event_id", F.row_number().over(w).alias("rank")
+        "user_id", "event_id", F.row_number().over(w).cast("long").alias("rank")
     )
 
 

@@ -104,8 +104,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        n.alias("n_chars"),
-        words.alias("n_words"),
+        n.cast("long").alias("n_chars"),
+        words.cast("long").alias("n_words"),
         ((dots + commas).cast("double") / n).alias("punct_ratio"),
         ((n - spaces).cast("double") / words).alias("mean_word_len"),
         (the_cnt.cast("double") / words).alias("stopword_ratio"),
@@ -153,8 +153,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        ws_tokens.alias("ws_tokens"),
-        bpe_tokens.alias("bpe_tokens"),
+        ws_tokens.cast("long").alias("ws_tokens"),
+        bpe_tokens.cast("long").alias("bpe_tokens"),
     )
 
 
