@@ -191,13 +191,63 @@ GROUP BY label
 """
 
 
+COPY_OFF = 1_000_000
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: pairs with cosine >= 0.99
+    over a sampled set plus planted exact copies (vec_id + 1e6). At scale
+    the candidate set comes from the LSH buckets (q_ann_lsh_topk); here the
+    sampled brute pass is the oracle-checked exactness baseline."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + COPY_OFF).alias("vec_id"), "v"
+    )
+    allv = emb.unionByName(copies)
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.99)
+        .select("id_a", "id_b", F.round("sim", 9).alias("sim"))
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % 10 = 0
+), allv AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + {COPY_OFF} AS vec_id, v FROM e WHERE vec_id % 50 = 0
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (SQRT(list_dot_product(a.v, a.v))
+              * SQRT(list_dot_product(b.v, b.v))) AS sim
+  FROM allv a, allv b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(sim, 9) AS sim
+FROM pairs WHERE sim >= 0.99
+"""
+
+
 QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_stats": q_embedding_stats,
 }
 
 ORACLE_SQL = {
     "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "embedding_stats": SQL_EMBEDDING_STATS,
 }

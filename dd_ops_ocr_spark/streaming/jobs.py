@@ -54,6 +54,42 @@ def stream_extract(
     return writer.start()
 
 
+def stream_dedup_stateful(spark: SparkSession, input_dir: str):
+    """Custom stateful operator (applyInPandasWithState): cross-microbatch
+    document dedup — the at-most-once admission the reference approximates
+    with its deliveryAttempt guard (api/main.py:496-501), done properly
+    with keyed state. Emits each doc_id exactly once with its span count,
+    no matter how many times or in how many batches it is re-delivered."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multi-batch processing
+        .parquet(input_dir)
+    )
+
+    def admit(key, pdfs, state):
+        doc_id = key[0]
+        n = 0
+        for pdf in pdfs:
+            for spans in pdf["spans"]:
+                n += len(spans)
+        if state.exists:
+            return iter(())  # already admitted in an earlier batch
+        state.update((1,))
+        return iter([pd.DataFrame({"doc_id": [doc_id], "n_spans": [n]})])
+
+    return src.groupBy("doc_id").applyInPandasWithState(
+        admit,
+        outputStructType="doc_id string, n_spans long",
+        stateStructType="admitted int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_event_metrics(spark: SparkSession, input_dir: str, schema):
     """Watermarked windowed aggregation over an event stream (the metrics
     side-channel; reference writes OcrPageCount rows per request,

@@ -43,6 +43,43 @@ def test_stream_extract_matches_batch(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_dedup_stateful_across_batches(spark):
+    """Docs re-delivered in LATER micro-batches must be admitted once:
+    file 1 = docs A..J, file 2 = docs F..O (overlap F..J)."""
+    import glob
+    import shutil as sh
+
+    from dd_ops_ocr_spark.streaming.jobs import stream_dedup_stateful
+
+    land = tempfile.mkdtemp(prefix="stream_state_")
+    try:
+        spans = corpus.build_spans_df(spark, SF_SMOKE).cache()
+        first = spans.limit(10)
+        second = spans.limit(15).subtract(spans.limit(5))  # rows 5..14
+        first.coalesce(1).write.mode("overwrite").parquet(f"{land}/tmp1")
+        second.coalesce(1).write.mode("overwrite").parquet(f"{land}/tmp2")
+        for i, d in enumerate(["tmp1", "tmp2"]):
+            for f in glob.glob(f"{land}/{d}/part-*.parquet"):
+                sh.copy(f, f"{land}/file_{i}.parquet")
+            sh.rmtree(f"{land}/{d}")
+
+        out = stream_dedup_stateful(spark, land)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_state")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select doc_id from dedup_state").toPandas()
+        assert got["doc_id"].is_unique, "a re-delivered doc was admitted twice"
+        want = {r["doc_id"] for r in spans.limit(15).select("doc_id").collect()}
+        assert set(got["doc_id"]) == want
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+
+
 def test_stream_event_metrics_watermark(spark):
     land = tempfile.mkdtemp(prefix="stream_ev_")
     try:
