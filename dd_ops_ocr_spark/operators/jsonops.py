@@ -78,13 +78,36 @@ FROM events
 """
 
 
+def q_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: deterministic id generation — the reference's
+    '{epoch_ms}-{rand6}' risk ids (api/main.py:1169-1183) become content
+    hashes (reproducible across retries, the property the reference's
+    random ids lack)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")), 1, 16
+        ).alias("stable_id"),
+    )
+
+
+SQL_ID_GENERATION = """
+SELECT doc_id,
+       SUBSTR(md5(doc_id || '|' || text), 1, 16) AS stable_id
+FROM documents
+"""
+
+
 QUERIES = {
+    "id_generation": q_id_generation,
     "json_extract": q_json_extract,
     "base64_roundtrip": q_base64_roundtrip,
     "session_id_format": q_session_id_format,
 }
 
 ORACLE_SQL = {
+    "id_generation": SQL_ID_GENERATION,
     "json_extract": SQL_JSON_EXTRACT,
     "base64_roundtrip": SQL_BASE64_ROUNDTRIP,
     "session_id_format": SQL_SESSION_ID_FORMAT,

