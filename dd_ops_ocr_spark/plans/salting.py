@@ -271,7 +271,12 @@ def _salted_kernel(drop_keys_bc, base_bc, ppb: int):
 
         salt = page // ppb
         ds = d * 4096 + salt  # (doc, salt) composite; salt <= 409 < 4096
-        srt = np.lexsort((x, y, side, page, ds))
+        if len(doc_dict) < (1 << 17):
+            # single composite int64 sort key (29+10+1+12+11 = 63 bits)
+            key = (((ds << 10 | page) << 1 | side) << 12 | y) << 11 | x
+            srt = np.argsort(key, kind="stable")
+        else:  # pragma: no cover - pathological partition width
+            srt = np.lexsort((x, y, side, page, ds))
         ds_s = ds[srt]
         starts = np.ones(len(srt), dtype=bool)
         starts[1:] = ds_s[1:] != ds_s[:-1]

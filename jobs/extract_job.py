@@ -1,0 +1,74 @@
+"""Batch extraction job — the deployment entry point (north_rule X8).
+
+Submit:
+    zip -qr ddops.zip dd_ops_ocr_spark
+    spark-submit --master <cluster> --py-files ddops.zip \
+        jobs/extract_job.py --input <spans parquet or sf dir> \
+        --output /path/out --run-id r42 [--salted] [--buckets 64]
+
+Resumable: re-running with the same --output continues from the ledger
+(only uncommitted buckets reprocess — see dd_ops_ocr_spark/ledger.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="spans parquet path, or a testdata sf dir to synthesize from")
+    p.add_argument("--output", required=True)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salted", action="store_true",
+                   help="use the skew-salted extractor")
+    p.add_argument("--pages-per-bucket", type=int, default=25)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("ddops_extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    from dd_ops_ocr_spark import corpus, ledger, pipeline, sources
+    from dd_ops_ocr_spark.plans.salting import extract_salted
+
+    if os.path.isfile(f"{args.input}/documents.parquet"):
+        spans = corpus.build_spans_df(spark, args.input)
+    else:
+        spans = sources.read_spans(spark, args.input)
+    spans, quarantine = sources.split_valid(spans)
+
+    run_id = args.run_id or time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+    extractor = (
+        (lambda df: extract_salted(df, args.pages_per_bucket))
+        if args.salted
+        else pipeline.extract
+    )
+    t0 = time.monotonic()
+    summary = ledger.run_with_ledger(
+        spark, spans, args.output, run_id,
+        n_buckets=args.buckets, extractor=extractor,
+    )
+    nq = quarantine.count()
+    if nq:
+        quarantine.write.mode("overwrite").parquet(f"{args.output}/quarantine")
+    summary.update(
+        elapsed_sec=round(time.monotonic() - t0, 3), quarantined_docs=nq
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,20 @@ def _tuples(df: pd.DataFrame) -> dict[str, list[tuple]]:
     return out
 
 
+def test_entry_fingerprint(spark):
+    """Semantic-drift tripwire: the flagship output at sf0.001 is exactly
+    79,673 spans over 500 docs. If this changes, the extraction semantics
+    moved — update the oracle, tests, and this fingerprint together."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() == 79673
+    assert df.schema.simpleString() == (
+        "struct<doc_id:string,kind:string,text:string,"
+        "media_ref:string,order:int>"
+    )
+
+
 def test_corpus_deterministic():
     a = corpus.doc_spans(42, "hello world " * 30)
     b = corpus.doc_spans(42, "hello world " * 30)
