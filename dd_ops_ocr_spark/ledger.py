@@ -24,7 +24,6 @@ pages_processed/blocks_classified/spans_emitted per partition).
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -24,7 +24,7 @@ every query is still oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 N_MINHASH = 4
 SHINGLE = 3

@@ -4,27 +4,27 @@ The whole per-document reference dataflow (render -> judge -> rotate ->
 split -> OCR -> integrate; reference src/main_pipeline.py:330-441) becomes
 ONE shuffle-free DataFrame program: the input table carries one row per
 document, so every per-doc computation is row-local and runs inside a
-single ``mapInPandas`` over Arrow batches. No groupBy, no join, no shuffle
-— partition parallelism is the executor's job (reference X2 asyncio
-fan-out, step2/04:94-118).
+single ``mapInArrow`` (default) or ``mapInPandas`` pass. No groupBy, no
+join, no shuffle — partition parallelism is the executor's job (reference
+X2 asyncio fan-out, step2/04:94-118).
 
 Scale notes (100 TB design):
   * one row = one doc => doc never straddles partitions; ``maxPartitionBytes``
     controls task granularity at the scan.
-  * skewed multi-page docs (north_rule) are handled by the salted variant in
-    ``dd_ops_ocr_spark.plans.salting`` which explodes tail docs by page and
-    reassembles with an ordered fold.
-  * all kernels are numpy/pandas over flat arrays — zero per-row Python in
-    the hot path (input_hint mandate).
+  * skewed multi-page docs (north_rule) are handled by the hybrid salted
+    path in ``dd_ops_ocr_spark.plans.salting`` (small docs stay here,
+    shuffle-free; tail docs get bounded-size salt buckets).
+  * all kernels are Arrow-compute/numpy (default) or pandas over flat
+    arrays — zero per-row Python in the hot path (input_hint mandate).
 
-The kernel ``extract_flat_pandas`` is shared by the mapInPandas path, the
-pre-exploded ``applyInPandas`` path, and the salted path, so all three are
-oracle-checked by the same tests.
+Two independent kernel implementations of the same spec exist —
+``_run_arrow`` (Arrow compute + numpy, the fast default) and
+``extract_flat_pandas`` (pandas, also used by the exploded path) — and
+both are oracle- and property-tested.
 """
 
 from __future__ import annotations
 
-import math
 from itertools import chain
 from typing import Iterator
 

@@ -7,7 +7,6 @@ import shutil
 import tempfile
 
 import pytest
-from pyspark.sql import functions as F
 
 from dd_ops_ocr_spark import corpus, ledger
 from tests.conftest import SF_SMOKE

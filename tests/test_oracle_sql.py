@@ -4,8 +4,6 @@ match row-count, column names, and order-insensitive values."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pandas as pd
 import pytest

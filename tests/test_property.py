@@ -113,8 +113,6 @@ def test_arrow_kernel_equals_oracle(docs):
     an independent implementation of the same spec."""
     import pyarrow as pa
 
-    from dd_ops_ocr_spark.schema import SPAN_STRUCT
-
     want = {}
     ids, spans_col = [], []
     for i, spans in enumerate(docs):

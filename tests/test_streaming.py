@@ -6,9 +6,6 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-import pandas as pd
-import pytest
-
 from dd_ops_ocr_spark import corpus, pipeline
 from dd_ops_ocr_spark.streaming.jobs import stream_extract, stream_event_metrics
 from tests.conftest import SF_SMOKE
