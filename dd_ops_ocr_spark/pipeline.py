@@ -21,6 +21,11 @@ Two independent kernel implementations of the same spec exist —
 ``_run_arrow`` (Arrow compute + numpy, the fast default) and
 ``extract_flat_pandas`` (pandas, also used by the exploded path) — and
 both are oracle- and property-tested.
+
+The whole-batch vectorized-UDF design follows "Accelerating Python UDFs
+in Vectorized Query Execution" (CIDR 2022, PAPERS.md): keep the
+Python boundary at Arrow batch granularity and do all per-value work in
+columnar kernels, never per row.
 """
 
 from __future__ import annotations

@@ -29,6 +29,10 @@ Design (hybrid, scale-first):
 
 Semantics are identical to ``pipeline.extract`` — asserted span-for-span
 against the same oracle in tests/test_salted.py.
+
+(Skew background: AQE's skew handling only rebalances shuffle blocks;
+UDF-cost skew from heavy keys needs explicit salting — cf. the skewed-join
+analyses in "CPU and GPU Hash Joins on Skewed Data", ICDE 2024, PAPERS.md.)
 """
 
 from __future__ import annotations

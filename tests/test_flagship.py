@@ -82,6 +82,19 @@ def test_kernel_matches_oracle_pandas():
         assert g[did] == w[did], f"mismatch for {did}"
 
 
+def test_spark_pipeline_matches_oracle_sf001(spark):
+    """Span-sequence equality on the t2 tier (sf0.01: different doc texts
+    than the smoke tier), Arrow path."""
+    sf = "/root/testdata/sf0.01"
+    docs = _read_documents(sf)
+    out = pipeline.extract(corpus.build_spans_df(spark, sf))
+    got = _tuples(out.toPandas())
+    want = _tuples(pipeline.expected_output_pandas(docs))
+    assert set(got) == set(want)
+    mismatches = [d for d in want if got[d] != want[d]]
+    assert not mismatches, f"{len(mismatches)} docs mismatch"
+
+
 @pytest.mark.parametrize("path", ["arrow", "nested", "exploded"])
 def test_spark_pipeline_matches_oracle(spark, path):
     """End-to-end span-sequence equality at sf0.001 (500 docs)."""
