@@ -49,11 +49,12 @@ def normalize_text(text: str) -> str:
     return _NL_RUN.sub("\n", text).strip()
 
 
-def extract_doc(spans: list[dict]) -> list[dict]:
+def extract_doc(spans: list[dict], include_page: bool = False) -> list[dict]:
     """Run the full extraction spec on one document's span list.
 
     Returns the output span sequence: list of
-    ``{kind, text, media_ref, order}`` in reading order.
+    ``{kind, text, media_ref, order}`` in reading order
+    (plus ``page`` when ``include_page`` — used by the integration fold).
     """
     # 1-3: decode, normalize, drop empties.
     kept = []
@@ -111,8 +112,11 @@ def extract_doc(spans: list[dict]) -> list[dict]:
 
     # 6-7: reading-order sort and emit.
     kept.sort(key=lambda s: (s["page"], s["side"], s["y"], s["x"]))
-    return [
-        {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],
-         "order": i + 1}
-        for i, s in enumerate(kept)
-    ]
+    out = []
+    for i, s in enumerate(kept):
+        row = {"kind": s["kind"], "text": s["text"],
+               "media_ref": s["media_ref"], "order": i + 1}
+        if include_page:
+            row["page"] = s["page"]
+        out.append(row)
+    return out

@@ -329,10 +329,18 @@ def extract_salted(
     spark = df.sparkSession
     ppb = pages_per_bucket
 
-    # route by page count (JVM arithmetic over offsets — no UDF)
+    # route by page count (JVM arithmetic over offsets — no UDF).
+    # cheap pre-filter first: a doc with >= ppb pages must have >= ppb
+    # spans (every page has at least one span), so the expensive
+    # per-element aggregate only runs on that small superset.
     routed = df.withColumn(
         "_maxpage",
-        F.expr(f"aggregate(spans, bigint(0), (acc, s) -> greatest(acc, s.offset div {STRIDE}))"),
+        F.when(F.size("spans") < ppb, F.lit(0).cast("bigint")).otherwise(
+            F.expr(
+                f"aggregate(spans, bigint(0),"
+                f" (acc, s) -> greatest(acc, s.offset div {STRIDE}))"
+            )
+        ),
     )
     small = routed.filter(F.col("_maxpage") < ppb).drop("_maxpage")
     big = routed.filter(F.col("_maxpage") >= ppb).drop("_maxpage")

@@ -48,6 +48,7 @@ QUERIES["flagship_metrics"] = _flagship_metrics
 
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
+from dd_ops_ocr_spark.operators import integrate as _integrate  # noqa: E402
 from dd_ops_ocr_spark.operators import joins as _joins  # noqa: E402
 from dd_ops_ocr_spark.operators import jsonops as _jsonops  # noqa: E402
 from dd_ops_ocr_spark.operators import multimodal as _multimodal  # noqa: E402
@@ -68,4 +69,5 @@ _register(_multimodal)
 _register(_joins)
 _register(_overlap)
 _register(_heuristics)
+_register(_integrate)
 _register(_jsonops)

@@ -1,0 +1,43 @@
+"""Integrated-text fold: Spark two-level A13/A14 fold over the live
+pipeline output must equal the pure-Python fold over the oracle output."""
+
+from __future__ import annotations
+
+import duckdb
+
+from dd_ops_ocr_spark import corpus, oracle
+from dd_ops_ocr_spark.operators.integrate import integrate_python, q_integrated_text
+from tests.conftest import SF_SMOKE
+
+
+def test_integrated_text_matches_oracle(spark):
+    got = {
+        r["doc_id"]: (r["integrated_text"], r["total_characters"])
+        for r in q_integrated_text(spark, SF_SMOKE).collect()
+    }
+    docs = duckdb.sql(
+        f"select doc_id, text from read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).df()
+    mismatches = []
+    for doc_key, text in zip(docs["doc_id"], docs["text"]):
+        did = corpus.doc_id_str(int(doc_key))
+        spans = oracle.extract_doc(
+            corpus.doc_spans(int(doc_key), text or ""), include_page=True
+        )
+        want = integrate_python(spans)
+        if got[did][0] != want or got[did][1] != len(want):
+            mismatches.append(did)
+    assert not mismatches, f"{len(mismatches)} docs, e.g. {mismatches[:3]}"
+    assert len(got) == len(docs)
+
+
+def test_separators_are_reference_exact():
+    """The inter-group separator must be the reference's effective
+    \\n\\n\\n (an interleaved '\\n' element inside a '\\n'-join —
+    step7/01:220-243), and intra-group \\n\\n (step6/04:272)."""
+    spans = [
+        {"kind": "text", "text": "a", "media_ref": None, "order": 1, "page": 0},
+        {"kind": "text", "text": "b", "media_ref": None, "order": 2, "page": 0},
+        {"kind": "media", "text": None, "media_ref": "m1", "order": 3, "page": 1},
+    ]
+    assert integrate_python(spans) == "a\n\nb\n\n\n[media:m1]"
