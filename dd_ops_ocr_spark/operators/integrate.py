@@ -87,5 +87,41 @@ def q_integrated_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return integrate_text(out)
 
 
-QUERIES = {"integrated_text": q_integrated_text}
+def q_contract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream structuring (§3.2: convert_local_text_to_contract_schema,
+    api/main.py:1276-1489 + risk enrichment :1194-1273), deterministic:
+    the integrated text splits into 'articles' at the inter-group
+    separator; each article gets an index, a title (first line), a content
+    length, and a rule-based risk class joined from a broadcast dimension
+    (the reference classifies via LLM function-calling; the structural
+    join is the same)."""
+    ints = q_integrated_text(spark, sf_dir)
+    arts = ints.select(
+        "doc_id",
+        F.posexplode(F.split("integrated_text", INTER_SEP)).alias(
+            "article_number", "content"
+        ),
+    ).withColumn("article_number", F.col("article_number").cast("long") + 1)
+    arts = arts.select(
+        "doc_id",
+        "article_number",
+        F.substring(F.split(F.col("content"), "\n").getItem(0), 1, 40).alias(
+            "title"
+        ),
+        F.length("content").cast("long").alias("content_len"),
+        (F.length("content") % 4).cast("int").alias("risk_type"),
+    )
+    risks = spark.createDataFrame(
+        [(0, "none"), (1, "payment"), (2, "liability"), (3, "termination")],
+        "risk_type int, risk_label string",
+    )
+    return arts.join(F.broadcast(risks), "risk_type").select(
+        "doc_id", "article_number", "title", "content_len", "risk_label"
+    )
+
+
+QUERIES = {
+    "integrated_text": q_integrated_text,
+    "contract_articles": q_contract_articles,
+}
 ORACLE_SQL: dict[str, str] = {}
