@@ -36,8 +36,14 @@ _texts = st.one_of(
     st.text(alphabet="ab \n", max_size=12),
 )
 
+_pages = st.one_of(
+    st.integers(0, 5),
+    st.sampled_from([0, 1, 99, 100, 407, 408]),  # 408 = max page index
+                                                 # fitting int32 offsets
+)
+
 _span = st.tuples(
-    st.integers(0, 5),          # page
+    _pages,
     _ys,
     _xs,
     st.booleans(),              # is_media
