@@ -19,6 +19,13 @@ orphaned-but-ignored data dir that the resumed run simply overwrites
 
 Lineage/metrics columns ride with every ledger row (north_rule:
 pages_processed/blocks_classified/spans_emitted per partition).
+
+Scan amplification note: the per-bucket filter re-scans the source once
+per bucket. That is the right trade at checkpoint granularity ONLY when
+the source layout lets the filter prune — at scale, land the input
+partitioned/bucketed by the same ``pmod(xxhash64(doc_id), N)`` so each
+bucket's scan reads 1/N of the files (Spark prunes on the partition
+column). On an unpartitioned source, prefer fewer buckets.
 """
 
 from __future__ import annotations

@@ -29,7 +29,12 @@ def read_spans(spark: SparkSession, path: str) -> DataFrame:
 def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine): a doc is invalid when it has no spans, a null
     doc_id, or any span whose offset is negative (corrupt geometry) —
-    the reference's corrupt-PDF rejection, row-level."""
+    the reference's corrupt-PDF rejection, row-level.
+
+    Input contract: one row per doc_id. Duplicate doc_ids are the
+    ingestion layer's job (streaming.stream_dedup_stateful /
+    dropDuplicates) — this validity check is deliberately shuffle-free,
+    so it cannot see cross-row duplicates."""
     flagged = df.withColumn(
         "_valid",
         F.col("doc_id").isNotNull()
