@@ -31,9 +31,12 @@ _xs = st.one_of(
 _texts = st.one_of(
     st.sampled_from(
         ["", " ", "\n\n", "  \n \n ", "HEADER", "FOOTER", "a", "a\n\n\nb",
-         " x \n\n", "\n\nx\n\n"]
+         " x \n\n", "\n\nx\n\n",
+         # unicode whitespace: python strip / pandas / Arrow
+         # utf8_trim_whitespace verified to agree on these (see commit)
+         "　b　", "x\xa0", "\xa0", "\tx\t", "\rr\r", "é\n\n\né"]
     ),
-    st.text(alphabet="ab \n", max_size=12),
+    st.text(alphabet="ab \n\t\xa0", max_size=12),
 )
 
 _pages = st.one_of(
