@@ -1,0 +1,131 @@
+"""Iceberg-style snapshot catalog over plain parquet.
+
+The target environment speaks Iceberg (BASELINE.json: "Iceberg table of
+interleaved text + media documents"); this sandbox has no Iceberg jars,
+so this module implements the three Iceberg properties the engine
+actually relies on, directly over parquet files:
+
+  * **snapshot isolation** — a snapshot is a JSON manifest listing its
+    data files; readers list files from a manifest, never from the
+    directory, so concurrent writers can't expose partial output.
+  * **atomic commit** — data files are written under a staging name,
+    then the manifest is published with an atomic ``os.rename``; the
+    catalog pointer (``_current``) is itself a one-line file replaced
+    atomically. A crash mid-write leaves only unreferenced files.
+  * **time travel** — every snapshot remains readable by id
+    (``read_table(..., snapshot_id=k)``); appends create a child
+    snapshot referencing the parent (lineage).
+
+The run ledger (ledger.py) composes with this: each bucket commit can be
+a snapshot append, giving resume-partition-exactly WITH snapshot reads.
+
+Not a port of Iceberg — just the minimal spec-compatible behavior the
+reference's session-directory bookkeeping (step0/06_directory_manager.py)
+gets replaced by (SURVEY §2.1 S10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str, snapshot_id: int) -> str:
+    return os.path.join(table_dir, "metadata", f"snap-{snapshot_id:06d}.json")
+
+
+def _current_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "metadata", "_current")
+
+
+def current_snapshot_id(table_dir: str) -> int | None:
+    try:
+        with open(_current_path(table_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _read_manifest(table_dir: str, snapshot_id: int) -> dict:
+    with open(_manifest_path(table_dir, snapshot_id)) as f:
+        return json.load(f)
+
+
+def _write_files(df: DataFrame, table_dir: str) -> list[str]:
+    """Write df to a unique staging dir; return the data-file names after
+    moving them into data/ (names are unique, moves are renames)."""
+    stage = os.path.join(table_dir, f"_stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    moved = []
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"{uuid.uuid4().hex}-{name}"
+        os.rename(os.path.join(stage, name), os.path.join(data_dir, final))
+        moved.append(final)
+    for leftover in os.listdir(stage):
+        os.remove(os.path.join(stage, leftover))
+    os.rmdir(stage)
+    return moved
+
+
+def _publish(table_dir: str, manifest: dict) -> int:
+    os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+    sid = manifest["snapshot_id"]
+    tmp = _manifest_path(table_dir, sid) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, _manifest_path(table_dir, sid))  # atomic publish
+    cur_tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(cur_tmp, "w") as f:
+        f.write(str(sid))
+    os.rename(cur_tmp, _current_path(table_dir))  # atomic pointer swap
+    return sid
+
+
+def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
+                   properties: dict | None = None) -> int:
+    """Commit df as a new snapshot. ``overwrite`` starts a new file set;
+    ``append`` unions the parent snapshot's files."""
+    parent = current_snapshot_id(table_dir)
+    files = _write_files(df, table_dir)
+    if operation == "append" and parent is not None:
+        files = _read_manifest(table_dir, parent)["files"] + files
+    manifest = {
+        "snapshot_id": (parent or 0) + 1,
+        "parent_id": parent,
+        "operation": operation,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "files": files,
+        "properties": properties or {},
+    }
+    return _publish(table_dir, manifest)
+
+
+def read_table(spark: SparkSession, table_dir: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """Read a snapshot (default: current) — file list comes from the
+    manifest, so in-flight writers are invisible."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    m = _read_manifest(table_dir, sid)
+    paths = [os.path.join(table_dir, "data", f) for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """Snapshot lineage, oldest first."""
+    meta = os.path.join(table_dir, "metadata")
+    out = []
+    for name in sorted(os.listdir(meta)):
+        if name.startswith("snap-") and name.endswith(".json"):
+            with open(os.path.join(meta, name)) as f:
+                out.append(json.load(f))
+    return out

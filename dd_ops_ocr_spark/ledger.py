@@ -103,6 +103,64 @@ def run_with_ledger(
     }
 
 
+def run_with_snapshots(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    table_dir: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    fail_after: int | None = None,
+    extractor=None,
+) -> dict:
+    """Checkpointed extraction where each bucket commit is an
+    Iceberg-style snapshot append (catalog.py): the snapshot manifest IS
+    the commit marker, its properties carry the lineage + metrics
+    (run_id, bucket, docs, spans_emitted), and the output stays readable
+    at every intermediate snapshot (time travel). Resume reads the
+    committed bucket set from the snapshot lineage."""
+    from dd_ops_ocr_spark import catalog, pipeline
+
+    extractor = extractor or pipeline.extract
+    done = set()
+    try:
+        for s in catalog.snapshots(table_dir):
+            b = s.get("properties", {}).get("bucket")
+            if b is not None:
+                done.add(int(b))
+    except FileNotFoundError:
+        pass
+
+    src = spans_df.withColumn("bucket", bucket_col(n_buckets))
+    processed = 0
+    for b in [x for x in range(n_buckets) if x not in done]:
+        part = src.filter(F.col("bucket") == b).drop("bucket")
+        out = extractor(part)
+        stats = out.agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count("*").alias("spans"),
+        ).collect()[0]
+        catalog.write_snapshot(
+            out,
+            table_dir,
+            operation="append" if (done or processed) else "overwrite",
+            properties={
+                "run_id": run_id,
+                "bucket": b,
+                "docs": stats["docs"],
+                "spans_emitted": stats["spans"],
+            },
+        )
+        processed += 1
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"injected failure after {processed} buckets")
+    return {
+        "run_id": run_id,
+        "buckets_total": n_buckets,
+        "buckets_resumed_from": len(done),
+        "buckets_processed": processed,
+    }
+
+
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/data")
 

@@ -1,0 +1,81 @@
+"""Snapshot catalog: atomic commits, snapshot isolation, time travel."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from dd_ops_ocr_spark import catalog, corpus, pipeline
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def table(spark):
+    d = tempfile.mkdtemp(prefix="cat_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_append_and_time_travel(spark, table):
+    out = pipeline.extract(corpus.build_spans_df(spark, SF_SMOKE)).cache()
+    first = out.filter("doc_id < 'doc_000100'")
+    rest = out.filter("doc_id >= 'doc_000100'")
+
+    s1 = catalog.write_snapshot(first, table, "overwrite",
+                                properties={"run_id": "r1"})
+    n1 = catalog.read_table(spark, table).count()
+    s2 = catalog.write_snapshot(rest, table, "append",
+                                properties={"run_id": "r1"})
+    assert s2 == s1 + 1
+    # current = union; snapshot 1 still readable unchanged (time travel)
+    assert catalog.read_table(spark, table).count() == out.count()
+    assert catalog.read_table(spark, table, snapshot_id=s1).count() == n1
+    # lineage
+    snaps = catalog.snapshots(table)
+    assert [s["snapshot_id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent_id"] == s1
+
+
+def test_snapshot_checkpoint_crash_resume(spark, table):
+    """run_with_snapshots: crash after 2/6 buckets, resume, output equals
+    an uninterrupted run and the snapshot lineage records every bucket."""
+    from dd_ops_ocr_spark import ledger
+
+    spans = corpus.build_spans_df(spark, SF_SMOKE).cache()
+    with pytest.raises(RuntimeError, match="injected"):
+        ledger.run_with_snapshots(spark, spans, table, "runA",
+                                  n_buckets=6, fail_after=2)
+    summary = ledger.run_with_snapshots(spark, spans, table, "runB",
+                                        n_buckets=6)
+    assert summary["buckets_resumed_from"] == 2
+    assert summary["buckets_processed"] == 4
+
+    got = catalog.read_table(spark, table)
+    want = pipeline.extract(spans)
+    cols = ["doc_id", "kind", "text", "media_ref", "order"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+    buckets = [s["properties"]["bucket"] for s in catalog.snapshots(table)]
+    assert sorted(buckets) == list(range(6))
+    assert sum(s["properties"]["spans_emitted"]
+               for s in catalog.snapshots(table)) == want.count()
+
+
+def test_uncommitted_files_invisible(spark, table):
+    out = pipeline.extract(corpus.build_spans_df(spark, SF_SMOKE)).limit(100)
+    catalog.write_snapshot(out, table, "overwrite")
+    n = catalog.read_table(spark, table).count()
+    # simulate a crashed writer: orphan data file, no manifest publish
+    data_dir = os.path.join(table, "data")
+    orphan = os.path.join(data_dir, "orphan.parquet")
+    out.limit(10).write.mode("overwrite").parquet(os.path.join(table, "_crash"))
+    for f in os.listdir(os.path.join(table, "_crash")):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(table, "_crash", f), orphan)
+            break
+    assert catalog.read_table(spark, table).count() == n, (
+        "reader saw files outside the manifest"
+    )
