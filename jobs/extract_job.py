@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--salted", action="store_true",
                    help="use the skew-salted extractor")
+    p.add_argument("--snapshots", action="store_true",
+                   help="commit each bucket as an Iceberg-style snapshot "
+                        "(catalog.py) instead of plain marker files")
     p.add_argument("--pages-per-bucket", type=int, default=25)
     args = p.parse_args(argv)
 
@@ -55,7 +58,8 @@ def main(argv: list[str] | None = None) -> int:
         else pipeline.extract
     )
     t0 = time.monotonic()
-    summary = ledger.run_with_ledger(
+    runner = ledger.run_with_snapshots if args.snapshots else ledger.run_with_ledger
+    summary = runner(
         spark, spans, args.output, run_id,
         n_buckets=args.buckets, extractor=extractor,
     )
