@@ -66,7 +66,7 @@ GROUP BY l_orderkey
 
 def q_comment_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: newline-joined comments with img{i}: prefixes, ordered by image
-    index (step4/03:204-235). Ordered string-agg = sort_array(collect_list)
+    index (step4/03:204-235, exact "img{i}: " prefix). Ordered string-agg = sort_array(collect_list)
     + transform + array_join — bounded per group, no sort-based agg."""
     li = _li(spark, sf_dir)
     return li.groupBy("l_orderkey").agg(
@@ -78,7 +78,7 @@ def q_comment_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: F.concat(
                     F.lit("img"),
                     s["l_linenumber"].cast("string"),
-                    F.lit(":"),
+                    F.lit(": "),
                     s["l_returnflag"],
                 ),
             ),
@@ -89,7 +89,7 @@ def q_comment_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COMMENT_AGG = """
 SELECT l_orderkey,
-       STRING_AGG('img' || l_linenumber || ':' || l_returnflag, chr(10)
+       STRING_AGG('img' || l_linenumber || ': ' || l_returnflag, chr(10)
                   ORDER BY l_linenumber, l_returnflag) AS comments
 FROM lineitem
 GROUP BY l_orderkey
