@@ -1,0 +1,117 @@
+"""Lenient type coercion — exact port of the reference's semantics
+(C8, src/modules/step0/00_type_utils.py:9-85), the one module the
+reference's own test suite actually exercises (test/step0_test.py:30-39):
+
+    to_bool("true") == True     to_int("123") == 123
+    to_bool("false") == False   to_int("123.45") == 123
+    to_bool(1) == True          to_int(None, 999) == 999
+    to_bool(0) == False         to_float("123.45") == 123.45
+                                to_float(None, 999.0) == 999.0
+
+Faithfulness note: the reference's string branch is ``if s in ("true")``
+— a SUBSTRING test, not a tuple membership (``("true")`` is just the
+string). So ``to_bool("r") is True`` and ``to_bool("") is True`` in the
+reference. We reproduce that behavior exactly (and document it), because
+the contract is matching the reference's results, not fixing them.
+
+to_int truncates toward zero via int(float(s)) — Spark's double->long
+cast does the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def coerce_bool(c: Column) -> Column:
+    """Reference to_bool for a string column: s = strip+lower; True if s
+    is a substring of 'true' (includes ''), False if a substring of
+    'false', else False; null input -> False."""
+    s = F.lower(F.trim(c))
+    in_true = F.instr(F.lit("true"), s) > 0
+    in_false = F.instr(F.lit("false"), s) > 0
+    return (
+        F.when(c.isNull(), F.lit(False))
+        .when(in_true, F.lit(True))
+        .when(in_false, F.lit(False))
+        .otherwise(F.lit(False))
+    )
+
+
+def coerce_int(c: Column, default: int | None = None) -> Column:
+    """int(float(strip(s))) with default on null/''/unparseable."""
+    s = F.trim(c)
+    parsed = s.try_cast("double").cast("long")
+    d = F.lit(default).cast("long") if default is not None else F.lit(None).cast("long")
+    return (
+        F.when(c.isNull() | (s == ""), d)
+        .otherwise(F.coalesce(parsed, d))
+    )
+
+
+def coerce_float(c: Column, default: float | None = None) -> Column:
+    s = F.trim(c)
+    parsed = s.try_cast("double")
+    d = (
+        F.lit(default).cast("double")
+        if default is not None
+        else F.lit(None).cast("double")
+    )
+    return (
+        F.when(c.isNull() | (s == ""), d)
+        .otherwise(F.coalesce(parsed, d))
+    )
+
+
+_RAWS = [
+    "true", "false", "TRUE ", " False", "1", "0", "123", "123.45", "-2.7",
+    "", "  ", "r", "als", "xyz", None, "999",
+]
+
+
+def q_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 over a fixed raw-value table (the reference's own test cases plus
+    the substring-quirk cases), coerced with the exact semantics."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(r) for r in _RAWS]),
+            (F.col("doc_id") % len(_RAWS)).cast("int") + 1,
+        ).alias("raw"),
+    )
+    return d.select(
+        "doc_id",
+        "raw",
+        coerce_bool(F.col("raw")).alias("as_bool"),
+        coerce_int(F.col("raw"), 999).alias("as_int"),
+        coerce_float(F.col("raw"), 999.0).alias("as_float"),
+    )
+
+
+_sql_raws = ", ".join("NULL" if r is None else f"'{r}'" for r in _RAWS)
+
+SQL_TYPE_COERCION = f"""
+WITH d AS (
+  SELECT doc_id,
+         ([{_sql_raws}])[CAST(doc_id % {len(_RAWS)} AS INT) + 1] AS raw
+  FROM documents
+), s AS (
+  SELECT doc_id, raw, LOWER(TRIM(raw)) AS norm, TRIM(raw) AS t FROM d
+)
+SELECT doc_id, raw,
+       CASE WHEN raw IS NULL THEN FALSE
+            WHEN strpos('true', norm) > 0 THEN TRUE
+            WHEN strpos('false', norm) > 0 THEN FALSE
+            ELSE FALSE END AS as_bool,
+       CASE WHEN raw IS NULL OR t = '' THEN 999
+            -- TRUNC, not CAST: DuckDB's double->int cast rounds, but the
+            -- reference's int(float(s)) truncates toward zero
+            ELSE COALESCE(CAST(TRUNC(TRY_CAST(t AS DOUBLE)) AS BIGINT), 999) END
+         AS as_int,
+       CASE WHEN raw IS NULL OR t = '' THEN 999.0
+            ELSE COALESCE(TRY_CAST(t AS DOUBLE), 999.0) END AS as_float
+FROM s
+"""
+
+QUERIES = {"type_coercion": q_type_coercion}
+ORACLE_SQL = {"type_coercion": SQL_TYPE_COERCION}

@@ -58,6 +58,7 @@ from dd_ops_ocr_spark.operators import merges as _merges  # noqa: E402
 from dd_ops_ocr_spark.operators import similarity as _similarity  # noqa: E402
 from dd_ops_ocr_spark.operators import textops as _textops  # noqa: E402
 from dd_ops_ocr_spark.operators import textstats as _textstats  # noqa: E402
+from dd_ops_ocr_spark.operators import typeutils as _typeutils  # noqa: E402
 
 _register(_geometry)
 _register(_merges)
@@ -71,3 +72,4 @@ _register(_overlap)
 _register(_heuristics)
 _register(_integrate)
 _register(_jsonops)
+_register(_typeutils)
