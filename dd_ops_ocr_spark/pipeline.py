@@ -334,16 +334,17 @@ def _run_arrow(batches, include_page: bool = False):
         boiler = np.zeros(len(ki), dtype=bool)
         cand = np.flatnonzero(zone > 0)
         if len(cand):
-            norm_k = pc.take(norm, pa.array(ki))
-            codes = pc.dictionary_encode(norm_k)
-            # media spans have null norm -> null index; they are never in
-            # `cand` (zone forced 0 for non-text), so any sentinel works
+            # encode only the candidate zone spans (a few % of the batch),
+            # not every kept span — the strings outside header/footer
+            # zones can never be boilerplate keys
+            norm_cand = pc.take(norm, pa.array(ki[cand]))
+            codes = pc.dictionary_encode(norm_cand)
             code_np = np.asarray(
                 pc.fill_null(codes.indices, -1).to_numpy(zero_copy_only=False),
                 dtype=np.int64,
             )
             # distinct pages per (doc, zone, code)
-            ukey = (doc_idx[cand] << 34) | (np.int64(1) * zone[cand] << 32) | code_np[cand]
+            ukey = (doc_idx[cand] << 34) | (np.int64(1) * zone[cand] << 32) | code_np
             pg = page[cand]
             srt = np.lexsort((pg, ukey))
             uk_s, pg_s = ukey[srt], pg[srt]
