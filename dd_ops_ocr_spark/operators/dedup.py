@@ -227,6 +227,55 @@ WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.8
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    candidate pairs (LSH -> Jaccard >= 0.8), via iterative min-label
+    propagation — the keep-one-per-cluster step of corpus dedup.
+
+    Spark side: driver-controlled loop of join + min-aggregate rounds
+    until fixpoint (components here are tiny; rounds <= O(diameter)).
+    Each round is one shuffle over the edge set only — the classic
+    large-graph CC pattern without any graph library. DuckDB oracle:
+    recursive CTE computing min reachable node id — both sides converge
+    to cluster_id = min(doc_id in component)."""
+    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").cache()
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+    )
+    for _ in range(16):  # diameter bound; components are near-cliques
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") < F.col("o.lab"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lab")
+        .select("doc_id", F.col("lab").alias("cluster_id"), "cluster_size")
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> reproducible in pure Python
 
 
@@ -261,7 +310,65 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+_SQL_VERIFIED_PAIRS = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+  GROUP BY p.doc_a, p.doc_b
+),
+vpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.8
+)"""
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE d AS ({_SQL_DOCS_WITH_COPIES}),
+sh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{j}|' || sh)) AS mh{j}" for j in range(N_MINHASH))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5('b0' || '|' || mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5('b1' || '|' || mh2 || '|' || mh3) AS bucket FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (bucket)
+  WHERE a.doc_id < b.doc_id
+),
+{_SQL_VERIFIED_PAIRS},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs
+),
+reach(doc_id, lab) AS (
+  SELECT DISTINCT src AS doc_id, src AS lab FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.lab
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comp AS (
+  SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM comp GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
 QUERIES = {
+    "dedup_clusters": q_dedup_clusters,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
     "minhash_signature": q_minhash_signature,
@@ -270,6 +377,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,

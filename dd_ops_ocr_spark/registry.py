@@ -35,6 +35,13 @@ def _flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.metrics(out)
 
 
+def _flagship_extract_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark import corpus
+    from dd_ops_ocr_spark.plans.sql_extract import extract_sql
+
+    return extract_sql(corpus.build_spans_df(spark, sf_dir))
+
+
 def _flagship_extract_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_ops_ocr_spark import corpus
     from dd_ops_ocr_spark.plans.salting import extract_salted
@@ -43,6 +50,7 @@ def _flagship_extract_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["flagship_extract"] = _flagship_extract
+QUERIES["flagship_extract_sql"] = _flagship_extract_sql
 QUERIES["flagship_extract_salted"] = _flagship_extract_salted
 QUERIES["flagship_metrics"] = _flagship_metrics
 

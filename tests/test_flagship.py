@@ -95,7 +95,7 @@ def test_spark_pipeline_matches_oracle_sf001(spark):
     assert not mismatches, f"{len(mismatches)} docs mismatch"
 
 
-@pytest.mark.parametrize("path", ["arrow", "nested", "exploded"])
+@pytest.mark.parametrize("path", ["arrow", "nested", "exploded", "sql"])
 def test_spark_pipeline_matches_oracle(spark, path):
     """End-to-end span-sequence equality at sf0.001 (500 docs)."""
     docs = _read_documents(SF_SMOKE)
@@ -104,6 +104,10 @@ def test_spark_pipeline_matches_oracle(spark, path):
         out = pipeline.extract(spans_df, use_arrow=True)
     elif path == "nested":
         out = pipeline.extract(spans_df, use_arrow=False)
+    elif path == "sql":
+        from dd_ops_ocr_spark.plans.sql_extract import extract_sql
+
+        out = extract_sql(spans_df)
     else:
         from pyspark.sql import functions as F
 
