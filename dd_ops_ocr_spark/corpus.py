@@ -195,6 +195,22 @@ def build_spans_df(spark, sf_dir: str, replicate: int = 1):
     return docs.mapInPandas(gen, schema=SPANS_SCHEMA)
 
 
+_spans_cache: dict[tuple[int, str, int], object] = {}
+
+
+def build_spans_df_cached(spark, sf_dir: str, replicate: int = 1):
+    """Memoized + persisted variant for callers that run several queries
+    over the same synthesized corpus in one session (the driver's
+    correctness phase runs ~7 flagship-family queries; without this each
+    action would re-run the Python generation)."""
+    key = (id(spark.sparkContext), sf_dir, replicate)
+    df = _spans_cache.get(key)
+    if df is None:
+        df = build_spans_df(spark, sf_dir, replicate=replicate).persist()
+        _spans_cache[key] = df
+    return df
+
+
 def materialize_spans(
     spark, sf_dir: str, out_path: str, n_partitions: int = 32, replicate: int = 1
 ) -> str:

@@ -82,7 +82,7 @@ def q_integrated_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_ops_ocr_spark import corpus, pipeline
 
     out = pipeline.extract(
-        corpus.build_spans_df(spark, sf_dir), include_page=True
+        corpus.build_spans_df_cached(spark, sf_dir), include_page=True
     )
     return integrate_text(out)
 

@@ -99,7 +99,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism and batch shape."""
     from dd_ops_ocr_spark import corpus
 
-    spans = corpus.build_spans_df(spark, sf_dir)
+    spans = corpus.build_spans_df_cached(spark, sf_dir)
     media = (
         spans.select(F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "media")

@@ -25,13 +25,13 @@ def _register(mod) -> None:
 def _flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_ops_ocr_spark import corpus, pipeline
 
-    return pipeline.extract(corpus.build_spans_df(spark, sf_dir))
+    return pipeline.extract(corpus.build_spans_df_cached(spark, sf_dir))
 
 
 def _flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_ops_ocr_spark import corpus, pipeline
 
-    out = pipeline.extract(corpus.build_spans_df(spark, sf_dir))
+    out = pipeline.extract(corpus.build_spans_df_cached(spark, sf_dir))
     return pipeline.metrics(out)
 
 
@@ -39,14 +39,14 @@ def _flagship_extract_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_ops_ocr_spark import corpus
     from dd_ops_ocr_spark.plans.sql_extract import extract_sql
 
-    return extract_sql(corpus.build_spans_df(spark, sf_dir))
+    return extract_sql(corpus.build_spans_df_cached(spark, sf_dir))
 
 
 def _flagship_extract_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_ops_ocr_spark import corpus
     from dd_ops_ocr_spark.plans.salting import extract_salted
 
-    return extract_salted(corpus.build_spans_df(spark, sf_dir))
+    return extract_salted(corpus.build_spans_df_cached(spark, sf_dir))
 
 
 QUERIES["flagship_extract"] = _flagship_extract
