@@ -118,5 +118,107 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(with_payload)
 
 
-QUERIES = {"media_metadata": q_media_metadata}
+def fake_resize_batch(payloads: pd.Series, target_w: int, target_h: int) -> pd.DataFrame:
+    """DETERMINISTIC FAKE resize: real implementations decode, resample,
+    re-encode; the fake derives a new payload from (payload, target dims)
+    so determinism, batch shape, and schema flow are testable. The binary
+    out/in contract is exactly what a real Pillow/OpenCV kernel plugs
+    into."""
+    out_payload = [
+        synth_payload(f"{mix64(int.from_bytes(p[:8], 'little')) ^ (target_w << 16 | target_h):x}")
+        for p in payloads
+    ]
+    return pd.DataFrame(
+        {
+            "payload": out_payload,
+            "width": np.full(len(payloads), target_w, dtype=np.int32),
+            "height": np.full(len(payloads), target_h, dtype=np.int32),
+        }
+    )
+
+
+def media_resize(media_df: DataFrame, target_w: int = 1024,
+                 target_h: int = 1280) -> DataFrame:
+    """(media_ref, payload) -> resized payload + dims, Arrow-batched.
+    The reference's equivalent is the 2x re-render + scaled-DPI path
+    (step2/02_image_reprocessor.py:68-133)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = fake_resize_batch(pdf["payload"], target_w, target_h)
+            out.insert(0, "media_ref", pdf["media_ref"].to_numpy())
+            yield out
+
+    return media_df.mapInPandas(
+        run, schema="media_ref string, payload binary, width int, height int"
+    )
+
+
+def media_frame_sample(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: one binary payload -> n_frames rows of
+    (frame_idx, frame payload). One-to-many Arrow-batched expansion — the
+    multimodal analogue of posexplode (real decoder: pyAV/ffmpeg)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            refs = np.repeat(pdf["media_ref"].to_numpy(), n_frames)
+            idx = np.tile(np.arange(n_frames, dtype=np.int32), n)
+            frames = [
+                synth_payload(f"{r}#f{i}", n_bytes=32)
+                for r, i in zip(refs, idx)
+            ]
+            yield pd.DataFrame(
+                {"media_ref": refs, "frame_idx": idx, "frame": frames}
+            )
+
+    return media_df.mapInPandas(
+        run, schema="media_ref string, frame_idx int, frame binary"
+    )
+
+
+def _media_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark import corpus
+
+    spans = corpus.build_spans_df_cached(spark, sf_dir)
+    media = (
+        spans.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [synth_payload(r) for r in pdf["media_ref"]]
+            yield pdf
+
+    return media.mapInPandas(
+        add_payload, schema="media_ref string, payload binary"
+    )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = media_resize(_media_with_payload(spark, sf_dir))
+    return out.select(
+        "media_ref", "width", "height",
+        F.length("payload").cast("long").alias("payload_bytes"),
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = media_frame_sample(_media_with_payload(spark, sf_dir))
+    return out.select(
+        "media_ref", "frame_idx",
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+QUERIES = {
+    "media_metadata": q_media_metadata,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
+}
 ORACLE_SQL: dict[str, str] = {}

@@ -157,6 +157,93 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16
+KMEANS_ITERS = 5
+N_PROBE = 2
+
+
+def _ivf_centroids(vecs: np.ndarray) -> np.ndarray:
+    """Deterministic k-means: seeds = first N_CELLS vectors by id order,
+    fixed iteration count, ties broken by lowest cell index. No RNG."""
+    c = vecs[:N_CELLS].copy()
+    for _ in range(KMEANS_ITERS):
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = vecs[m].mean(axis=0)
+    return c
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the other scale path the LSH variant complements:
+    a deterministic k-means coarse quantizer (trained on the driver from
+    a bounded sample, broadcast), cells assigned by a vectorized numpy
+    argmin inside mapInPandas, search restricted to the query's N_PROBE
+    nearest cells, exact cosine re-rank top-3. Rows-only for the driver
+    (k-means is not SQL-expressible); pytest checks cell assignment and
+    results against a pure-numpy reference."""
+    emb = _emb(spark, sf_dir)
+    # bounded training sample, deterministic order
+    sample = emb.orderBy("vec_id").limit(512).collect()
+    vecs = np.array([r["v"] for r in sample], dtype=np.float64)
+    centroids = _ivf_centroids(vecs)
+    c_bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            d = ((m[:, None, :] - c_bc.value[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(),
+                 "cell": d.argmin(axis=1).astype("int32")}
+            )
+
+    cells = emb.mapInPandas(assign, schema="vec_id long, cell int")
+    embs = emb.join(cells, "vec_id")
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            d = ((m[:, None, :] - c_bc.value[None, :, :]) ** 2).sum(axis=2)
+            near = np.argsort(d, axis=1, kind="stable")[:, :N_PROBE]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), N_PROBE),
+                    "cell": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    probes = queries.mapInPandas(probe, schema="query_id long, cell int")
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cand = (
+        probes.join(embs.select(F.col("vec_id").alias("neighbor_id"), "v",
+                                "cell"), "cell")
+        .join(F.broadcast(qv), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", F.round("sim", 9).alias("sim"))
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norms and dims — sanity surface for the vector
     column, and a portable agg (in-order folds, ints, exact doubles)."""
@@ -241,6 +328,7 @@ FROM pairs WHERE sim >= 0.99
 
 QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_stats": q_embedding_stats,

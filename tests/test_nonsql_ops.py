@@ -95,6 +95,45 @@ def test_lsh_ann_matches_numpy_oracle(spark):
         assert got_map[q] == expected[q], f"query {q}"
 
 
+def test_ivf_ann_matches_numpy_oracle(spark):
+    from dd_ops_ocr_spark.operators.similarity import (
+        N_PROBE,
+        QUERY_MOD,
+        _ivf_centroids,
+        q_ann_ivf_topk,
+    )
+
+    got = q_ann_ivf_topk(spark, SF).toPandas()
+    emb = duckdb.sql(
+        f"select vec_id, embedding from read_parquet('{SF}/embeddings.parquet')"
+        " order by vec_id"
+    ).df()
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    cents = _ivf_centroids(m[:512])
+    d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d.argmin(axis=1)
+    norms = np.sqrt((m * m).sum(axis=1))
+    expected = {}
+    for qi in np.where(ids % QUERY_MOD == 0)[0]:
+        probed = np.argsort(d[qi], kind="stable")[:N_PROBE]
+        mask = np.isin(cell, probed) & (ids != ids[qi])
+        cand = np.where(mask)[0]
+        if len(cand) == 0:
+            continue
+        sims = (m[cand] @ m[qi]) / (norms[cand] * norms[qi])
+        expected[ids[qi]] = [
+            int(v) for _, v in sorted(zip(-sims, ids[cand]))[:3]
+        ]
+    got_map = {
+        q: g.sort_values("rank")["neighbor_id"].tolist()
+        for q, g in got.groupby("query_id")
+    }
+    assert set(got_map) == set(expected)
+    for q in expected:
+        assert got_map[q] == expected[q], f"query {q}"
+
+
 def test_media_metadata_plumbing(spark):
     from dd_ops_ocr_spark.operators.multimodal import (
         fake_decode_batch,
@@ -150,6 +189,27 @@ def test_overlap_trim_removes_seams():
     assert trim_overlap_py("abc", "xyz") == "xyz"
     assert trim_overlap_py(None, "xyz") == "xyz"
     assert trim_overlap_py("aaa", "aaa") == ""
+
+
+def test_media_resize_and_frame_sample(spark):
+    from dd_ops_ocr_spark.operators.multimodal import (
+        q_media_frame_sample,
+        q_media_resize,
+    )
+
+    rs = q_media_resize(spark, SF).toPandas()
+    assert len(rs) > 0
+    assert (rs["width"] == 1024).all() and (rs["height"] == 1280).all()
+    assert (rs["payload_bytes"] == 64).all()
+    fs = q_media_frame_sample(spark, SF).toPandas()
+    assert len(fs) == 4 * len(rs)  # 4 frames per media payload
+    assert set(fs["frame_idx"]) == {0, 1, 2, 3}
+    assert (fs["frame_bytes"] == 32).all()
+    # determinism across runs
+    fs2 = q_media_frame_sample(spark, SF).toPandas()
+    assert fs.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True).equals(
+        fs2.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
+    )
 
 
 def test_decode_image_is_stubbed():
