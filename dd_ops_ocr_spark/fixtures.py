@@ -1,0 +1,173 @@
+"""Materialized spans fixtures + DuckDB oracle SQL for the flagship family.
+
+The graded input table (doc_id, spans:array<struct<...>>) is synthesized
+deterministically from the driver's ``documents`` parquet (corpus.py).
+The driver's correctness gate runs oracle SQL in DuckDB, which cannot run
+the Python generator — so this module materializes the same corpus to a
+parquet fixture with pure Python (pandas + pyarrow, no Spark), and
+``flagship_oracle_sql`` states the extraction spec (oracle.py docstring;
+identical to plans/sql_extract.py) in DuckDB SQL over that fixture.
+
+Byte-identity of the fixture with the Spark-side input is guaranteed by
+the generator being pure arithmetic (corpus.mix64) — both sides read the
+same documents parquet and apply the same function.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dd_ops_ocr_spark.schema import (
+    BOILERPLATE_FRAC,
+    CX,
+    FOOTER_ZONE,
+    GUTTER_HALF,
+    HEADER_ZONE,
+    MIN_PAGES_BOILERPLATE,
+    PAGE_H,
+    PAGE_W,
+    STRIDE,
+    TWOUP_MIN_SIDE,
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_DIR = os.path.join(_REPO, ".fixtures")
+
+_SPAN_T = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+_ARROW_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("spans", pa.list_(_SPAN_T))]
+)
+
+
+def spans_fixture_path(sf_dir: str) -> str:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(FIXTURE_DIR, f"spans_{name}.parquet")
+
+
+def ensure_spans_fixture(sf_dir: str) -> str:
+    """Materialize the synthetic spans corpus for ``sf_dir`` (pure Python,
+    no Spark) so DuckDB oracle SQL can read it. Idempotent; atomic write
+    (tmp + rename) so a concurrent Spark job never reads a partial file."""
+    from dd_ops_ocr_spark import corpus
+
+    path = spans_fixture_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    pdf = corpus.spans_pandas(docs)
+    tbl = pa.Table.from_pydict(
+        {"doc_id": pdf["doc_id"].tolist(), "spans": pdf["spans"].tolist()},
+        schema=_ARROW_SCHEMA,
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# Python str.strip() whitespace reachable in span text (corpus emits only
+# ' ' and '\n'; the full ASCII set keeps the oracle honest on any input).
+_WS = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
+# Shared CTE prefix: explode -> normalize -> empty-drop -> geometry ->
+# boilerplate strip -> two-up side. Mirrors plans/sql_extract.py step for
+# step (the spec: oracle.py docstring; reference citations there).
+def _extract_cte(path: str) -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, UNNEST(spans, recursive := true)
+  FROM read_parquet('{path}')
+),
+flat AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'text'
+              THEN trim(regexp_replace(text, '\\n{{2,}}', chr(10), 'g'), {_WS})
+         END AS norm,
+         media_ref,
+         "offset" // {STRIDE} AS page,
+         ("offset" % {STRIDE}) // {PAGE_W} AS y,
+         "offset" % {PAGE_W} AS x
+  FROM raw
+  WHERE kind <> 'text'
+     OR trim(regexp_replace(text, '\\n{{2,}}', chr(10), 'g'), {_WS}) <> ''
+),
+zoned AS (
+  SELECT *,
+    CASE WHEN kind = 'text' AND y < {HEADER_ZONE} THEN 1
+         WHEN kind = 'text' AND y >= {PAGE_H - FOOTER_ZONE} THEN 2
+         ELSE 0 END AS zone
+  FROM flat
+),
+np AS (
+  SELECT doc_id, COUNT(DISTINCT page) AS n_pages FROM zoned GROUP BY doc_id
+),
+bkeys AS (
+  SELECT z.doc_id, z.zone, z.norm
+  FROM zoned z JOIN np USING (doc_id)
+  WHERE z.zone > 0
+  GROUP BY z.doc_id, z.zone, z.norm, np.n_pages
+  HAVING np.n_pages >= {MIN_PAGES_BOILERPLATE}
+     AND COUNT(DISTINCT z.page) >= CEIL({BOILERPLATE_FRAC} * np.n_pages)
+),
+kept AS (
+  SELECT z.* FROM zoned z
+  ANTI JOIN bkeys b
+    ON z.doc_id = b.doc_id AND z.zone = b.zone AND z.norm = b.norm
+),
+sided AS (
+  SELECT *,
+    CASE WHEN SUM(CASE WHEN x >= {CX - GUTTER_HALF} AND x < {CX + GUTTER_HALF}
+                       THEN 1 ELSE 0 END) OVER w = 0
+          AND SUM(CASE WHEN x < {CX - GUTTER_HALF} THEN 1 ELSE 0 END)
+              OVER w >= {TWOUP_MIN_SIDE}
+          AND SUM(CASE WHEN x >= {CX + GUTTER_HALF} THEN 1 ELSE 0 END)
+              OVER w >= {TWOUP_MIN_SIDE}
+          AND x >= {CX}
+         THEN 1 ELSE 0 END AS side
+  FROM kept
+  WINDOW w AS (PARTITION BY doc_id, page)
+),
+extracted AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'text' THEN norm END AS text,
+         media_ref,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY page, side, y, x
+         ) AS INTEGER) AS "order"
+  FROM sided
+)
+"""
+
+
+def flagship_oracle_sql(path: str) -> str:
+    """DuckDB statement of the flagship spec over the materialized fixture."""
+    return _extract_cte(path) + (
+        'SELECT doc_id, kind, text, media_ref, "order" FROM extracted'
+    )
+
+
+def metrics_oracle_sql(path: str) -> str:
+    """DuckDB equivalent of pipeline.metrics over the extraction output."""
+    return _extract_cte(path) + """
+SELECT doc_id,
+       COUNT(*) AS spans_emitted,
+       CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+         AS text_blocks,
+       CAST(SUM(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT)
+         AS media_blocks
+FROM extracted
+GROUP BY doc_id
+"""

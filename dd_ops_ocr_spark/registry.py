@@ -54,6 +54,23 @@ QUERIES["flagship_extract_sql"] = _flagship_extract_sql
 QUERIES["flagship_extract_salted"] = _flagship_extract_salted
 QUERIES["flagship_metrics"] = _flagship_metrics
 
+# Flagship-family DuckDB oracles: the driver's correctness pass runs at
+# sf0.01; ``register_flagship_oracles`` materializes the same synthetic
+# corpus to a parquet fixture (pure Python — byte-identical to the Spark
+# input, see fixtures.py) and states the spec in DuckDB SQL over it.
+_SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
+    from dd_ops_ocr_spark import fixtures
+
+    path = fixtures.ensure_spans_fixture(sf_dir)
+    sql = fixtures.flagship_oracle_sql(path)
+    ORACLE_SQL["flagship_extract"] = sql
+    ORACLE_SQL["flagship_extract_sql"] = sql
+    ORACLE_SQL["flagship_extract_salted"] = sql
+    ORACLE_SQL["flagship_metrics"] = fixtures.metrics_oracle_sql(path)
+
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
 from dd_ops_ocr_spark.operators import integrate as _integrate  # noqa: E402

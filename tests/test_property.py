@@ -9,7 +9,7 @@ end-to-end tests; this hammers the semantics where the bugs live.
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from dd_ops_ocr_spark import oracle, pipeline
 from dd_ops_ocr_spark.schema import CX, GUTTER_HALF, HEADER_ZONE, PAGE_H, PAGE_W, STRIDE
@@ -117,6 +117,16 @@ def test_kernel_equals_oracle_on_random_geometry(docs):
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(_doc(), min_size=1, max_size=3))
+@example(
+    # regression for a hypothesis-discovered failure at offset 2_149_316_608
+    # (> int32 — outside the schema's input domain, so pinned here at the
+    # max representable offset instead): page 409, the extreme of the
+    # composite-sort-key bit budget, mixed with offset-0 empty spans
+    docs=[[{"kind": "text", "text": "", "media_ref": None, "offset": 0},
+           {"kind": "text", "text": "", "media_ref": None, "offset": 1},
+           {"kind": "text", "text": "x", "media_ref": None,
+            "offset": 2_147_483_647}]],
+)
 def test_arrow_kernel_equals_oracle(docs):
     """Same property against the Arrow-native kernel (_run_arrow), which is
     an independent implementation of the same spec."""
