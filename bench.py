@@ -98,10 +98,18 @@ def ensure_spans_cache(spark) -> str:
     return path
 
 
-def timed(fn) -> float:
-    t0 = time.monotonic()
-    fn()
-    return round(time.monotonic() - t0, 3)
+def timed(fn, repeats: int = 1) -> float:
+    """Warm up once when repeats > 1, then best of ``repeats`` — the same
+    steady-state methodology as run_extract so per-path ratios compare
+    like with like."""
+    if repeats > 1:
+        fn()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
 
 
 def run_extract(spark, spans_path: str, repeats: int = 3) -> tuple[float, int, int]:
@@ -127,6 +135,7 @@ def main() -> None:
     from dd_ops_ocr_spark.operators.merges import q_judgment_merge
     from dd_ops_ocr_spark.operators.similarity import q_ann_brute_topk
     from dd_ops_ocr_spark.plans.salting import extract_salted
+    from dd_ops_ocr_spark.plans.sql_extract import extract_sql
 
     queries: dict[str, float] = {}
 
@@ -140,7 +149,10 @@ def main() -> None:
 
     spans_df = spark.read.parquet(spans_path)
     queries["flagship_extract_salted"] = timed(
-        lambda: extract_salted(spans_df).count()
+        lambda: extract_salted(spans_df).count(), repeats=3
+    )
+    queries["flagship_extract_sql"] = timed(
+        lambda: extract_sql(spans_df).count(), repeats=3
     )
     queries["minhash_signature"] = timed(
         lambda: q_minhash_signature(spark, SF_DIR).count()

@@ -4,31 +4,34 @@ The unit of work is a document; cost ~ pages x spans. A p99 tail doc
 (100 pages vs median 3) makes its task ~30x slower — AQE fixes shuffle
 skew but not UDF-cost skew, so the salt is ours (SURVEY §4.1).
 
-Design (hybrid, scale-first):
+Design (hybrid, scale-first, NO driver-side data round-trip, NO
+broadcasts, exactly ONE extra scan and ONE small shuffle over the tail):
 
   * **small docs** (pages <= pages_per_bucket — the overwhelming bulk at
     any scale) take the plain nested path: ``pipeline.extract``, zero
-    shuffle, whole doc inside one Arrow batch.
-  * **big docs** (the rare tail) are processed in two passes:
-      pass A (no shuffle, nested mapInArrow): per doc, compute the
-        boilerplate drop-keys and the per-salt-bucket surviving span
-        counts — tiny output, collected and broadcast.
-      pass B (ONE shuffle): JVM posexplode + salt = offset div
-        (STRIDE * pages_per_bucket) — pure arithmetic, no JVM regex —
-        repartition by (doc_id, salt), then an Arrow kernel per
-        partition: normalize (RE2), empty-drop, boilerplate drop via the
-        broadcast key set, page-local two-up, reading-order local rank,
-        and global order = local rank + broadcast exclusive-prefix base.
-        No post-join: all cross-bucket reassembly state rides in the
-        two small broadcasts.
+    shuffle, whole doc inside one Arrow batch. Routing is a codegen'd
+    ``array_max(spans.offset)`` — no higher-order lambda in the hot scan.
+  * **big docs** (the rare tail) run ONE doc-global Arrow pass
+    (``_bucketize_kernel``, shuffle-free: a row is a whole doc) that
+    normalizes (RE2), drops empties, strips boilerplate, and emits one
+    nested row per salt bucket ``(doc_id, base, spans)`` where
+    ``base`` is the exclusive prefix sum of earlier buckets' survivor
+    counts and ``spans`` carry pre-normalized text. The bucket rows —
+    each bounded by pages_per_bucket pages regardless of document size —
+    are spread round-robin across the cluster (`repartition(n)`, the
+    salt shuffle; nested rows, so the shuffle moves compact array
+    payloads), and a second small kernel (``_rank_kernel``) does the
+    page-local two-up + reading-order rank, offset by ``base``.
 
-  Task cost in pass B is bounded by pages_per_bucket pages regardless of
-  doc size. The broadcasts are proportional to the number of *salted*
-  docs only (the p99 tail), not the corpus — the property that keeps
-  this viable at 10^12 docs.
+  All doc-global state (boilerplate keys, order bases) is resolved
+  inside the bucketize kernel while the doc is still whole — nothing is
+  collected, broadcast, or window-aggregated, so there is no relation
+  whose size grows with the tail. Task cost after the shuffle is bounded
+  by pages_per_bucket pages — the salt's whole job.
 
 Semantics are identical to ``pipeline.extract`` — asserted span-for-span
-against the same oracle in tests/test_salted.py.
+against the same oracle in tests/test_salted.py and against the DuckDB
+oracle by the driver (flagship_extract_salted).
 
 (Skew background: AQE's skew handling only rebalances shuffle blocks;
 UDF-cost skew from heavy keys needs explicit salting — cf. the skewed-join
@@ -36,8 +39,6 @@ analyses in "CPU and GPU Hash Joins on Skewed Data", ICDE 2024, PAPERS.md.)
 """
 
 from __future__ import annotations
-
-import math
 
 import numpy as np
 import pandas as pd
@@ -60,6 +61,11 @@ from dd_ops_ocr_spark.schema import (
 
 PAGES_PER_BUCKET = 25
 
+BUCKET_DDL = (
+    "doc_id string, base bigint, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
 
 def _normalize_arrow(text_arr):
     """C14 in Arrow C++ (RE2): collapse newline runs, trim whitespace."""
@@ -70,26 +76,30 @@ def _normalize_arrow(text_arr):
     )
 
 
-def _doc_stats_kernel(ppb: int):
-    """Pass A kernel factory: per big doc, boilerplate drop-keys +
-    per-salt surviving span counts. Emits union-style rows:
-      (doc_id, salt, n,  null, null)  — surviving span count for a bucket
-      (doc_id, -1,   0,  zone, text)  — a boilerplate drop-key
-    ``ppb`` is baked into the closure (module globals reset on worker
-    re-import, so they cannot carry per-call parameters).
-    """
+def _bucketize_kernel(ppb: int):
+    """Doc-global pass over whole tail docs (nested in, nested out):
+    normalize + empty-drop + boilerplate strip, then split the survivors
+    into salt buckets of <= ppb pages and emit one row per bucket with
+    the doc-global order base attached. ``ppb`` is baked into the closure
+    (module globals reset on worker re-import)."""
 
     def run(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        schema = pa.schema(
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+        out_schema = pa.schema(
             [
                 ("doc_id", pa.string()),
-                ("salt", pa.int64()),
-                ("n", pa.int64()),
-                ("zone", pa.int32()),
-                ("text", pa.string()),
+                ("base", pa.int64()),
+                ("spans", pa.list_(span_t)),
             ]
         )
         for batch in batches:
@@ -99,8 +109,9 @@ def _doc_stats_kernel(ppb: int):
             struct = pc.list_flatten(spans)
             if len(struct) == 0:
                 continue
-            doc_ids = tbl.column("doc_id").chunk(0).to_pylist()
+            doc_ids = tbl.column("doc_id").chunk(0)
             doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+
             is_text = (
                 pc.equal(struct.field("kind"), "text")
                 .fill_null(False)
@@ -124,200 +135,148 @@ def _doc_stats_kernel(ppb: int):
             )
             zone = np.where(is_text[ki], zone, 0)
 
-            norm_k = pc.take(norm, pa.array(ki))
+            # boilerplate strip — whole-batch vectorized (pandas groupby
+            # over (doc, zone, text) page-nunique), same spec as
+            # pipeline.extract_flat_pandas / oracle.extract_doc step 4.
+            boiler = np.zeros(len(ki), dtype=bool)
+            cand = np.flatnonzero(zone > 0)
+            if len(cand):
+                n_pages_per_doc = (
+                    pd.DataFrame({"d": d, "p": page})
+                    .drop_duplicates()
+                    .groupby("d", sort=False)
+                    .size()
+                )
+                texts = pc.take(norm, pa.array(ki[cand])).to_pylist()
+                cdf = pd.DataFrame(
+                    {"d": d[cand], "z": zone[cand], "t": texts, "p": page[cand]}
+                )
+                zp = cdf.groupby(["d", "z", "t"], sort=False)["p"].transform(
+                    "nunique"
+                )
+                npg = cdf["d"].map(n_pages_per_doc).to_numpy()
+                thr = np.ceil(BOILERPLATE_FRAC * npg)
+                boiler[cand] = (
+                    (npg >= MIN_PAGES_BOILERPLATE) & (zp.to_numpy() >= thr)
+                )
 
-            rows_doc, rows_salt, rows_n, rows_zone, rows_text = [], [], [], [], []
-            # big docs are few per batch — loop per doc, vectorize inside
-            for di in np.unique(d):
-                m = d == di
-                pg = page[m]
-                n_pages = len(np.unique(pg))
-                boiler_mask = np.zeros(int(m.sum()), dtype=bool)
-                keys: set[tuple[int, str]] = set()
-                if n_pages >= MIN_PAGES_BOILERPLATE:
-                    zn = zone[m]
-                    cand = np.flatnonzero(zn > 0)
-                    if len(cand):
-                        texts = pc.take(
-                            norm_k, pa.array(np.flatnonzero(m)[cand])
-                        ).to_pylist()
-                        cdf = pd.DataFrame(
-                            {"zone": zn[cand], "text": texts, "page": pg[cand]}
-                        )
-                        zp = cdf.groupby(["zone", "text"])["page"].nunique()
-                        thr = math.ceil(BOILERPLATE_FRAC * n_pages)
-                        dropped = zp[zp >= thr]
-                        keys = set(dropped.index)
-                        if keys:
-                            hit = cdf.set_index(["zone", "text"]).index.isin(
-                                dropped.index
-                            )
-                            boiler_mask[cand] = hit
-                surv_salt = (pg // ppb)[~boiler_mask]
-                us, uc = np.unique(surv_salt, return_counts=True)
-                for s_, c_ in zip(us, uc):
-                    rows_doc.append(doc_ids[di])
-                    rows_salt.append(int(s_))
-                    rows_n.append(int(c_))
-                    rows_zone.append(None)
-                    rows_text.append(None)
-                for z_, t_ in keys:
-                    rows_doc.append(doc_ids[di])
-                    rows_salt.append(-1)
-                    rows_n.append(0)
-                    rows_zone.append(int(z_))
-                    rows_text.append(t_)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "doc_id": rows_doc,
-                    "salt": rows_salt,
-                    "n": rows_n,
-                    "zone": rows_zone,
-                    "text": rows_text,
-                },
-                schema=schema,
+            ki2 = np.flatnonzero(~boiler)
+            gi = ki[ki2]
+            d = d[ki2]
+            salt = page[ki2] // ppb
+
+            # group survivors by (doc, salt); bases = exclusive prefix sum
+            ds = d * 4096 + salt  # salt <= 409 < 4096
+            srt = np.argsort(ds, kind="stable")
+            ds_s = ds[srt]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ds_s[1:] != ds_s[:-1]))
+            )
+            glens = np.diff(np.append(starts, len(ds_s)))
+            gdoc = ds_s[starts] // 4096
+            cum = np.cumsum(glens) - glens  # batch-wide exclusive prefix
+            doc_first = np.concatenate(([True], gdoc[1:] != gdoc[:-1]))
+            doc_base0 = np.repeat(cum[doc_first], np.diff(
+                np.append(np.flatnonzero(doc_first), len(gdoc))
+            ))
+            gbase = cum - doc_base0  # per-doc exclusive prefix sum
+
+            take_idx = pa.array(gi[srt])
+            text_sorted = pc.take(norm, take_idx)
+            is_text_sorted = pa.array(is_text[gi[srt]])
+            values = pa.StructArray.from_arrays(
+                [
+                    pc.take(struct.field("kind"), take_idx),
+                    pc.if_else(
+                        is_text_sorted, text_sorted, pa.scalar(None, pa.string())
+                    ),
+                    pc.take(struct.field("media_ref"), take_idx),
+                    pc.take(struct.field("offset"), take_idx),
+                ],
+                fields=list(span_t),
+            )
+            list_offsets = pa.array(
+                np.concatenate(([0], np.cumsum(glens))).astype(np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(doc_ids, pa.array(gdoc)),
+                    pa.array(gbase.astype(np.int64)),
+                    pa.ListArray.from_arrays(list_offsets, values),
+                ],
+                schema=out_schema,
             )
 
     return run
 
 
-def _salted_kernel(drop_keys_bc, base_bc, ppb: int):
-    """Pass B kernel factory: extraction over flat (doc, salt)-partitioned
-    spans with the doc-global state injected via broadcast."""
+def _rank_kernel(batches):
+    """Per-bucket two-up + reading-order rank. Input rows are whole salt
+    buckets of pre-normalized, pre-stripped spans with the doc-global
+    order base; batches always contain whole rows, so this is shuffle-
+    and state-free."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def kernel(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("order", pa.int32()),
+        ]
+    )
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch]).combine_chunks()
+        spans = tbl.column("spans").chunk(0)
+        counts = pc.list_value_length(spans).fill_null(0).to_numpy()
+        struct = pc.list_flatten(spans)
+        if len(struct) == 0:
+            continue
+        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        base = tbl.column("base").chunk(0).to_numpy(zero_copy_only=False)
 
-        out_schema = pa.schema(
-            [
-                ("doc_id", pa.string()),
-                ("kind", pa.string()),
-                ("text", pa.string()),
-                ("media_ref", pa.string()),
-                ("order", pa.int32()),
-            ]
-        )
-        # Arrow may split one partition into several batches; (doc, salt)
-        # groups must be processed whole, so concatenate the partition.
-        batch_list = list(batches)
-        if not batch_list:
-            return
-        tbl = pa.Table.from_batches(batch_list).combine_chunks()
-        if tbl.num_rows == 0:
-            return
-        drop_keys = drop_keys_bc.value
-        base = base_bc.value
-
-        kind = tbl.column("kind").chunk(0)
-        is_text = (
-            pc.equal(kind, "text")
-            .fill_null(False)
-            .to_numpy(zero_copy_only=False)
-            .astype(bool)
-        )
-        norm = _normalize_arrow(tbl.column("text").chunk(0))
-        norm_len = pc.binary_length(norm).fill_null(0).to_numpy()
-        offset = (
-            tbl.column("offset").chunk(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        keep = (~is_text) | (norm_len > 0)
-        ki = np.flatnonzero(keep)
-        if len(ki) == 0:
-            return
-
-        doc_arr = tbl.column("doc_id").chunk(0)
-        doc_codes_da = pc.dictionary_encode(doc_arr)
-        doc_code = np.asarray(
-            doc_codes_da.indices.to_numpy(zero_copy_only=False), dtype=np.int64
-        )
-        doc_dict = doc_codes_da.dictionary.to_pylist()
-
-        d = doc_code[ki]
-        off = offset[ki]
-        page = off // STRIDE
-        rem = off % STRIDE
+        offset = struct.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        page = offset // STRIDE
+        rem = offset % STRIDE
         y = rem // PAGE_W
         x = rem % PAGE_W
-        is_text_k = is_text[ki]
 
-        # boilerplate drop via broadcast keys (candidate spans only)
-        zone = np.where(y < HEADER_ZONE, 1, np.where(y >= PAGE_H - FOOTER_ZONE, 2, 0))
-        zone = np.where(is_text_k, zone, 0)
-        boiler = np.zeros(len(ki), dtype=bool)
-        cand = np.flatnonzero(zone > 0)
-        if len(cand) and drop_keys:
-            texts = pc.take(norm, pa.array(ki[cand])).to_pylist()
-            boiler[cand] = [
-                (doc_dict[d[c]], int(zone[c]), t) in drop_keys
-                for c, t in zip(cand, texts)
-            ]
-        ki2 = np.flatnonzero(~boiler)
-        gi = ki[ki2]
-        d = d[ki2]
-        page = page[ki2]
-        y = y[ki2]
-        x = x[ki2]
-        is_text_k = is_text_k[ki2]
-
-        # two-up per (doc, page) — page-local, safe across salt buckets
+        # two-up per (bucket row, page): pages never straddle buckets.
         PAGE_CAP = 1024
-        dp = d * PAGE_CAP + page
-        dp_codes, dp_inv = np.unique(dp, return_inverse=True)
-        m = len(dp_codes)
-        left = np.bincount(dp_inv[x < CX - GUTTER_HALF], minlength=m)
-        right = np.bincount(dp_inv[x >= CX + GUTTER_HALF], minlength=m)
+        rp = row_idx * PAGE_CAP + page
+        rp_codes, rp_inv = np.unique(rp, return_inverse=True)
+        m = len(rp_codes)
+        left = np.bincount(rp_inv[x < CX - GUTTER_HALF], minlength=m)
+        right = np.bincount(rp_inv[x >= CX + GUTTER_HALF], minlength=m)
         gutter = np.bincount(
-            dp_inv[(x >= CX - GUTTER_HALF) & (x < CX + GUTTER_HALF)], minlength=m
+            rp_inv[(x >= CX - GUTTER_HALF) & (x < CX + GUTTER_HALF)], minlength=m
         )
         two_up = (gutter == 0) & (left >= TWOUP_MIN_SIDE) & (right >= TWOUP_MIN_SIDE)
-        side = (two_up[dp_inv] & (x >= CX)).astype(np.int64)
+        side = (two_up[rp_inv] & (x >= CX)).astype(np.int64)
 
-        salt = page // ppb
-        ds = d * 4096 + salt  # (doc, salt) composite; salt <= 409 < 4096
-        if len(doc_dict) < (1 << 17):
-            # single composite int64 sort key (29+10+1+12+11 = 63 bits)
-            key = (((ds << 10 | page) << 1 | side) << 12 | y) << 11 | x
-            srt = np.argsort(key, kind="stable")
-        else:  # pragma: no cover - pathological partition width
-            srt = np.lexsort((x, y, side, page, ds))
-        ds_s = ds[srt]
+        # composite sort key: row 20b | page 10b | side 1b | y 12b | x 11b
+        key = (((row_idx << 10 | page) << 1 | side) << 12 | y) << 11 | x
+        srt = np.argsort(key, kind="stable")
+        r_s = row_idx[srt]
         starts = np.ones(len(srt), dtype=bool)
-        starts[1:] = ds_s[1:] != ds_s[:-1]
-        group_start = np.maximum.accumulate(
-            np.where(starts, np.arange(len(srt)), 0)
-        )
+        starts[1:] = r_s[1:] != r_s[:-1]
+        group_start = np.maximum.accumulate(np.where(starts, np.arange(len(srt)), 0))
         local = np.arange(len(srt)) - group_start + 1
+        order = (local + base[r_s]).astype(np.int32)
 
-        # global order = local rank + broadcast exclusive-prefix base
-        d_srt = d[srt]
-        salt_srt = salt[srt]
-        gidx = np.flatnonzero(starts)
-        glens = np.diff(np.append(gidx, len(srt)))
-        gbases = np.fromiter(
-            (
-                base.get((doc_dict[d_srt[g]], int(salt_srt[g])), 0)
-                for g in gidx
-            ),
-            dtype=np.int64,
-            count=len(gidx),
-        )
-        bases = np.repeat(gbases, glens)
-        order = (local + bases).astype(np.int32)
-
-        take_idx = pa.array(gi[srt])
-        out_norm = pc.take(norm, take_idx)
-        out_kind = pc.take(kind, take_idx)
-        out_media = pc.take(tbl.column("media_ref").chunk(0), take_idx)
-        out_doc = pc.take(doc_arr, take_idx)
-        text_mask = pa.array(is_text_k[srt])
-        out_text = pc.if_else(text_mask, out_norm, pa.scalar(None, pa.string()))
+        take_idx = pa.array(srt)
         yield pa.RecordBatch.from_arrays(
-            [out_doc, out_kind, out_text, out_media, pa.array(order)],
+            [
+                pc.take(tbl.column("doc_id").chunk(0), pa.array(r_s)),
+                pc.take(struct.field("kind"), take_idx),
+                pc.take(struct.field("text"), take_idx),
+                pc.take(struct.field("media_ref"), take_idx),
+                pa.array(order),
+            ],
             schema=out_schema,
         )
-
-    return kernel
 
 
 def extract_salted(
@@ -329,57 +288,23 @@ def extract_salted(
     spark = df.sparkSession
     ppb = pages_per_bucket
 
-    # route by page count (JVM arithmetic over offsets — no UDF).
-    # cheap pre-filter first: a doc with >= ppb pages must have >= ppb
-    # spans (every page has at least one span), so the expensive
-    # per-element aggregate only runs on that small superset.
+    # route by max page — array_max over the extracted offset field is a
+    # codegen'd expression (no per-element lambda interpretation).
     routed = df.withColumn(
         "_maxpage",
-        F.when(F.size("spans") < ppb, F.lit(0).cast("bigint")).otherwise(
-            F.expr(
-                f"aggregate(spans, bigint(0),"
-                f" (acc, s) -> greatest(acc, s.offset div {STRIDE}))"
-            )
-        ),
+        F.coalesce(
+            F.expr(f"array_max(spans.offset) div {STRIDE}"), F.lit(0)
+        ).cast("bigint"),
     )
     small = routed.filter(F.col("_maxpage") < ppb).drop("_maxpage")
     big = routed.filter(F.col("_maxpage") >= ppb).drop("_maxpage")
 
     small_out = pipeline.extract(small)
 
-    # Pass A: doc-global stats for the tail docs (no shuffle, tiny output).
-    stats_schema = "doc_id string, salt long, n long, zone int, text string"
-    stats = big.mapInArrow(_doc_stats_kernel(ppb), schema=stats_schema).collect()
-
-    drop_keys = {
-        (r["doc_id"], r["zone"], r["text"]) for r in stats if r["salt"] == -1
-    }
-    counts: dict[tuple[str, int], int] = {
-        (r["doc_id"], r["salt"]): r["n"] for r in stats if r["salt"] >= 0
-    }
-    base: dict[tuple[str, int], int] = {}
-    acc_doc: dict[str, int] = {}
-    for doc, salt in sorted(counts):
-        base[(doc, salt)] = acc_doc.get(doc, 0)
-        acc_doc[doc] = base[(doc, salt)] + counts[(doc, salt)]
-
-    sc = spark.sparkContext
-    drop_bc = sc.broadcast(drop_keys)
-    base_bc = sc.broadcast(base)
-
-    # Pass B: one shuffle keyed by (doc, salt); salt is pure offset math.
-    flat = big.select("doc_id", F.explode("spans").alias("s")).select(
-        "doc_id",
-        "s.kind",
-        "s.text",
-        "s.media_ref",
-        "s.offset",
-        F.expr(f"s.offset div {STRIDE * ppb}").alias("salt"),
-    )
+    # Tail: one doc-global kernel -> bucket rows -> salt shuffle -> rank.
+    buckets = big.mapInArrow(_bucketize_kernel(ppb), schema=BUCKET_DDL)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parted = flat.repartition(n_part, "doc_id", "salt").drop("salt")
-    big_out = parted.mapInArrow(
-        _salted_kernel(drop_bc, base_bc, ppb), schema=OUT_SPANS_DDL
-    )
+    spread = buckets.repartition(n_part)
+    big_out = spread.mapInArrow(_rank_kernel, schema=OUT_SPANS_DDL)
 
     return small_out.unionByName(big_out)
