@@ -9,9 +9,12 @@ actually relies on, directly over parquet files:
     data files; readers list files from a manifest, never from the
     directory, so concurrent writers can't expose partial output.
   * **atomic commit** — data files are written under a staging name,
-    then the manifest is published with an atomic ``os.rename``; the
-    catalog pointer (``_current``) is itself a one-line file replaced
-    atomically. A crash mid-write leaves only unreferenced files.
+    then the manifest is created with ``O_CREAT|O_EXCL`` (exclusive —
+    two committers racing for the same snapshot id cannot both win; the
+    loser re-reads the parent and retries, Iceberg's optimistic
+    concurrency); the catalog pointer (``_current``) is a one-line file
+    advanced monotonically with atomic renames. A crash mid-write leaves
+    only unreferenced files.
   * **time travel** — every snapshot remains readable by id
     (``read_table(..., snapshot_id=k)``); appends create a child
     snapshot referencing the parent (lineage).
@@ -75,37 +78,72 @@ def _write_files(df: DataFrame, table_dir: str) -> list[str]:
     return moved
 
 
+def _max_manifest_id(table_dir: str) -> int:
+    meta = os.path.join(table_dir, "metadata")
+    try:
+        names = os.listdir(meta)
+    except FileNotFoundError:
+        return 0
+    ids = [
+        int(n[5:11]) for n in names
+        if n.startswith("snap-") and n.endswith(".json")
+    ]
+    return max(ids, default=0)
+
+
 def _publish(table_dir: str, manifest: dict) -> int:
+    """Create the manifest exclusively (commit point), then advance the
+    pointer. Raises FileExistsError if another committer won this id."""
     os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
     sid = manifest["snapshot_id"]
-    tmp = _manifest_path(table_dir, sid) + ".tmp"
-    with open(tmp, "w") as f:
+    fd = os.open(
+        _manifest_path(table_dir, sid), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )
+    with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1)
-    os.rename(tmp, _manifest_path(table_dir, sid))  # atomic publish
-    cur_tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
-    with open(cur_tmp, "w") as f:
-        f.write(str(sid))
-    os.rename(cur_tmp, _current_path(table_dir))  # atomic pointer swap
+    _advance_pointer(table_dir, sid)
     return sid
+
+
+def _advance_pointer(table_dir: str, sid: int) -> None:
+    """Monotonically advance ``_current``: never move it backwards, even
+    when an older committer's rename lands after a newer one's."""
+    for _ in range(8):
+        cur = current_snapshot_id(table_dir) or 0
+        target = max(cur, sid, _max_manifest_id(table_dir))
+        if cur >= target:
+            return
+        cur_tmp = _current_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(cur_tmp, "w") as f:
+            f.write(str(target))
+        os.rename(cur_tmp, _current_path(table_dir))  # atomic swap
 
 
 def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
                    properties: dict | None = None) -> int:
     """Commit df as a new snapshot. ``overwrite`` starts a new file set;
-    ``append`` unions the parent snapshot's files."""
-    parent = current_snapshot_id(table_dir)
+    ``append`` unions the parent snapshot's files. Concurrent committers
+    are safe: a snapshot id is claimed by exclusive manifest creation,
+    and the loser retries against the re-read parent (so no commit is
+    ever silently discarded)."""
     files = _write_files(df, table_dir)
-    if operation == "append" and parent is not None:
-        files = _read_manifest(table_dir, parent)["files"] + files
-    manifest = {
-        "snapshot_id": (parent or 0) + 1,
-        "parent_id": parent,
-        "operation": operation,
-        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "files": files,
-        "properties": properties or {},
-    }
-    return _publish(table_dir, manifest)
+    while True:
+        parent = _max_manifest_id(table_dir) or None
+        all_files = files
+        if operation == "append" and parent is not None:
+            all_files = _read_manifest(table_dir, parent)["files"] + files
+        manifest = {
+            "snapshot_id": (parent or 0) + 1,
+            "parent_id": parent,
+            "operation": operation,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "files": all_files,
+            "properties": properties or {},
+        }
+        try:
+            return _publish(table_dir, manifest)
+        except FileExistsError:
+            continue  # lost the race — re-read parent and retry
 
 
 def read_table(spark: SparkSession, table_dir: str,

@@ -124,8 +124,11 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.array(
-                F.md5(F.concat_ws("|", F.lit("b0"), "mh0", "mh1")),
-                F.md5(F.concat_ws("|", F.lit("b1"), "mh2", "mh3")),
+                # F.concat, not concat_ws: concat propagates NULL like the
+                # oracle's '||', so a NULL-text doc gets a NULL bucket
+                # (excluded by the join) in BOTH engines.
+                F.md5(F.concat(F.lit("b0|"), F.col("mh0"), F.lit("|"), F.col("mh1"))),
+                F.md5(F.concat(F.lit("b1|"), F.col("mh2"), F.lit("|"), F.col("mh3"))),
             )
         ).alias("bucket"),
     )

@@ -23,11 +23,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
+def _strip(c: Column) -> Column:
+    """Python ``str.strip()`` equivalence: all Unicode whitespace, not just
+    ASCII spaces (F.trim) — ``(?U)`` turns on UNICODE_CHARACTER_CLASS."""
+    return F.regexp_replace(c, r"(?U)(^\s+)|(\s+$)", "")
+
+
 def coerce_bool(c: Column) -> Column:
     """Reference to_bool for a string column: s = strip+lower; True if s
     is a substring of 'true' (includes ''), False if a substring of
     'false', else False; null input -> False."""
-    s = F.lower(F.trim(c))
+    s = F.lower(_strip(c))
     in_true = F.instr(F.lit("true"), s) > 0
     in_false = F.instr(F.lit("false"), s) > 0
     return (
@@ -40,7 +46,7 @@ def coerce_bool(c: Column) -> Column:
 
 def coerce_int(c: Column, default: int | None = None) -> Column:
     """int(float(strip(s))) with default on null/''/unparseable."""
-    s = F.trim(c)
+    s = _strip(c)
     parsed = s.try_cast("double").cast("long")
     d = F.lit(default).cast("long") if default is not None else F.lit(None).cast("long")
     return (
@@ -50,7 +56,7 @@ def coerce_int(c: Column, default: int | None = None) -> Column:
 
 
 def coerce_float(c: Column, default: float | None = None) -> Column:
-    s = F.trim(c)
+    s = _strip(c)
     parsed = s.try_cast("double")
     d = (
         F.lit(default).cast("double")
@@ -66,6 +72,9 @@ def coerce_float(c: Column, default: float | None = None) -> Column:
 _RAWS = [
     "true", "false", "TRUE ", " False", "1", "0", "123", "123.45", "-2.7",
     "", "  ", "r", "als", "xyz", None, "999",
+    # non-space whitespace: Python str.strip() strips these; plain TRIM
+    # would not — regression cases for the (?U)\s strip
+    "true\n", "\t1", "\n\t123.5\t\n",
 ]
 
 
@@ -96,7 +105,14 @@ WITH d AS (
          ([{_sql_raws}])[CAST(doc_id % {len(_RAWS)} AS INT) + 1] AS raw
   FROM documents
 ), s AS (
-  SELECT doc_id, raw, LOWER(TRIM(raw)) AS norm, TRIM(raw) AS t FROM d
+  -- TRIM with an explicit charset: Python str.strip() whitespace, not
+  -- just spaces (mirrors the Spark side's (?U)\\s regexp strip)
+  SELECT doc_id, raw,
+         LOWER(TRIM(raw, ' ' || chr(9) || chr(10) || chr(11) || chr(12)
+                          || chr(13))) AS norm,
+         TRIM(raw, ' ' || chr(9) || chr(10) || chr(11) || chr(12)
+                  || chr(13)) AS t
+  FROM d
 )
 SELECT doc_id, raw,
        CASE WHEN raw IS NULL THEN FALSE

@@ -3,11 +3,14 @@ webhook (api/main.py:453-650; SURVEY §2.10).
 
 One message = one document there; one row = one document here. The
 at-most-3-delivery guard (main.py:496-501) becomes per-batch
-``dropDuplicates("doc_id")`` + idempotent overwrite of each doc's output
-inside ``foreachBatch`` — re-delivered docs converge to the same spans
-(the extractor is deterministic), so the sink is effectively
-exactly-once at the doc level. No watermark needed: the reference has no
-event-time aggregation (each message is independent).
+``dropDuplicates("doc_id")`` + an epoch-partitioned dynamic-overwrite
+sink inside ``foreachBatch``: a retried micro-batch rewrites exactly its
+own ``epoch=<id>`` partition, so replays converge instead of appending
+duplicates — exactly-once per epoch. A doc_id that arrives again in a
+*different* file (and therefore a different epoch) is a data-level
+duplicate, not a delivery retry; ``stream_dedup_stateful`` below is the
+keyed-state admission that collapses those. No watermark needed: the
+reference has no event-time aggregation (each message is independent).
 """
 
 from __future__ import annotations
@@ -25,8 +28,10 @@ def stream_extract(
     trigger_once: bool = True,
 ):
     """File-source streaming extraction: landing dir of spans parquet ->
-    per-microbatch extraction -> parquet sink, exactly-once via
-    checkpointed source offsets + deterministic overwrite-by-batch."""
+    per-microbatch extraction -> parquet sink, exactly-once per epoch via
+    checkpointed source offsets + dynamic overwrite of the epoch
+    partition (foreachBatch is at-least-once; the overwrite makes the
+    replayed epoch idempotent)."""
     from dd_ops_ocr_spark import pipeline
 
     src = (
@@ -40,7 +45,9 @@ def stream_extract(
         out = pipeline.extract(deduped)
         (
             out.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
             .parquet(out_dir)
         )
 

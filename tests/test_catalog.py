@@ -39,6 +39,30 @@ def test_snapshot_append_and_time_travel(spark, table):
     assert snaps[1]["parent_id"] == s1
 
 
+def test_concurrent_committers_lose_no_update(spark, table):
+    """Two committers racing from the same parent must BOTH land: the
+    loser of the exclusive manifest create retries with a re-read parent
+    (no silently discarded manifest, pointer ends at the max)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = spark.range(1).selectExpr("cast(id as string) as doc_id")
+    catalog.write_snapshot(base, table, "overwrite")
+
+    def commit(i: int) -> int:
+        df = spark.range(1).selectExpr(
+            f"cast(id + {10 * (i + 1)} as string) as doc_id"
+        )
+        return catalog.write_snapshot(df, table, "append")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        sids = list(ex.map(commit, range(4)))
+
+    assert sorted(sids) == [2, 3, 4, 5], f"lost/duplicate snapshot ids: {sids}"
+    assert catalog.current_snapshot_id(table) == 5
+    # every append survived into the final snapshot (1 base + 4 appends)
+    assert catalog.read_table(spark, table).count() == 5
+
+
 def test_snapshot_checkpoint_crash_resume(spark, table):
     """run_with_snapshots: crash after 2/6 buckets, resume, output equals
     an uninterrupted run and the snapshot lineage records every bucket."""

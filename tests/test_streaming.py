@@ -40,6 +40,35 @@ def test_stream_extract_matches_batch(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_extract_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: a replayed epoch (here forced by a
+    fresh checkpoint over the same landing files, which re-runs the same
+    epoch ids) must overwrite its own epoch partition, not append dups."""
+    import glob
+    import shutil as sh
+
+    land = tempfile.mkdtemp(prefix="stream_rland_")
+    ckpt1 = tempfile.mkdtemp(prefix="stream_rck1_")
+    ckpt2 = tempfile.mkdtemp(prefix="stream_rck2_")
+    out = tempfile.mkdtemp(prefix="stream_rout_")
+    try:
+        spans = corpus.build_spans_df(spark, SF_SMOKE)
+        spans.limit(50).coalesce(1).write.mode("overwrite").parquet(f"{land}/d")
+        for i, f in enumerate(glob.glob(f"{land}/d/part-*.parquet")):
+            sh.copy(f, f"{land}/file_{i}.parquet")
+        sh.rmtree(f"{land}/d")
+
+        stream_extract(spark, land, ckpt1, out).awaitTermination(120)
+        n_first = spark.read.parquet(out).count()
+        # replay: fresh checkpoint -> the same files re-process as epoch 0
+        stream_extract(spark, land, ckpt2, out).awaitTermination(120)
+        n_second = spark.read.parquet(out).count()
+        assert n_first == n_second, "replayed epoch appended duplicates"
+    finally:
+        for d in (land, ckpt1, ckpt2, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_dedup_stateful_across_batches(spark):
     """Docs re-delivered in LATER micro-batches must be admitted once:
     file 1 = docs A..J, file 2 = docs F..O (overlap F..J)."""
