@@ -143,7 +143,7 @@ sided AS (
 extracted AS (
   SELECT doc_id, kind,
          CASE WHEN kind = 'text' THEN norm END AS text,
-         media_ref,
+         media_ref, page,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY doc_id ORDER BY page, side, y, x
          ) AS INTEGER) AS "order"
@@ -156,6 +156,120 @@ def flagship_oracle_sql(path: str) -> str:
     """DuckDB statement of the flagship spec over the materialized fixture."""
     return _extract_cte(path) + (
         'SELECT doc_id, kind, text, media_ref, "order" FROM extracted'
+    )
+
+
+# Integration fold (operators/integrate.py): texts within a page joined by
+# "\n\n", pages joined by "\n\n\n" in page order; media spans become
+# [media:ref] markers. string_agg(ORDER BY) = the deterministic fold.
+_SEP2 = "chr(10) || chr(10)"
+_SEP3 = "chr(10) || chr(10) || chr(10)"
+
+_INTEGRATED_CTE = f""",
+page_folds AS (
+  SELECT doc_id, page,
+         string_agg(
+           CASE WHEN kind = 'text' THEN text
+                ELSE '[media:' || media_ref || ']' END,
+           {_SEP2} ORDER BY "order") AS page_text,
+         COUNT(*) AS n_spans
+  FROM extracted
+  GROUP BY doc_id, page
+),
+integrated AS (
+  SELECT doc_id,
+         string_agg(page_text, {_SEP3} ORDER BY page) AS integrated_text,
+         CAST(SUM(n_spans) AS BIGINT) AS spans_integrated,
+         COUNT(*) AS pages_integrated
+  FROM page_folds
+  GROUP BY doc_id
+)
+"""
+
+
+def integrated_oracle_sql(path: str) -> str:
+    """DuckDB twin of operators/integrate.q_integrated_text."""
+    return _extract_cte(path) + _INTEGRATED_CTE + """
+SELECT doc_id, integrated_text, spans_integrated, pages_integrated,
+       CAST(LENGTH(integrated_text) AS BIGINT) AS total_characters
+FROM integrated
+"""
+
+
+_ARTICLES_CTE = f""",
+arts AS (
+  SELECT doc_id,
+         CAST(LENGTH(integrated_text) AS BIGINT) AS total_characters,
+         CAST(t.i AS BIGINT) AS article_number,
+         parts[CAST(t.i AS INT)] AS content
+  FROM (
+    SELECT doc_id, integrated_text,
+           string_split(integrated_text, {_SEP3}) AS parts
+    FROM integrated
+  ), UNNEST(range(1, len(parts) + 1)) AS t(i)
+)
+"""
+
+
+def contract_articles_oracle_sql(path: str) -> str:
+    """DuckDB twin of operators/integrate.q_contract_articles."""
+    return _extract_cte(path) + _INTEGRATED_CTE + _ARTICLES_CTE + """
+SELECT doc_id, article_number,
+       substr(string_split(content, chr(10))[1], 1, 40) AS title,
+       CAST(LENGTH(content) AS BIGINT) AS content_len,
+       CASE CAST(LENGTH(content) % 4 AS INT)
+         WHEN 0 THEN 'none' WHEN 1 THEN 'payment'
+         WHEN 2 THEN 'liability' ELSE 'termination' END AS risk_label
+FROM arts
+"""
+
+
+def contract_schema_oracle_sql(path: str, risk_dim_sql: str) -> str:
+    """DuckDB twin of operators/integrate.q_contract_schema: the
+    reference's {success, info, result.articles[], risks.contracts[]}
+    JSON shape (api/main.py:1306-1357), byte-identical to Spark's
+    to_json (key order, escaping, and compactness all match)."""
+    return (
+        _extract_cte(path) + _INTEGRATED_CTE + _ARTICLES_CTE
+        + f""",
+art_json AS (
+  SELECT doc_id, total_characters,
+         to_json(list(json_object(
+             'article_number', CAST(article_number AS VARCHAR),
+             'title', substr(string_split(content, chr(10))[1], 1, 40),
+             'content', content,
+             'table_number', '') ORDER BY article_number))::VARCHAR
+           AS articles_json,
+         COUNT(*) AS n_arts,
+         MIN(CASE WHEN article_number = 1
+             THEN substr(string_split(content, chr(10))[1], 1, 40) END)
+           AS first_title
+  FROM arts
+  GROUP BY doc_id, total_characters
+),
+riskdim AS ({risk_dim_sql}),
+fired AS (
+  SELECT a.doc_id,
+         to_json(list(json_object('id', r.id, 'title', r.title)
+                      ORDER BY r.id))::VARCHAR AS risks_json
+  FROM art_json a JOIN riskdim r ON a.total_characters % (r.id + 2) = 0
+  GROUP BY a.doc_id
+)
+SELECT a.doc_id,
+  json_object(
+    'success', true,
+    'info', json_object(
+      'title', a.first_title,
+      'party', 'Company_' || substr(a.doc_id, 5, 10) || ',Counterparty KK',
+      'start_date', '', 'end_date', '', 'conclusion_date', ''),
+    'result', json_object('articles', json(a.articles_json)),
+    'risks', json_object('contracts', json('[' || json_object(
+      'targetCompany', 'Company_' || substr(a.doc_id, 5, 10),
+      'articleCount', CAST(a.n_arts AS INT),
+      'risks', json(COALESCE(f.risks_json, '[]')))::VARCHAR || ']'))
+  )::VARCHAR AS contract_json
+FROM art_json a LEFT JOIN fired f USING (doc_id)
+"""
     )
 
 

@@ -287,8 +287,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens -> 60-bit hash via conv(md5[:15], 16, 10) -> per-bit +/-1 vote
     sums -> sign bits assembled with shift/or. No Python in the plan; the
     per-bit votes are 60 agg columns (codegen'd), not a 60x explode.
-    Rows-only for the driver; pytest cross-checks a pure-Python oracle
-    (tests/test_dedup_extra.py)."""
+    Driver-checked against SQL_SIMHASH; pytest additionally cross-checks
+    a pure-Python oracle (tests/test_nonsql_ops.py)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     toks = d.select(
         "doc_id",
@@ -370,6 +370,37 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
 """
 
 
+# DuckDB twin of q_simhash: hex->int via '0x' cast (== Spark's conv 16->10
+# on the 15-char md5 prefix), per-bit +/-1 vote sums, and the sign bits
+# re-assembled as a SUM of disjoint powers of two (== the bitwise OR).
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE LENGTH(tok) > 0
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+         {", ".join(
+             f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+             for b in range(SIMHASH_BITS)
+         )}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(
+           f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+           for b in range(SIMHASH_BITS)
+       )} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_exact": q_dedup_exact,
@@ -382,6 +413,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "simhash": SQL_SIMHASH,
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -14,9 +14,10 @@ nothing is silently dropped.
 Also emits the reference's integration metadata: total_characters
 (step7/01:88,158), spans and pages processed.
 
-Not SQL-expressible (requires the extraction pipeline), so the driver
-records a rows-only check; pytest compares against a pure-Python fold
-over the oracle's span sequences (tests/test_integrate.py).
+Driver-checked: the DuckDB oracles (fixtures.integrated_oracle_sql and
+friends) re-state the extraction + fold over the materialized spans
+fixture; pytest additionally compares against a pure-Python fold over
+the oracle's span sequences (tests/test_integrate.py).
 """
 
 from __future__ import annotations
@@ -120,8 +121,130 @@ def q_contract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Risk dimension — deterministic stand-in for the reference's "Risk"
+# table read (api/main.py:93-146): default execution takes the rows with
+# workspaceId IS NULL ordered by id; a custom execution takes an explicit
+# id subset, still id-ordered.
+RISK_DIM: list[tuple[int, str, int | None]] = [
+    (1, "payment terms", None),
+    (2, "liability cap", None),
+    (3, "termination", None),
+    (4, "confidentiality", None),
+    (5, "indemnification", None),
+    (6, "ws custom alpha", 42),
+    (7, "ws custom beta", 42),
+    (8, "ws custom gamma", 42),
+]
+
+
+def read_risk_dim(spark: SparkSession, selected_ids: list[int] | None = None):
+    """Reference get_risks_from_db semantics (api/main.py:93-146):
+    selected ids -> that subset; else the workspace-null defaults;
+    always ORDER BY id ASC."""
+    dim = spark.createDataFrame(
+        RISK_DIM, "id int, title string, workspace_id int"
+    )
+    if selected_ids:
+        dim = dim.filter(F.col("id").isin(selected_ids))
+    else:
+        dim = dim.filter(F.col("workspace_id").isNull())
+    return dim.orderBy("id").select("id", "title")
+
+
+RISK_DIM_DEFAULT_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({i}, '{t}')" for i, t, ws in RISK_DIM if ws is None
+) + ") r(id, title)"
+
+
+def q_contract_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full contract JSON shape — {success, info{title,
+    party, start_date, end_date, conclusion_date}, result{articles[
+    {article_number, title, content, table_number}]}, risks{contracts[
+    {targetCompany, articleCount, risks[{id,title}]}]}} per
+    api/main.py:1306-1357 + add_risks_to_contract_data (:1194-1273) —
+    emitted as one JSON string per document with deterministic stand-ins
+    for the LLM steps: info.title = first article's first line,
+    party/targetCompany derived from doc_id (targetCompany is the first
+    comma-separated party, main.py:1210), and a risk "fires" for a doc
+    iff total_characters % (risk_id + 2) == 0. The risk list is the
+    id-ordered default dimension read (read_risk_dim)."""
+    ints = q_integrated_text(spark, sf_dir)
+    arts = ints.select(
+        "doc_id",
+        "total_characters",
+        F.posexplode(F.split("integrated_text", INTER_SEP)).alias("i", "content"),
+    ).select(
+        "doc_id",
+        "total_characters",
+        (F.col("i") + 1).alias("ord"),
+        F.substring(F.split("content", "\n").getItem(0), 1, 40).alias("title"),
+        "content",
+    )
+    per_doc = arts.groupBy("doc_id", "total_characters").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ord"),
+                        F.struct(
+                            F.col("ord").cast("string").alias("article_number"),
+                            "title",
+                            "content",
+                            F.lit("").alias("table_number"),
+                        ).alias("a"),
+                    )
+                )
+            ),
+            lambda s: s["a"],
+        ).alias("articles")
+    )
+    fired = (
+        per_doc.select("doc_id", "total_characters")
+        .join(
+            F.broadcast(read_risk_dim(spark)),
+            F.col("total_characters") % (F.col("id") + 2) == 0,
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "title"))).alias("risks_arr"))
+    )
+    joined = per_doc.join(fired, "doc_id", "left").withColumn(
+        "risks_arr",
+        F.coalesce(
+            "risks_arr", F.array().cast("array<struct<id:int,title:string>>")
+        ),
+    )
+    party = F.concat(
+        F.lit("Company_"), F.substring("doc_id", 5, 10), F.lit(",Counterparty KK")
+    )
+    target = F.split(party, ",").getItem(0)
+    info = F.struct(
+        F.element_at("articles", 1)["title"].alias("title"),
+        party.alias("party"),
+        F.lit("").alias("start_date"),
+        F.lit("").alias("end_date"),
+        F.lit("").alias("conclusion_date"),
+    )
+    contract = F.struct(
+        target.alias("targetCompany"),
+        F.size("articles").alias("articleCount"),
+        F.col("risks_arr").alias("risks"),
+    )
+    return joined.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.lit(True).alias("success"),
+                info.alias("info"),
+                F.struct(F.col("articles").alias("articles")).alias("result"),
+                F.struct(F.array(contract).alias("contracts")).alias("risks"),
+            )
+        ).alias("contract_json"),
+    )
+
+
 QUERIES = {
     "integrated_text": q_integrated_text,
     "contract_articles": q_contract_articles,
+    "contract_schema": q_contract_schema,
 }
 ORACLE_SQL: dict[str, str] = {}

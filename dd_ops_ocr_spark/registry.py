@@ -64,12 +64,19 @@ _SF_CORRECT = "/root/testdata/sf0.01"
 def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     from dd_ops_ocr_spark import fixtures
 
+    from dd_ops_ocr_spark.operators.integrate import RISK_DIM_DEFAULT_SQL
+
     path = fixtures.ensure_spans_fixture(sf_dir)
     sql = fixtures.flagship_oracle_sql(path)
     ORACLE_SQL["flagship_extract"] = sql
     ORACLE_SQL["flagship_extract_sql"] = sql
     ORACLE_SQL["flagship_extract_salted"] = sql
     ORACLE_SQL["flagship_metrics"] = fixtures.metrics_oracle_sql(path)
+    ORACLE_SQL["integrated_text"] = fixtures.integrated_oracle_sql(path)
+    ORACLE_SQL["contract_articles"] = fixtures.contract_articles_oracle_sql(path)
+    ORACLE_SQL["contract_schema"] = fixtures.contract_schema_oracle_sql(
+        path, RISK_DIM_DEFAULT_SQL
+    )
 
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
