@@ -92,35 +92,63 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _planes(dim: int) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes via splitmix64."""
+def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via splitmix64. The first 8
+    planes are shared by every consumer (same seeding formula), so the
+    single-band ANN buckets and band 0 of the multi-band dedup agree."""
     from dd_ops_ocr_spark.corpus import mix64
 
     vals = np.array(
-        [mix64(j * 100_003 + i) for j in range(N_PLANES) for i in range(dim)],
+        [mix64(j * 100_003 + i) for j in range(n_planes) for i in range(dim)],
         dtype=np.float64,
     )
-    return (vals / 2.0**64 - 0.5).reshape(N_PLANES, dim)
+    return (vals / 2.0**64 - 0.5).reshape(n_planes, dim)
 
 
-def lsh_signatures(df: DataFrame, dim: int = 64) -> DataFrame:
-    """vec_id + sign-bit bucket via vectorized numpy matmul (mapInPandas)."""
-    planes = _planes(dim)
+def lsh_signatures(df: DataFrame, dim: int = 64, n_bands: int = 1) -> DataFrame:
+    """Sign-bit buckets via vectorized numpy matmul (mapInPandas).
+
+    ``n_bands`` = 1: (vec_id, bucket) — the ANN path.
+    ``n_bands`` > 1: (vec_id, band, bucket) — banded candidates for
+    near-dup: each band hashes N_PLANES further planes, and a pair is a
+    candidate if ANY band bucket matches (MinHash-LSH banding applied to
+    hyperplane bits)."""
+    planes = _planes(dim, N_PLANES * n_bands)
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf["v"].to_numpy())  # (n, dim) float64
-            bits = (m @ planes.T) >= 0  # (n, N_PLANES)
-            bucket = (bits.astype(np.uint32) << np.arange(N_PLANES, dtype=np.uint32)).sum(
-                axis=1
-            )
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "bucket": bucket.astype("int32")}
-            )
+            bits = (m @ planes.T) >= 0  # (n, N_PLANES * n_bands)
+            shifts = np.arange(N_PLANES, dtype=np.uint32)
+            if n_bands == 1:
+                bucket = (bits.astype(np.uint32) << shifts).sum(axis=1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(),
+                     "bucket": bucket.astype("int32")}
+                )
+                continue
+            out = []
+            for b in range(n_bands):
+                band_bits = bits[:, b * N_PLANES : (b + 1) * N_PLANES]
+                bucket = (band_bits.astype(np.uint32) << shifts).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "band": np.full(len(pdf), b, dtype="int32"),
+                            "bucket": bucket.astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
 
-    return df.mapInPandas(sig, schema="vec_id long, bucket int")
+    schema = (
+        "vec_id long, bucket int" if n_bands == 1
+        else "vec_id long, band int, bucket int"
+    )
+    return df.mapInPandas(sig, schema=schema)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,7 +187,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16
 KMEANS_ITERS = 5
-N_PROBE = 2
+# 4 of 16 cells probed: the synthetic embeddings have no cluster
+# structure (worst case for a coarse quantizer), so a 1/8 probe gave
+# recall@3 ~0.47; 1/4 measures ~0.7 while still pruning 75% of the space.
+N_PROBE = 4
 
 
 def _ivf_centroids(vecs: np.ndarray) -> np.ndarray:
@@ -180,8 +211,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — the other scale path the LSH variant complements:
     a deterministic k-means coarse quantizer (trained on the driver from
     a bounded sample, broadcast), cells assigned by a vectorized numpy
-    argmin inside mapInPandas, search restricted to the query's N_PROBE
-    nearest cells, exact cosine re-rank top-3. Rows-only for the driver
+    argmin inside mapInPandas that emits (vec_id, cell, v) in one pass
+    (no self-join to recover the vector — plan-asserted), search
+    restricted to the query's N_PROBE nearest cells, exact cosine
+    re-rank top-3 (recall@3 vs brute asserted >= 0.6 in
+    tests/test_nonsql_ops.py). Rows-only for the driver
     (k-means is not SQL-expressible); pytest checks cell assignment and
     results against a pure-numpy reference."""
     emb = _emb(spark, sf_dir)
@@ -192,6 +226,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_bc = spark.sparkContext.broadcast(centroids)
 
     def assign(batches):
+        # emits v alongside the cell so no self-join is needed downstream
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -199,11 +234,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = ((m[:, None, :] - c_bc.value[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].to_numpy(),
-                 "cell": d.argmin(axis=1).astype("int32")}
+                 "cell": d.argmin(axis=1).astype("int32"),
+                 "v": pdf["v"]}
             )
 
-    cells = emb.mapInPandas(assign, schema="vec_id long, cell int")
-    embs = emb.join(cells, "vec_id")
+    embs = emb.mapInPandas(
+        assign, schema="vec_id long, cell int, v array<double>"
+    )
 
     def probe(batches):
         for pdf in batches:
@@ -281,19 +318,18 @@ GROUP BY label
 COPY_OFF = 1_000_000
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: pairs with cosine >= 0.99
-    over a sampled set plus planted exact copies (vec_id + 1e6). At scale
-    the candidate set comes from the LSH buckets (q_ann_lsh_topk); here the
-    sampled brute pass is the oracle-checked exactness baseline."""
+DEDUP_BANDS = 2  # 2 bands x 8 sign bits
+
+
+def _dedup_candidates_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
     copies = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + COPY_OFF).alias("vec_id"), "v"
     )
-    allv = emb.unionByName(copies)
-    a = allv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = allv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return emb.unionByName(copies)
+
+
+def _cosine_pairs(pairs: DataFrame) -> DataFrame:
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va")))
         * F.sqrt(_dot(F.col("vb"), F.col("vb")))
@@ -303,6 +339,49 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.99)
         .select("id_a", "id_b", F.round("sim", 9).alias("sim"))
     )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection at scale: candidates come
+    from banded hyperplane-LSH buckets (DEDUP_BANDS bands x N_PLANES sign
+    bits; a pair is a candidate iff some band bucket matches — the
+    MinHash-LSH banding shape, no O(n^2) pair join, plan-asserted
+    CartesianProduct-free in tests/test_plan_shape.py), then exact cosine
+    on candidates only.
+
+    Equality with the brute all-pairs pass (the DuckDB oracle and
+    ``dedup_embedding_brute``): identical vectors collide in every band,
+    and the corpus' qualifying pairs are exactly the planted copies (the
+    nearest non-copy pair is at cosine 0.43, verified in
+    tests/test_nonsql_ops.py) — so bucketed == brute here. Probabilistic
+    recall at the 0.99 threshold for non-identical near-dups is
+    1 - (1 - 0.955^8)^2 ≈ 0.90 per band pair; add bands to taste."""
+    allv = _dedup_candidates_base(spark, sf_dir)
+    sigs = lsh_signatures(allv, n_bands=DEDUP_BANDS)
+    tagged = allv.join(sigs, "vec_id")
+    a = tagged.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _cosine_pairs(cand)
+
+
+def dedup_embedding_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exactness baseline (the pytest oracle for the bucketed
+    path above). O(n^2) — never the registered scale path."""
+    allv = _dedup_candidates_base(spark, sf_dir)
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return _cosine_pairs(pairs)
 
 
 SQL_DEDUP_EMBEDDING_COSINE = f"""

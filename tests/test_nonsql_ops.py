@@ -134,6 +134,52 @@ def test_ivf_ann_matches_numpy_oracle(spark):
         assert got_map[q] == expected[q], f"query {q}"
 
 
+def test_dedup_embedding_bucketed_equals_brute(spark):
+    """The LSH-routed dedup must return exactly the brute all-pairs result:
+    identical vectors collide in every band, and the corpus' only
+    qualifying pairs are the planted copies (margin asserted below)."""
+    from dd_ops_ocr_spark.operators.similarity import (
+        dedup_embedding_brute,
+        q_dedup_embedding_cosine,
+    )
+
+    cols = ["id_a", "id_b", "sim"]
+    got = q_dedup_embedding_cosine(spark, SF).toPandas()
+    want = dedup_embedding_brute(spark, SF).toPandas()
+    g = got.sort_values(cols, ignore_index=True)
+    w = want.sort_values(cols, ignore_index=True)
+    assert len(g) > 0 and g.equals(w), f"bucketed {len(g)} != brute {len(w)}"
+    # the margin that makes the equality non-probabilistic: the nearest
+    # non-qualifying pair is far below the 0.99 threshold
+    emb = duckdb.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) v FROM "
+        f"read_parquet('{SF}/embeddings.parquet') WHERE vec_id % 10 = 0"
+    ).df()
+    m = np.stack(emb["v"].to_numpy())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -1)
+    assert sims.max() < 0.9, f"non-copy pair at {sims.max():.3f} erodes margin"
+
+
+def test_ivf_recall_vs_brute(spark):
+    """IVF with N_PROBE=2 of 16 cells must keep recall@3 high vs the exact
+    brute top-3 (the quantizer prunes ~7/8 of the search space)."""
+    from dd_ops_ocr_spark.operators.similarity import (
+        q_ann_brute_topk,
+        q_ann_ivf_topk,
+    )
+
+    brute = q_ann_brute_topk(spark, SF).toPandas()
+    brute = brute[brute["rank"] <= 3]
+    ivf = q_ann_ivf_topk(spark, SF).toPandas()
+    want = {(q, n) for q, n in zip(brute["query_id"], brute["neighbor_id"])}
+    got = {(q, n) for q, n in zip(ivf["query_id"], ivf["neighbor_id"])}
+    recall = len(want & got) / len(want)
+    print(f"IVF recall@3 = {recall:.3f}")
+    assert recall >= 0.6, f"IVF recall@3 collapsed: {recall:.3f}"
+
+
 def test_media_metadata_plumbing(spark):
     from dd_ops_ocr_spark.operators.multimodal import (
         fake_decode_batch,

@@ -39,6 +39,30 @@ def test_dim_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_embedding_has_no_cartesian(spark):
+    """The registered embedding-dedup must be the LSH-routed plan: no
+    CartesianProduct / all-pairs join anywhere (that shape dies at scale);
+    the brute pass exists only as the pytest oracle."""
+    from dd_ops_ocr_spark.operators.similarity import q_dedup_embedding_cosine
+
+    plan = _plan(q_dedup_embedding_cosine(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_plan_has_single_scan_no_self_join(spark):
+    """IVF cell assignment emits (vec_id, cell, v) from one kernel — a
+    regression against re-joining the cells back onto the embeddings."""
+    from dd_ops_ocr_spark.operators.similarity import q_ann_ivf_topk
+
+    plan = _plan(q_ann_ivf_topk(spark, SF_SMOKE))
+    # the embeddings parquet may be scanned for queries + candidates, but
+    # no join in the plan may have vec_id as its key (the old self-join)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "vec_id" not in line, f"cells self-join is back:\n{line}"
+
+
 def test_filters_push_to_scan(spark):
     from dd_ops_ocr_spark.operators.joins import q_success_filter
 
