@@ -73,8 +73,10 @@ def run_with_ledger(
     processed = 0
     for b in todo:
         part = src.filter(F.col("bucket") == b).drop("bucket")
-        out = extractor(part).withColumn("bucket", F.lit(b))
-        # data first (idempotent overwrite of this bucket's directory) ...
+        # data first (idempotent overwrite of this bucket's directory);
+        # the bucket= path component carries the column (hive-style), so
+        # loop-written and one-pass-written files share one schema.
+        out = extractor(part)
         out.write.mode("overwrite").parquet(f"{out_dir}/data/bucket={b}")
         # ... ledger commit marker last, with lineage + metrics.
         stats = (
@@ -100,6 +102,97 @@ def run_with_ledger(
         "buckets_total": n_buckets,
         "buckets_resumed_from": len(done),
         "buckets_processed": processed,
+    }
+
+
+def run_one_pass(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    fail_after: int | None = None,
+    extractor=None,
+) -> dict:
+    """One-pass variant of ``run_with_ledger``: all uncommitted buckets are
+    extracted and written in a SINGLE job (dynamic partition overwrite by
+    bucket), then the per-bucket commit markers land from one aggregation
+    over the written data — no N-scan amplification, wall-time ~= the
+    plain extract.
+
+    Failure granularity is the trade: a crash mid-job commits nothing, so
+    resume reprocesses every uncommitted bucket (correct, just coarser);
+    the per-bucket loop (``run_with_ledger``) remains the fine-grained
+    resume path after repeated failures. Output and ledger layouts are
+    identical between the two, so they compose: run one-pass when
+    healthy, loop to limp through a flaky stretch.
+
+    ``fail_after`` simulates a crash after committing that many buckets'
+    markers (data already written, remaining markers missing) — the
+    worst-case window for double-count bugs.
+    """
+    from dd_ops_ocr_spark import pipeline
+
+    extractor = extractor or pipeline.extract
+    done = committed_buckets(spark, out_dir)
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        return {
+            "run_id": run_id,
+            "buckets_total": n_buckets,
+            "buckets_resumed_from": len(done),
+            "buckets_processed": 0,
+        }
+
+    src = spans_df.withColumn("bucket", bucket_col(n_buckets))
+    if done:
+        src = src.filter(~F.col("bucket").isin(*done))
+    part = src.drop("bucket")
+    out = extractor(part).withColumn("bucket", bucket_col(n_buckets))
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/data")
+    )
+
+    # Commit markers from ONE aggregation over the written data; the
+    # ledger layout (ledger/commit={run}_{b}/) is produced by a single
+    # dynamic-partitioned write keyed on the commit dir name.
+    stats = (
+        spark.read.parquet(f"{out_dir}/data")
+        .filter(F.col("bucket").isin(*todo))
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count("*").alias("spans_emitted"),
+            F.sum((F.col("kind") == "text").cast("long")).alias("text_blocks"),
+            F.sum((F.col("kind") != "text").cast("long")).alias("media_blocks"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("committed_at_run", F.lit(run_id))
+        .withColumn(
+            "commit", F.concat(F.lit(f"{run_id}_"), F.col("bucket"))
+        )
+    )
+    if fail_after is not None:
+        keep = [f"{run_id}_{b}" for b in todo[:fail_after]]
+        stats_to_write = stats.filter(F.col("commit").isin(*keep))
+    else:
+        stats_to_write = stats
+    (
+        stats_to_write.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("commit")
+        .parquet(f"{out_dir}/ledger")
+    )
+    if fail_after is not None and fail_after < len(todo):
+        raise RuntimeError(f"injected failure after {fail_after} buckets")
+    return {
+        "run_id": run_id,
+        "buckets_total": n_buckets,
+        "buckets_resumed_from": len(done),
+        "buckets_processed": len(todo),
     }
 
 

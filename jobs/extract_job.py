@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshots", action="store_true",
                    help="commit each bucket as an Iceberg-style snapshot "
                         "(catalog.py) instead of plain marker files")
+    p.add_argument("--per-bucket", action="store_true",
+                   help="one job per bucket (fine-grained resume through "
+                        "a flaky stretch) instead of the default one-pass "
+                        "write of every uncommitted bucket")
     p.add_argument("--pages-per-bucket", type=int, default=25)
     args = p.parse_args(argv)
 
@@ -58,7 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         else pipeline.extract
     )
     t0 = time.monotonic()
-    runner = ledger.run_with_snapshots if args.snapshots else ledger.run_with_ledger
+    if args.snapshots:
+        runner = ledger.run_with_snapshots
+    elif args.per_bucket:
+        runner = ledger.run_with_ledger
+    else:
+        runner = ledger.run_one_pass
     summary = runner(
         spark, spans, args.output, run_id,
         n_buckets=args.buckets, extractor=extractor,

@@ -55,6 +55,53 @@ def test_crash_and_resume_exact(spark, spans):
         shutil.rmtree(crash_dir, ignore_errors=True)
 
 
+def test_one_pass_crash_then_loop_resume(spark, spans):
+    """One-pass writes all data in a single job; a crash in the marker
+    window (data written, markers partial) must resume cleanly on EITHER
+    path and end identical to an uninterrupted loop run — the two ledger
+    variants compose."""
+    full_dir = tempfile.mkdtemp(prefix="ledger_full1_")
+    op_dir = tempfile.mkdtemp(prefix="ledger_op_")
+    op2_dir = tempfile.mkdtemp(prefix="ledger_op2_")
+    try:
+        ledger.run_with_ledger(spark, spans, full_dir, "run_full",
+                               n_buckets=N_BUCKETS)
+
+        # one-pass, crash after 3 markers -> resume with the bucket LOOP
+        with pytest.raises(RuntimeError, match="injected failure"):
+            ledger.run_one_pass(spark, spans, op_dir, "run_a",
+                                n_buckets=N_BUCKETS, fail_after=3)
+        assert len(ledger.committed_buckets(spark, op_dir)) == 3
+        s = ledger.run_with_ledger(spark, spans, op_dir, "run_b",
+                                   n_buckets=N_BUCKETS)
+        assert s["buckets_resumed_from"] == 3
+
+        # loop, crash after 2 -> resume with ONE-PASS
+        with pytest.raises(RuntimeError, match="injected failure"):
+            ledger.run_with_ledger(spark, spans, op2_dir, "run_c",
+                                   n_buckets=N_BUCKETS, fail_after=2)
+        s = ledger.run_one_pass(spark, spans, op2_dir, "run_d",
+                                n_buckets=N_BUCKETS)
+        assert s["buckets_resumed_from"] == 2
+        assert s["buckets_processed"] == N_BUCKETS - 2
+
+        a = ledger.read_output(spark, full_dir)
+        cols = ["doc_id", "kind", "text", "media_ref", "order"]
+        for d in (op_dir, op2_dir):
+            b = ledger.read_output(spark, d)
+            assert a.count() == b.count()
+            assert (
+                a.select(cols).exceptAll(b.select(cols)).count() == 0
+                and b.select(cols).exceptAll(a.select(cols)).count() == 0
+            )
+            led = ledger.read_ledger(spark, d).toPandas()
+            assert len(led) == N_BUCKETS
+            assert led["spans_emitted"].sum() == a.count()
+    finally:
+        for d in (full_dir, op_dir, op2_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_bucket_assignment_deterministic(spark, spans):
     b1 = spans.select("doc_id", ledger.bucket_col(N_BUCKETS).alias("b"))
     b2 = spans.select("doc_id", ledger.bucket_col(N_BUCKETS).alias("b"))
