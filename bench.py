@@ -172,6 +172,10 @@ def main() -> None:
         # unlucky session would poison one side of the ratio.
         t_by_cores: dict[int, float] = {CORES_LO: float("inf"),
                                         CORES_HI: float("inf")}
+        t_salted: dict[int, float] = {CORES_LO: float("inf"),
+                                      CORES_HI: float("inf")}
+        t_sql: dict[int, float] = {CORES_LO: float("inf"),
+                                   CORES_HI: float("inf")}
         for _round in range(2):
             for cores in (CORES_LO, CORES_HI):
                 s = _build(cores, spans_path)
@@ -181,6 +185,17 @@ def main() -> None:
                 reps = 3 if cores == CORES_LO else 6
                 t, _, _ = run_extract(s, spans_path, repeats=reps)
                 t_by_cores[cores] = min(t_by_cores[cores], t)
+                # per-path rows (VERDICT r1 item 9): salted + SQL at the
+                # same levels so path regressions are visible per level
+                sdf = s.read.parquet(spans_path)
+                t_salted[cores] = min(
+                    t_salted[cores],
+                    timed(lambda: extract_salted(sdf).count(), repeats=2),
+                )
+                t_sql[cores] = min(
+                    t_sql[cores],
+                    timed(lambda: extract_sql(sdf).count(), repeats=2),
+                )
                 s.stop()
         eff = (t_by_cores[CORES_LO] / t_by_cores[CORES_HI]) / (CORES_HI / CORES_LO)
         scaling = {
@@ -191,6 +206,22 @@ def main() -> None:
             "docs_per_sec_lo": round(n_docs / t_by_cores[CORES_LO], 2),
             "docs_per_sec_hi": round(n_docs / t_by_cores[CORES_HI], 2),
             "efficiency": round(eff, 3),
+            "paths": {
+                "salted": {
+                    "t_lo_sec": round(t_salted[CORES_LO], 3),
+                    "t_hi_sec": round(t_salted[CORES_HI], 3),
+                    "efficiency": round(
+                        (t_salted[CORES_LO] / t_salted[CORES_HI])
+                        / (CORES_HI / CORES_LO), 3),
+                },
+                "sql": {
+                    "t_lo_sec": round(t_sql[CORES_LO], 3),
+                    "t_hi_sec": round(t_sql[CORES_HI], 3),
+                    "efficiency": round(
+                        (t_sql[CORES_LO] / t_sql[CORES_HI])
+                        / (CORES_HI / CORES_LO), 3),
+                },
+            },
         }
         _append_bench_md(n_docs, n_spans, scaling)
 
@@ -232,6 +263,14 @@ def _append_bench_md(n_docs: int, n_spans: int, scaling: dict) -> None:
             f"| {scaling['docs_per_sec_lo']} "
             f"| {scaling['cores_hi']} | {scaling['t_hi_sec']} "
             f"| {scaling['docs_per_sec_hi']} | {scaling['efficiency']} |\n"
+        )
+        for name, p in scaling.get("paths", {}).items():
+            f.write(
+                f"| ^ path={name} | {_sf_value()} | {n_docs} | — "
+                f"| {scaling['cores_lo']} | {p['t_lo_sec']} "
+                f"| {round(n_docs / p['t_lo_sec'], 2)} "
+                f"| {scaling['cores_hi']} | {p['t_hi_sec']} "
+                f"| {round(n_docs / p['t_hi_sec'], 2)} | {p['efficiency']} |\n"
         )
 
 

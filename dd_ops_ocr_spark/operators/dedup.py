@@ -370,6 +370,114 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
 """
 
 
+HAM_CHUNKS = 4          # 60 bits -> 4 chunks of 15
+HAM_MAX_DIST = 3        # pigeonhole: d <= 3 diffs over 4 chunks -> >= 1 equal
+
+
+def _simhash_over(d: DataFrame) -> DataFrame:
+    """SimHash signature for an arbitrary (doc_id, text) DataFrame —
+    same 60-bit JVM-side construction as q_simhash."""
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    toks = toks.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance <= HAM_MAX_DIST,
+    found with EXACT banding: the 60-bit signature splits into HAM_CHUNKS
+    15-bit chunks, and by pigeonhole any pair within distance 3 shares at
+    least one chunk — so the chunk-bucket self-join (no O(n^2) pair join)
+    is complete, not probabilistic. The DuckDB oracle verifies against
+    the brute all-pairs Hamming scan; both must agree exactly."""
+    sig = _simhash_over(_docs_with_copies(spark, sf_dir))
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.shiftright("simhash", 15 * c).bitwiseAND(F.lit(0x7FFF))
+                    .alias("val"),
+                )
+                for c in range(HAM_CHUNKS)
+            ])
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.c", "ch.val")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "c", "val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "c", "val"
+    )
+    return (
+        a.join(b, ["c", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAM_MAX_DIST)
+        .distinct()
+    )
+
+
+_SQL_SIMHASH_OVER_D = f"""
+  SELECT doc_id,
+         CAST({" + ".join(
+             f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+             for b in range(SIMHASH_BITS)
+         )} AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+           {", ".join(
+               f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+               for b in range(SIMHASH_BITS)
+           )}
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS tok
+        FROM d
+      ) WHERE LENGTH(tok) > 0
+    ) GROUP BY doc_id
+  )
+"""
+
+# Brute all-pairs Hamming verification — the banding above must equal it
+# exactly (pigeonhole completeness at distance <= 3).
+SQL_SIMHASH_HAMMING_PAIRS = f"""
+WITH d AS ({_SQL_DOCS_WITH_COPIES}),
+sims AS ({_SQL_SIMHASH_OVER_D})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX_DIST}
+"""
+
+
 # DuckDB twin of q_simhash: hex->int via '0x' cast (== Spark's conv 16->10
 # on the 15-char md5 prefix), per-bit +/-1 vote sums, and the sign bits
 # re-assembled as a SUM of disjoint powers of two (== the bitwise OR).
@@ -405,6 +513,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "minhash_signature": q_minhash_signature,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -414,6 +523,7 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "simhash": SQL_SIMHASH,
+    "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

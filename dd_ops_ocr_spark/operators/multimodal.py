@@ -4,15 +4,18 @@ Media payloads are opaque ``binary`` columns with typed metadata, exactly
 as a 100 TB interleaved corpus stores them (the reference's equivalent is
 JPEG page images on disk, step1/03_image_converter.py). The Spark-side
 plumbing — schema, Arrow batch shape, mapInPandas signatures, partition
-behavior — is real and tested; the pixel-level decode itself is STUBBED
-(image/audio libraries are not in this container): ``decode_image``
-raises NotImplementedError unless a decoder is injected, and the default
-injected decoder is a deterministic fake that derives metadata from the
-payload bytes (clearly marked, reproducible for tests).
+behavior — is real and tested, and so is one full codec: a pure-numpy
+24-bit **BMP** decoder/encoder (the format needs no external library),
+through which real pixels flow end to end — decode -> nearest-neighbor
+resample -> re-encode -> average-hash. Formats that require external
+codecs (JPEG/PNG/video) raise NotImplementedError at ``decode_image``
+and keep the documented deterministic-fake fallback
+(``fake_decode_batch``) for plumbing tests.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Callable, Iterator
 
 import numpy as np
@@ -28,8 +31,83 @@ MEDIA_META_DDL = (
 )
 
 
+# ---------------------------------------------------------------- BMP codec
+# 24-bit uncompressed BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+# bottom-up BGR rows padded to 4 bytes. Real, library-free, lossless.
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BMP bytes."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up scan order, BGR channel order
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BMP bytes -> (h, w, 3) uint8 RGB. Raises ValueError on a
+    non-BMP payload, NotImplementedError on compressed/other-depth BMPs."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    _, w, h = struct.unpack_from("<Iii", payload, 14)
+    _, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got {bpp}/{comp})")
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_off
+    ).reshape(h, row_size)
+    img = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a media payload to (h, w, 3) uint8 RGB. BMP decodes natively
+    (pure numpy); JPEG/PNG/etc. require external codecs not present in
+    this container and raise NotImplementedError (the integration point
+    for a real Pillow/OpenCV deployment)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only BMP decodes natively; JPEG/PNG need PIL/opencv — inject a "
+        "decoder into media_metadata(decoder=...)"
+    )
+
+
+def resize_nn(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample to (th, tw)."""
+    h, w, _ = img.shape
+    ys = np.arange(th) * h // th
+    xs = np.arange(tw) * w // tw
+    return img[ys][:, xs]
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Real 64-bit average hash: 8x8 grayscale downsample, bit = cell >
+    mean. Clamped to 63 bits so it fits a Spark LongType."""
+    small = resize_nn(img, 8, 8).mean(axis=2)
+    bits = (small > small.mean()).reshape(-1).astype(np.uint64)
+    val = int(bits @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+    return val & ((1 << 63) - 1)
+
+
+# ------------------------------------------------------ payload synthesis
+
 def synth_payload(media_ref: str, n_bytes: int = 64) -> bytes:
-    """Deterministic fake binary payload derived from the ref string."""
+    """Deterministic fake binary payload derived from the ref string
+    (opaque bytes — used by the frame-sampling fallback and tests)."""
     seed = mix64(int.from_bytes(media_ref.encode()[:8].ljust(8, b"\0"), "little"))
     out = bytearray()
     h = seed
@@ -39,21 +117,47 @@ def synth_payload(media_ref: str, n_bytes: int = 64) -> bytes:
     return bytes(out[:n_bytes])
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real decode stubbed
-    """Real decode path — requires an image library not present in this
-    environment. Kept as the integration point; tests and the default
-    pipeline use ``fake_decode_batch``."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this container; "
-        "inject a decoder into media_metadata(decoder=...)"
+def synth_bmp_payload(media_ref: str) -> bytes:
+    """Deterministic small REAL BMP derived from the ref string: the
+    image content is synthetic (no image libs to rasterize anything
+    else), but the bytes are a spec-correct 24-bit BMP that any decoder
+    can open."""
+    seed = mix64(int.from_bytes(media_ref.encode()[:8].ljust(8, b"\0"), "little"))
+    w = 8 + seed % 24
+    h = 6 + (seed >> 8) % 20
+    idx = np.arange(h * w * 3, dtype=np.uint64)
+    vals = idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)
+    px = ((vals >> np.uint64(32)) & np.uint64(0xFF)).astype(np.uint8)
+    return encode_bmp(px.reshape(h, w, 3))
+
+
+# ------------------------------------------------------------- operators
+
+def real_decode_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL metadata extraction: decode each BMP payload and derive
+    format, true dimensions, and a real average-hash from the pixels."""
+    n_bytes, widths, heights, phashes = [], [], [], []
+    for p in payloads:
+        img = decode_image(p)
+        n_bytes.append(len(p))
+        heights.append(img.shape[0])
+        widths.append(img.shape[1])
+        phashes.append(ahash64(img))
+    return pd.DataFrame(
+        {
+            "n_bytes": np.asarray(n_bytes, dtype=np.int64),
+            "format": np.full(len(payloads), "bmp", dtype=object),
+            "width": np.asarray(widths, dtype=np.int32),
+            "height": np.asarray(heights, dtype=np.int32),
+            "phash": np.asarray(phashes, dtype=np.int64),
+        }
     )
 
 
 def fake_decode_batch(payloads: pd.Series) -> pd.DataFrame:
     """DETERMINISTIC FAKE decoder (vectorized): metadata derived from the
-    payload bytes so the whole path is reproducible without image libs.
-    Mirrors what a real Arrow-batched decoder returns: format, dims,
-    perceptual hash."""
+    payload bytes, for payloads in formats this container cannot decode.
+    Mirrors the return shape of ``real_decode_batch``."""
     n = len(payloads)
     n_bytes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
     head = np.fromiter(
@@ -75,13 +179,13 @@ def fake_decode_batch(payloads: pd.Series) -> pd.DataFrame:
 
 def media_metadata(
     media_df: DataFrame,
-    decoder: Callable[[pd.Series], pd.DataFrame] = fake_decode_batch,
+    decoder: Callable[[pd.Series], pd.DataFrame] = real_decode_batch,
 ) -> DataFrame:
     """(media_ref, payload:binary) -> typed metadata via mapInPandas.
 
-    The decode is per-Arrow-batch and vectorized; at scale this is the
-    standard shape for feature extraction / resize / frame-sample UDFs:
-    binary in, struct out, no shuffle."""
+    The decode is per-Arrow-batch; at scale this is the standard shape
+    for feature extraction / resize / frame-sample UDFs: binary in,
+    struct out, no shuffle. Default decoder is the REAL BMP path."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,62 +196,27 @@ def media_metadata(
     return media_df.mapInPandas(run, schema=MEDIA_META_DDL)
 
 
-def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: synthesize media refs + payloads from the corpus
-    generator's media spans, then run the metadata extraction path.
-    Rows-only (binary plumbing is not SQL-expressible); pytest checks
-    determinism and batch shape."""
-    from dd_ops_ocr_spark import corpus
-
-    spans = corpus.build_spans_df_cached(spark, sf_dir)
-    media = (
-        spans.select(F.explode("spans").alias("s"))
-        .filter(F.col("s.kind") == "media")
-        .select(F.col("s.media_ref").alias("media_ref"))
-    )
-
-    def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["payload"] = [synth_payload(r) for r in pdf["media_ref"]]
-            yield pdf
-
-    with_payload = media.mapInPandas(
-        add_payload, schema="media_ref string, payload binary"
-    )
-    return media_metadata(with_payload)
-
-
-def fake_resize_batch(payloads: pd.Series, target_w: int, target_h: int) -> pd.DataFrame:
-    """DETERMINISTIC FAKE resize: real implementations decode, resample,
-    re-encode; the fake derives a new payload from (payload, target dims)
-    so determinism, batch shape, and schema flow are testable. The binary
-    out/in contract is exactly what a real Pillow/OpenCV kernel plugs
-    into."""
-    out_payload = [
-        synth_payload(f"{mix64(int.from_bytes(p[:8], 'little')) ^ (target_w << 16 | target_h):x}")
-        for p in payloads
-    ]
-    return pd.DataFrame(
-        {
-            "payload": out_payload,
-            "width": np.full(len(payloads), target_w, dtype=np.int32),
-            "height": np.full(len(payloads), target_h, dtype=np.int32),
-        }
-    )
-
-
 def media_resize(media_df: DataFrame, target_w: int = 1024,
                  target_h: int = 1280) -> DataFrame:
-    """(media_ref, payload) -> resized payload + dims, Arrow-batched.
-    The reference's equivalent is the 2x re-render + scaled-DPI path
-    (step2/02_image_reprocessor.py:68-133)."""
+    """(media_ref, payload) -> resized payload + dims, Arrow-batched:
+    REAL decode -> nearest-neighbor resample -> re-encode for BMP
+    payloads. The reference's equivalent is the 2x re-render +
+    scaled-DPI path (step2/02_image_reprocessor.py:68-133)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = fake_resize_batch(pdf["payload"], target_w, target_h)
-            out.insert(0, "media_ref", pdf["media_ref"].to_numpy())
-            yield out
+            out_payload = [
+                encode_bmp(resize_nn(decode_image(p), target_w, target_h))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].to_numpy(),
+                    "payload": out_payload,
+                    "width": np.full(len(pdf), target_w, dtype=np.int32),
+                    "height": np.full(len(pdf), target_h, dtype=np.int32),
+                }
+            )
 
     return media_df.mapInPandas(
         run, schema="media_ref string, payload binary, width int, height int"
@@ -157,21 +226,29 @@ def media_resize(media_df: DataFrame, target_w: int = 1024,
 def media_frame_sample(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video-style frame sampling: one binary payload -> n_frames rows of
     (frame_idx, frame payload). One-to-many Arrow-batched expansion — the
-    multimodal analogue of posexplode (real decoder: pyAV/ffmpeg)."""
+    multimodal analogue of posexplode. A real deployment plugs pyAV/
+    ffmpeg in here; without a video codec, each "frame" is the REAL
+    decoded image cyclically row-shifted by the frame index and
+    re-encoded (deterministic, and every frame is a valid BMP)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            refs = np.repeat(pdf["media_ref"].to_numpy(), n_frames)
-            idx = np.tile(np.arange(n_frames, dtype=np.int32), n)
-            frames = [
-                synth_payload(f"{r}#f{i}", n_bytes=32)
-                for r, i in zip(refs, idx)
-            ]
+            refs, idxs, frames = [], [], []
+            for r, p in zip(pdf["media_ref"], pdf["payload"]):
+                img = decode_image(p)
+                for i in range(n_frames):
+                    refs.append(r)
+                    idxs.append(i)
+                    frames.append(encode_bmp(np.roll(img, i, axis=0)))
             yield pd.DataFrame(
-                {"media_ref": refs, "frame_idx": idx, "frame": frames}
+                {
+                    "media_ref": np.asarray(refs, dtype=object),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "frame": frames,
+                }
             )
 
     return media_df.mapInPandas(
@@ -192,7 +269,7 @@ def _media_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = [synth_payload(r) for r in pdf["media_ref"]]
+            pdf["payload"] = [synth_bmp_payload(r) for r in pdf["media_ref"]]
             yield pdf
 
     return media.mapInPandas(
@@ -200,8 +277,21 @@ def _media_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize real BMP payloads from the corpus
+    generator's media spans, then run the REAL decode+hash metadata path.
+    Rows-only (binary plumbing is not SQL-expressible); pytest checks the
+    codec round-trip, dimensions, and hash determinism."""
+    return media_metadata(_media_with_payload(spark, sf_dir))
+
+
+RESIZE_W, RESIZE_H = 16, 20  # small target keeps the sf0.01 query light
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = media_resize(_media_with_payload(spark, sf_dir))
+    out = media_resize(
+        _media_with_payload(spark, sf_dir), target_w=RESIZE_W, target_h=RESIZE_H
+    )
     return out.select(
         "media_ref", "width", "height",
         F.length("payload").cast("long").alias("payload_bytes"),

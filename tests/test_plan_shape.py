@@ -39,6 +39,22 @@ def test_dim_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_salted_plan_shape(spark):
+    """The salted path must stay: small branch shuffle-free + exactly ONE
+    exchange (the round-robin bucket spread) on the tail branch — no
+    broadcasts, no window exchanges, no driver collect stages."""
+    import tempfile
+
+    from dd_ops_ocr_spark.plans.salting import extract_salted
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus.build_spans_df(spark, SF_SMOKE).limit(40).write.parquet(f"{d}/s")
+        df = spark.read.parquet(f"{d}/s")
+        plan = _plan(extract_salted(df))
+        assert plan.count("Exchange") == 1, f"salted plan shape moved:\n{plan[:3000]}"
+        assert "BroadcastExchange" not in plan
+
+
 def test_dedup_embedding_has_no_cartesian(spark):
     """The registered embedding-dedup must be the LSH-routed plan: no
     CartesianProduct / all-pairs join anywhere (that shape dies at scale);
