@@ -161,6 +161,10 @@ def _bucketize_kernel(ppb: int):
                 )
 
             ki2 = np.flatnonzero(~boiler)
+            if len(ki2) == 0:
+                # every span of this batch normalized to nothing / was
+                # boilerplate — nothing to emit (hypothesis-discovered)
+                continue
             gi = ki[ki2]
             d = d[ki2]
             salt = page[ki2] // ppb

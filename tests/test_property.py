@@ -180,3 +180,77 @@ def test_arrow_kernel_equals_oracle(docs):
             )
     for did in want:
         assert got.get(did, []) == want[did], f"{did}"
+
+
+_SPAN_T = None
+
+
+def _nested_batch(ids, spans_col):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_pydict(
+        {"doc_id": ids, "spans": spans_col},
+        schema=pa.schema(
+            [
+                ("doc_id", pa.string()),
+                (
+                    "spans",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.int32()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        ),
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc(), min_size=1, max_size=3))
+@example(
+    # hypothesis-discovered: a batch whose every span is dropped must
+    # emit nothing (not crash on the empty group array)
+    docs=[[{"kind": "text", "text": "", "media_ref": None, "offset": 0}]],
+)
+def test_salted_kernels_equal_oracle(docs):
+    """The salted path's kernel pair (doc-global bucketize -> bucket-local
+    rank) must reproduce the oracle span-for-span on adversarial
+    geometries, including docs that straddle many tiny salt buckets
+    (ppb=2 forces nearly every multi-page doc through multiple buckets)."""
+    from dd_ops_ocr_spark.plans.salting import _bucketize_kernel, _rank_kernel
+
+    ppb = 2
+    want = {}
+    ids, spans_col = [], []
+    for i, spans in enumerate(docs):
+        did = f"d{i}"
+        want[did] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in oracle.extract_doc(spans)
+        ]
+        ids.append(did)
+        spans_col.append(spans)
+    batch = _nested_batch(ids, spans_col)
+
+    bucket_batches = list(_bucketize_kernel(ppb)([batch]))
+    got: dict[str, list] = {d: [] for d in want}
+    for out in _rank_kernel(bucket_batches):
+        pdf = out.to_pandas()
+        for r in pdf.itertuples():
+            got[r.doc_id].append(
+                (
+                    r.kind,
+                    None if pd.isna(r.text) else r.text,
+                    None if pd.isna(r.media_ref) else r.media_ref,
+                    int(r.order),
+                )
+            )
+    for did in want:
+        got[did].sort(key=lambda t: t[3])
+        assert got.get(did, []) == want[did], f"{did}"
