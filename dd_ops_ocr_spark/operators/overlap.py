@@ -20,14 +20,45 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 
-def suffix_prefix_overlap(prev: str, cur: str) -> int:
-    """Length of the longest prefix of ``cur`` equal to a suffix of
-    ``prev`` (bounded by the shorter string)."""
+def _suffix_prefix_overlap_quadratic(prev: str, cur: str) -> int:
+    """Reference implementation (O(k^2) worst case) — kept as the fallback
+    for pathological inputs containing every separator candidate, and as
+    the equivalence oracle for the KMP version below."""
     k = min(len(prev), len(cur))
     for n in range(k, 0, -1):
         if prev[-n:] == cur[:n]:
             return n
     return 0
+
+
+_SEPS = ("\x00", "\x01", "\x02")
+
+
+def suffix_prefix_overlap(prev: str, cur: str) -> int:
+    """Length of the longest prefix of ``cur`` equal to a suffix of
+    ``prev`` (bounded by the shorter string). O(k) via the KMP failure
+    function of ``cur[:k] + sep + prev[-k:]`` — the failure value at the
+    end is exactly the longest prefix-of-cur == suffix-of-prev (the
+    separator guarantees it never exceeds k)."""
+    k = min(len(prev), len(cur))
+    if k == 0:
+        return 0
+    a, b = cur[:k], prev[-k:]
+    for sep in _SEPS:
+        if sep not in a and sep not in b:
+            break
+    else:  # pragma: no cover - input contains every control separator
+        return _suffix_prefix_overlap_quadratic(prev, cur)
+    s = a + sep + b
+    fail = [0] * len(s)
+    j = 0
+    for i in range(1, len(s)):
+        while j and s[i] != s[j]:
+            j = fail[j - 1]
+        if s[i] == s[j]:
+            j += 1
+        fail[i] = j
+    return fail[-1]
 
 
 def trim_overlap_py(prev: str | None, cur: str) -> str:

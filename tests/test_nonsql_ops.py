@@ -303,3 +303,34 @@ def test_decode_image_non_bmp_is_stubbed():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+def test_suffix_prefix_overlap_kmp_equals_quadratic():
+    """The linear (KMP) seam-overlap must agree with the quadratic
+    reference on adversarial repetitive strings (where the quadratic
+    worst case and the off-by-one traps live)."""
+    import itertools
+    import random
+
+    from dd_ops_ocr_spark.operators.overlap import (
+        _suffix_prefix_overlap_quadratic,
+        suffix_prefix_overlap,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        ("", ""), ("a", ""), ("", "a"), ("aaa", "aaa"), ("abcdef", "defghi"),
+        ("ababab", "ababx"), ("xyab", "abab"), ("aaaa", "aaab"),
+        ("\x00x", "x\x00"),  # separator candidates inside the text
+        ("\x00\x01\x02", "\x02\x01\x00"),
+    ]
+    for _ in range(300):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        cases.append(
+            ("".join(rng.choice("ab") for _ in range(n1)),
+             "".join(rng.choice("ab") for _ in range(n2)))
+        )
+    for prev, cur in cases:
+        got = suffix_prefix_overlap(prev, cur)
+        want = _suffix_prefix_overlap_quadratic(prev, cur)
+        assert got == want, f"{prev!r} {cur!r}: {got} != {want}"
