@@ -273,6 +273,28 @@ FROM art_json a LEFT JOIN fired f USING (doc_id)
     )
 
 
+def media_resize_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_resize's OBSERVABLE surface: the media-ref
+    set (one row per media span of the corpus), the target geometry, and
+    the exact BMP payload size the re-encode must produce
+    (54-byte headers + 4-byte-padded rows). The pixel content itself is
+    not SQL-expressible and is covered by the codec round-trip pytest."""
+    from dd_ops_ocr_spark.operators.multimodal import RESIZE_H, RESIZE_W
+
+    n_bytes = 54 + ((RESIZE_W * 3 + 3) & ~3) * RESIZE_H
+    return f"""
+WITH raw AS (
+  SELECT doc_id, UNNEST(spans, recursive := true)
+  FROM read_parquet('{path}')
+)
+SELECT media_ref,
+       CAST({RESIZE_W} AS INT) AS width,
+       CAST({RESIZE_H} AS INT) AS height,
+       CAST({n_bytes} AS BIGINT) AS payload_bytes
+FROM raw WHERE kind = 'media'
+"""
+
+
 def metrics_oracle_sql(path: str) -> str:
     """DuckDB equivalent of pipeline.metrics over the extraction output."""
     return _extract_cte(path) + """

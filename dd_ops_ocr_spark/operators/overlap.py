@@ -107,11 +107,46 @@ def q_overlap_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed.select(
         "doc_id",
         "band",
-        F.length("band_text").alias("raw_len"),
-        F.length("trimmed").alias("trimmed_len"),
+        F.length("band_text").cast("long").alias("raw_len"),
+        F.length("trimmed").cast("long").alias("trimmed_len"),
         "trimmed",
     )
 
 
+# DuckDB twin: the longest suffix-prefix overlap as a list comprehension
+# (max n in 1..k with suffix(prev, n) == prefix(cur, n)) — quadratic in
+# SQL where the Spark side runs the O(k) KMP kernel, but value-identical.
+SQL_OVERLAP_TRIM = """
+WITH d AS (
+  SELECT doc_id, text, LENGTH(text) AS n FROM documents
+  WHERE LENGTH(text) >= 50
+),
+bands AS (
+  SELECT doc_id, CAST(t.b AS INT) AS band,
+         substr(text, CAST(t.b * (n // 5) + 1 AS INT),
+                CAST((n // 5) + (n // 25) AS INT)) AS band_text
+  FROM d, UNNEST(range(0, 4)) AS t(b)
+),
+paired AS (
+  SELECT doc_id, band, band_text,
+         LAG(band_text) OVER (PARTITION BY doc_id ORDER BY band) AS prev_text
+  FROM bands
+),
+ov AS (
+  SELECT doc_id, band, band_text,
+    CASE WHEN prev_text IS NULL THEN 0 ELSE COALESCE(list_max(
+      [CAST(n AS INT) FOR n IN
+         range(1, LEAST(LENGTH(prev_text), LENGTH(band_text)) + 1)
+       IF substr(prev_text, CAST(LENGTH(prev_text) - n + 1 AS INT))
+          = substr(band_text, 1, CAST(n AS INT))]), 0) END AS k
+  FROM paired
+)
+SELECT doc_id, band,
+       LENGTH(band_text) AS raw_len,
+       LENGTH(band_text) - k AS trimmed_len,
+       substr(band_text, CAST(k + 1 AS INT)) AS trimmed
+FROM ov
+"""
+
 QUERIES = {"overlap_trim": q_overlap_trim}
-ORACLE_SQL: dict[str, str] = {}
+ORACLE_SQL: dict[str, str] = {"overlap_trim": SQL_OVERLAP_TRIM}

@@ -151,14 +151,39 @@ def lsh_signatures(df: DataFrame, dim: int = 64, n_bands: int = 1) -> DataFrame:
     return df.mapInPandas(sig, schema=schema)
 
 
+def _plane_dot_col(plane: np.ndarray) -> F.Column:
+    """Explicit left-associated dot product v[0]*c0 + v[1]*c1 + ... —
+    codegen'd (no HOF lambda), and bit-identical to an in-order float64
+    fold, i.e. to DuckDB's list_dot_product. This is what makes the LSH
+    bucket assignment engine-portable and the query oracle-checkable."""
+    acc = F.col("v").getItem(0) * float(plane[0])
+    for i in range(1, len(plane)):
+        acc = acc + F.col("v").getItem(i) * float(plane[i])
+    return acc
+
+
+def lsh_signatures_jvm(df: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, v) -> + sign-bit ``bucket``, entirely JVM-side: one
+    explicit dot per plane, bucket = sum of (bit << j). Exact twin of the
+    SQL oracle's arithmetic."""
+    planes = _planes(dim)
+    bucket = F.lit(0)
+    for j in range(N_PLANES):
+        bucket = bucket + F.when(
+            _plane_dot_col(planes[j]) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: candidates restricted to the query's sign-bucket,
-    exact cosine re-rank, top-3 per query. Rows-only for the driver
-    (hyperplane arithmetic is not SQL-expressible); pytest checks the
-    bucket assignment and re-rank against a pure-numpy reference."""
+    exact cosine re-rank, top-3 per query. The sign bits are computed as
+    explicit in-order float64 sums (codegen, no Python), which makes them
+    bit-identical to the DuckDB oracle's — so the whole query is
+    hash-checked by the driver, and pytest additionally checks an
+    independent pure-Python in-order reference."""
     emb = _emb(spark, sf_dir)
-    sigs = lsh_signatures(emb)
-    embs = emb.join(sigs, "vec_id")
+    embs = lsh_signatures_jvm(emb)
     queries = embs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -183,6 +208,45 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", F.round("sim", 9).alias("sim"))
     )
+
+
+def _plane_dot_sql(plane: np.ndarray) -> str:
+    """DuckDB twin of _plane_dot_col (1-based list indexing; repr floats
+    round-trip to the identical binary64)."""
+    return " + ".join(f"v[{i + 1}]*({float(plane[i])!r})" for i in range(len(plane)))
+
+
+def _lsh_bucket_sql(dim: int = 64) -> str:
+    planes = _planes(dim)
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(planes[j])} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, v, ({_lsh_bucket_sql()}) AS bucket FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM sig
+  WHERE vec_id % {QUERY_MOD} = 0
+), sims AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         list_dot_product(q.qv, s.v)
+           / (SQRT(list_dot_product(q.qv, q.qv))
+              * SQRT(list_dot_product(s.v, s.v))) AS sim
+  FROM q JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, neighbor_id, ROUND(sim, 9) AS sim
+FROM ranked WHERE rank <= 3
+"""
 
 
 N_CELLS = 16
@@ -415,6 +479,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "embedding_stats": SQL_EMBEDDING_STATS,
 }

@@ -77,6 +77,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["contract_schema"] = fixtures.contract_schema_oracle_sql(
         path, RISK_DIM_DEFAULT_SQL
     )
+    ORACLE_SQL["media_resize"] = fixtures.media_resize_oracle_sql(path)
 
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402

@@ -72,9 +72,25 @@ def test_lsh_ann_matches_numpy_oracle(spark):
     ids = emb["vec_id"].to_numpy()
     m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     planes = _planes(m.shape[1])
-    bits = (m @ planes.T) >= 0
-    buckets = (bits.astype(np.uint32) << np.arange(bits.shape[1], dtype=np.uint32)).sum(
-        axis=1
+
+    def inorder_dot(v, p):
+        # left-associated float64 fold — the exact arithmetic of both the
+        # JVM expression chain and DuckDB's list_dot_product
+        acc = 0.0
+        for a, b in zip(v, p):
+            acc = acc + a * b
+        return acc
+
+    buckets = np.array(
+        [
+            sum(
+                (1 << j)
+                for j in range(planes.shape[0])
+                if inorder_dot(row, planes[j]) >= 0
+            )
+            for row in m
+        ],
+        dtype=np.int64,
     )
     norms = np.sqrt((m * m).sum(axis=1))
     expected = {}
