@@ -26,6 +26,30 @@ def read_spans(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(SPANS_SCHEMA).parquet(path)
 
 
+def read_spans_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Same table from a JSON-lines landing format (one doc per line,
+    ``{"doc_id": ..., "spans": [{kind,text,media_ref,offset}, ...]}``) —
+    the shape an upstream ingestion service typically drops. Declared
+    schema (no inference scan); a malformed line surfaces as a null-id
+    row (PERMISSIVE mode with an explicit corrupt-record column — without
+    one Spark silently drops unparseable lines) and lands in quarantine
+    via ``split_valid`` instead of failing the job (S1
+    warn-and-continue)."""
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in SPANS_SCHEMA.fields]
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .drop("_corrupt_record")
+    )
+
+
 def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine): a doc is invalid when it has no spans, a null
     doc_id, or any span whose offset is negative (corrupt geometry) —
@@ -37,9 +61,15 @@ def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     so it cannot see cross-row duplicates."""
     flagged = df.withColumn(
         "_valid",
-        F.col("doc_id").isNotNull()
-        & (F.size("spans") > 0)
-        & F.expr("forall(spans, s -> s.offset >= 0)"),
+        # coalesce: a NULL spans array makes size()/forall() NULL, and a
+        # bare `filter(~_valid)` silently drops NULL rows from BOTH
+        # outputs — every row must land exactly one side
+        F.coalesce(
+            F.col("doc_id").isNotNull()
+            & (F.size("spans") > 0)
+            & F.expr("forall(spans, s -> s.offset >= 0)"),
+            F.lit(False),
+        ),
     )
     valid = flagged.filter(F.col("_valid")).drop("_valid")
     quarantine = flagged.filter(~F.col("_valid")).drop("_valid")
