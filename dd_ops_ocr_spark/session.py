@@ -33,7 +33,12 @@ def build_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # swept 128..20000 on the flagship kernel at sf0.1/local[32]:
+        # 128-768 all ~3.3s, 2048 = 3.8s, 10000 = 5.3s. Small batches
+        # pipeline the JVM Arrow producer with the Python kernel and keep
+        # the kernel's working set cache-resident; 512 docs x ~160 spans
+        # also keeps tail-doc batches (~4.4k spans/doc) bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

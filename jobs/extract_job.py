@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
         SparkSession.builder.appName("ddops_extract")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # see session.py: 512-doc Arrow batches pipeline the JVM producer
+        # with the Python kernel (swept 128..20000; ~1.6x over 10000)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .getOrCreate()
     )
     from dd_ops_ocr_spark import corpus, ledger, pipeline, sources
