@@ -103,3 +103,34 @@ def test_uncommitted_files_invisible(spark, table):
     assert catalog.read_table(spark, table).count() == n, (
         "reader saw files outside the manifest"
     )
+
+
+def test_incremental_extraction_processes_only_the_delta(spark, table):
+    """Snapshot-diff ingestion: batch 1 = docs 0..99, batch 2 = docs
+    50..149 (overlap 50) — the second run must extract exactly the 50 new
+    docs, the final table must equal a from-scratch run over the union,
+    and batch 1's snapshot must stay time-travelable."""
+    from dd_ops_ocr_spark import incremental, pipeline
+
+    spans = corpus.build_spans_df(spark, SF_SMOKE).cache()
+    b1 = spans.filter("doc_id < 'doc_000100'")
+    b2 = spans.filter("doc_id >= 'doc_000050' and doc_id < 'doc_000150'")
+
+    s1 = incremental.extract_incremental(spark, b1, table, "r1")
+    assert s1["operation"] == "overwrite" and s1["docs_processed"] == 100
+    s2 = incremental.extract_incremental(spark, b2, table, "r2")
+    assert s2["operation"] == "append" and s2["docs_processed"] == 50
+    # re-delivering batch 2 is a no-op (no duplicate spans ever)
+    s3 = incremental.extract_incremental(spark, b2, table, "r3")
+    assert s3["operation"] == "noop" and s3["docs_processed"] == 0
+
+    got = catalog.read_table(spark, table)
+    want = pipeline.extract(spans.filter("doc_id < 'doc_000150'"))
+    cols = ["doc_id", "kind", "text", "media_ref", "order"]
+    assert got.count() == want.count()
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    # time travel: snapshot 1 still reads batch 1 alone
+    assert (
+        catalog.read_table(spark, table, snapshot_id=s1["snapshot_id"])
+        .select("doc_id").distinct().count() == 100
+    )

@@ -41,3 +41,41 @@ def test_separators_are_reference_exact():
         {"kind": "media", "text": None, "media_ref": "m1", "order": 3, "page": 1},
     ]
     assert integrate_python(spans) == "a\n\nb\n\n\n[media:m1]"
+
+
+def test_contract_schema_json_is_reference_shaped(spark):
+    """Every contract_json must parse as JSON and carry the reference
+    pipeline's exact shape: {success, info{title,party,start_date,
+    end_date,conclusion_date}, result{articles[{article_number,title,
+    content,table_number}]}, risks{contracts[{targetCompany,articleCount,
+    risks[]}]}} (api/main.py:1306-1357), with risks id-ordered
+    (main.py:93-146) and targetCompany = first comma-separated party
+    (main.py:1210)."""
+    import json
+
+    from dd_ops_ocr_spark.operators.integrate import q_contract_schema
+    from tests.conftest import SF_SMOKE
+
+    rows = q_contract_schema(spark, SF_SMOKE).limit(50).collect()
+    assert rows
+    for r in rows:
+        d = json.loads(r["contract_json"])
+        assert d["success"] is True
+        assert set(d["info"]) == {
+            "title", "party", "start_date", "end_date", "conclusion_date"
+        }
+        arts = d["result"]["articles"]
+        assert arts and all(
+            set(a) == {"article_number", "title", "content", "table_number"}
+            for a in arts
+        )
+        assert [a["article_number"] for a in arts] == [
+            str(i + 1) for i in range(len(arts))
+        ]
+        contracts = d["risks"]["contracts"]
+        assert len(contracts) == 1
+        c = contracts[0]
+        assert c["targetCompany"] == d["info"]["party"].split(",")[0]
+        assert c["articleCount"] == len(arts)
+        ids = [x["id"] for x in c["risks"]]
+        assert ids == sorted(ids)

@@ -73,3 +73,17 @@ def test_salted_bounds_task_size(spark):
         .collect()[0]["m"]
     )
     assert mx <= ppb
+
+
+def test_salted_with_no_tail_docs(spark):
+    """A corpus with no doc over the bucket threshold must take the plain
+    path wholesale — identical output, empty tail branch."""
+    spans_df = corpus.build_spans_df(spark, SF_SMOKE)
+    small_only = spans_df.filter(
+        "aggregate(spans, bigint(0), (acc, s) -> greatest(acc, s.offset div "
+        f"{5242880})) < 90"
+    )
+    got = extract_salted(small_only, pages_per_bucket=95).toPandas()
+    want = pipeline.extract(small_only).toPandas()
+    g, w = _tuples(got), _tuples(want)
+    assert g == w
