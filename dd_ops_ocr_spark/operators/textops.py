@@ -290,7 +290,124 @@ GROUP BY user_id, session_idx
 """
 
 
+
+
+def q_filename_parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 + F8/F9/F10: the reference's filename-coupled session-directory
+    sweep as one declarative pass. Per doc, a deterministic 5-file listing
+    is synthesized (two valid engine results, a metadata JSON, a page
+    render, and another doc's file); then
+
+      F8  — keep only names containing the doc basename
+            (api/main.py:887-890),
+      F9  — exclude integration_metadata*.json (api/main.py:891-901),
+      F10 — keep only *_integrated_*.txt engine results (the glob pair,
+            step7/01_text_integration_engine.py:47-48,117-118),
+      C10 — parse the engine + (\\d{8}_\\d{6}) timestamp with the
+            reference's validation regex and check the two engines'
+            timestamps agree (utils/clean_ocr_result.py:142-193).
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    base = F.format_string("doc%06d", F.col("doc_id").cast("int"))
+    other = F.format_string("doc%06d", (F.col("doc_id") + 1).cast("int"))
+    ts = F.format_string(
+        "%08d_%06d",
+        (F.col("doc_id") * 37 % 100000000).cast("int"),
+        (F.col("doc_id") * 13 % 1000000).cast("int"),
+    )
+    files = F.array(
+        F.concat(base, F.lit("_document_ai_integrated_"), ts, F.lit(".txt")),
+        F.concat(base, F.lit("_gemini_integrated_"), ts, F.lit(".txt")),
+        F.concat(base, F.lit("_integration_metadata_"), ts, F.lit(".json")),
+        F.concat(base, F.lit("_p001_mask1.png")),
+        F.concat(other, F.lit("_gemini_integrated_"), ts, F.lit(".txt")),
+    )
+    listing = d.select("doc_id", base.alias("base"), F.explode(files).alias("fname"))
+    kept = listing.filter(
+        F.col("fname").contains(F.col("base"))                       # F8
+        & ~(
+            F.col("fname").contains("integration_metadata")
+            & F.col("fname").endswith(".json")
+        )                                                            # F9
+        & F.col("fname").rlike(
+            "_(document_ai|gemini)_integrated_.*\\.txt$"
+        )                                                            # F10
+    )
+    parsed = kept.select(
+        "doc_id",
+        F.regexp_extract("fname", "_(document_ai|gemini)_integrated_", 1)
+        .alias("engine"),
+        F.regexp_extract(
+            "fname", "_integrated_(\\d{8}_\\d{6})\\.txt$", 1
+        ).alias("ts"),                                               # C10
+    )
+    per_doc = parsed.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.max(F.when(F.col("engine") == "document_ai", F.col("ts")))
+        .alias("doc_ai_ts"),
+        F.max(F.when(F.col("engine") == "gemini", F.col("ts")))
+        .alias("gemini_ts"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_kept",
+        "doc_ai_ts",
+        "gemini_ts",
+        (F.col("doc_ai_ts") == F.col("gemini_ts")).alias("ts_valid"),
+        F.when(F.col("doc_ai_ts") == F.col("gemini_ts"), F.col("doc_ai_ts"))
+        .alias("common_id"),
+    )
+
+
+SQL_FILENAME_PARSE_FILTER = """
+WITH d AS (
+  SELECT doc_id,
+         printf('doc%06d', CAST(doc_id AS INT)) AS base,
+         printf('doc%06d', CAST(doc_id + 1 AS INT)) AS other,
+         printf('%08d_%06d', CAST(doc_id * 37 % 100000000 AS INT),
+                CAST(doc_id * 13 % 1000000 AS INT)) AS ts
+  FROM documents
+),
+listing AS (
+  SELECT doc_id, base, UNNEST([
+    base || '_document_ai_integrated_' || ts || '.txt',
+    base || '_gemini_integrated_' || ts || '.txt',
+    base || '_integration_metadata_' || ts || '.json',
+    base || '_p001_mask1.png',
+    other || '_gemini_integrated_' || ts || '.txt'
+  ]) AS fname
+  FROM d
+),
+kept AS (
+  SELECT doc_id, fname FROM listing
+  WHERE contains(fname, base)
+    AND NOT (contains(fname, 'integration_metadata')
+             AND fname LIKE '%.json')
+    AND regexp_matches(fname, '_(document_ai|gemini)_integrated_.*\\.txt$')
+),
+parsed AS (
+  SELECT doc_id,
+         regexp_extract(fname, '_(document_ai|gemini)_integrated_', 1)
+           AS engine,
+         regexp_extract(fname, '_integrated_(\\d{8}_\\d{6})\\.txt$', 1)
+           AS ts
+  FROM kept
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         MAX(CASE WHEN engine = 'document_ai' THEN ts END) AS doc_ai_ts,
+         MAX(CASE WHEN engine = 'gemini' THEN ts END) AS gemini_ts
+  FROM parsed GROUP BY doc_id
+)
+SELECT doc_id, n_kept, doc_ai_ts, gemini_ts,
+       doc_ai_ts = gemini_ts AS ts_valid,
+       CASE WHEN doc_ai_ts = gemini_ts THEN doc_ai_ts END AS common_id
+FROM per_doc
+"""
+
+
 QUERIES = {
+    "filename_parse_filter": q_filename_parse_filter,
     "sessionize": q_sessionize,
     "whitespace_collapse": q_whitespace_collapse,
     "angle_normalize": q_angle_normalize,
@@ -303,6 +420,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "filename_parse_filter": SQL_FILENAME_PARSE_FILTER,
     "sessionize": SQL_SESSIONIZE,
     "whitespace_collapse": SQL_WHITESPACE_COLLAPSE,
     "angle_normalize": SQL_ANGLE_NORMALIZE,
