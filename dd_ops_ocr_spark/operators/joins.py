@@ -153,7 +153,93 @@ FROM d, UNNEST(range(0, d.k + 1)) AS t(i)
 """
 
 
+
+
+def q_engine_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the dual-engine result pairing (Gemini + DocumentAI results for
+    the same group_key, paired by construction via asyncio.gather —
+    step6/03_step6_processor.py:254-278) as a full-outer join with
+    per-engine success flags. Our production design is single-engine
+    (SURVEY §7), so this implements the pairing semantics over two
+    deterministic synthetic engine tables: each engine misses some groups
+    and fails some others, exactly the outcome space the reference's
+    success/failure collections partition."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    key = F.format_string(
+        "page_%03d_mask%d",
+        (F.col("doc_id") % 1000).cast("int"),
+        (F.col("doc_id") % 5).cast("int"),
+    )
+    gemini = (
+        d.filter(F.col("doc_id") % 7 != 2)       # groups gemini never saw
+        .select(
+            "doc_id",
+            key.alias("group_key"),
+            (F.col("doc_id") % 11 != 3).alias("gemini_ok"),
+            (F.col("doc_id") * 31 % 997).alias("gemini_chars"),
+        )
+    )
+    docai = (
+        d.filter(F.col("doc_id") % 5 != 1)       # groups docai never saw
+        .select(
+            "doc_id",
+            key.alias("group_key"),
+            (F.col("doc_id") % 13 != 5).alias("docai_ok"),
+            (F.col("doc_id") * 17 % 997).alias("docai_chars"),
+        )
+    )
+    paired = gemini.join(docai, ["doc_id", "group_key"], "full_outer")
+    pairing = (
+        F.when(F.col("gemini_ok").isNull(), "docai_only")
+        .when(F.col("docai_ok").isNull(), "gemini_only")
+        .otherwise("both")
+    )
+    return paired.select(
+        "doc_id",
+        "group_key",
+        "gemini_ok",
+        "docai_ok",
+        pairing.alias("pairing"),
+        F.coalesce("gemini_chars", F.lit(0)).alias("gemini_chars"),
+        F.coalesce("docai_chars", F.lit(0)).alias("docai_chars"),
+    )
+
+
+SQL_ENGINE_ZIP = """
+WITH d AS (SELECT doc_id FROM documents),
+k AS (
+  SELECT doc_id,
+         printf('page_%03d_mask%d', CAST(doc_id % 1000 AS INT),
+                CAST(doc_id % 5 AS INT)) AS group_key
+  FROM d
+),
+gemini AS (
+  SELECT doc_id, group_key,
+         doc_id % 11 <> 3 AS gemini_ok,
+         doc_id * 31 % 997 AS gemini_chars
+  FROM k WHERE doc_id % 7 <> 2
+),
+docai AS (
+  SELECT doc_id, group_key,
+         doc_id % 13 <> 5 AS docai_ok,
+         doc_id * 17 % 997 AS docai_chars
+  FROM k WHERE doc_id % 5 <> 1
+)
+SELECT COALESCE(g.doc_id, a.doc_id) AS doc_id,
+       COALESCE(g.group_key, a.group_key) AS group_key,
+       g.gemini_ok, a.docai_ok,
+       CASE WHEN g.gemini_ok IS NULL THEN 'docai_only'
+            WHEN a.docai_ok IS NULL THEN 'gemini_only'
+            ELSE 'both' END AS pairing,
+       COALESCE(g.gemini_chars, 0) AS gemini_chars,
+       COALESCE(a.docai_chars, 0) AS docai_chars
+FROM gemini g FULL OUTER JOIN docai a
+  ON g.doc_id = a.doc_id AND g.group_key = a.group_key
+"""
+
+
 QUERIES = {
+    "engine_zip": q_engine_zip,
     "dim_enrich_join": q_dim_enrich_join,
     "success_filter": q_success_filter,
     "lenient_coercion": q_lenient_coercion,
@@ -162,6 +248,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "engine_zip": SQL_ENGINE_ZIP,
     "dim_enrich_join": SQL_DIM_ENRICH_JOIN,
     "success_filter": SQL_SUCCESS_FILTER,
     "lenient_coercion": SQL_LENIENT_COERCION,
