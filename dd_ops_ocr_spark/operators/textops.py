@@ -406,7 +406,55 @@ FROM per_doc
 """
 
 
+
+
+def q_progress_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: the per-group progress index the reference logs
+    (group_index = keys.index(k)+1 of i_total, step6/03:256) — a
+    row_number window in group-key order plus the completion percentage.
+    Log-only in the reference; here it doubles as the lineage column a
+    monitoring sink would consume."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    key = F.format_string(
+        "page_%03d_mask%d",
+        (F.col("doc_id") % 1000).cast("int"),
+        (F.col("doc_id") % 5).cast("int"),
+    )
+    groups = d.select("doc_id", key.alias("group_key"))
+    w = W.partitionBy(F.col("doc_id") % 10).orderBy("group_key", "doc_id")
+    wtot = W.partitionBy(F.col("doc_id") % 10)
+    return groups.select(
+        (F.col("doc_id") % 10).cast("long").alias("batch"),
+        "doc_id",
+        "group_key",
+        F.row_number().over(w).cast("long").alias("group_index"),
+        F.count("*").over(wtot).alias("n_groups"),
+        F.round(
+            F.row_number().over(w) * 100.0 / F.count("*").over(wtot), 2
+        ).alias("pct_done"),
+    )
+
+
+SQL_PROGRESS_INDEX = """
+WITH g AS (
+  SELECT doc_id % 10 AS batch, doc_id,
+         printf('page_%03d_mask%d', CAST(doc_id % 1000 AS INT),
+                CAST(doc_id % 5 AS INT)) AS group_key
+  FROM documents
+)
+SELECT batch, doc_id, group_key,
+       ROW_NUMBER() OVER (PARTITION BY batch ORDER BY group_key, doc_id)
+         AS group_index,
+       COUNT(*) OVER (PARTITION BY batch) AS n_groups,
+       ROUND(ROW_NUMBER() OVER (PARTITION BY batch
+                                ORDER BY group_key, doc_id)
+             * 100.0 / COUNT(*) OVER (PARTITION BY batch), 2) AS pct_done
+FROM g
+"""
+
+
 QUERIES = {
+    "progress_index": q_progress_index,
     "filename_parse_filter": q_filename_parse_filter,
     "sessionize": q_sessionize,
     "whitespace_collapse": q_whitespace_collapse,
@@ -420,6 +468,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "progress_index": SQL_PROGRESS_INDEX,
     "filename_parse_filter": SQL_FILENAME_PARSE_FILTER,
     "sessionize": SQL_SESSIONIZE,
     "whitespace_collapse": SQL_WHITESPACE_COLLAPSE,
