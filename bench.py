@@ -88,7 +88,8 @@ def _build(cores: int, spans_path: str | None = None):
 def ensure_spans_cache(spark) -> str:
     from dd_ops_ocr_spark import corpus
 
-    path = os.path.join(CACHE, f"spans_{_sf_name()}_x{REPLICATE}.parquet")
+    gv = corpus.GENERATOR_VERSION
+    path = os.path.join(CACHE, f"spans_{_sf_name()}_x{REPLICATE}_v{gv}.parquet")
     if not os.path.isdir(path):
         os.makedirs(CACHE, exist_ok=True)
         corpus.materialize_spans(

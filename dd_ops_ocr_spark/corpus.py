@@ -29,6 +29,11 @@ from dd_ops_ocr_spark.schema import PAGE_H, PAGE_W, SPANS_SCHEMA, STRIDE, CX
 
 _MASK = (1 << 64) - 1
 
+# Bump when the generator's output changes for the same input — cached
+# corpus materializations (fixtures.py, bench .bench_cache) key on it so
+# a semantics change can never silently reuse stale parquet.
+GENERATOR_VERSION = 1
+
 
 def mix64(x: int) -> int:
     """splitmix64 finalizer — deterministic, stateless hash mixing."""

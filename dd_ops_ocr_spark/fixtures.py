@@ -50,8 +50,12 @@ _ARROW_SCHEMA = pa.schema(
 
 
 def spans_fixture_path(sf_dir: str) -> str:
+    from dd_ops_ocr_spark.corpus import GENERATOR_VERSION
+
     name = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(FIXTURE_DIR, f"spans_{name}.parquet")
+    return os.path.join(
+        FIXTURE_DIR, f"spans_{name}_v{GENERATOR_VERSION}.parquet"
+    )
 
 
 def ensure_spans_fixture(sf_dir: str) -> str:
