@@ -105,14 +105,14 @@ def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     return (vals / 2.0**64 - 0.5).reshape(n_planes, dim)
 
 
-def lsh_signatures(df: DataFrame, dim: int = 64, n_bands: int = 1) -> DataFrame:
-    """Sign-bit buckets via vectorized numpy matmul (mapInPandas).
-
-    ``n_bands`` = 1: (vec_id, bucket) — the ANN path.
-    ``n_bands`` > 1: (vec_id, band, bucket) — banded candidates for
-    near-dup: each band hashes N_PLANES further planes, and a pair is a
-    candidate if ANY band bucket matches (MinHash-LSH banding applied to
-    hyperplane bits)."""
+def lsh_signatures(df: DataFrame, dim: int = 64, n_bands: int = 2) -> DataFrame:
+    """Banded sign-bit buckets via vectorized numpy matmul (mapInPandas):
+    (vec_id, band, bucket) — each band hashes N_PLANES further planes,
+    and a pair is a near-dup candidate if ANY band bucket matches
+    (MinHash-LSH banding applied to hyperplane bits). This is the
+    throughput variant (matmul); when bucket values must be bit-identical
+    across engines use ``lsh_signatures_jvm`` (in-order folds) instead —
+    numpy's pairwise summation can flip near-zero signs."""
     planes = _planes(dim, N_PLANES * n_bands)
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -122,13 +122,6 @@ def lsh_signatures(df: DataFrame, dim: int = 64, n_bands: int = 1) -> DataFrame:
             m = np.stack(pdf["v"].to_numpy())  # (n, dim) float64
             bits = (m @ planes.T) >= 0  # (n, N_PLANES * n_bands)
             shifts = np.arange(N_PLANES, dtype=np.uint32)
-            if n_bands == 1:
-                bucket = (bits.astype(np.uint32) << shifts).sum(axis=1)
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"].to_numpy(),
-                     "bucket": bucket.astype("int32")}
-                )
-                continue
             out = []
             for b in range(n_bands):
                 band_bits = bits[:, b * N_PLANES : (b + 1) * N_PLANES]
@@ -144,11 +137,7 @@ def lsh_signatures(df: DataFrame, dim: int = 64, n_bands: int = 1) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True)
 
-    schema = (
-        "vec_id long, bucket int" if n_bands == 1
-        else "vec_id long, band int, bucket int"
-    )
-    return df.mapInPandas(sig, schema=schema)
+    return df.mapInPandas(sig, schema="vec_id long, band int, bucket int")
 
 
 def _plane_dot_col(plane: np.ndarray) -> F.Column:
