@@ -64,20 +64,35 @@ def extract_sql(df: DataFrame) -> DataFrame:
         "zone", F.when(F.col("kind") == "text", zone).otherwise(F.lit(0))
     )
     n_pages = flat.groupBy("doc_id").agg(F.countDistinct("page").alias("np"))
+    # aggregate and anti-join on xxhash64(norm), not the raw string — the
+    # shuffle and broadcast carry fixed-width keys (same trick as the
+    # salted path; a collision would need two distinct header/footer
+    # strings in one doc+zone with equal 64-bit hashes)
+    flat = flat.withColumn(
+        "th",
+        F.when(F.col("zone") > 0, F.xxhash64("norm")).otherwise(F.lit(None)),
+    )
     keys = (
         flat.filter(F.col("zone") > 0)
-        .groupBy("doc_id", "zone", "norm")
+        .groupBy("doc_id", "zone", "th")
         .agg(F.countDistinct("page").alias("zp"))
         .join(n_pages, "doc_id")
         .filter(
             (F.col("np") >= MIN_PAGES_BOILERPLATE)
             & (F.col("zp") >= F.ceil(F.lit(BOILERPLATE_FRAC) * F.col("np")))
         )
-        .select("doc_id", "zone", "norm")
+        .select("doc_id", "zone", "th")
     )
-    kept = flat.join(F.broadcast(keys), ["doc_id", "zone", "norm"], "left_anti")
+    kept = flat.join(
+        F.broadcast(keys), ["doc_id", "zone", "th"], "left_anti"
+    ).drop("th")
 
-    # 5: two-up detection — window aggregates per (doc, page)
+    # 5: two-up detection — window aggregates per (doc, page).
+    # One explicit repartition on doc_id serves BOTH windows: hash
+    # clustering on doc_id satisfies the (doc, page) distribution (equal
+    # (doc, page) rows co-locate) and the rank window's (doc) one, so
+    # Catalyst inserts no further exchange — one wide shuffle, two sorts.
+    kept = kept.repartition("doc_id")
     wp = W.partitionBy("doc_id", "page")
     left = F.sum((F.col("x") < CX - GUTTER_HALF).cast("int")).over(wp)
     right = F.sum((F.col("x") >= CX + GUTTER_HALF).cast("int")).over(wp)
