@@ -177,7 +177,10 @@ def run_one_pass(
     )
     if fail_after is not None:
         keep = [f"{run_id}_{b}" for b in todo[:fail_after]]
-        stats_to_write = stats.filter(F.col("commit").isin(*keep))
+        stats_to_write = (
+            stats.filter(F.col("commit").isin(*keep)) if keep
+            else stats.limit(0)  # crash before ANY marker landed
+        )
     else:
         stats_to_write = stats
     (

@@ -108,3 +108,26 @@ def test_bucket_assignment_deterministic(spark, spans):
     assert b1.exceptAll(b2).count() == 0
     n = b1.select("b").distinct().count()
     assert n == N_BUCKETS
+
+
+def test_one_pass_crash_before_any_marker(spark, spans):
+    """Worst crash window: data fully written, zero markers — the resume
+    must reprocess everything and converge to the uninterrupted result."""
+    d = tempfile.mkdtemp(prefix="ledger_zero_")
+    ref = tempfile.mkdtemp(prefix="ledger_zref_")
+    try:
+        ledger.run_one_pass(spark, spans, ref, "run_ref", n_buckets=N_BUCKETS)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            ledger.run_one_pass(spark, spans, d, "run_x",
+                                n_buckets=N_BUCKETS, fail_after=0)
+        assert ledger.committed_buckets(spark, d) == set()
+        s = ledger.run_one_pass(spark, spans, d, "run_y", n_buckets=N_BUCKETS)
+        assert s["buckets_processed"] == N_BUCKETS
+        a = ledger.read_output(spark, ref)
+        b = ledger.read_output(spark, d)
+        cols = ["doc_id", "kind", "text", "media_ref", "order"]
+        assert a.count() == b.count()
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
