@@ -84,8 +84,10 @@ def _max_manifest_id(table_dir: str) -> int:
         names = os.listdir(meta)
     except FileNotFoundError:
         return 0
+    # strip 'snap-' / '.json' rather than a fixed-width slice: the id is
+    # zero-padded to 6 digits but grows past that at sid >= 1,000,000.
     ids = [
-        int(n[5:11]) for n in names
+        int(n[5:-5]) for n in names
         if n.startswith("snap-") and n.endswith(".json")
     ]
     return max(ids, default=0)
@@ -120,24 +122,37 @@ def _advance_pointer(table_dir: str, sid: int) -> None:
 
 
 def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
-                   properties: dict | None = None) -> int:
+                   properties: dict | None = None,
+                   aux: dict[str, DataFrame] | None = None) -> int:
     """Commit df as a new snapshot. ``overwrite`` starts a new file set;
     ``append`` unions the parent snapshot's files. Concurrent committers
     are safe: a snapshot id is claimed by exclusive manifest creation,
     and the loser retries against the re-read parent (so no commit is
-    ever silently discarded)."""
+    ever silently discarded).
+
+    ``aux`` commits named side tables (e.g. a processed-doc_id roster)
+    in the SAME manifest — one atomic commit covers data + aux, the
+    Iceberg analogue of a snapshot carrying several manifests. Under
+    ``append`` each aux file set unions the parent's files for that
+    key, like the data files do."""
     files = _write_files(df, table_dir)
+    aux_files = {k: _write_files(v, table_dir) for k, v in (aux or {}).items()}
     while True:
         parent = _max_manifest_id(table_dir) or None
         all_files = files
+        all_aux = dict(aux_files)
         if operation == "append" and parent is not None:
-            all_files = _read_manifest(table_dir, parent)["files"] + files
+            pm = _read_manifest(table_dir, parent)
+            all_files = pm["files"] + files
+            for k, pfiles in pm.get("aux", {}).items():
+                all_aux[k] = pfiles + aux_files.get(k, [])
         manifest = {
             "snapshot_id": (parent or 0) + 1,
             "parent_id": parent,
             "operation": operation,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "files": all_files,
+            "aux": all_aux,
             "properties": properties or {},
         }
         try:
@@ -158,12 +173,32 @@ def read_table(spark: SparkSession, table_dir: str,
     return spark.read.parquet(*paths)
 
 
+def read_aux(spark: SparkSession, table_dir: str, name: str,
+             snapshot_id: int | None = None) -> DataFrame | None:
+    """Read an aux side table committed with the snapshot (default:
+    current). Returns None when the snapshot has no such aux component
+    (pre-aux tables stay readable)."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    m = _read_manifest(table_dir, sid)
+    files = m.get("aux", {}).get(name)
+    if not files:
+        return None
+    paths = [os.path.join(table_dir, "data", f) for f in files]
+    return spark.read.parquet(*paths)
+
+
 def snapshots(table_dir: str) -> list[dict]:
     """Snapshot lineage, oldest first."""
     meta = os.path.join(table_dir, "metadata")
+    names = [
+        n for n in os.listdir(meta)
+        if n.startswith("snap-") and n.endswith(".json")
+    ]
     out = []
-    for name in sorted(os.listdir(meta)):
-        if name.startswith("snap-") and name.endswith(".json"):
-            with open(os.path.join(meta, name)) as f:
-                out.append(json.load(f))
+    # numeric sort — lexicographic breaks once ids outgrow the 6-digit pad
+    for name in sorted(names, key=lambda n: int(n[5:-5])):
+        with open(os.path.join(meta, name)) as f:
+            out.append(json.load(f))
     return out

@@ -240,7 +240,9 @@ art_json AS (
   SELECT doc_id, total_characters,
          to_json(list(json_object(
              'article_number', CAST(article_number AS VARCHAR),
-             'title', substr(string_split(content, chr(10))[1], 1, 40),
+             -- COALESCE mirrors the Spark side: to_json omits null struct
+             -- fields, json_object emits "key":null — both coalesce to ''
+             'title', COALESCE(substr(string_split(content, chr(10))[1], 1, 40), ''),
              'content', content,
              'table_number', '') ORDER BY article_number))::VARCHAR
            AS articles_json,
@@ -263,7 +265,7 @@ SELECT a.doc_id,
   json_object(
     'success', true,
     'info', json_object(
-      'title', a.first_title,
+      'title', COALESCE(a.first_title, ''),
       'party', 'Company_' || substr(a.doc_id, 5, 10) || ',Counterparty KK',
       'start_date', '', 'end_date', '', 'conclusion_date', ''),
     'result', json_object('articles', json(a.articles_json)),

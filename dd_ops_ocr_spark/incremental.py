@@ -37,7 +37,14 @@ def extract_incremental(
 
     extractor = extractor or pipeline.extract
     try:
-        seen = catalog.read_table(spark, table_dir).select("doc_id").distinct()
+        # The processed-doc roster is an aux component of the snapshot
+        # (committed atomically with the data), NOT inferred from output
+        # doc_ids: a doc whose extraction legitimately emits zero rows
+        # must still count as seen, or it is re-extracted and re-committed
+        # as a new snapshot on every run of a static source.
+        seen = catalog.read_aux(spark, table_dir, "docids")
+        if seen is None:  # pre-roster table — fall back to output doc_ids
+            seen = catalog.read_table(spark, table_dir).select("doc_id").distinct()
         operation = "append"
         delta = spans_df.join(seen, "doc_id", "left_anti")
     except FileNotFoundError:
@@ -56,6 +63,7 @@ def extract_incremental(
     sid = catalog.write_snapshot(
         out, table_dir, operation,
         properties={"run_id": run_id, "docs_processed": n_docs},
+        aux={"docids": delta.select("doc_id").distinct()},
     )
     return {
         "run_id": run_id,

@@ -78,15 +78,23 @@ def run_with_ledger(
         # loop-written and one-pass-written files share one schema.
         out = extractor(part)
         out.write.mode("overwrite").parquet(f"{out_dir}/data/bucket={b}")
-        # ... ledger commit marker last, with lineage + metrics.
-        stats = (
-            spark.read.parquet(f"{out_dir}/data/bucket={b}")
-            .agg(
+        # ... ledger commit marker last, with lineage + metrics. An empty
+        # bucket may write no readable parquet; it still gets a zero-count
+        # marker so resume never reprocesses it.
+        try:
+            stats = spark.read.parquet(f"{out_dir}/data/bucket={b}").agg(
                 F.countDistinct("doc_id").alias("docs"),
                 F.count("*").alias("spans_emitted"),
                 F.sum((F.col("kind") == "text").cast("long")).alias("text_blocks"),
                 F.sum((F.col("kind") != "text").cast("long")).alias("media_blocks"),
             )
+        except Exception:
+            stats = spark.createDataFrame(
+                [(0, 0, 0, 0)],
+                "docs long, spans_emitted long, text_blocks long, media_blocks long",
+            )
+        stats = (
+            stats.fillna(0, subset=["docs", "spans_emitted", "text_blocks", "media_blocks"])
             .withColumn("run_id", F.lit(run_id))
             .withColumn("bucket", F.lit(b))
             .withColumn("committed_at_run", F.lit(run_id))
@@ -158,17 +166,36 @@ def run_one_pass(
 
     # Commit markers from ONE aggregation over the written data; the
     # ledger layout (ledger/commit={run}_{b}/) is produced by a single
-    # dynamic-partitioned write keyed on the commit dir name.
-    stats = (
-        spark.read.parquet(f"{out_dir}/data")
-        .filter(F.col("bucket").isin(*todo))
-        .groupBy("bucket")
-        .agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.count("*").alias("spans_emitted"),
-            F.sum((F.col("kind") == "text").cast("long")).alias("text_blocks"),
-            F.sum((F.col("kind") != "text").cast("long")).alias("media_blocks"),
+    # dynamic-partitioned write keyed on the commit dir name. A bucket
+    # whose extraction emitted zero rows writes no data partition, so the
+    # marker set is anchored on the todo list (left join + zero fill),
+    # never on the written data alone — otherwise empty buckets would
+    # stay uncommitted forever and every resume would reprocess them.
+    todo_df = spark.createDataFrame([(b,) for b in todo], "bucket int")
+    try:
+        written_agg = (
+            spark.read.parquet(f"{out_dir}/data")
+            .filter(F.col("bucket").isin(*todo))
+            .groupBy("bucket")
+            .agg(
+                F.countDistinct("doc_id").alias("docs"),
+                F.count("*").alias("spans_emitted"),
+                F.sum((F.col("kind") == "text").cast("long")).alias("text_blocks"),
+                F.sum((F.col("kind") != "text").cast("long")).alias("media_blocks"),
+            )
         )
+        stats = todo_df.join(written_agg, "bucket", "left")
+    except Exception:
+        # every todo bucket was empty: the dynamic overwrite wrote no
+        # partitions and the data dir may not even be readable parquet.
+        stats = (
+            todo_df.withColumn("docs", F.lit(0).cast("long"))
+            .withColumn("spans_emitted", F.lit(0).cast("long"))
+            .withColumn("text_blocks", F.lit(0).cast("long"))
+            .withColumn("media_blocks", F.lit(0).cast("long"))
+        )
+    stats = (
+        stats.fillna(0, subset=["docs", "spans_emitted", "text_blocks", "media_blocks"])
         .withColumn("run_id", F.lit(run_id))
         .withColumn("committed_at_run", F.lit(run_id))
         .withColumn(

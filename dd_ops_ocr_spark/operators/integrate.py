@@ -177,7 +177,9 @@ def q_contract_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "total_characters",
         (F.col("i") + 1).alias("ord"),
-        F.substring(F.split("content", "\n").getItem(0), 1, 40).alias("title"),
+        F.coalesce(
+            F.substring(F.split("content", "\n").getItem(0), 1, 40), F.lit("")
+        ).alias("title"),
         "content",
     )
     per_doc = arts.groupBy("doc_id", "total_characters").agg(
@@ -217,8 +219,11 @@ def q_contract_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Company_"), F.substring("doc_id", 5, 10), F.lit(",Counterparty KK")
     )
     target = F.split(party, ",").getItem(0)
+    # coalesce to '' — Spark's to_json OMITS null struct fields while
+    # DuckDB's json_object emits "key":null, so a null here would silently
+    # break the byte-identity the oracle asserts; both sides coalesce.
     info = F.struct(
-        F.element_at("articles", 1)["title"].alias("title"),
+        F.coalesce(F.element_at("articles", 1)["title"], F.lit("")).alias("title"),
         party.alias("party"),
         F.lit("").alias("start_date"),
         F.lit("").alias("end_date"),

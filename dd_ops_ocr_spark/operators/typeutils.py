@@ -23,10 +23,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
+# ONE whitespace definition, spelled identically on the Spark and DuckDB
+# sides (both generated from this codepoint list, so they cannot diverge).
+# This is Python str.strip()'s stripped set over the BMP characters the
+# corpus can contain: ASCII whitespace, the \x1c-\x1f separators, NEL and
+# NBSP, plus the Unicode space blocks. Java's (?U)\s and DuckDB's default
+# TRIM each disagree with Python at the edges (e.g. \x1c-\x1f, U+00A0),
+# which is why an explicit class is used instead of either builtin.
+_WS_CODEPOINTS = (
+    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20, 0x85, 0xA0,
+     0x1680]
+    + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x205F, 0x3000]
+)
+_WS_CLASS = "[" + "".join(f"\\u{cp:04X}" for cp in _WS_CODEPOINTS) + "]"
+# DuckDB TRIM charset literal: the characters themselves, SQL-quoted
+WS_SQL_CHARSET = "||".join(f"chr({cp})" for cp in _WS_CODEPOINTS)
+
+
 def _strip(c: Column) -> Column:
-    """Python ``str.strip()`` equivalence: all Unicode whitespace, not just
-    ASCII spaces (F.trim) — ``(?U)`` turns on UNICODE_CHARACTER_CLASS."""
-    return F.regexp_replace(c, r"(?U)(^\s+)|(\s+$)", "")
+    """Python ``str.strip()`` equivalence via the explicit class above."""
+    return F.regexp_replace(c, f"(^{_WS_CLASS}+)|({_WS_CLASS}+$)", "")
 
 
 def coerce_bool(c: Column) -> Column:
@@ -75,6 +91,9 @@ _RAWS = [
     # non-space whitespace: Python str.strip() strips these; plain TRIM
     # would not — regression cases for the (?U)\s strip
     "true\n", "\t1", "\n\t123.5\t\n",
+    # outside the ASCII-space set: NBSP, file/unit separators, ideographic
+    # space — regression cases for the explicit shared whitespace class
+    " true ", "\x1c123\x1f", "　1.5　",
 ]
 
 
@@ -105,13 +124,11 @@ WITH d AS (
          ([{_sql_raws}])[CAST(doc_id % {len(_RAWS)} AS INT) + 1] AS raw
   FROM documents
 ), s AS (
-  -- TRIM with an explicit charset: Python str.strip() whitespace, not
-  -- just spaces (mirrors the Spark side's (?U)\\s regexp strip)
+  -- TRIM charset generated from the SAME codepoint list as the Spark
+  -- side's regexp class (_WS_CODEPOINTS) — one definition, two spellings
   SELECT doc_id, raw,
-         LOWER(TRIM(raw, ' ' || chr(9) || chr(10) || chr(11) || chr(12)
-                          || chr(13))) AS norm,
-         TRIM(raw, ' ' || chr(9) || chr(10) || chr(11) || chr(12)
-                  || chr(13)) AS t
+         LOWER(TRIM(raw, {WS_SQL_CHARSET})) AS norm,
+         TRIM(raw, {WS_SQL_CHARSET}) AS t
   FROM d
 )
 SELECT doc_id, raw,
