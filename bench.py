@@ -89,7 +89,9 @@ def ensure_spans_cache(spark) -> str:
     from dd_ops_ocr_spark import corpus
 
     gv = corpus.GENERATOR_VERSION
-    path = os.path.join(CACHE, f"spans_{_sf_name()}_x{REPLICATE}_v{gv}.parquet")
+    # "sc" = size_class-partitioned layout (materialize_spans partitions by
+    # the salted path's small/big boundary so routing can file-prune)
+    path = os.path.join(CACHE, f"spans_{_sf_name()}_x{REPLICATE}_v{gv}sc.parquet")
     if not os.path.isdir(path):
         os.makedirs(CACHE, exist_ok=True)
         corpus.materialize_spans(
@@ -135,7 +137,7 @@ def main() -> None:
     from dd_ops_ocr_spark.operators.dedup import q_minhash_signature
     from dd_ops_ocr_spark.operators.merges import q_judgment_merge
     from dd_ops_ocr_spark.operators.similarity import q_ann_brute_topk
-    from dd_ops_ocr_spark.plans.salting import extract_salted
+    from dd_ops_ocr_spark.plans.salting import extract_salted_pruned
     from dd_ops_ocr_spark.plans.sql_extract import extract_sql
 
     queries: dict[str, float] = {}
@@ -150,7 +152,7 @@ def main() -> None:
 
     spans_df = spark.read.parquet(spans_path)
     queries["flagship_extract_salted"] = timed(
-        lambda: extract_salted(spans_df).count(), repeats=3
+        lambda: extract_salted_pruned(spark, spans_path).count(), repeats=3
     )
     queries["flagship_extract_sql"] = timed(
         lambda: extract_sql(spans_df).count(), repeats=3
@@ -191,7 +193,8 @@ def main() -> None:
                 sdf = s.read.parquet(spans_path)
                 t_salted[cores] = min(
                     t_salted[cores],
-                    timed(lambda: extract_salted(sdf).count(), repeats=2),
+                    timed(lambda: extract_salted_pruned(s, spans_path).count(),
+                          repeats=2),
                 )
                 t_sql[cores] = min(
                     t_sql[cores],

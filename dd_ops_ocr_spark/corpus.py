@@ -219,11 +219,34 @@ def build_spans_df_cached(spark, sf_dir: str, replicate: int = 1):
 def materialize_spans(
     spark, sf_dir: str, out_path: str, n_partitions: int = 32, replicate: int = 1
 ) -> str:
-    """Write the synthetic spans table to parquet once (bench input cache)."""
+    """Write the synthetic spans table to parquet once (bench input cache).
+
+    The layout is hive-partitioned by ``size_class`` (small|big at the
+    salted path's PAGES_PER_BUCKET boundary): the skew-routing scan in
+    ``plans.salting.extract_salted_pruned`` then PRUNES at the file level
+    instead of re-reading 100% of the corpus to find the tail docs — the
+    landing-time partition column a 100 TB deployment would carry. Plain
+    readers are unaffected (the extra column rides along)."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.plans.salting import PAGES_PER_BUCKET
+    from dd_ops_ocr_spark.schema import STRIDE
+
     df = build_spans_df(spark, sf_dir, replicate=replicate).repartition(
         n_partitions, "doc_id"
     )
-    df.write.mode("overwrite").parquet(out_path)
+    size_class = F.when(
+        F.coalesce(
+            F.expr(f"array_max(spans.offset) div {STRIDE}"), F.lit(0)
+        ) >= PAGES_PER_BUCKET,
+        F.lit("big"),
+    ).otherwise(F.lit("small"))
+    (
+        df.withColumn("size_class", size_class)
+        .write.mode("overwrite")
+        .partitionBy("size_class")
+        .parquet(out_path)
+    )
     return out_path
 
 

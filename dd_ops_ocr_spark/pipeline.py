@@ -383,6 +383,14 @@ def _run_arrow(batches, include_page: bool = False):
         # Reading-order sort + per-doc 1-based rank. One composite int64
         # key (doc 20b | page 10b | side 1b | y 12b | x 11b = 54 bits)
         # sorts ~2x faster than a 5-key lexsort.
+        # Bound guard: a future batch-size or page-geometry change must
+        # fail loudly here, never silently mis-sort via bit overflow.
+        if len(doc_idx):
+            assert doc_idx.max() < (1 << 20), "batch exceeds 2^20 docs"
+            assert page.max() < (1 << 10), "page index exceeds 2^10"
+            assert y.max() < (1 << 12) and x.max() < (1 << 11), (
+                "span coordinates exceed packed key geometry"
+            )
         key = (
             (((doc_idx << 10 | page) << 1 | side) << 12 | y) << 11 | x
         )

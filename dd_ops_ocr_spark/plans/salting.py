@@ -260,7 +260,14 @@ def _rank_kernel(batches):
         two_up = (gutter == 0) & (left >= TWOUP_MIN_SIDE) & (right >= TWOUP_MIN_SIDE)
         side = (two_up[rp_inv] & (x >= CX)).astype(np.int64)
 
-        # composite sort key: row 20b | page 10b | side 1b | y 12b | x 11b
+        # composite sort key: row 20b | page 10b | side 1b | y 12b | x 11b.
+        # Bound guard: a batch-size or geometry change must fail loudly,
+        # never silently mis-rank via bit overflow.
+        assert row_idx.max() < (1 << 20), "batch exceeds 2^20 bucket rows"
+        assert page.max() < (1 << 10), "page index exceeds 2^10"
+        assert y.max() < (1 << 12) and x.max() < (1 << 11), (
+            "span coordinates exceed packed key geometry"
+        )
         key = (((row_idx << 10 | page) << 1 | side) << 12 | y) << 11 | x
         srt = np.argsort(key, kind="stable")
         r_s = row_idx[srt]
@@ -283,17 +290,35 @@ def _rank_kernel(batches):
         )
 
 
+def _salted_from_parts(
+    small: DataFrame, big: DataFrame, ppb: int
+) -> DataFrame:
+    """Union of the plain path over ``small`` and the salted tail path
+    over ``big``. The two subtrees are independent — Spark schedules
+    their stages concurrently within the one union action, so the small
+    extract overlaps the bucketize stage."""
+    from dd_ops_ocr_spark import pipeline
+
+    small_out = pipeline.extract(small)
+    # Tail: one doc-global kernel -> bucket rows -> salt shuffle -> rank.
+    buckets = big.mapInArrow(_bucketize_kernel(ppb), schema=BUCKET_DDL)
+    n_part = int(big.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spread = buckets.repartition(n_part)
+    big_out = spread.mapInArrow(_rank_kernel, schema=OUT_SPANS_DDL)
+    return small_out.unionByName(big_out)
+
+
 def extract_salted(
     df: DataFrame, pages_per_bucket: int = PAGES_PER_BUCKET
 ) -> DataFrame:
-    """Skew-proof extraction: identical output to ``pipeline.extract``."""
-    from dd_ops_ocr_spark import pipeline
+    """Skew-proof extraction: identical output to ``pipeline.extract``.
 
-    spark = df.sparkSession
+    Routing here is computed (two scans of ``df``, each filtering on a
+    codegen'd ``array_max(spans.offset)`` — no per-element lambda in the
+    hot scan). When the input LANDED with the ``size_class`` partition
+    column (corpus.materialize_spans), use ``extract_salted_pruned``
+    instead: the same plan, but each scan file-prunes to its class."""
     ppb = pages_per_bucket
-
-    # route by max page — array_max over the extracted offset field is a
-    # codegen'd expression (no per-element lambda interpretation).
     routed = df.withColumn(
         "_maxpage",
         F.coalesce(
@@ -302,13 +327,23 @@ def extract_salted(
     )
     small = routed.filter(F.col("_maxpage") < ppb).drop("_maxpage")
     big = routed.filter(F.col("_maxpage") >= ppb).drop("_maxpage")
+    return _salted_from_parts(small, big, ppb)
 
-    small_out = pipeline.extract(small)
 
-    # Tail: one doc-global kernel -> bucket rows -> salt shuffle -> rank.
-    buckets = big.mapInArrow(_bucketize_kernel(ppb), schema=BUCKET_DDL)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    spread = buckets.repartition(n_part)
-    big_out = spread.mapInArrow(_rank_kernel, schema=OUT_SPANS_DDL)
+def extract_salted_pruned(spark, path: str) -> DataFrame:
+    """``extract_salted`` over a corpus LANDED with the ``size_class``
+    partition column (corpus.materialize_spans): the small/big routing
+    becomes partition PRUNING — each side's scan reads only its class's
+    files, so the tail-routing pass stops re-reading 100% of the corpus
+    (the BENCH.md remedy for the salted-path scaling gap).
 
-    return small_out.unionByName(big_out)
+    The landing boundary is PAGES_PER_BUCKET; this reader must use the
+    same constant, so it takes no ppb parameter."""
+    src = spark.read.parquet(path)
+    assert "size_class" in src.columns, (
+        f"{path} was not landed with the size_class partition column; "
+        "use corpus.materialize_spans to land it, or extract_salted()"
+    )
+    small = src.filter(F.col("size_class") == "small").select("doc_id", "spans")
+    big = src.filter(F.col("size_class") == "big").select("doc_id", "spans")
+    return _salted_from_parts(small, big, PAGES_PER_BUCKET)

@@ -1,13 +1,14 @@
 """Pure-JVM (DataFrame-expression) implementation of the flagship spec.
 
 A third, fully independent implementation of the extraction semantics —
-no Python UDFs at all: normalization is Java-regex, group statistics are
-window functions, boilerplate keys are an aggregate + broadcast anti-join,
-and the order is a window rank. Everything stays inside whole-stage
-codegen; the price is three shuffles (two window partitionings + the
-rank), which is why the Arrow kernel (zero shuffles) is the production
-path — this one exists to (a) triangulate the spec (oracle == pandas ==
-Arrow == SQL), and (b) serve deployments that forbid Python workers.
+no Python UDFs at all: normalization is Java-regex, and ALL group
+statistics (boilerplate distinct-page counts, two-up page stats, the
+reading-order rank) are window functions over ONE doc_id hash
+partitioning — a single shuffle exchange, no joins, one pass over the
+input. Everything else stays inside whole-stage codegen. The Arrow
+kernel (zero shuffles) remains the production path — this one exists to
+(a) triangulate the spec (oracle == pandas == Arrow == SQL), and
+(b) serve deployments that forbid Python workers.
 
 Unicode note: Java's ``\\s`` is ASCII-only, so the strip/empty-drop uses
 ``(?U)`` (UNICODE_CHARACTER_CLASS), matching Python ``str.strip`` on all
@@ -54,7 +55,14 @@ def extract_sql(df: DataFrame) -> DataFrame:
         .withColumn("x", F.expr(f"offset % {PAGE_W}"))
     )
 
-    # 4: boilerplate strip — key aggregation + broadcast anti-join
+    # 4: boilerplate strip — entirely as WINDOW distinct-counts, no
+    # groupBy/join: the previous agg + broadcast-anti-join shape made
+    # Catalyst plan THREE branches, each re-running the explode +
+    # normalization with its own exchange (column pruning below the
+    # exchanges defeats reuse). A distinct count becomes a
+    # row_number-==-1 indicator summed over the coarser window, so the
+    # whole query is ONE hash-exchange on doc_id, a few co-partitioned
+    # sorts, and a single pass over the input.
     zone = (
         F.when(F.col("y") < HEADER_ZONE, 1)
         .when(F.col("y") >= PAGE_H - FOOTER_ZONE, 2)
@@ -63,36 +71,32 @@ def extract_sql(df: DataFrame) -> DataFrame:
     flat = flat.withColumn(
         "zone", F.when(F.col("kind") == "text", zone).otherwise(F.lit(0))
     )
-    n_pages = flat.groupBy("doc_id").agg(F.countDistinct("page").alias("np"))
-    # aggregate and anti-join on xxhash64(norm), not the raw string — the
-    # shuffle and broadcast carry fixed-width keys (same trick as the
-    # salted path; a collision would need two distinct header/footer
-    # strings in one doc+zone with equal 64-bit hashes)
+    # boilerplate key = xxhash64(norm): fixed-width in the sort (a
+    # collision would need two distinct header/footer strings in one
+    # doc+zone with equal 64-bit hashes)
     flat = flat.withColumn(
         "th",
         F.when(F.col("zone") > 0, F.xxhash64("norm")).otherwise(F.lit(None)),
     )
-    keys = (
-        flat.filter(F.col("zone") > 0)
-        .groupBy("doc_id", "zone", "th")
-        .agg(F.countDistinct("page").alias("zp"))
-        .join(n_pages, "doc_id")
-        .filter(
-            (F.col("np") >= MIN_PAGES_BOILERPLATE)
-            & (F.col("zp") >= F.ceil(F.lit(BOILERPLATE_FRAC) * F.col("np")))
-        )
-        .select("doc_id", "zone", "th")
+    # the ONE exchange: doc_id hash-partitioning satisfies every window
+    # below (all partition keys have doc_id as a prefix)
+    flat = flat.repartition("doc_id")
+    w_kp = W.partitionBy("doc_id", "zone", "th", "page").orderBy(F.lit(1))
+    w_key = W.partitionBy("doc_id", "zone", "th")
+    w_dp1 = W.partitionBy("doc_id", "page").orderBy(F.lit(1))
+    w_doc = W.partitionBy("doc_id")
+    flat = (
+        flat.withColumn("_fkp", (F.row_number().over(w_kp) == 1).cast("int"))
+        .withColumn("zp", F.sum("_fkp").over(w_key))     # distinct pages / key
+        .withColumn("_fdp", (F.row_number().over(w_dp1) == 1).cast("int"))
+        .withColumn("np", F.sum("_fdp").over(w_doc))     # distinct pages / doc
     )
-    kept = flat.join(
-        F.broadcast(keys), ["doc_id", "zone", "th"], "left_anti"
-    ).drop("th")
-
-    # 5: two-up detection — window aggregates per (doc, page).
-    # One explicit repartition on doc_id serves BOTH windows: hash
-    # clustering on doc_id satisfies the (doc, page) distribution (equal
-    # (doc, page) rows co-locate) and the rank window's (doc) one, so
-    # Catalyst inserts no further exchange — one wide shuffle, two sorts.
-    kept = kept.repartition("doc_id")
+    boiler = (
+        (F.col("zone") > 0)
+        & (F.col("np") >= MIN_PAGES_BOILERPLATE)
+        & (F.col("zp") >= F.ceil(F.lit(BOILERPLATE_FRAC) * F.col("np")))
+    )
+    kept = flat.filter(~boiler).drop("_fkp", "_fdp", "zp", "np", "th")
     wp = W.partitionBy("doc_id", "page")
     left = F.sum((F.col("x") < CX - GUTTER_HALF).cast("int")).over(wp)
     right = F.sum((F.col("x") >= CX + GUTTER_HALF).cast("int")).over(wp)

@@ -75,6 +75,25 @@ def test_salted_bounds_task_size(spark):
     assert mx <= ppb
 
 
+def test_salted_pruned_matches_plain(spark, tmp_path):
+    """The size_class-partitioned landing + pruned routing must be
+    span-for-span identical to the plain nested path, and the landed
+    layout must actually carry both partition classes."""
+    import os
+
+    from dd_ops_ocr_spark.plans.salting import extract_salted_pruned
+
+    path = str(tmp_path / "spans_sc.parquet")
+    corpus.materialize_spans(spark, SF_SMOKE, path, n_partitions=8)
+    classes = {
+        n.split("=")[1] for n in os.listdir(path) if n.startswith("size_class=")
+    }
+    assert classes == {"small", "big"}, classes
+    got = _tuples(extract_salted_pruned(spark, path).toPandas())
+    want = _tuples(pipeline.extract(corpus.build_spans_df(spark, SF_SMOKE)).toPandas())
+    assert got == want
+
+
 def test_salted_with_no_tail_docs(spark):
     """A corpus with no doc over the bucket threshold must take the plain
     path wholesale — identical output, empty tail branch."""
