@@ -301,6 +301,62 @@ FROM raw WHERE kind = 'media'
 """
 
 
+# md5-derived synth geometry (multimodal.synth_geometry), restated in SQL:
+# one definition, two spellings — the same trick as the whitespace class.
+_GEOM_SQL = """
+  SELECT media_ref,
+         CAST(8 + CAST(('0x' || substr(md5(media_ref), 1, 2)) AS INT) % 24
+              AS INT) AS width,
+         CAST(6 + CAST(('0x' || substr(md5(media_ref), 3, 2)) AS INT) % 20
+              AS INT) AS height
+  FROM (SELECT media_ref FROM raw WHERE kind = 'media')
+"""
+
+# exact 24-bit BMP payload size for (w, h): 54-byte headers + 4-byte-padded rows
+_BMP_BYTES_SQL = "CAST(54 + ((width * 3 + 3) // 4) * 4 * height AS BIGINT)"
+
+
+def _media_cte(path: str) -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, UNNEST(spans, recursive := true)
+  FROM read_parquet('{path}')
+),
+g AS ({_GEOM_SQL})
+"""
+
+
+def media_metadata_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_metadata's SQL-statable surface: the media
+    ref set, format, exact BMP byte size, and the TRUE decoded dimensions
+    (the md5 synth geometry — the decoder must recover exactly these).
+    The pixel hash stays pytest-verified."""
+    return _media_cte(path) + f"""
+SELECT media_ref, 'bmp' AS format, {_BMP_BYTES_SQL} AS n_bytes, width, height
+FROM g
+"""
+
+
+def media_metadata_jpeg_oracle_sql(path: str) -> str:
+    """Same for the JPEG payload query: the decoder must recover the true
+    dimensions from the entropy-coded payload (byte size is entropy-
+    dependent and pytest-checked instead)."""
+    return _media_cte(path) + """
+SELECT media_ref, 'jpeg' AS format, width, height
+FROM g
+"""
+
+
+def media_frame_sample_oracle_sql(path: str, n_frames: int = 4) -> str:
+    """Frame sampling invariants in SQL: n_frames rows per media span,
+    each frame a re-encoded BMP of exactly the source geometry's size."""
+    return _media_cte(path) + f"""
+SELECT media_ref, CAST(t.i AS INT) AS frame_idx,
+       {_BMP_BYTES_SQL} AS frame_bytes
+FROM g, UNNEST(range(0, {n_frames})) AS t(i)
+"""
+
+
 def metrics_oracle_sql(path: str) -> str:
     """DuckDB equivalent of pipeline.metrics over the extraction output."""
     return _extract_cte(path) + """

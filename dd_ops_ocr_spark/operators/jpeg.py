@@ -1,0 +1,516 @@
+"""Pure-numpy baseline JPEG codec (no external image libraries).
+
+The reference's page media is JPEG (q95 renders,
+reference: src/modules/step1/03_image_converter.py:42-57); this container
+has no Pillow/OpenCV, so the multimodal path gets a real, library-free
+baseline-JPEG implementation:
+
+  * ``decode_jpeg``  — baseline sequential DCT (SOF0), arbitrary Huffman
+    tables from DHT, 4:4:4 / 4:2:2 / 4:2:0 / grayscale sampling, restart
+    markers, byte-unstuffing. Progressive (SOF2) and arithmetic coding
+    raise NotImplementedError.
+  * ``encode_jpeg``  — baseline encoder (4:4:4 or 4:2:0), quality-scaled
+    Annex-K quantization tables, single-length canonical Huffman tables
+    (valid per the spec — DHT carries whatever tables the scan uses, and
+    interop decoders read them from the file).
+  * ``jpeg_dimensions`` — header-only (SOFn) width/height probe, no
+    entropy decode.
+
+Per-pixel Huffman work is Python-slow; the multimodal operators use this
+for small payloads/fixtures and document codec injection for bulk media.
+Everything here is from the public JPEG spec (ITU T.81) + JFIF.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+def _zigzag() -> np.ndarray:
+    order = []
+    for s in range(15):
+        ys = list(range(max(0, s - 7), min(s, 7) + 1))
+        for y in (ys if s % 2 == 1 else reversed(ys)):
+            order.append(y * 8 + (s - y))
+    return np.array(order, dtype=np.int64)
+
+
+ZZ = _zigzag()          # zigzag position k -> raster index
+UNZZ = np.argsort(ZZ)   # raster index -> zigzag position
+
+# Annex K base quantization tables (luminance / chrominance)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    c = np.sqrt(2.0 / 8.0) * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+DCT = _dct_matrix()  # forward: DCT @ B @ DCT.T ; inverse: DCT.T @ F @ DCT
+
+# Simple valid Huffman tables for the ENCODER: all DC categories (0-11)
+# at 4 bits, all 162 AC symbols at 8 bits. Single-length canonical codes
+# are a legal JPEG Huffman specification (no all-ones code is assigned),
+# and the decoder reads tables from DHT, so interop is by construction.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12          # 12 codes of length 4
+_ENC_AC_BITS = [0] * 7 + [len(_AC_SYMS)] + [0] * 8  # 162 codes of length 8
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC_CODES = _canonical_codes(_ENC_DC_BITS, _DC_SYMS)
+_ENC_AC_CODES = _canonical_codes(_ENC_AC_BITS, _AC_SYMS)
+
+
+# ---------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits = 0
+            self.acc = 0
+        return bytes(self.buf)
+
+
+def _category(v: int) -> tuple[int, int]:
+    """value -> (size, size-bit code) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
+                  pred: int, dc_codes, ac_codes) -> int:
+    coef = np.round((DCT @ (block - 128.0) @ DCT.T) / qt.reshape(8, 8))
+    coef = coef.astype(np.int64).reshape(-1)[ZZ]  # zigzag order
+    dc = int(coef[0])
+    size, code = _category(dc - pred)
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(code, size)
+    run = 0
+    # index of the last nonzero AC coefficient
+    nz = np.flatnonzero(coef[1:])
+    last = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, code = _category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(code, size)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return dc
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _pad_to(arr: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = arr.shape
+    ph = (mh - h % mh) % mh
+    pw = (mw - w % mw) % mw
+    return np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 75,
+                subsampling: str = "4:2:0") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes."""
+    h, w, _ = pixels.shape
+    qt_l = _scaled_qt(QT_LUMA, quality)
+    qt_c = _scaled_qt(QT_CHROMA, quality)
+    # DQT stores tables in zigzag order
+    qt_l_zz = qt_l[ZZ]
+    qt_c_zz = qt_c[ZZ]
+
+    sub = {"4:4:4": (1, 1), "4:2:0": (2, 2)}[subsampling]
+    hs, vs = sub
+    y, cb, cr = _rgb_to_ycbcr(pixels)
+    if hs == 2:
+        # box-filter 2x2 chroma downsample on an edge-padded plane
+        cbp = _pad_to(cb, 2, 2)
+        crp = _pad_to(cr, 2, 2)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+    y = _pad_to(y, 8 * vs, 8 * hs)
+    cb = _pad_to(cb, 8, 8)
+    cr = _pad_to(cr, 8, 8)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]  # DC predictors Y, Cb, Cr
+    mcus_y = y.shape[0] // (8 * vs)
+    mcus_x = y.shape[1] // (8 * hs)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(vs):
+                for bx in range(hs):
+                    r0 = (my * vs + by) * 8
+                    c0 = (mx * hs + bx) * 8
+                    pred[0] = _encode_block(
+                        bw, y[r0:r0 + 8, c0:c0 + 8], qt_l, pred[0],
+                        _ENC_DC_CODES, _ENC_AC_CODES,
+                    )
+            for ci, plane in ((1, cb), (2, cr)):
+                r0, c0 = my * 8, mx * 8
+                pred[ci] = _encode_block(
+                    bw, plane[r0:r0 + 8, c0:c0 + 8], qt_c, pred[ci],
+                    _ENC_DC_CODES, _ENC_AC_CODES,
+                )
+    scan = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")  # APP0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l_zz.tolist())
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c_zz.tolist())
+    # SOF0: 3 components, Y uses sampling (hs, vs), chroma (1, 1)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, hs << 4 | vs, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _ENC_DC_BITS, _DC_SYMS)
+    out += _dht_segment(1, 0, _ENC_AC_BITS, _AC_SYMS)
+    out += _dht_segment(0, 1, _ENC_DC_BITS, _DC_SYMS)
+    out += _dht_segment(1, 1, _ENC_AC_BITS, _AC_SYMS)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise EOFError("truncated JPEG scan")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn inside _fill shouldn't happen
+                raise EOFError("unexpected RST")
+            else:
+                self.marker = nxt
+                raise EOFError("marker reached")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self) -> None:
+        """Consume padding + an RSTn marker (restart interval boundary)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise EOFError("missing RST marker")
+
+
+def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    codes = _canonical_codes(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in codes.items()}
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the SOFn header — no entropy decode."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", payload, pos + 5)
+            return w, h
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qts: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2: pos + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(seg, dtype=np.uint8, count=64, offset=o + 1)
+                qt = np.zeros(64, dtype=np.int64)
+                qt[ZZ] = zz  # de-zigzag
+                qts[tq] = qt
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1: o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17: o + 17 + nv])
+                table = _build_decode_table(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = table
+                o += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("progressive/extended JPEG (not baseline)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i: 3 + 2 * i]
+                for c in comps:
+                    if c["id"] == cid:
+                        c["td"], c["ta"] = tt >> 4, tt & 0xF
+            scan_start = pos + seg_len
+            return _decode_scan(
+                payload, scan_start, w, h, comps, qts, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seg_len
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
+                 restart_interval) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        )
+    br = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_and_expect_rst()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                qt = qts[c["tq"]]
+                dct_tab = huff_dc[c["td"]]
+                act_tab = huff_ac[c["ta"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        s = _decode_huff(br, dct_tab)
+                        diff = _extend(br.receive(s), s)
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, act_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            coef[k] = _extend(br.receive(size), size)
+                            k += 1
+                        block = (coef * qt)[UNZZ].reshape(8, 8)
+                        px = DCT.T @ block.astype(np.float64) @ DCT + 128.0
+                        r0 = (my * c["v"] + by) * 8
+                        c0 = (mx * c["h"] + bx) * 8
+                        planes[ci][r0:r0 + 8, c0:c0 + 8] = px
+            mcu_count += 1
+
+    # upsample chroma to full resolution (nearest), crop, color-convert
+    full = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

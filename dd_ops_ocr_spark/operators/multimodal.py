@@ -4,13 +4,17 @@ Media payloads are opaque ``binary`` columns with typed metadata, exactly
 as a 100 TB interleaved corpus stores them (the reference's equivalent is
 JPEG page images on disk, step1/03_image_converter.py). The Spark-side
 plumbing — schema, Arrow batch shape, mapInPandas signatures, partition
-behavior — is real and tested, and so is one full codec: a pure-numpy
-24-bit **BMP** decoder/encoder (the format needs no external library),
-through which real pixels flow end to end — decode -> nearest-neighbor
-resample -> re-encode -> average-hash. Formats that require external
-codecs (JPEG/PNG/video) raise NotImplementedError at ``decode_image``
-and keep the documented deterministic-fake fallback
-(``fake_decode_batch``) for plumbing tests.
+behavior — is real and tested, and so are TWO full pure-numpy codecs
+through which real pixels flow end to end (decode -> nearest-neighbor
+resample -> re-encode -> average-hash):
+
+  * 24-bit **BMP** (lossless, below), and
+  * baseline **JPEG** (operators/jpeg.py — the reference's actual media
+    format, q95 per step1/03_image_converter.py:42-57).
+
+Formats still needing external codecs (PNG/video) raise
+NotImplementedError at ``decode_image`` and keep the documented
+deterministic-fake fallback (``fake_decode_batch``) for plumbing tests.
 """
 
 from __future__ import annotations
@@ -73,16 +77,31 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Decode a media payload to (h, w, 3) uint8 RGB. BMP decodes natively
-    (pure numpy); JPEG/PNG/etc. require external codecs not present in
-    this container and raise NotImplementedError (the integration point
-    for a real Pillow/OpenCV deployment)."""
+def detect_format(payload: bytes) -> str:
     if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return "unknown"
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a media payload to (h, w, 3) uint8 RGB. BMP and baseline
+    JPEG decode natively (pure numpy — operators/jpeg.py, the reference's
+    page media is JPEG q95); PNG/video still require external codecs and
+    raise NotImplementedError (the integration point for a real
+    Pillow/OpenCV deployment)."""
+    fmt = detect_format(payload)
+    if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "jpeg":
+        from dd_ops_ocr_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP decodes natively; JPEG/PNG need PIL/opencv — inject a "
-        "decoder into media_metadata(decoder=...)"
+        f"no native {fmt} decoder; inject one into media_metadata(decoder=...)"
     )
 
 
@@ -117,36 +136,63 @@ def synth_payload(media_ref: str, n_bytes: int = 64) -> bytes:
     return bytes(out[:n_bytes])
 
 
+def synth_geometry(media_ref: str) -> tuple[int, int]:
+    """Deterministic (w, h) for a synthetic payload, derived via md5 so
+    the SAME arithmetic is statable in DuckDB SQL — this is what lets the
+    driver hash-check the media queries' dimensions/sizes instead of
+    recording them rows-only (md5 exists in both engines; the old mix64
+    seed did not)."""
+    import hashlib
+
+    hx = hashlib.md5(media_ref.encode()).hexdigest()
+    w = 8 + int(hx[:2], 16) % 24
+    h = 6 + int(hx[2:4], 16) % 20
+    return w, h
+
+
+def _synth_pixels(media_ref: str) -> np.ndarray:
+    seed = mix64(int.from_bytes(media_ref.encode()[:8].ljust(8, b"\0"), "little"))
+    w, h = synth_geometry(media_ref)
+    idx = np.arange(h * w * 3, dtype=np.uint64)
+    vals = idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)
+    px = ((vals >> np.uint64(32)) & np.uint64(0xFF)).astype(np.uint8)
+    return px.reshape(h, w, 3)
+
+
 def synth_bmp_payload(media_ref: str) -> bytes:
     """Deterministic small REAL BMP derived from the ref string: the
     image content is synthetic (no image libs to rasterize anything
     else), but the bytes are a spec-correct 24-bit BMP that any decoder
     can open."""
-    seed = mix64(int.from_bytes(media_ref.encode()[:8].ljust(8, b"\0"), "little"))
-    w = 8 + seed % 24
-    h = 6 + (seed >> 8) % 20
-    idx = np.arange(h * w * 3, dtype=np.uint64)
-    vals = idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)
-    px = ((vals >> np.uint64(32)) & np.uint64(0xFF)).astype(np.uint8)
-    return encode_bmp(px.reshape(h, w, 3))
+    return encode_bmp(_synth_pixels(media_ref))
+
+
+def synth_jpeg_payload(media_ref: str) -> bytes:
+    """Deterministic small REAL baseline JPEG (4:2:0, q95 — the
+    reference's render setting) via the pure-numpy encoder."""
+    from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
+
+    return encode_jpeg(_synth_pixels(media_ref), quality=95, subsampling="4:2:0")
 
 
 # ------------------------------------------------------------- operators
 
 def real_decode_batch(payloads: pd.Series) -> pd.DataFrame:
-    """REAL metadata extraction: decode each BMP payload and derive
-    format, true dimensions, and a real average-hash from the pixels."""
-    n_bytes, widths, heights, phashes = [], [], [], []
+    """REAL metadata extraction: detect the format, decode each payload
+    (BMP or baseline JPEG, both pure numpy), and derive true dimensions
+    plus a real average-hash from the pixels."""
+    n_bytes, fmts, widths, heights, phashes = [], [], [], [], []
     for p in payloads:
         img = decode_image(p)
         n_bytes.append(len(p))
+        fmts.append(detect_format(p))
         heights.append(img.shape[0])
         widths.append(img.shape[1])
         phashes.append(ahash64(img))
     return pd.DataFrame(
         {
             "n_bytes": np.asarray(n_bytes, dtype=np.int64),
-            "format": np.full(len(payloads), "bmp", dtype=object),
+            "format": np.asarray(fmts, dtype=object),
             "width": np.asarray(widths, dtype=np.int32),
             "height": np.asarray(heights, dtype=np.int32),
             "phash": np.asarray(phashes, dtype=np.int64),
@@ -256,7 +302,9 @@ def media_frame_sample(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
-def _media_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_with_payload(
+    spark: SparkSession, sf_dir: str, fmt: str = "bmp"
+) -> DataFrame:
     from dd_ops_ocr_spark import corpus
 
     spans = corpus.build_spans_df_cached(spark, sf_dir)
@@ -265,11 +313,12 @@ def _media_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s.kind") == "media")
         .select(F.col("s.media_ref").alias("media_ref"))
     )
+    synth = synth_jpeg_payload if fmt == "jpeg" else synth_bmp_payload
 
     def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = [synth_bmp_payload(r) for r in pdf["media_ref"]]
+            pdf["payload"] = [synth(r) for r in pdf["media_ref"]]
             yield pdf
 
     return media.mapInPandas(
@@ -279,10 +328,23 @@ def _media_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize real BMP payloads from the corpus
-    generator's media spans, then run the REAL decode+hash metadata path.
-    Rows-only (binary plumbing is not SQL-expressible); pytest checks the
-    codec round-trip, dimensions, and hash determinism."""
-    return media_metadata(_media_with_payload(spark, sf_dir))
+    generator's media spans, run the REAL decode path, and emit the
+    SQL-statable surface (ref, format, byte size, true decoded
+    dimensions — all derivable from the md5 geometry, so the driver
+    hash-checks them). The pixel hash (phash) is not SQL-expressible and
+    is verified by pytest (test_media_metadata_plumbing)."""
+    out = media_metadata(_media_with_payload(spark, sf_dir))
+    return out.select("media_ref", "format", "n_bytes", "width", "height")
+
+
+def q_media_metadata_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same metadata path over REAL baseline-JPEG payloads (q95 4:2:0 —
+    the reference's render setting): the decoder must recover the true
+    dimensions, which the oracle re-derives from the md5 geometry. JPEG
+    byte size depends on entropy coding and is checked by pytest, not
+    SQL."""
+    out = media_metadata(_media_with_payload(spark, sf_dir, fmt="jpeg"))
+    return out.select("media_ref", "format", "width", "height")
 
 
 RESIZE_W, RESIZE_H = 16, 20  # small target keeps the sf0.01 query light
@@ -308,7 +370,10 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "media_metadata": q_media_metadata,
+    "media_metadata_jpeg": q_media_metadata_jpeg,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
 }
+# SQL oracles for these need the materialized spans fixture path —
+# registered by registry.register_flagship_oracles via fixtures.py.
 ORACLE_SQL: dict[str, str] = {}

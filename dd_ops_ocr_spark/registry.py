@@ -78,6 +78,9 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
         path, RISK_DIM_DEFAULT_SQL
     )
     ORACLE_SQL["media_resize"] = fixtures.media_resize_oracle_sql(path)
+    ORACLE_SQL["media_metadata"] = fixtures.media_metadata_oracle_sql(path)
+    ORACLE_SQL["media_metadata_jpeg"] = fixtures.media_metadata_jpeg_oracle_sql(path)
+    ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
 
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402

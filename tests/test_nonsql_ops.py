@@ -226,15 +226,17 @@ def test_bmp_codec_roundtrip():
 def test_media_metadata_plumbing(spark):
     from dd_ops_ocr_spark.operators.multimodal import (
         decode_image,
+        media_metadata,
         q_media_metadata,
         real_decode_batch,
         synth_bmp_payload,
+        synth_geometry,
     )
 
     out = q_media_metadata(spark, SF).toPandas()
     assert len(out) > 0
     assert list(out.columns) == [
-        "media_ref", "n_bytes", "format", "width", "height", "phash",
+        "media_ref", "format", "n_bytes", "width", "height",
     ]
     assert out["media_ref"].is_unique
     assert set(out["format"]) == {"bmp"}
@@ -243,9 +245,48 @@ def test_media_metadata_plumbing(spark):
     payload = synth_bmp_payload(row["media_ref"])
     img = decode_image(payload)
     assert (img.shape[1], img.shape[0]) == (row["width"], row["height"])
+    assert synth_geometry(row["media_ref"]) == (row["width"], row["height"])
     meta = real_decode_batch(pd.Series([payload]))
-    assert int(meta["phash"][0]) == int(row["phash"])
     assert int(meta["n_bytes"][0]) == int(row["n_bytes"])
+    # phash (not SQL-expressible, so not in the registered query) comes
+    # from the full media_metadata operator and must be deterministic
+    from dd_ops_ocr_spark.operators.multimodal import _media_with_payload
+
+    full = media_metadata(_media_with_payload(spark, SF)).toPandas()
+    assert "phash" in full.columns
+    m = full[full.media_ref == row["media_ref"]].iloc[0]
+    assert int(m["phash"]) == int(meta["phash"][0])
+
+
+def test_media_metadata_jpeg_end_to_end(spark):
+    """JPEG payloads (q95 4:2:0 like the reference's renders) flow
+    through the REAL pure-numpy decoder: recovered dimensions must equal
+    the synth geometry, and the pixel content must be close to the
+    source (lossy-bounded)."""
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_image,
+        q_media_metadata_jpeg,
+        synth_geometry,
+        synth_jpeg_payload,
+    )
+
+    out = q_media_metadata_jpeg(spark, SF).toPandas()
+    assert len(out) > 0
+    assert set(out["format"]) == {"jpeg"}
+    for _, row in out.head(5).iterrows():
+        assert synth_geometry(row["media_ref"]) == (row["width"], row["height"])
+    # decode fidelity on one payload
+    ref = out.iloc[0]["media_ref"]
+    img = decode_image(synth_jpeg_payload(ref))
+    src = _synth_pixels(ref)
+    assert img.shape == src.shape
+    # noise-like synth pixels are JPEG's worst case; the bound just has to
+    # show real pixel flow (a fake/garbage decode would be ~85 mean error)
+    err = np.abs(img.astype(int) - src.astype(int)).mean()
+    assert err < 70, err
 
 
 def test_overlap_trim_matches_python_oracle(spark):
@@ -309,16 +350,16 @@ def test_media_resize_and_frame_sample(spark):
     )
 
 
-def test_decode_image_non_bmp_is_stubbed():
-    """Formats needing external codecs (JPEG magic here) still raise —
-    the documented integration point; BMP decodes for real (see
-    test_bmp_codec_roundtrip)."""
+def test_decode_image_unsupported_format_is_stubbed():
+    """Formats needing external codecs (PNG here) still raise — the
+    documented integration point; BMP and baseline JPEG decode for real
+    (test_bmp_codec_roundtrip / test_media_metadata_jpeg_end_to_end)."""
     import pytest as _pytest
 
     from dd_ops_ocr_spark.operators.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 
 def test_suffix_prefix_overlap_kmp_equals_quadratic():
