@@ -260,62 +260,76 @@ def _ivf_centroids(vecs: np.ndarray) -> np.ndarray:
     return c
 
 
+def _seq_sq_norm(c: np.ndarray) -> float:
+    """Strict left-to-right sum of squares — the ONE value both engines
+    see as a literal (no cross-engine float summation to match)."""
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    return acc
+
+
+def train_ivf_centroids_local(sf_dir: str) -> np.ndarray:
+    """The same bounded training the Spark query does, without Spark
+    (pyarrow read of the first 512 vectors by vec_id): parquet float32 ->
+    float64 widening is exact in both readers, so the centroids are
+    bit-identical — this is what lets the DuckDB oracle bake the SAME
+    literals."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    t = t.sort_values("vec_id").head(512)
+    return _ivf_centroids(np.stack(t["embedding"].to_numpy()).astype(np.float64))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — the other scale path the LSH variant complements:
     a deterministic k-means coarse quantizer (trained on the driver from
-    a bounded sample, broadcast), cells assigned by a vectorized numpy
-    argmin inside mapInPandas that emits (vec_id, cell, v) in one pass
-    (no self-join to recover the vector — plan-asserted), search
-    restricted to the query's N_PROBE nearest cells, exact cosine
-    re-rank top-3 (recall@3 vs brute asserted >= 0.6 in
-    tests/test_nonsql_ops.py). Rows-only for the driver
-    (k-means is not SQL-expressible); pytest checks cell assignment and
-    results against a pure-numpy reference."""
+    a bounded 512-row sample), with the trained centroids baked into the
+    plan as LITERALS. Cell assignment and probe selection are pure
+    map-side JVM expressions: score_j = ||c_j||^2 - 2*<v, c_j> (the
+    ||v||^2 term is row-constant, so argmin is unchanged), with the dot
+    product as an in-order float64 fold — bit-identical to DuckDB's
+    list_dot_product, which is what makes this query fully
+    hash-checkable against SQL_ANN_IVF (the literals, the fold order,
+    and the tie-breaks all match). Search then restricts to the query's
+    N_PROBE nearest cells with an exact cosine re-rank top-3 (recall@3
+    vs brute asserted >= 0.6 in tests/test_nonsql_ops.py)."""
     emb = _emb(spark, sf_dir)
     # bounded training sample, deterministic order
     sample = emb.orderBy("vec_id").limit(512).collect()
     vecs = np.array([r["v"] for r in sample], dtype=np.float64)
     centroids = _ivf_centroids(vecs)
-    c_bc = spark.sparkContext.broadcast(centroids)
 
-    def assign(batches):
-        # emits v alongside the cell so no self-join is needed downstream
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.stack(pdf["v"].to_numpy())
-            d = ((m[:, None, :] - c_bc.value[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(),
-                 "cell": d.argmin(axis=1).astype("int32"),
-                 "v": pdf["v"]}
-            )
-
-    embs = emb.mapInPandas(
-        assign, schema="vec_id long, cell int, v array<double>"
+    structs = []
+    for j, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        score = F.lit(_seq_sq_norm(c)) - F.lit(2.0) * _dot(F.col("v"), cv)
+        structs.append(F.struct(score.alias("s"), F.lit(j).alias("c")))
+    scored = emb.select("vec_id", "v", F.array(*structs).alias("sc"))
+    # argmin / top-N_PROBE via struct ordering (score, then cell) — the
+    # same tie-break as the oracle's ORDER BY s, cell; both map-side.
+    assigned = scored.select(
+        "vec_id", "v", F.array_min("sc")["c"].alias("cell")
     )
-
-    def probe(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.stack(pdf["v"].to_numpy())
-            d = ((m[:, None, :] - c_bc.value[None, :, :]) ** 2).sum(axis=2)
-            near = np.argsort(d, axis=1, kind="stable")[:, :N_PROBE]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), N_PROBE),
-                    "cell": near.reshape(-1).astype("int32"),
-                }
-            )
-
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    probes = queries.mapInPandas(probe, schema="query_id long, cell int")
-    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    probes = (
+        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort("sc"), 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", F.col("p.c").alias("cell"))
+    )
+    qv = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     cand = (
-        probes.join(embs.select(F.col("vec_id").alias("neighbor_id"), "v",
-                                "cell"), "cell")
+        probes.join(
+            assigned.select(F.col("vec_id").alias("neighbor_id"), "v", "cell"),
+            "cell",
+        )
         .join(F.broadcast(qv), "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -332,6 +346,63 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("rank").cast("long").alias("rank"),
                 "neighbor_id", F.round("sim", 9).alias("sim"))
     )
+
+
+def ann_ivf_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of q_ann_ivf_topk: the same trained centroids as
+    VALUES literals, the same score formula over list_dot_product, the
+    same (score, cell) tie-breaks, probe join, and cosine re-rank."""
+    cents = train_ivf_centroids_local(sf_dir)
+    rows = []
+    for j, c in enumerate(cents):
+        lst = ", ".join(repr(float(x)) for x in c)
+        rows.append(f"({j}, {repr(_seq_sq_norm(c))}, [{lst}]::DOUBLE[])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cell, c2, cv) AS (VALUES {values}),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell,
+         c.c2 - 2.0 * list_dot_product(e.v, c.cv) AS s
+  FROM e, cent c
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+    FROM scored) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+    FROM scored WHERE vec_id % {QUERY_MOD} = 0) WHERE rn <= {N_PROBE}
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.qv, a.v)
+           / (SQRT(list_dot_product(q.qv, q.qv))
+              * SQRT(list_dot_product(a.v, a.v))) AS sim
+  FROM cand c
+  JOIN q USING (query_id)
+  JOIN assign a ON a.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       ROUND(sim, 9) AS sim
+FROM ranked WHERE rank <= 3
+"""
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,12 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_metadata"] = fixtures.media_metadata_oracle_sql(path)
     ORACLE_SQL["media_metadata_jpeg"] = fixtures.media_metadata_jpeg_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
+    # IVF: the oracle bakes the deterministically-trained centroids as
+    # literals (similarity.train_ivf_centroids_local reads the same
+    # parquet the query trains on)
+    from dd_ops_ocr_spark.operators.similarity import ann_ivf_oracle_sql
+
+    ORACLE_SQL["ann_ivf_topk"] = ann_ivf_oracle_sql(sf_dir)
 
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402

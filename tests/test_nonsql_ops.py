@@ -127,7 +127,12 @@ def test_ivf_ann_matches_numpy_oracle(spark):
     ids = emb["vec_id"].to_numpy()
     m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     cents = _ivf_centroids(m[:512])
-    d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    # score as the operator computes it: ||c||^2 (sequential sum literal)
+    # - 2*<v,c> with a strict left-to-right fold (np.cumsum is sequential;
+    # plain np.sum is pairwise and can flip near-ties)
+    c2 = np.cumsum(cents * cents, axis=1)[:, -1]
+    dotvc = np.cumsum(m[:, None, :] * cents[None, :, :], axis=2)[:, :, -1]
+    d = c2[None, :] - 2.0 * dotvc
     cell = d.argmin(axis=1)
     norms = np.sqrt((m * m).sum(axis=1))
     expected = {}
