@@ -153,6 +153,11 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "files": all_files,
             "aux": all_aux,
+            # schema rides in the manifest (like Iceberg's) so a snapshot
+            # whose data file list is EMPTY — e.g. a batch where every doc
+            # legitimately extracted to zero rows — stays readable as an
+            # empty DataFrame instead of crashing the parquet reader.
+            "schema": df.schema.json(),
             "properties": properties or {},
         }
         try:
@@ -170,7 +175,20 @@ def read_table(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     m = _read_manifest(table_dir, sid)
     paths = [os.path.join(table_dir, "data", f) for f in m["files"]]
+    if not paths:
+        return _empty_df(spark, m)
     return spark.read.parquet(*paths)
+
+
+def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    schema_json = manifest.get("schema")
+    if schema_json is None:
+        raise FileNotFoundError(
+            "snapshot has no data files and no recorded schema"
+        )
+    return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
 
 
 def read_aux(spark: SparkSession, table_dir: str, name: str,

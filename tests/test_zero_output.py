@@ -106,6 +106,26 @@ def test_incremental_zero_output_doc_counts_as_seen(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_incremental_all_zero_output_batch(spark):
+    """First batch = ONLY zero-output docs: the snapshot has no data
+    files, yet the table must stay readable (schema rides in the
+    manifest) and re-delivery must be a noop."""
+    batch = _empty_output_doc(spark, "zdoc_a").unionByName(
+        _empty_output_doc(spark, "zdoc_b")
+    )
+    d = tempfile.mkdtemp(prefix="cat_allzero_")
+    try:
+        s1 = incremental.extract_incremental(spark, batch, d, "r1")
+        assert s1["operation"] == "overwrite"
+        got = catalog.read_table(spark, d)
+        assert got.count() == 0
+        assert "doc_id" in got.columns  # schema recovered from manifest
+        s2 = incremental.extract_incremental(spark, batch, d, "r2")
+        assert s2["operation"] == "noop"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_manifest_ids_past_six_digits(tmp_path):
     """snap-{id:06d} grows to 7 digits at 1,000,000 — id parsing and
     lineage ordering must not truncate or lexicographically mis-sort."""
