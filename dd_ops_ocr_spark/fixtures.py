@@ -347,6 +347,16 @@ FROM g
 """
 
 
+def media_metadata_png_oracle_sql(path: str) -> str:
+    """PNG variant: dimensions recovered from the deflate-compressed
+    payload must equal the md5 synth geometry (byte size is
+    deflate-dependent and pytest-checked)."""
+    return _media_cte(path) + """
+SELECT media_ref, 'png' AS format, width, height
+FROM g
+"""
+
+
 def media_frame_sample_oracle_sql(path: str, n_frames: int = 4) -> str:
     """Frame sampling invariants in SQL: n_frames rows per media span,
     each frame a re-encoded BMP of exactly the source geometry's size."""

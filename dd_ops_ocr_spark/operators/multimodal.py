@@ -88,11 +88,12 @@ def detect_format(payload: bytes) -> str:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode a media payload to (h, w, 3) uint8 RGB. BMP and baseline
-    JPEG decode natively (pure numpy — operators/jpeg.py, the reference's
-    page media is JPEG q95); PNG/video still require external codecs and
-    raise NotImplementedError (the integration point for a real
-    Pillow/OpenCV deployment)."""
+    """Decode a media payload to (h, w, 3) uint8 RGB. BMP, baseline JPEG
+    (operators/jpeg.py — the reference's page media is JPEG q95), and PNG
+    (operators/png.py — stdlib zlib + numpy unfiltering) all decode
+    natively; video/webp/etc. still require external codecs and raise
+    NotImplementedError (the integration point for a real Pillow/OpenCV
+    deployment)."""
     fmt = detect_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
@@ -100,6 +101,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from dd_ops_ocr_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt == "png":
+        from dd_ops_ocr_spark.operators.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
         f"no native {fmt} decoder; inject one into media_metadata(decoder=...)"
     )
@@ -173,6 +178,13 @@ def synth_jpeg_payload(media_ref: str) -> bytes:
     from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
 
     return encode_jpeg(_synth_pixels(media_ref), quality=95, subsampling="4:2:0")
+
+
+def synth_png_payload(media_ref: str) -> bytes:
+    """Deterministic small REAL PNG (8-bit truecolor, lossless)."""
+    from dd_ops_ocr_spark.operators.png import encode_png
+
+    return encode_png(_synth_pixels(media_ref))
 
 
 # ------------------------------------------------------------- operators
@@ -313,7 +325,10 @@ def _media_with_payload(
         .filter(F.col("s.kind") == "media")
         .select(F.col("s.media_ref").alias("media_ref"))
     )
-    synth = synth_jpeg_payload if fmt == "jpeg" else synth_bmp_payload
+    synth = {
+        "jpeg": synth_jpeg_payload,
+        "png": synth_png_payload,
+    }.get(fmt, synth_bmp_payload)
 
     def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -347,6 +362,15 @@ def q_media_metadata_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_ref", "format", "width", "height")
 
 
+def q_media_metadata_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same metadata path over REAL PNG payloads (stdlib-zlib codec,
+    operators/png.py): lossless, so beyond the oracle-checked dimensions
+    the pytest also asserts pixel-exact round-trip. Byte size depends on
+    the deflate stream and stays out of the SQL oracle."""
+    out = media_metadata(_media_with_payload(spark, sf_dir, fmt="png"))
+    return out.select("media_ref", "format", "width", "height")
+
+
 RESIZE_W, RESIZE_H = 16, 20  # small target keeps the sf0.01 query light
 
 
@@ -371,6 +395,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_metadata_jpeg": q_media_metadata_jpeg,
+    "media_metadata_png": q_media_metadata_png,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
 }

@@ -80,6 +80,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_resize"] = fixtures.media_resize_oracle_sql(path)
     ORACLE_SQL["media_metadata"] = fixtures.media_metadata_oracle_sql(path)
     ORACLE_SQL["media_metadata_jpeg"] = fixtures.media_metadata_jpeg_oracle_sql(path)
+    ORACLE_SQL["media_metadata_png"] = fixtures.media_metadata_png_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
     # IVF: the oracle bakes the deterministically-trained centroids as
     # literals (similarity.train_ivf_centroids_local reads the same

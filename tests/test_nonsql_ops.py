@@ -356,15 +356,39 @@ def test_media_resize_and_frame_sample(spark):
 
 
 def test_decode_image_unsupported_format_is_stubbed():
-    """Formats needing external codecs (PNG here) still raise — the
-    documented integration point; BMP and baseline JPEG decode for real
-    (test_bmp_codec_roundtrip / test_media_metadata_jpeg_end_to_end)."""
+    """Formats needing external codecs (non-image magic here) still
+    raise — the documented integration point; BMP, baseline JPEG, and
+    PNG decode for real."""
     import pytest as _pytest
 
     from dd_ops_ocr_spark.operators.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # webp magic
+
+
+def test_media_metadata_png_lossless_end_to_end(spark):
+    """PNG payloads flow through the stdlib-zlib decoder: dimensions
+    equal the synth geometry AND pixels round-trip EXACTLY (PNG is
+    lossless, unlike the JPEG bound)."""
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_image,
+        q_media_metadata_png,
+        synth_geometry,
+        synth_png_payload,
+    )
+
+    out = q_media_metadata_png(spark, SF).toPandas()
+    assert len(out) > 0
+    assert set(out["format"]) == {"png"}
+    for _, row in out.head(5).iterrows():
+        assert synth_geometry(row["media_ref"]) == (row["width"], row["height"])
+    ref = out.iloc[0]["media_ref"]
+    img = decode_image(synth_png_payload(ref))
+    assert (img == _synth_pixels(ref)).all()
 
 
 def test_suffix_prefix_overlap_kmp_equals_quadratic():
