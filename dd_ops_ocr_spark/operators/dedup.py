@@ -389,6 +389,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP step of corpus dedup: materialize the corpus with every
+    non-keeper near-duplicate removed (keeper = min doc_id per connected
+    component). This is the operator a training-data pipeline actually
+    runs — clusters are diagnostics; this is the output table. One
+    anti-join of the corpus against the non-keeper set; docs in no
+    cluster pass through untouched."""
+    d = _docs_with_copies(spark, sf_dir)
+    clusters = q_dedup_clusters(spark, sf_dir)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return (
+        d.join(losers, "doc_id", "left_anti")
+        .select("doc_id", F.length("text").cast("long").alias("text_len"))
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> reproducible in pure Python
 
 
@@ -473,6 +491,24 @@ FROM comp c
 JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
       FROM comp GROUP BY cluster_id) s USING (cluster_id)
 """
+
+
+# the KEEP step restated over the same recursive-CTE component labels
+SQL_DEDUP_APPLY = SQL_DEDUP_CLUSTERS.replace(
+    """
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM comp GROUP BY cluster_id) s USING (cluster_id)
+""",
+    """
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS text_len
+FROM d
+ANTI JOIN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id) l
+  ON d.doc_id = l.doc_id
+""",
+)
+assert "text_len" in SQL_DEDUP_APPLY  # the .replace target must keep matching
 
 
 HAM_CHUNKS = 4          # 60 bits -> 4 chunks of 15
@@ -616,6 +652,7 @@ FROM votes
 
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -626,6 +663,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "simhash": SQL_SIMHASH,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
