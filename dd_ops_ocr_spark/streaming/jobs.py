@@ -97,6 +97,35 @@ def stream_dedup_stateful(spark: SparkSession, input_dir: str):
     )
 
 
+def stream_sessionize(
+    spark: SparkSession, input_dir: str, schema, gap: str = "30 minutes"
+):
+    """Event-time SESSION windows per user (`F.session_window` — the
+    built-in dynamic-gap windowing, Spark-first rather than a hand-rolled
+    applyInPandasWithState timeout loop): a session closes after ``gap``
+    of user inactivity past the watermark. The streaming twin of the
+    batch `sessionize` query (operators/textops.py), which computes the
+    same sessions with a lag-window gap test — the two agree on closed
+    sessions."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("session"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_event_metrics(spark: SparkSession, input_dir: str, schema):
     """Watermarked windowed aggregation over an event stream (the metrics
     side-channel; reference writes OcrPageCount rows per request,

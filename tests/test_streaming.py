@@ -106,6 +106,42 @@ def test_stream_dedup_stateful_across_batches(spark):
         shutil.rmtree(land, ignore_errors=True)
 
 
+def test_stream_sessionize_matches_batch(spark):
+    """Streaming session windows (F.session_window) must agree with the
+    batch lag-window sessionization on the same events: same number of
+    sessions per user, same per-session event counts."""
+    from dd_ops_ocr_spark.operators.textops import q_sessionize
+    from dd_ops_ocr_spark.streaming.jobs import stream_sessionize
+
+    land = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{land}/in")
+        agg = stream_sessionize(spark, f"{land}/in", ev.schema)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sess_stream")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql(
+            "select user_id, n_events from sess_stream"
+        ).toPandas()
+        want = q_sessionize(spark, SF_SMOKE).toPandas()
+
+        def sig(df):
+            return {
+                int(u): sorted(g["n_events"].tolist())
+                for u, g in df.groupby("user_id")
+            }
+
+        assert sig(got) == sig(want)
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+
+
 def test_stream_event_metrics_watermark(spark):
     land = tempfile.mkdtemp(prefix="stream_ev_")
     try:
