@@ -1,0 +1,85 @@
+"""Property tests for the pure-numpy image codecs (no Spark session —
+these run fast and hammer the bit-level paths)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dd_ops_ocr_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dimensions,
+)
+from dd_ops_ocr_spark.operators.multimodal import ahash64, decode_bmp, encode_bmp
+from dd_ops_ocr_spark.operators.png import decode_png, encode_png, png_dimensions
+
+
+def _image(w: int, h: int, seed: int, smooth: bool) -> np.ndarray:
+    if smooth:
+        # genuinely low-frequency content (a few counts per pixel of
+        # slope, no wraparound) — JPEG's friendly case at ANY size;
+        # linspace(0,255) over tiny dims would be high-contrast, not smooth
+        y = np.arange(h, dtype=np.float64)[:, None]
+        x = np.arange(w, dtype=np.float64)[None, :]
+        r = np.minimum(3 * x + 2 * y, 255.0)
+        g = np.minimum(64 + 2 * x + 3 * y, 255.0)
+        b = np.full((h, w), (seed * 37) % 200 + 20, dtype=np.float64)
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
+    idx = np.arange(h * w * 3, dtype=np.uint64) + np.uint64(seed)
+    v = (idx * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (v & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
+
+
+dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, st.integers(0, 2**31), st.booleans())
+def test_png_roundtrip_exact(wh, seed, smooth):
+    w, h = wh
+    px = _image(w, h, seed, smooth)
+    data = encode_png(px)
+    assert png_dimensions(data) == (w, h)
+    assert (decode_png(data) == px).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, st.integers(0, 2**31), st.booleans())
+def test_bmp_roundtrip_exact(wh, seed, smooth):
+    w, h = wh
+    px = _image(w, h, seed, smooth)
+    data = encode_bmp(px)
+    out = decode_bmp(data)
+    assert (out == px).all()
+    assert 0 <= ahash64(out) < (1 << 63)
+
+
+@settings(max_examples=15, deadline=None)
+@given(dims, st.integers(0, 2**31),
+       st.sampled_from(["4:4:4", "4:2:0"]),
+       st.sampled_from([50, 75, 95, 100]))
+def test_jpeg_roundtrip_dims_and_bound(wh, seed, sub, q):
+    """JPEG is lossy: dimensions must be exact for every geometry /
+    sampling / quality combination; pixel error must stay within the
+    lossy envelope (structured content at q100 4:4:4 is near-exact)."""
+    w, h = wh
+    px = _image(w, h, seed, smooth=True)
+    data = encode_jpeg(px, quality=q, subsampling=sub)
+    assert jpeg_dimensions(data) == (w, h)
+    out = decode_jpeg(data)
+    assert out.shape == px.shape
+    err = np.abs(out.astype(int) - px.astype(int)).mean()
+    if q == 100 and sub == "4:4:4":
+        assert err < 4.0, err
+    else:
+        assert err < 40.0, (err, q, sub)
+
+
+@settings(max_examples=15, deadline=None)
+@given(dims, st.integers(0, 2**31))
+def test_jpeg_decode_deterministic(wh, seed):
+    w, h = wh
+    px = _image(w, h, seed, smooth=False)
+    data = encode_jpeg(px, quality=80, subsampling="4:2:0")
+    assert decode_jpeg(data).tobytes() == decode_jpeg(data).tobytes()
