@@ -83,6 +83,46 @@ def write_output(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     out.write.mode(mode).partitionBy("bucket").parquet(path)
 
 
+def read_dimension_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S12's real connector shape: the reference reads its Risk dimension
+    from Postgres (reference: src/api/main.py:93-146). This is the
+    deployment reader — `spark.read.jdbc` with bounded parallel partitions
+    when a numeric split column is given (without one, a JDBC read is a
+    SINGLE task hammering the database; never do that for a big table).
+    The sandbox ships no JDBC driver jar, so absence surfaces as a clear
+    NotImplementedError and the in-repo queries use the broadcast
+    dimension stand-in (operators/integrate.read_risk_dim) instead."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "no JDBC driver on the classpath in this environment; pass "
+            "--jars <driver.jar> at spark-submit, or use the broadcast "
+            "dimension stand-in (operators.integrate.read_risk_dim)"
+        ) from exc
+
+
 def try_iceberg_writer(df: DataFrame, table: str):
     """Iceberg append when the runtime has the catalog; otherwise a clear
     error — the sandbox has no Iceberg jars (stub per environment note)."""

@@ -67,3 +67,19 @@ def test_jsonl_source_roundtrips_and_quarantines(spark, tmp_path):
     cols = ["doc_id", "kind", "text", "media_ref", "order"]
     assert a.count() == b.count()
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+
+
+def test_read_dimension_jdbc_gates_cleanly(spark):
+    """No JDBC driver in this sandbox: the reader must surface a clear
+    NotImplementedError (not a raw ClassNotFound) and validate its
+    partitioned-read contract before touching the classpath."""
+    import pytest
+
+    from dd_ops_ocr_spark.sources import read_dimension_jdbc
+
+    with pytest.raises(ValueError, match="bounds"):
+        read_dimension_jdbc(
+            spark, "jdbc:postgresql://db/x", "risk", partition_column="id"
+        )
+    with pytest.raises(NotImplementedError, match="JDBC driver"):
+        read_dimension_jdbc(spark, "jdbc:postgresql://db/x", "risk")
