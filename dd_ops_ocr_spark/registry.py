@@ -49,9 +49,35 @@ def _flagship_extract_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_salted(corpus.build_spans_df_cached(spark, sf_dir))
 
 
+def _flagship_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark import corpus, pipeline
+
+    return pipeline.extract(
+        corpus.build_spans_df_cached(spark, sf_dir), use_arrow=False
+    )
+
+
+def _flagship_extract_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark import corpus, pipeline
+
+    flat = (
+        corpus.build_spans_df_cached(spark, sf_dir)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    )
+    return pipeline.extract_exploded(flat)
+
+
 QUERIES["flagship_extract"] = _flagship_extract
 QUERIES["flagship_extract_sql"] = _flagship_extract_sql
 QUERIES["flagship_extract_salted"] = _flagship_extract_salted
+# every execution path of the same spec is driver-checked against the
+# same DuckDB oracle: Arrow kernel, pure-JVM SQL, salted, pandas kernel,
+# pre-exploded grouped-map
+QUERIES["flagship_extract_pandas"] = _flagship_extract_pandas
+QUERIES["flagship_extract_exploded"] = _flagship_extract_exploded
 QUERIES["flagship_metrics"] = _flagship_metrics
 
 # Flagship-family DuckDB oracles: the driver's correctness pass runs at
@@ -71,6 +97,8 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["flagship_extract"] = sql
     ORACLE_SQL["flagship_extract_sql"] = sql
     ORACLE_SQL["flagship_extract_salted"] = sql
+    ORACLE_SQL["flagship_extract_pandas"] = sql
+    ORACLE_SQL["flagship_extract_exploded"] = sql
     ORACLE_SQL["flagship_metrics"] = fixtures.metrics_oracle_sql(path)
     ORACLE_SQL["integrated_text"] = fixtures.integrated_oracle_sql(path)
     ORACLE_SQL["contract_articles"] = fixtures.contract_articles_oracle_sql(path)
