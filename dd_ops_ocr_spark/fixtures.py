@@ -357,6 +357,15 @@ FROM g
 """
 
 
+def media_binarize_oracle_sql(path: str) -> str:
+    """Binarize keeps the source geometry and re-encodes as 24-bit BMP:
+    the SQL-derivable surface is exactly the media_resize pattern."""
+    return _media_cte(path) + f"""
+SELECT media_ref, width, height, {_BMP_BYTES_SQL} AS payload_bytes
+FROM g
+"""
+
+
 def media_frame_sample_oracle_sql(path: str, n_frames: int = 4) -> str:
     """Frame sampling invariants in SQL: n_frames rows per media span,
     each frame a re-encoded BMP of exactly the source geometry's size."""

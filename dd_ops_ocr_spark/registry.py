@@ -109,6 +109,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_metadata"] = fixtures.media_metadata_oracle_sql(path)
     ORACLE_SQL["media_metadata_jpeg"] = fixtures.media_metadata_jpeg_oracle_sql(path)
     ORACLE_SQL["media_metadata_png"] = fixtures.media_metadata_png_oracle_sql(path)
+    ORACLE_SQL["media_binarize"] = fixtures.media_binarize_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
     # IVF: the oracle bakes the deterministically-trained centroids as
     # literals (similarity.train_ivf_centroids_local reads the same
@@ -130,6 +131,7 @@ from dd_ops_ocr_spark.operators import similarity as _similarity  # noqa: E402
 from dd_ops_ocr_spark.operators import textops as _textops  # noqa: E402
 from dd_ops_ocr_spark.operators import textstats as _textstats  # noqa: E402
 from dd_ops_ocr_spark.operators import typeutils as _typeutils  # noqa: E402
+from dd_ops_ocr_spark.operators import vision as _vision  # noqa: E402
 
 _register(_geometry)
 _register(_merges)
@@ -144,3 +146,4 @@ _register(_heuristics)
 _register(_integrate)
 _register(_jsonops)
 _register(_typeutils)
+_register(_vision)
