@@ -85,3 +85,33 @@ def test_filters_push_to_scan(spark):
     plan = _plan(q_success_filter(spark, SF_SMOKE))
     scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "n_chars" in scan_line, "filter did not reach the scan"
+
+
+def test_salted_pruned_scan_partition_filters(spark, tmp_path):
+    """The size_class-landed salted path must PRUNE at the scan: both
+    FileScans carry a size_class partition filter (reading 1x the corpus
+    total), and neither recomputes the array_max routing expression."""
+    from dd_ops_ocr_spark.plans.salting import extract_salted_pruned
+
+    path = str(tmp_path / "sc.parquet")
+    corpus.materialize_spans(spark, SF_SMOKE, path, n_partitions=4)
+    plan = _plan(extract_salted_pruned(spark, path))
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 2, plan[:1500]
+    for line in scans:
+        assert "PartitionFilters" in line and "size_class" in line, line
+    assert "array_max" not in plan, "pruned path still computes routing"
+
+
+def test_sql_path_single_exchange(spark):
+    """The SQL triangulation path's whole plan is ONE hash exchange on
+    doc_id (window distinct-count rewrite) — no joins, no extra shuffles."""
+    import re
+
+    from dd_ops_ocr_spark.plans.sql_extract import extract_sql
+
+    df = corpus.build_spans_df(spark, SF_SMOKE)
+    plan = _plan(extract_sql(df))
+    n = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n == 1, f"sql path has {n} hash exchanges"
+    assert "Join" not in plan
