@@ -43,13 +43,21 @@ def extract_incremental(
         # must still count as seen, or it is re-extracted and re-committed
         # as a new snapshot on every run of a static source.
         seen = catalog.read_aux(spark, table_dir, "docids")
+        roster_seed = None
         if seen is None:  # pre-roster table — fall back to output doc_ids
             seen = catalog.read_table(spark, table_dir).select("doc_id").distinct()
+            # Upgrade path: the parent manifest has no roster to union with
+            # (write_snapshot's append only unions aux keys the parent HAS),
+            # so the first post-upgrade commit must seed the roster with the
+            # fallback history — otherwise the next run reads a roster of
+            # only this delta and re-extracts every pre-roster doc forever.
+            roster_seed = seen
         operation = "append"
         delta = spans_df.join(seen, "doc_id", "left_anti")
     except FileNotFoundError:
         operation = "overwrite"
         delta = spans_df
+        roster_seed = None
 
     out = extractor(delta)
     n_docs = delta.count()
@@ -60,10 +68,13 @@ def extract_incremental(
             "docs_processed": 0,
             "snapshot_id": catalog.current_snapshot_id(table_dir),
         }
+    roster = delta.select("doc_id").distinct()
+    if roster_seed is not None:
+        roster = roster.unionByName(roster_seed).distinct()
     sid = catalog.write_snapshot(
         out, table_dir, operation,
         properties={"run_id": run_id, "docs_processed": n_docs},
-        aux={"docids": delta.select("doc_id").distinct()},
+        aux={"docids": roster},
     )
     return {
         "run_id": run_id,

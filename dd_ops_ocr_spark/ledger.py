@@ -37,6 +37,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 DEFAULT_BUCKETS = 32
 
 
+def _parquet_nonempty(path: str) -> bool:
+    """True when the subtree holds at least one parquet part file. Used to
+    distinguish "bucket legitimately wrote nothing" from a genuine read
+    failure (corrupt file, transient IO): only the former may commit a
+    zero-count marker — a swallowed real error would permanently mark a
+    failed bucket done and resume would never reprocess it. Local-FS
+    walk; an object-store deployment does the same listing through the
+    Hadoop FileSystem API."""
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
 
@@ -81,14 +95,14 @@ def run_with_ledger(
         # ... ledger commit marker last, with lineage + metrics. An empty
         # bucket may write no readable parquet; it still gets a zero-count
         # marker so resume never reprocesses it.
-        try:
+        if _parquet_nonempty(f"{out_dir}/data/bucket={b}"):
             stats = spark.read.parquet(f"{out_dir}/data/bucket={b}").agg(
                 F.countDistinct("doc_id").alias("docs"),
                 F.count("*").alias("spans_emitted"),
                 F.sum((F.col("kind") == "text").cast("long")).alias("text_blocks"),
                 F.sum((F.col("kind") != "text").cast("long")).alias("media_blocks"),
             )
-        except Exception:
+        else:  # empty bucket: no parquet written — zero-count marker
             stats = spark.createDataFrame(
                 [(0, 0, 0, 0)],
                 "docs long, spans_emitted long, text_blocks long, media_blocks long",
@@ -172,7 +186,7 @@ def run_one_pass(
     # never on the written data alone — otherwise empty buckets would
     # stay uncommitted forever and every resume would reprocess them.
     todo_df = spark.createDataFrame([(b,) for b in todo], "bucket int")
-    try:
+    if _parquet_nonempty(f"{out_dir}/data"):
         written_agg = (
             spark.read.parquet(f"{out_dir}/data")
             .filter(F.col("bucket").isin(*todo))
@@ -185,7 +199,7 @@ def run_one_pass(
             )
         )
         stats = todo_df.join(written_agg, "bucket", "left")
-    except Exception:
+    else:
         # every todo bucket was empty: the dynamic overwrite wrote no
         # partitions and the data dir may not even be readable parquet.
         stats = (

@@ -361,6 +361,9 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 fill byte: 0xFF padding before a marker
+            pos += 1
+            continue
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             h, w = struct.unpack_from(">HH", payload, pos + 5)
             return w, h
@@ -388,6 +391,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 fill byte: 0xFF padding before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -465,7 +471,9 @@ def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
                 br.align_and_expect_rst()
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
-                qt = qts[c["tq"]]
+                # quant table is stored raster-ordered; coefficients arrive in
+                # zigzag order, so dequantize with the zigzag-ordered table
+                qt_zz = qts[c["tq"]][ZZ]
                 dct_tab = huff_dc[c["td"]]
                 act_tab = huff_ac[c["ta"]]
                 for by in range(c["v"]):
@@ -489,7 +497,7 @@ def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
                                 raise ValueError("AC index out of range")
                             coef[k] = _extend(br.receive(size), size)
                             k += 1
-                        block = (coef * qt)[UNZZ].reshape(8, 8)
+                        block = (coef * qt_zz)[UNZZ].reshape(8, 8)
                         px = DCT.T @ block.astype(np.float64) @ DCT + 128.0
                         r0 = (my * c["v"] + by) * 8
                         c0 = (mx * c["h"] + bx) * 8

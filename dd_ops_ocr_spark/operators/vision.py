@@ -8,8 +8,8 @@ the same preprocessing on ACTUAL pixels, decoded by the native codecs
 (BMP/JPEG/PNG — operators/multimodal.decode_image), inside mapInPandas:
 
   * adaptive binarization — integral-image local-mean threshold, the
-    pure-numpy equivalent of the reference's cv2.adaptiveThreshold
-    (reference: src/modules/step3/02_deskew_corrector.py:60-74)
+    pure-numpy equivalent of the reference's cv2 image-cleanup pass
+    (reference: src/modules/step2/03_dewarping_engine.py:111-228)
   * deskew estimate — projection-profile variance maximization over an
     angle sweep (the classic document-skew estimator; the reference
     fits minAreaRect angles, same objective)

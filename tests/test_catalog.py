@@ -134,3 +134,38 @@ def test_incremental_extraction_processes_only_the_delta(spark, table):
         catalog.read_table(spark, table, snapshot_id=s1["snapshot_id"])
         .select("doc_id").distinct().count() == 100
     )
+
+
+def test_incremental_roster_upgrade_keeps_history(spark, table):
+    """Appending to a PRE-roster table (parent manifest committed without
+    the 'docids' aux) must seed the new roster with the fallback history:
+    write_snapshot's append only unions aux keys the parent has, so a
+    delta-only roster would make every pre-roster doc re-extract on every
+    subsequent run."""
+    from dd_ops_ocr_spark import incremental
+
+    spans = corpus.build_spans_df(spark, SF_SMOKE).cache()
+    b1 = spans.filter("doc_id < 'doc_000050'")
+    b2 = spans.filter("doc_id >= 'doc_000030' and doc_id < 'doc_000080'")
+
+    # legacy snapshot: data committed with NO aux roster
+    catalog.write_snapshot(pipeline.extract(b1), table, "overwrite")
+    assert catalog.read_aux(spark, table, "docids") is None
+
+    s2 = incremental.extract_incremental(spark, b2, table, "r2")
+    assert s2["operation"] == "append" and s2["docs_processed"] == 30
+    # the committed roster now covers BOTH the legacy docs and the delta
+    roster = {
+        r["doc_id"]
+        for r in catalog.read_aux(spark, table, "docids").collect()
+    }
+    assert len(roster) == 80, (
+        f"roster lost pre-upgrade history: {len(roster)} docs"
+    )
+    # re-delivering either batch is a no-op — no doc re-extracts
+    assert incremental.extract_incremental(
+        spark, b1, table, "r3")["operation"] == "noop"
+    assert incremental.extract_incremental(
+        spark, b2, table, "r4")["operation"] == "noop"
+    got = catalog.read_table(spark, table)
+    assert got.select("doc_id").distinct().count() == 80

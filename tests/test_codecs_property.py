@@ -70,10 +70,24 @@ def test_jpeg_roundtrip_dims_and_bound(wh, seed, sub, q):
     out = decode_jpeg(data)
     assert out.shape == px.shape
     err = np.abs(out.astype(int) - px.astype(int)).mean()
+    # tight bounds (post zigzag-dequant fix): smooth content reconstructs to
+    # within a couple of counts at every quality; a quant-table ordering
+    # regression pushes these to ~10-35 and must fail loudly
     if q == 100 and sub == "4:4:4":
-        assert err < 4.0, err
+        assert err < 0.5, err
+    elif q >= 75:
+        assert err < 3.0, (err, q, sub)
     else:
-        assert err < 40.0, (err, q, sub)
+        assert err < 6.0, (err, q, sub)
+
+
+def test_jpeg_noise_q95_tight_bound():
+    """High-frequency noise at q95 4:4:4 — the case that exposed the
+    zigzag/raster dequantization mix-up (err 35.4 broken vs 3.2 fixed)."""
+    px = _image(37, 29, 123, smooth=False)
+    out = decode_jpeg(encode_jpeg(px, quality=95, subsampling="4:4:4"))
+    err = np.abs(out.astype(int) - px.astype(int)).mean()
+    assert err < 8.0, err
 
 
 @settings(max_examples=15, deadline=None)

@@ -288,10 +288,11 @@ def test_media_metadata_jpeg_end_to_end(spark):
     img = decode_image(synth_jpeg_payload(ref))
     src = _synth_pixels(ref)
     assert img.shape == src.shape
-    # noise-like synth pixels are JPEG's worst case; the bound just has to
-    # show real pixel flow (a fake/garbage decode would be ~85 mean error)
+    # noise-like synth pixels at 4:2:0 are chroma-subsampling-dominated
+    # (40-56 mean error depending on saturation, irreducible); a
+    # fake/garbage decode would be ~85
     err = np.abs(img.astype(int) - src.astype(int)).mean()
-    assert err < 70, err
+    assert err < 60, err
 
 
 def test_overlap_trim_matches_python_oracle(spark):
