@@ -1,0 +1,166 @@
+"""Bounded-task flagship extraction over PRE-EXPLODED spans.
+
+The nested-input paths (Arrow kernel, salted, SQL-window) all contain at
+least one task whose cost is O(largest doc): the kernel and the salted
+routing pre-pass read the whole (doc_id, spans) row — parquet rows are
+the scan granularity — and the SQL path's windows hash-partition on
+doc_id. For a corpus whose unit of storage is the SPAN (the exploded
+layout a 100 TB deployment would land, where a single doc can exceed an
+executor's memory), this plan re-expresses the same spec (reference:
+src/modules/step4 ordering + step5 region semantics, the same spec as
+plans/sql_extract.py) so that EVERY task is bounded by PAGE granularity:
+
+  * doc-global statistics (distinct pages per doc, boilerplate
+    distinct-page counts per header/footer key) become two-phase
+    aggregations — map-side partial combine bounds reduce input to one
+    row per (doc, page[, key]);
+  * the boilerplate decision joins back as a LEFT ANTI on
+    (doc_id, zone, key-hash) over only the header/footer candidate rows
+    (null-key rows bypass the join entirely — shuffling them would
+    re-concentrate a mega-doc on one task via the constant key);
+  * the reading-order rank decomposes into per-page cumulative bases
+    (a window over the tiny per-page count table) plus a row_number
+    within (doc, page, side) — co-partitioned with the base join, no
+    extra exchange, partitions bounded by one page's spans.
+
+Two full-data shuffles total (candidate anti-join + per-page stats
+join) versus the SQL path's one — the price of removing the O(doc)
+task. tests/test_task_skew.py measures per-task runtimes via the
+status store and asserts max <= 4x median on this path with a planted
+100x doc (SURVEY §5 test 5), where the nested paths exceed it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from dd_ops_ocr_spark.schema import (
+    BOILERPLATE_FRAC,
+    CX,
+    FOOTER_ZONE,
+    GUTTER_HALF,
+    HEADER_ZONE,
+    MIN_PAGES_BOILERPLATE,
+    PAGE_H,
+    PAGE_W,
+    STRIDE,
+    TWOUP_MIN_SIDE,
+)
+
+
+def extract_exploded_bounded(flat: DataFrame) -> DataFrame:
+    """Flat (doc_id, kind, text, media_ref, offset) -> ranked spans.
+
+    Output is identical to pipeline.extract / extract_sql on the same
+    corpus; no task's input exceeds page granularity (plus constant-size
+    aggregate rows), regardless of document size distribution.
+    """
+    norm = F.regexp_replace(
+        F.regexp_replace("text", "\n{2,}", "\n"), r"(?U)(^\s+)|(\s+$)", ""
+    )
+    zone = (
+        F.when(F.col("y") < HEADER_ZONE, 1)
+        .when(F.col("y") >= PAGE_H - FOOTER_ZONE, 2)
+        .otherwise(0)
+    )
+    flat = (
+        flat.withColumn(
+            "norm", F.when(F.col("kind") == "text", norm).otherwise(F.lit(None))
+        )
+        .filter((F.col("kind") != "text") | (F.col("norm") != ""))
+        .withColumn("page", F.expr(f"offset div {STRIDE}"))
+        .withColumn("y", F.expr(f"(offset % {STRIDE}) div {PAGE_W}"))
+        .withColumn("x", F.expr(f"offset % {PAGE_W}"))
+    )
+    flat = flat.withColumn(
+        "zone", F.when(F.col("kind") == "text", zone).otherwise(F.lit(0))
+    ).withColumn(
+        "th",
+        F.when(F.col("zone") > 0, F.xxhash64("norm")).otherwise(F.lit(None)),
+    )
+
+    # doc-global stats as two-phase aggs (partial combine bounds tasks)
+    np_df = flat.groupBy("doc_id").agg(F.countDistinct("page").alias("np"))
+    keys = (
+        flat.filter(F.col("th").isNotNull())
+        .groupBy("doc_id", "zone", "th")
+        .agg(F.countDistinct("page").alias("zp"))
+    )
+    boiler_keys = (
+        keys.join(np_df, "doc_id")
+        .filter(
+            (F.col("np") >= MIN_PAGES_BOILERPLATE)
+            & (F.col("zp") >= F.ceil(F.lit(BOILERPLATE_FRAC) * F.col("np")))
+        )
+        .select("doc_id", "zone", "th")
+    )
+
+    # anti-join candidates only: the th-null majority (media + body text)
+    # can never match, and shuffling it on a null key would put a whole
+    # doc's rows into one hash partition — the exact skew this plan bans
+    cols = ["doc_id", "kind", "norm", "media_ref", "page", "y", "x"]
+    cand = flat.filter(F.col("th").isNotNull())
+    kept = (
+        cand.join(boiler_keys, ["doc_id", "zone", "th"], "left_anti")
+        .select(*cols)
+        .unionByName(flat.filter(F.col("th").isNull()).select(*cols))
+    )
+
+    # per-page stats: two-up detection + side counts + cumulative bases.
+    # one small table per (doc, page); the window below runs over pages,
+    # not spans.
+    pp = kept.groupBy("doc_id", "page").agg(
+        F.sum((F.col("x") < CX - GUTTER_HALF).cast("int")).alias("nleft"),
+        F.sum((F.col("x") >= CX + GUTTER_HALF).cast("int")).alias("nright_g"),
+        F.sum(
+            (
+                (F.col("x") >= CX - GUTTER_HALF)
+                & (F.col("x") < CX + GUTTER_HALF)
+            ).cast("int")
+        ).alias("ngutter"),
+        F.count("*").alias("ntot"),
+        F.sum((F.col("x") >= CX).cast("int")).alias("nhalf"),
+    )
+    two_up = (
+        (F.col("ngutter") == 0)
+        & (F.col("nleft") >= TWOUP_MIN_SIDE)
+        & (F.col("nright_g") >= TWOUP_MIN_SIDE)
+    )
+    pp = (
+        pp.withColumn("two_up", two_up)
+        .withColumn(
+            "n1", F.when(F.col("two_up"), F.col("nhalf")).otherwise(F.lit(0))
+        )
+        .withColumn("n0", F.col("ntot") - F.col("n1"))
+    )
+    w_pages = (
+        W.partitionBy("doc_id")
+        .orderBy("page")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pp = pp.withColumn(
+        "base0",
+        F.coalesce(F.sum(F.col("n0") + F.col("n1")).over(w_pages), F.lit(0)),
+    ).withColumn("base1", F.col("base0") + F.col("n0"))
+
+    # the one per-page join; its (doc_id, page) hash partitioning also
+    # satisfies the (doc_id, page, side) window below — no extra exchange
+    joined = kept.join(
+        pp.select("doc_id", "page", "two_up", "base0", "base1"),
+        ["doc_id", "page"],
+    )
+    side = F.when(
+        F.col("two_up") & (F.col("x") >= CX), F.lit(1)
+    ).otherwise(F.lit(0))
+    joined = joined.withColumn("side", side)
+    w_rank = W.partitionBy("doc_id", "page", "side").orderBy("y", "x")
+    base = F.when(F.col("side") == 1, F.col("base1")).otherwise(F.col("base0"))
+    return joined.select(
+        "doc_id",
+        "kind",
+        F.when(F.col("kind") == "text", F.col("norm"))
+        .otherwise(F.lit(None))
+        .alias("text"),
+        "media_ref",
+        (base + F.row_number().over(w_rank)).cast("int").alias("order"),
+    )

@@ -100,8 +100,23 @@ QUERIES["flagship_extract_salted_pruned"] = _flagship_extract_salted_pruned
 # every execution path of the same spec is driver-checked against the
 # same DuckDB oracle: Arrow kernel, pure-JVM SQL, salted, pandas kernel,
 # pre-exploded grouped-map
+def _flagship_extract_exploded_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark import corpus
+    from dd_ops_ocr_spark.plans.bounded import extract_exploded_bounded
+
+    flat = (
+        corpus.build_spans_df_cached(spark, sf_dir)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    )
+    return extract_exploded_bounded(flat)
+
+
 QUERIES["flagship_extract_pandas"] = _flagship_extract_pandas
 QUERIES["flagship_extract_exploded"] = _flagship_extract_exploded
+QUERIES["flagship_extract_exploded_bounded"] = _flagship_extract_exploded_bounded
 QUERIES["flagship_metrics"] = _flagship_metrics
 
 # Flagship-family DuckDB oracles: the driver's correctness pass runs at
@@ -122,6 +137,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["flagship_extract_sql"] = sql
     ORACLE_SQL["flagship_extract_salted"] = sql
     ORACLE_SQL["flagship_extract_salted_pruned"] = sql
+    ORACLE_SQL["flagship_extract_exploded_bounded"] = sql
     ORACLE_SQL["flagship_extract_pandas"] = sql
     ORACLE_SQL["flagship_extract_exploded"] = sql
     ORACLE_SQL["flagship_metrics"] = fixtures.metrics_oracle_sql(path)
@@ -194,6 +210,7 @@ _ROSTER_HEAD = [
     "media_binarize",
     # new this round
     "flagship_extract_salted_pruned",
+    "flagship_extract_exploded_bounded",
     # stamped in r1/r2 only, missed the r03 sample
     "success_filter",
     "lenient_coercion",
