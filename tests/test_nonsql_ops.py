@@ -184,8 +184,10 @@ def test_dedup_embedding_bucketed_equals_brute(spark):
 
 
 def test_ivf_recall_vs_brute(spark):
-    """IVF with N_PROBE=2 of 16 cells must keep recall@3 high vs the exact
-    brute top-3 (the quantizer prunes ~7/8 of the search space)."""
+    """IVF at the production probe count must reach recall@3 >= 0.9 vs
+    the exact brute top-3 — on clusterless synthetic embeddings, the
+    quantizer's worst case (see the operating curve at
+    similarity.N_PROBE)."""
     from dd_ops_ocr_spark.operators.similarity import (
         q_ann_brute_topk,
         q_ann_ivf_topk,
@@ -198,7 +200,7 @@ def test_ivf_recall_vs_brute(spark):
     got = {(q, n) for q, n in zip(ivf["query_id"], ivf["neighbor_id"])}
     recall = len(want & got) / len(want)
     print(f"IVF recall@3 = {recall:.3f}")
-    assert recall >= 0.6, f"IVF recall@3 collapsed: {recall:.3f}"
+    assert recall >= 0.9, f"IVF recall@3 below target: {recall:.3f}"
 
 
 def test_bmp_codec_roundtrip():
