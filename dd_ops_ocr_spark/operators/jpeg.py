@@ -115,76 +115,21 @@ _ENC_AC_CODES = _canonical_codes(_ENC_AC_BITS, _AC_SYMS)
 
 # ---------------------------------------------------------------- encoder
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)  # byte stuffing
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)
-            self.nbits = 0
-            self.acc = 0
-        return bytes(self.buf)
-
-
-def _category(v: int) -> tuple[int, int]:
-    """value -> (size, size-bit code) per T.81 F.1.2.1."""
-    if v == 0:
-        return 0, 0
-    size = int(abs(v)).bit_length()
-    code = v if v > 0 else v + (1 << size) - 1
-    return size, code
-
-
-def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
-                  pred: int, dc_codes, ac_codes) -> int:
-    coef = np.round((DCT @ (block - 128.0) @ DCT.T) / qt.reshape(8, 8))
-    coef = coef.astype(np.int64).reshape(-1)[ZZ]  # zigzag order
-    dc = int(coef[0])
-    size, code = _category(dc - pred)
-    c, ln = dc_codes[size]
-    bw.write(c, ln)
-    if size:
-        bw.write(code, size)
-    run = 0
-    # index of the last nonzero AC coefficient
-    nz = np.flatnonzero(coef[1:])
-    last = (nz[-1] + 1) if len(nz) else 0
-    for k in range(1, last + 1):
-        v = int(coef[k])
-        if v == 0:
-            run += 1
-            continue
-        while run >= 16:
-            c, ln = ac_codes[0xF0]  # ZRL
-            bw.write(c, ln)
-            run -= 16
-        size, code = _category(v)
-        c, ln = ac_codes[(run << 4) | size]
-        bw.write(c, ln)
-        bw.write(code, size)
-        run = 0
-    if last < 63:
-        c, ln = ac_codes[0x00]  # EOB
-        bw.write(c, ln)
-    return dc
+def _quantized_blocks_zz(plane: np.ndarray, qt: np.ndarray):
+    """All 8x8 blocks of a padded plane -> (zigzag coeff rows, index of
+    the last nonzero AC coeff per row, blocks-per-row). DCT + quantize
+    run as ONE broadcast matmul chain over every block (the per-block
+    matmul loop was the encoder's hot spot); rows come back as Python
+    lists for the serial bit-emission pass."""
+    H, W = plane.shape
+    nby, nbx = H // 8, W // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = DCT @ (blocks.reshape(-1, 8, 8) - 128.0) @ DCT.T
+    q = np.round(coef / qt.reshape(1, 8, 8)).astype(np.int64).reshape(-1, 64)
+    qz = q[:, ZZ]
+    nzm = qz[:, 1:] != 0
+    last = np.where(nzm.any(axis=1), 63 - np.argmax(nzm[:, ::-1], axis=1), 0)
+    return qz.tolist(), last.tolist(), nbx
 
 
 def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -232,27 +177,86 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
     cb = _pad_to(cb, 8, 8)
     cr = _pad_to(cr, 8, 8)
 
-    bw = _BitWriter()
-    pred = [0, 0, 0]  # DC predictors Y, Cb, Cr
+    comps_q = [
+        _quantized_blocks_zz(y, qt_l),
+        _quantized_blocks_zz(cb, qt_c),
+        _quantized_blocks_zz(cr, qt_c),
+    ]
     mcus_y = y.shape[0] // (8 * vs)
     mcus_x = y.shape[1] // (8 * hs)
+
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
+    buf = bytearray()
+    append = buf.append
+    acc = 0
+    nbits = 0
+
+    def put(code: int, ln: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            append(b)
+            if b == 0xFF:
+                append(0x00)  # byte stuffing
+        acc &= (1 << nbits) - 1
+
+    def emit(ci: int, bi: int, pred: int) -> int:
+        rows, lasts, _ = comps_q[ci]
+        coef = rows[bi]
+        last = lasts[bi]
+        dc = coef[0]
+        diff = dc - pred
+        if diff == 0:
+            c, ln = dc_codes[0]
+            put(c, ln)
+        else:
+            size = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            c, ln = dc_codes[size]
+            put(c, ln)
+            put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        for k in range(1, last + 1):
+            v = coef[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]  # ZRL
+                put(c, ln)
+                run -= 16
+            size = v.bit_length() if v > 0 else (-v).bit_length()
+            c, ln = ac_codes[(run << 4) | size]
+            put(c, ln)
+            put(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            put(c, ln)
+        return dc
+
+    ybw_blocks = comps_q[0][2]
+    cbw_blocks = comps_q[1][2]
+    p0 = p1 = p2 = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for by in range(vs):
+                base = (my * vs + by) * ybw_blocks + mx * hs
                 for bx in range(hs):
-                    r0 = (my * vs + by) * 8
-                    c0 = (mx * hs + bx) * 8
-                    pred[0] = _encode_block(
-                        bw, y[r0:r0 + 8, c0:c0 + 8], qt_l, pred[0],
-                        _ENC_DC_CODES, _ENC_AC_CODES,
-                    )
-            for ci, plane in ((1, cb), (2, cr)):
-                r0, c0 = my * 8, mx * 8
-                pred[ci] = _encode_block(
-                    bw, plane[r0:r0 + 8, c0:c0 + 8], qt_c, pred[ci],
-                    _ENC_DC_CODES, _ENC_AC_CODES,
-                )
-    scan = bw.flush()
+                    p0 = emit(0, base + bx, p0)
+            cbi = my * cbw_blocks + mx
+            p1 = emit(1, cbi, p1)
+            p2 = emit(2, cbi, p2)
+    if nbits:  # pad the final partial byte with 1-bits (T.81 B.1.1.5)
+        pad = 8 - nbits
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        append(b)
+        if b == 0xFF:
+            append(0x00)
+    scan = bytes(buf)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
