@@ -115,3 +115,34 @@ def test_sql_path_single_exchange(spark):
     n = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n == 1, f"sql path has {n} hash exchanges"
     assert "Join" not in plan
+
+
+def test_bounded_exploded_plan_shape(spark):
+    """The bounded-task path must keep its skew-immunity invariants:
+    the reading-order row_number windows on (doc_id, page, side) — never
+    on doc_id alone over the span stream — and no nested-loop/cartesian
+    joins anywhere (the per-page stats join must stay a keyed join)."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.plans.bounded import extract_exploded_bounded
+
+    flat = (
+        corpus.build_spans_df(spark, SF_SMOKE).limit(20)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    )
+    plan = _plan(extract_exploded_bounded(flat))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rank_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "row_number" in l
+    ]
+    assert rank_windows, plan[:2000]
+    for line in rank_windows:
+        assert "page" in line and "side" in line, (
+            f"rank window lost its page/side partitioning (doc-sized "
+            f"window partitions are back):\n{line}"
+        )
+    # the boilerplate decision joins only hashed header/footer candidates
+    assert "xxhash64" in plan
