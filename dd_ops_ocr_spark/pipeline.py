@@ -324,11 +324,14 @@ def _run_arrow(batches, include_page: bool = False):
         zone = np.where(y < HEADER_ZONE, 1, np.where(y >= PAGE_H - FOOTER_ZONE, 2, 0))
         zone = np.where(is_text_k, zone, 0)
 
-        dp = doc_idx * PAGE_CAP + page  # (doc, page) composite
-        n_pages = np.zeros(len(counts), dtype=np.int64)
-        updoc = np.unique(dp) // PAGE_CAP
-        udoc, upc = np.unique(updoc, return_counts=True)
-        n_pages[udoc] = upc
+        # distinct pages per doc WITHOUT sorting all spans: scatter into
+        # a (doc x page) boolean domain, then read the set bits — O(n +
+        # domain) vs np.unique's O(n log n) (profiled ~28% of the kernel)
+        dp = (doc_idx << 10) | page  # (doc, page) composite; PAGE_CAP=2^10
+        seen = np.zeros(len(counts) << 10, dtype=bool)
+        seen[dp] = True
+        dp_dom = np.flatnonzero(seen)
+        n_pages = np.bincount(dp_dom >> 10, minlength=len(counts))
         span_n_pages = n_pages[doc_idx]
 
         boiler = np.zeros(len(ki), dtype=bool)
@@ -369,7 +372,10 @@ def _run_arrow(batches, include_page: bool = False):
         is_text_k = is_text_k[ki2]
 
         # Two-up detection on surviving spans: bincount per (doc, page).
-        dp = doc_idx * PAGE_CAP + page
+        # (np.unique's radix path beats a domain-scatter + searchsorted
+        # here — the 6M random-access binary searches cost more than the
+        # sort; measured, not assumed)
+        dp = (doc_idx << 10) | page
         dp_codes, dp_inv = np.unique(dp, return_inverse=True)
         m = len(dp_codes)
         left = np.bincount(dp_inv[x < CX - GUTTER_HALF], minlength=m)
@@ -398,8 +404,9 @@ def _run_arrow(batches, include_page: bool = False):
         d_s = doc_idx[srt]
         starts = np.ones(len(srt), dtype=bool)
         starts[1:] = d_s[1:] != d_s[:-1]
-        group_start = np.maximum.accumulate(np.where(starts, np.arange(len(srt)), 0))
-        order = (np.arange(len(srt)) - group_start + 1).astype(np.int32)
+        ar = np.arange(len(srt))
+        group_start = np.maximum.accumulate(np.where(starts, ar, 0))
+        order = (ar - group_start + 1).astype(np.int32)
 
         take_idx = pa.array(gi[srt])
         out_norm = pc.take(norm, take_idx)
