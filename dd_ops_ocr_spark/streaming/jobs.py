@@ -97,6 +97,89 @@ def stream_dedup_stateful(spark: SparkSession, input_dir: str):
     )
 
 
+ASSEMBLE_TIMEOUT_MS = 60_000  # incomplete-doc eviction on a live stream
+
+
+def _assemble(key, pdfs, state):
+    """Keyed state update for stream_assemble_docs (module-level so the
+    eviction branch is unit-testable without wall-clock coupling)."""
+    import pandas as pd
+
+    doc_id = key[0]
+    if state.hasTimedOut:
+        # continuous-stream eviction path: emit what arrived, flagged
+        offs, txts, n_total = state.get
+        state.remove()
+        order = sorted(range(len(offs)), key=lambda i: offs[i])
+        return iter([pd.DataFrame({
+            "doc_id": [doc_id],
+            "n_spans": [len(offs)],
+            "complete": [False],
+            "text": ["\n\n".join(txts[i] for i in order)],
+        })])
+    offs = []
+    txts = []
+    n_total = None
+    if state.exists:
+        offs, txts, n_total = state.get
+        offs, txts = list(offs), list(txts)
+    for pdf in pdfs:
+        for o, t, nt in zip(pdf["offset"], pdf["text"], pdf["n_total"]):
+            offs.append(int(o))
+            txts.append(str(t))
+            n_total = int(nt)
+    if n_total is not None and len(offs) >= n_total:
+        state.remove()  # emitted exactly once; re-deliveries restart
+        order = sorted(range(len(offs)), key=lambda i: offs[i])
+        return iter([pd.DataFrame({
+            "doc_id": [doc_id],
+            "n_spans": [len(offs)],
+            "complete": [True],
+            "text": ["\n\n".join(txts[i] for i in order)],
+        })])
+    state.update((offs, txts, n_total))
+    state.setTimeoutDuration(ASSEMBLE_TIMEOUT_MS)
+    return iter(())
+
+
+def stream_assemble_docs(spark: SparkSession, input_dir: str):
+    """Custom stateful ASSEMBLY operator (applyInPandasWithState with
+    accumulating state): span events for one document arrive across
+    micro-batches (the reference's pages land as separate PubSub pushes
+    and are assembled per session dir, api/main.py:453-650); keyed state
+    accumulates (offset, text) pairs until the declared span count is
+    reached, then emits the assembled document EXACTLY ONCE — reading
+    order by offset, the flagship's "\n\n" intra-doc separator — and
+    clears the key's state. Incomplete documents stay in state across
+    batches (and would evict via the configured processing-time timeout
+    on a continuous stream).
+
+    Input schema: (doc_id string, n_total int, offset int, text string)
+    — one row per span event.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(
+            "doc_id string, n_total int, offset int, text string"
+        )
+        .option("maxFilesPerTrigger", 1)  # force multi-batch processing
+        .parquet(input_dir)
+    )
+
+    return src.groupBy("doc_id").applyInPandasWithState(
+        _assemble,
+        outputStructType=(
+            "doc_id string, n_spans long, complete boolean, text string"
+        ),
+        stateStructType=(
+            "offs array<int>, txts array<string>, n_total int"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_sessionize(
     spark: SparkSession, input_dir: str, schema, gap: str = "30 minutes"
 ):

@@ -163,3 +163,119 @@ def test_stream_event_metrics_watermark(spark):
         assert got["total"] == ev.count()
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+def test_stream_assemble_docs_across_batches(spark):
+    """Stateful assembly: a doc whose spans straddle micro-batches must
+    come out assembled (reading order, flagship separator) exactly once
+    with complete=True; a doc still missing spans must stay in keyed
+    state (not emitted) while the timeout is far away. The eviction
+    branch itself is unit-tested below — wall-clock timeouts cannot be
+    asserted deterministically on a host with multi-second stall
+    windows (BENCH.md)."""
+    import os
+    import time as _time
+
+    from dd_ops_ocr_spark.streaming import jobs as sjobs
+    from dd_ops_ocr_spark.streaming.jobs import stream_assemble_docs
+
+    land = tempfile.mkdtemp(prefix="stream_asm_land_")
+    ckpt = tempfile.mkdtemp(prefix="stream_asm_ckpt_")
+    schema = "doc_id string, n_total int, offset int, text string"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        tmp = f"{land}/_tmp_{name}"
+        df.write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil as sh
+
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{land}/{name}.parquet"
+        sh.copy(part, dst)
+        sh.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    old_timeout = sjobs.ASSEMBLE_TIMEOUT_MS
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    q = None
+    try:
+        t0 = _time.time() - 100
+        # file 1: doc_a partial (2 of 3, out of order), doc_b complete
+        write_file("f1", [("doc_a", 3, 20, "a-third"),
+                          ("doc_a", 3, 0, "a-first"),
+                          ("doc_b", 1, 0, "b-only")], t0)
+        # file 2: doc_c forever incomplete (2 of 5)
+        write_file("f2", [("doc_c", 5, 0, "c0"), ("doc_c", 5, 10, "c1")],
+                   t0 + 10)
+        # file 3: doc_a's last span arrives two batches later
+        write_file("f3", [("doc_a", 3, 10, "a-second")], t0 + 20)
+
+        # timeout far beyond the test horizon: no wall-clock coupling
+        sjobs.ASSEMBLE_TIMEOUT_MS = 3_600_000
+        # 3-key stream: fewer state-store partitions = faster batches
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            stream_assemble_docs(spark, land)
+            .writeStream.format("memory").queryName("asm")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        # poll: both completable docs must land; then stop the query (it
+        # would otherwise idle out the 1h timeout of doc_c's state)
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            if spark.sql("select count(*) c from asm").collect()[0]["c"] >= 2:
+                break
+            _time.sleep(2)
+        got = spark.sql("select * from asm").toPandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        assert list(got["doc_id"]) == ["doc_a", "doc_b"], got
+        a = got[got["doc_id"] == "doc_a"].iloc[0]
+        assert bool(a["complete"]) and int(a["n_spans"]) == 3
+        assert a["text"] == "a-first\n\na-second\n\na-third"
+        b = got[got["doc_id"] == "doc_b"].iloc[0]
+        assert bool(b["complete"]) and int(b["n_spans"]) == 1
+        assert b["text"] == "b-only"
+    finally:
+        sjobs.ASSEMBLE_TIMEOUT_MS = old_timeout
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        for d in (land, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_assemble_eviction_branch():
+    """The processing-time-timeout eviction path, unit-tested against a
+    state stub: emit what arrived flagged incomplete, in offset order,
+    and clear the state."""
+    from dd_ops_ocr_spark.streaming.jobs import _assemble
+
+    class StubState:
+        def __init__(self, value):
+            self.hasTimedOut = True
+            self.exists = True
+            self.get = value
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            raise AssertionError("eviction must not update state")
+
+        def setTimeoutDuration(self, ms):
+            raise AssertionError("eviction must not re-arm the timeout")
+
+    st = StubState(([20, 0], ["late", "early"], 5))
+    out = list(_assemble(("doc_x",), iter(()), st))
+    assert len(out) == 1 and st.removed
+    row = out[0].iloc[0]
+    assert row["doc_id"] == "doc_x"
+    assert int(row["n_spans"]) == 2
+    assert not bool(row["complete"])
+    assert row["text"] == "early\n\nlate"
