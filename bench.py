@@ -294,6 +294,18 @@ def main() -> None:
     queries["flagship_extract_sql"] = timed(
         lambda: extract_sql(spans_df).count(), repeats=3
     )
+    # the bounded-task path (plans/bounded.py): its skew immunity costs
+    # two full-data shuffles — record that price next to the others
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.plans.bounded import extract_exploded_bounded
+
+    flat_df = spans_df.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    queries["flagship_extract_exploded_bounded"] = timed(
+        lambda: extract_exploded_bounded(flat_df).count(), repeats=2
+    )
     queries["minhash_signature"] = timed(
         lambda: q_minhash_signature(spark, SF_DIR).count()
     )
@@ -327,9 +339,10 @@ def main() -> None:
     media = {
         "n_payloads": n_media,
         "payloads_per_sec": round(n_media / queries["media_metadata_jpeg"], 1),
-        # page-scale single-core decode rate (the number that matters for
+        # page-scale single-core codec rates (the numbers that matter for
         # 100 TB media): one 816x1056 q95 4:2:0 document page, best of 3
         "jpeg_decode_mpx_per_core": _page_decode_rate(),
+        "jpeg_encode_mpx_per_core": _page_encode_rate(),
     }
     spark.stop()
 
@@ -426,6 +439,22 @@ def main() -> None:
         result["scaling"] = scaling
     print(json.dumps(result))
 
+
+
+def _page_encode_rate() -> float:
+    """Single-core JPEG encode rate (Mpx/s) on the same document page —
+    the render-sink (S3) direction of the codec."""
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:1056, 0:816]
+    page = np.full((1056, 816), 235, np.uint8)
+    page[(y // 40 % 2 == 0) & (x % 13 < 8)] = 40
+    px = np.repeat(page[:, :, None], 3, axis=2)
+    best = timed(lambda: encode_jpeg(px, quality=95, subsampling="4:2:0"),
+                 repeats=3)
+    return round(816 * 1056 / 1e6 / best, 2)
 
 
 def _page_decode_rate() -> float:
