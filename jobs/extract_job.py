@@ -42,6 +42,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = (
         SparkSession.builder.appName("ddops_extract")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # see session.py: 512-doc Arrow batches pipeline the JVM producer

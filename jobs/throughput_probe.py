@@ -33,6 +33,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = (
         SparkSession.builder.appName("ddops_probe")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
