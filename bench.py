@@ -62,6 +62,11 @@ CALIB_REF_SEC = 0.34       # min-of-8 on a healthy host (2026-08-17)
 CALIB_TOLERANCE = 1.20     # >20% over reference = degraded session
 CALIB_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_CALIB_ATTEMPTS", "6"))
 CALIB_SLEEP_SEC = 20
+# The HEADLINE run holds a stricter bar (VERDICT r4 #3): the round's
+# number of record must not be taken on a host its own calibration calls
+# >5% slow. Secondary rows keep the looser 1.20 session gate.
+HEADLINE_TOLERANCE = 1.05
+HEADLINE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_HEADLINE_ATTEMPTS", "10"))
 
 
 def _calibration_spin() -> float:
@@ -85,6 +90,10 @@ def _calibration_spin() -> float:
 
 
 def _par_worker(barrier, out, i):
+    # Synchronize all workers before timing starts: without the wait the
+    # forks start staggered and the max-of-8 under-measures simultaneous
+    # contention (what PAR_REF_SEC was calibrated against).
+    barrier.wait()
     out[i] = _calibration_spin_small()
 
 
@@ -166,6 +175,30 @@ def ensure_healthy_host() -> dict:
             "degraded": True}
 
 
+def gate_headline(health: dict) -> float:
+    """Stricter pre-headline gate: retry (harder than the session gate)
+    until a single-core calibration lands within HEADLINE_TOLERANCE of
+    the healthy-host reference, then return that calibration time — the
+    value used both for the pass/fail stamp and for the host-normalized
+    docs/s field. Never raises; a persistently slow host stamps
+    ``headline_gate_ok: false`` so the artifact carries the flag."""
+    best = float("inf")
+    for attempt in range(HEADLINE_ATTEMPTS):
+        t = min(_calibration_spin() for _ in range(3))
+        best = min(best, t)
+        if best <= CALIB_REF_SEC * HEADLINE_TOLERANCE:
+            break
+        print(f"# headline gate: calibration {t:.3f}s > "
+              f"{CALIB_REF_SEC * HEADLINE_TOLERANCE:.3f}s — retry "
+              f"{attempt + 1}/{HEADLINE_ATTEMPTS}", file=sys.stderr)
+        time.sleep(CALIB_SLEEP_SEC)
+    health["headline_calibration_sec"] = round(best, 4)
+    health["headline_gate_ok"] = bool(
+        best <= CALIB_REF_SEC * HEADLINE_TOLERANCE
+    )
+    return best
+
+
 def _sf_name() -> str:
     return os.path.basename(SF_DIR.rstrip("/"))
 
@@ -227,6 +260,27 @@ def ensure_spans_cache(spark) -> str:
     return path
 
 
+def ensure_flat_cache(spark, spans_path: str) -> str:
+    """Land the exploded (flat, one row per span) corpus once — the input
+    layout plans/bounded.py is designed for. Mirrors ensure_spans_cache;
+    keyed by generator version so corpus changes invalidate it."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark import corpus
+
+    gv = corpus.GENERATOR_VERSION
+    path = os.path.join(CACHE, f"flat_{_sf_name()}_x{REPLICATE}_v{gv}.parquet")
+    if not os.path.isdir(path):
+        (
+            spark.read.parquet(spans_path)
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
 def timed(fn, repeats: int = 1) -> float:
     """Warm up once when repeats > 1, then best of ``repeats`` — the same
     steady-state methodology as run_extract so per-path ratios compare
@@ -272,9 +326,11 @@ def main() -> None:
 
     spark = _build(CPUS)
     spans_path = ensure_spans_cache(spark)
+    flat_path = ensure_flat_cache(spark, spans_path)
     spark.stop()
     spark = _build(CPUS, spans_path)
 
+    gate_headline(health)
     t_extract, n_docs, n_spans = run_extract(spark, spans_path)
     # post-measurement recheck: degradation arriving MID-bench would
     # otherwise be recorded as the round's headline
@@ -295,14 +351,14 @@ def main() -> None:
         lambda: extract_sql(spans_df).count(), repeats=3
     )
     # the bounded-task path (plans/bounded.py): its skew immunity costs
-    # two full-data shuffles — record that price next to the others
-    from pyspark.sql import functions as F
-
+    # two full-data shuffles — record that price next to the others.
+    # Reads the LANDED flat-span parquet (the layout the plan is designed
+    # for) so the row measures the plan, not inline corpus explosion
+    # (VERDICT r4 #2: the old inline-explode row recorded 31.9 s of
+    # which ~80% was generating 52M spans through three wide stages).
     from dd_ops_ocr_spark.plans.bounded import extract_exploded_bounded
 
-    flat_df = spans_df.select(
-        "doc_id", F.explode("spans").alias("s")
-    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+    flat_df = spark.read.parquet(flat_path)
     queries["flagship_extract_exploded_bounded"] = timed(
         lambda: extract_exploded_bounded(flat_df).count(), repeats=2
     )
@@ -433,6 +489,14 @@ def main() -> None:
         "n_spans_out": n_spans,
         "docs_per_sec": round(n_docs / t_extract, 2),
     }
+    # Host-normalized throughput (VERDICT r4 #3): scale the measured rate
+    # by how slow the pre-headline calibration ran vs the healthy-host
+    # reference, so cross-round comparisons survive host drift. Equal to
+    # docs_per_sec when the gate passed at exactly the reference speed.
+    calib = health.get("headline_calibration_sec", health["calibration_sec"])
+    result["docs_per_sec_host_normalized"] = round(
+        n_docs / t_extract * calib / CALIB_REF_SEC, 2
+    )
     result["host_health"] = health
     result["media"] = media
     if scaling:

@@ -42,11 +42,41 @@ def _parquet_nonempty(path: str) -> bool:
     distinguish "bucket legitimately wrote nothing" from a genuine read
     failure (corrupt file, transient IO): only the former may commit a
     zero-count marker — a swallowed real error would permanently mark a
-    failed bucket done and resume would never reprocess it. Local-FS
-    walk; an object-store deployment does the same listing through the
-    Hadoop FileSystem API."""
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
+    failed bucket done and resume would never reprocess it.
+
+    Local paths use os.walk; URI paths (hdfs://, s3a://, gs://, ...) go
+    through Spark's Hadoop FileSystem API so the check is correct on any
+    filesystem — an os.walk on a URI string silently yields nothing,
+    which would downgrade every remote bucket to a zero-count marker."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme in ("", "file"):
+        local = path.split("://", 1)[1] if scheme else path
+        for _root, _dirs, files in os.walk(local):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+    return _hadoop_parquet_nonempty(path)
+
+
+def _hadoop_parquet_nonempty(path: str) -> bool:
+    """Recursive parquet-file probe via the JVM Hadoop FileSystem API
+    (works for any scheme the cluster's Hadoop conf knows). Raises if no
+    active SparkSession — better loud than a silent zero-count marker."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - defensive
+        raise RuntimeError(
+            f"_parquet_nonempty({path!r}): non-local scheme needs an active "
+            "SparkSession for the Hadoop FileSystem listing"
+        )
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)  # recursive
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
             return True
     return False
 
@@ -265,7 +295,7 @@ def run_with_snapshots(
             if b is not None:
                 done.add(int(b))
     except FileNotFoundError:
-        pass
+        done = set()  # first run: no snapshot log yet — nothing committed
 
     src = spans_df.withColumn("bucket", bucket_col(n_buckets))
     processed = 0

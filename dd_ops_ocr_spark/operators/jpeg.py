@@ -322,12 +322,24 @@ def _entropy_segments(payload: bytes, pos: int) -> list[list[int]]:
     ff = np.flatnonzero(arr[pos:-1] == 0xFF) + pos
     nxt = arr[ff + 1]
     is_stuff = nxt == 0x00
+    # T.81 B.1.1.2: any marker (incl. RSTn) may be preceded by 0xFF fill
+    # bytes — an FF followed by FF is padding, not a scan terminator.
+    is_fill = nxt == 0xFF
     is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
-    term = ff[~(is_stuff | is_rst)]
+    term = ff[~(is_stuff | is_rst | is_fill)]
     end = int(term[0]) if term.size else len(arr)
     rsts = ff[is_rst & (ff < end)]
+
+    def _trim_fill(e: int) -> int:
+        # exclude the fill-FF run padding up to this marker from the
+        # entropy data (data FFs are always FF 00 stuffed pairs, so a
+        # bare FF directly before a marker can only be padding)
+        while e > pos and arr[e - 1] == 0xFF:
+            e -= 1
+        return e
+
     starts = [pos] + [int(r) + 2 for r in rsts]
-    ends = [int(r) for r in rsts] + [end]
+    ends = [_trim_fill(int(r)) for r in rsts] + [_trim_fill(end)]
     segs = []
     for s0, e0 in zip(starts, ends):
         seg = arr[s0:e0]
@@ -367,6 +379,39 @@ def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
     word = segs[0]
     bp = 0
     pred = [0] * len(comps)
+    try:
+        _decode_mcus(n_mcus, restart_interval, segs, comps, luts, nblk,
+                     blocks_out, word, bp, pred, seg_i)
+    except IndexError:
+        # bp ran off the 32-bit window list: the scan ended mid-MCU.
+        # Surface the same clear exception type the callers (and the
+        # quarantine path) have always handled for truncated payloads.
+        raise EOFError("truncated JPEG scan") from None
+
+    planes = []
+    dct_t = DCT.T
+    for c, rows in zip(comps, blocks_out):
+        # zigzag coefficients * zigzag quant table, de-zigzag, batch IDCT
+        coef_zz = np.asarray(rows, dtype=np.int64)
+        qt_zz = qts[c["tq"]][ZZ]
+        blocks = (coef_zz * qt_zz[None, :])[:, UNZZ].reshape(-1, 8, 8)
+        # two broadcast matmuls beat einsum here: einsum's per-call path
+        # optimization costs more than the tiny contractions themselves
+        px = dct_t @ blocks.astype(np.float64) @ DCT + 128.0
+        v, hh = c["v"], c["h"]
+        plane = (
+            px.reshape(mcus_y, mcus_x, v, hh, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * v * 8, mcus_x * hh * 8)
+        )
+        planes.append(plane)
+    return _finish_scan(comps, planes, vmax, hmax, w, h)
+
+
+def _decode_mcus(n_mcus, restart_interval, segs, comps, luts, nblk,
+                 blocks_out, word, bp, pred, seg_i):
+    """Serial per-symbol entropy loop, split out so the truncation guard
+    wraps ONE call (no per-access bounds checks in the hot path)."""
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
             seg_i += 1
@@ -411,32 +456,22 @@ def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
                     size = rs & 0xF
                     if k > 63:
                         raise ValueError("AC index out of range")
-                    wv = word[bp >> 3]
-                    v = (wv >> (32 - (bp & 7) - size)) & ((1 << size) - 1)
-                    bp += size
-                    coef[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    if size:
+                        wv = word[bp >> 3]
+                        v = (wv >> (32 - (bp & 7) - size)) & ((1 << size) - 1)
+                        bp += size
+                        coef[k] = (
+                            v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        )
+                    # else: malformed (run, 0) combo — coefficient stays 0
+                    # (T.81 F.2.2.1 _extend(0, 0) == 0; raising here would
+                    # turn a recoverable corrupt stream into a crash)
                     k += 1
                 out_ci.append(coef)
 
-    planes = []
-    dct_t = DCT.T
-    for c, rows in zip(comps, blocks_out):
-        # zigzag coefficients * zigzag quant table, de-zigzag, batch IDCT
-        coef_zz = np.asarray(rows, dtype=np.int64)
-        qt_zz = qts[c["tq"]][ZZ]
-        blocks = (coef_zz * qt_zz[None, :])[:, UNZZ].reshape(-1, 8, 8)
-        # two broadcast matmuls beat einsum here: einsum's per-call path
-        # optimization costs more than the tiny contractions themselves
-        px = dct_t @ blocks.astype(np.float64) @ DCT + 128.0
-        v, hh = c["v"], c["h"]
-        plane = (
-            px.reshape(mcus_y, mcus_x, v, hh, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcus_y * v * 8, mcus_x * hh * 8)
-        )
-        planes.append(plane)
 
-    # upsample chroma to full resolution (nearest), crop, color-convert
+def _finish_scan(comps, planes, vmax, hmax, w, h) -> np.ndarray:
+    """Upsample chroma to full resolution (nearest), crop, color-convert."""
     full = []
     for c, plane in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]

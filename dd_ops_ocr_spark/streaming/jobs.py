@@ -123,10 +123,18 @@ def _assemble(key, pdfs, state):
     if state.exists:
         offs, txts, n_total = state.get
         offs, txts = list(offs), list(txts)
+    # Insert-if-absent keyed by offset: PubSub-style delivery is
+    # at-least-once, so a re-delivered span must not count twice toward
+    # n_total (it would emit complete=True with a duplicated span and a
+    # genuinely-missing one).
+    seen = set(offs)
     for pdf in pdfs:
         for o, t, nt in zip(pdf["offset"], pdf["text"], pdf["n_total"]):
-            offs.append(int(o))
-            txts.append(str(t))
+            o = int(o)
+            if o not in seen:
+                seen.add(o)
+                offs.append(o)
+                txts.append(str(t))
             n_total = int(nt)
     if n_total is not None and len(offs) >= n_total:
         state.remove()  # emitted exactly once; re-deliveries restart

@@ -97,3 +97,50 @@ def test_jpeg_decode_deterministic(wh, seed):
     px = _image(w, h, seed, smooth=False)
     data = encode_jpeg(px, quality=80, subsampling="4:2:0")
     assert decode_jpeg(data).tobytes() == decode_jpeg(data).tobytes()
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad the entropy data up to any
+    marker. A fill run before EOI must neither truncate the scan nor leak
+    padding bytes into the decoded data (ADVICE r4: FF-FF was classified
+    as the scan terminator)."""
+    px = _image(48, 64, 11, smooth=False)
+    data = encode_jpeg(px, quality=90, subsampling="4:4:4")
+    assert data[-2:] == b"\xff\xd9"
+    filled = data[:-2] + b"\xff\xff" + data[-2:]
+    assert np.array_equal(decode_jpeg(filled), decode_jpeg(data))
+
+
+def test_jpeg_truncated_scan_raises_eoferror():
+    """A scan cut mid-entropy-data must surface as EOFError with a clear
+    message, not an IndexError from the bitstream window list."""
+    import pytest
+
+    px = _image(48, 64, 13, smooth=False)
+    data = encode_jpeg(px, quality=90, subsampling="4:2:0")
+    # cut deep into the scan: a small tail cut can decode "cleanly" from
+    # the zero padding, which is acceptable — the guarantee under test is
+    # that when the bitstream DOES run out, the error is EOFError
+    for frac in (2, 3, 4):
+        with pytest.raises(EOFError, match="truncated JPEG scan"):
+            decode_jpeg(data[: len(data) // frac])
+
+
+def test_jpeg_corrupt_bytes_raise_clean_exceptions():
+    """Seeded single-byte corruption across the entropy segment: every
+    outcome is either a decoded image or a clean (EOFError, ValueError) —
+    never 'negative shift count' from a (run,0) AC symbol (treated as a
+    zero coefficient per T.81 extend(0,0)=0) and never a raw IndexError."""
+    px = _image(40, 56, 17, smooth=False)
+    data = encode_jpeg(px, quality=85, subsampling="4:2:0")
+    rng = np.random.default_rng(7)
+    start = len(data) // 2
+    for _ in range(60):
+        b = bytearray(data)
+        i = int(rng.integers(start, len(data) - 2))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.shape == px.shape
+        except (EOFError, ValueError) as e:
+            assert "negative shift" not in str(e)

@@ -131,3 +131,22 @@ def test_one_pass_crash_before_any_marker(spark, spans):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_parquet_nonempty_uri_scheme(spark, tmp_path):
+    """ADVICE r4: _parquet_nonempty on a URI path must go through the
+    Hadoop FileSystem API, not os.walk (which silently yields nothing for
+    'scheme://...' strings and would downgrade every remote bucket to a
+    zero-count marker). Exercised via file:// — same code path as
+    hdfs://s3a://, resolvable in the sandbox."""
+    from dd_ops_ocr_spark.ledger import _hadoop_parquet_nonempty, _parquet_nonempty
+
+    d = tmp_path / "data"
+    spark.range(5).write.mode("overwrite").parquet(str(d))
+    assert _parquet_nonempty(str(d))                       # local walk
+    assert _parquet_nonempty(f"file://{d}")                # URI -> Hadoop FS
+    assert _hadoop_parquet_nonempty(f"file://{d}")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert not _parquet_nonempty(f"file://{empty}")
+    assert not _hadoop_parquet_nonempty(f"file://{tmp_path}/missing")

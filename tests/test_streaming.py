@@ -279,3 +279,49 @@ def test_stream_assemble_eviction_branch():
     assert int(row["n_spans"]) == 2
     assert not bool(row["complete"])
     assert row["text"] == "early\n\nlate"
+
+
+def test_stream_assemble_redelivery_idempotent():
+    """At-least-once delivery (the reference's PubSub pushes): a span
+    re-delivered before completion must not count twice toward n_total —
+    ADVICE r4: duplicate offsets made len(offs) reach n_total with a span
+    still missing, emitting complete=True with duplicated text."""
+    import pandas as pd
+
+    from dd_ops_ocr_spark.streaming.jobs import _assemble
+
+    class StubState:
+        def __init__(self):
+            self.hasTimedOut = False
+            self.exists = False
+            self.get = None
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st = StubState()
+    batch1 = pd.DataFrame(
+        {"offset": [0, 1, 1], "text": ["a", "b", "b"], "n_total": [3, 3, 3]}
+    )
+    out = list(_assemble(("d1",), iter([batch1]), st))
+    # 2 distinct of 3 spans: must NOT emit despite 3 arrived rows
+    assert out == [] and st.exists and not st.removed
+
+    # re-deliver offset 0 alongside the genuinely-missing offset 2
+    batch2 = pd.DataFrame(
+        {"offset": [0, 2], "text": ["a", "c"], "n_total": [3, 3]}
+    )
+    out = list(_assemble(("d1",), iter([batch2]), st))
+    assert len(out) == 1 and st.removed
+    row = out[0].iloc[0]
+    assert int(row["n_spans"]) == 3
+    assert bool(row["complete"])
+    assert row["text"] == "a\n\nb\n\nc"
