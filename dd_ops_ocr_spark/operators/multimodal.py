@@ -362,6 +362,24 @@ def q_media_metadata_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_ref", "format", "width", "height")
 
 
+def q_media_metadata_jpeg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_media_metadata_jpeg surface driven through the NATIVE codec
+    injection seam (native/jpegshim.c via ctypes — libjpeg-turbo, ~100x
+    the pure-numpy decode rate, bench.py media block): same payloads,
+    same oracle (the true md5-geometry dimensions are decoder-independent,
+    so a hash-match proves the native decoder recovers them too). Falls
+    back to the pure-numpy decoder when no toolchain/libjpeg exists, so
+    the query stays runnable on any host."""
+    from dd_ops_ocr_spark import native
+
+    decoder = (
+        native.native_decode_batch if native.available() else real_decode_batch
+    )
+    out = media_metadata(_media_with_payload(spark, sf_dir, fmt="jpeg"),
+                         decoder=decoder)
+    return out.select("media_ref", "format", "width", "height")
+
+
 def q_media_metadata_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same metadata path over REAL PNG payloads (stdlib-zlib codec,
     operators/png.py): lossless, so beyond the oracle-checked dimensions
@@ -395,6 +413,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "media_metadata": q_media_metadata,
     "media_metadata_jpeg": q_media_metadata_jpeg,
+    "media_metadata_jpeg_native": q_media_metadata_jpeg_native,
     "media_metadata_png": q_media_metadata_png,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,

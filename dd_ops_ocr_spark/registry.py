@@ -149,6 +149,11 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_resize"] = fixtures.media_resize_oracle_sql(path)
     ORACLE_SQL["media_metadata"] = fixtures.media_metadata_oracle_sql(path)
     ORACLE_SQL["media_metadata_jpeg"] = fixtures.media_metadata_jpeg_oracle_sql(path)
+    # native-codec twin: identical SQL-statable surface (dimensions are
+    # decoder-independent), so the same oracle proves the libjpeg path
+    ORACLE_SQL["media_metadata_jpeg_native"] = (
+        fixtures.media_metadata_jpeg_oracle_sql(path)
+    )
     ORACLE_SQL["media_metadata_png"] = fixtures.media_metadata_png_oracle_sql(path)
     ORACLE_SQL["media_binarize"] = fixtures.media_binarize_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
@@ -192,37 +197,38 @@ _register(_vision)
 
 # ---------------------------------------------------------------- roster order
 # The correctness driver samples a PREFIX of this roster (50 queries per
-# round, insertion order). Lead with queries that have never received a
-# driver stamp in any round's CORRECTNESS file — the reference's final
-# products (contract_schema / integrated_text) first — then queries last
-# stamped in r1/r2; flagship execution-path twins (redundantly stamped in
-# r03 against the same oracle as flagship_extract) sit at the very tail.
+# round, insertion order). Rotation policy (VERDICT r4 #4): every round,
+# lead with the queries whose newest driver stamp is oldest, so no
+# query's latest stamp is ever more than two rounds old. For r05 that is
+# the 21 queries outside r04's sample (all last stamped in r03) plus the
+# new native-codec twin, new query first.
 _ROSTER_HEAD = [
-    # never driver-stamped through round 3
-    "contract_schema",
-    "contract_articles",
-    "integrated_text",
-    "type_coercion",
-    "json_extract",
-    "base64_roundtrip",
-    "session_id_format",
-    "id_generation",
-    "media_binarize",
-    # new this round
-    "flagship_extract_salted_pruned",
-    "flagship_extract_exploded_bounded",
-    # stamped in r1/r2 only, missed the r03 sample
-    "success_filter",
-    "lenient_coercion",
-    "array_mean",
-    "positional_zip",
-    "overlap_trim",
-    "deskew_estimate",
-    "binarize_adaptive",
-    "contour_regions",
-    "orientation_score",
+    # new this round — never stamped
+    "media_metadata_jpeg_native",
+    # last stamped r03 (not in CORRECTNESS_r04's 50-prefix)
+    "lsh_candidate_pairs",
+    "ngram_jaccard",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "embedding_stats",
+    "media_metadata",
+    "media_metadata_jpeg",
+    "media_metadata_png",
+    "media_resize",
+    "media_frame_sample",
+    "engine_zip",
+    "dim_enrich_join",
+    "flagship_extract_pandas",
+    "flagship_extract_exploded",
 ]
-_ROSTER_TAIL = ["flagship_extract_pandas", "flagship_extract_exploded"]
+# r04-stamped flagship path twins: freshest stamps, safe at the very tail
+_ROSTER_TAIL = ["flagship_extract_salted", "flagship_extract_sql"]
 
 
 def _reorder_roster() -> None:
