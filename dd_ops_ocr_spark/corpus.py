@@ -217,7 +217,12 @@ def build_spans_df_cached(spark, sf_dir: str, replicate: int = 1):
 
 
 def materialize_spans(
-    spark, sf_dir: str, out_path: str, n_partitions: int = 32, replicate: int = 1
+    spark,
+    sf_dir: str,
+    out_path: str,
+    n_partitions: int = 32,
+    replicate: int = 1,
+    split_pages: int | None = None,
 ) -> str:
     """Write the synthetic spans table to parquet once (bench input cache).
 
@@ -226,24 +231,82 @@ def materialize_spans(
     ``plans.salting.extract_salted_pruned`` then PRUNES at the file level
     instead of re-reading 100% of the corpus to find the tail docs — the
     landing-time partition column a 100 TB deployment would carry. Plain
-    readers are unaffected (the extra column rides along)."""
+    readers are unaffected (the extra column rides along).
+
+    ``split_pages`` additionally bounds ROW granularity at land time
+    (VERDICT r4 #7): documents spanning more than ``split_pages`` pages
+    are landed as CONTINUATION rows ``(doc_id, part, spans)``, each
+    holding at most ``split_pages`` consecutive pages (part = page div
+    split_pages; original relative span order preserved within a part).
+    With it, even a nested-row scan is task-bounded — no single input
+    row can carry a 100x document — at the price that doc-global
+    operators must reassemble parts (``plans.bounded`` does this with
+    two-phase aggs; see ``plans.split_landed.extract_split_landed``).
+    Small docs land unchanged as a single part=0 row."""
+    df = build_spans_df(spark, sf_dir, replicate=replicate)
+    return land_spans(
+        df, out_path, n_partitions=n_partitions, split_pages=split_pages
+    )
+
+
+def land_spans(
+    df,
+    out_path: str,
+    n_partitions: int = 32,
+    split_pages: int | None = None,
+) -> str:
+    """Land any (doc_id, spans) DataFrame in the production layout:
+    hive-partitioned by size_class, optionally with mega-docs split into
+    bounded continuation rows (see materialize_spans docstring)."""
     from pyspark.sql import functions as F
 
     from dd_ops_ocr_spark.plans.salting import PAGES_PER_BUCKET
     from dd_ops_ocr_spark.schema import STRIDE
 
-    df = build_spans_df(spark, sf_dir, replicate=replicate).repartition(
-        n_partitions, "doc_id"
-    )
     size_class = F.when(
         F.coalesce(
             F.expr(f"array_max(spans.offset) div {STRIDE}"), F.lit(0)
         ) >= PAGES_PER_BUCKET,
         F.lit("big"),
     ).otherwise(F.lit("small"))
+    df = df.withColumn("size_class", size_class)
+    if split_pages is not None:
+        # split big docs only: explode with the original array position,
+        # bucket by page range, reassemble each part ordered by position
+        # (all JVM expressions — land-time cost, one extra shuffle)
+        small = df.filter(F.col("size_class") == "small").withColumn(
+            "part", F.lit(0)
+        )
+        big = (
+            df.filter(F.col("size_class") == "big")
+            .select(
+                "doc_id", "size_class", F.posexplode("spans").alias("pos", "s")
+            )
+            .withColumn(
+                "part",
+                (F.col("s.offset") / F.lit(STRIDE * split_pages)).cast("int"),
+            )
+            .groupBy("doc_id", "size_class", "part")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+            )
+            .select(
+                "doc_id",
+                F.expr("transform(ps, x -> x.s)").alias("spans"),
+                "size_class",
+                "part",
+            )
+        )
+        df = small.select("doc_id", "spans", "size_class", "part").unionByName(
+            big
+        )
+        # distribute by (doc_id, part) so one mega-doc's continuation
+        # rows spread across files instead of re-concentrating
+        df = df.repartition(n_partitions, "doc_id", "part")
+    else:
+        df = df.repartition(n_partitions, "doc_id")
     (
-        df.withColumn("size_class", size_class)
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .partitionBy("size_class")
         .parquet(out_path)
     )

@@ -243,12 +243,15 @@ KMEANS_ITERS = 5
 # Probe count targets recall@3 >= 0.9 (tests/test_nonsql_ops.py asserts
 # it). The synthetic embeddings are CLUSTERLESS — the worst case for a
 # coarse quantizer, where recall grows ~linearly with the probed
-# fraction. Measured operating curve at sf0.01 (vs exact brute top-3):
-#   N_PROBE  4 -> 0.60 | 6 -> 0.73 | 8 -> 0.83 | 10 -> 0.87 | 12 -> 0.97
-# 12/16 clears the target with margin here; on real embeddings with
-# cluster structure the same target needs far fewer probes — tune
-# N_PROBE per corpus against this curve's methodology, don't copy the
-# constant.
+# fraction. Measured operating curves (vs exact brute top-3):
+#   clusterless, sf0.01 corpus (production constant tuned here):
+#     N_PROBE  4 -> 0.60 | 6 -> 0.73 | 8 -> 0.83 | 10 -> 0.87 | 12 -> 0.97
+#   planted-Gaussian clustered corpus (16 cells, seeded; the same IVF
+#   math via tests/test_nonsql_ops.py::test_ivf_recall_curve_*):
+#     N_PROBE  1 -> 0.99 | 2 -> 1.00
+# The two curves are the tuning methodology: real corpora with cluster
+# structure hit the target at N_PROBE 1-4; tune per corpus against a
+# measured curve, don't copy the worst-case constant.
 N_PROBE = 12
 
 

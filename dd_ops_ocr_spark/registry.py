@@ -93,10 +93,34 @@ def _flagship_extract_salted_pruned(spark: SparkSession, sf_dir: str) -> DataFra
     return extract_salted_pruned(spark, path)
 
 
+def _flagship_extract_split_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-landed path: mega docs land as bounded continuation
+    rows (corpus.materialize_spans split_pages=16), extraction routes
+    small docs to the nested kernel and reassembles big docs with the
+    bounded flat plan (plans/split_landed.py). Same flagship oracle —
+    the landing layout must not change a single span."""
+    import os
+
+    from dd_ops_ocr_spark import corpus
+    from dd_ops_ocr_spark.plans.split_landed import extract_split_landed
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache")
+    path = os.path.join(
+        cache, f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}sp16.parquet"
+    )
+    if not os.path.isdir(path):
+        os.makedirs(cache, exist_ok=True)
+        corpus.materialize_spans(spark, sf_dir, path, split_pages=16)
+    return extract_split_landed(spark, path)
+
+
 QUERIES["flagship_extract"] = _flagship_extract
 QUERIES["flagship_extract_sql"] = _flagship_extract_sql
 QUERIES["flagship_extract_salted"] = _flagship_extract_salted
 QUERIES["flagship_extract_salted_pruned"] = _flagship_extract_salted_pruned
+QUERIES["flagship_extract_split_landed"] = _flagship_extract_split_landed
 # every execution path of the same spec is driver-checked against the
 # same DuckDB oracle: Arrow kernel, pure-JVM SQL, salted, pandas kernel,
 # pre-exploded grouped-map
@@ -138,6 +162,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["flagship_extract_salted"] = sql
     ORACLE_SQL["flagship_extract_salted_pruned"] = sql
     ORACLE_SQL["flagship_extract_exploded_bounded"] = sql
+    ORACLE_SQL["flagship_extract_split_landed"] = sql
     ORACLE_SQL["flagship_extract_pandas"] = sql
     ORACLE_SQL["flagship_extract_exploded"] = sql
     ORACLE_SQL["flagship_metrics"] = fixtures.metrics_oracle_sql(path)
@@ -205,6 +230,7 @@ _register(_vision)
 _ROSTER_HEAD = [
     # new this round — never stamped
     "media_metadata_jpeg_native",
+    "flagship_extract_split_landed",
     # last stamped r03 (not in CORRECTNESS_r04's 50-prefix)
     "lsh_candidate_pairs",
     "ngram_jaccard",

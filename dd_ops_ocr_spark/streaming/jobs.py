@@ -188,6 +188,115 @@ def stream_assemble_docs(spark: SparkSession, input_dir: str):
     )
 
 
+ASSEMBLE_EVENT_GAP_MS = 300_000       # evict incomplete docs this far past WM
+ASSEMBLE_TOMBSTONE_MS = 600_000       # remember emitted docs this far past WM
+
+
+def _assemble_event(key, pdfs, state):
+    """EVENT-TIME twin of _assemble (module-level so every branch is
+    unit-testable against a state stub).
+
+    Differences from the processing-time variant, both driven by the
+    reference's PubSub path re-delivering pages arbitrarily late
+    (api/main.py:496-501):
+
+    * eviction is watermark-relative (setTimeoutTimestamp), so a stalled
+      executor clock can't evict a doc whose pages are still in flight;
+    * after the complete doc is emitted, the key keeps an ``emitted``
+      TOMBSTONE until the watermark passes its retention window — a late
+      re-delivered span finds the tombstone and is dropped instead of
+      re-opening the doc and emitting a duplicate (exactly-once emit per
+      doc_id survives at-least-once delivery).
+
+    Timeout semantics: emitted=False -> partial emit (complete=False,
+    the same flag the processing-time variant uses); emitted=True ->
+    drop the tombstone silently.
+    """
+    import pandas as pd
+
+    doc_id = key[0]
+    if state.hasTimedOut:
+        emitted, offs, txts, n_total = state.get
+        state.remove()
+        if emitted:
+            return iter(())
+        order = sorted(range(len(offs)), key=lambda i: offs[i])
+        return iter([pd.DataFrame({
+            "doc_id": [doc_id],
+            "n_spans": [len(offs)],
+            "complete": [False],
+            "text": ["\n\n".join(txts[i] for i in order)],
+        })])
+    emitted, offs, txts, n_total = False, [], [], None
+    if state.exists:
+        emitted, offs, txts, n_total = state.get
+        offs, txts = list(offs), list(txts)
+    seen = set(offs)
+    for pdf in pdfs:
+        for o, t, nt in zip(pdf["offset"], pdf["text"], pdf["n_total"]):
+            n_total = int(nt)
+            o = int(o)
+            if not emitted and o not in seen:
+                seen.add(o)
+                offs.append(o)
+                txts.append(str(t))
+    wm = state.getCurrentWatermarkMs()
+    if emitted:  # late re-delivery: refresh the tombstone, emit nothing
+        state.update((True, [], [], n_total))
+        state.setTimeoutTimestamp(wm + ASSEMBLE_TOMBSTONE_MS)
+        return iter(())
+    if n_total is not None and len(offs) >= n_total:
+        state.update((True, [], [], n_total))  # tombstone replaces spans
+        state.setTimeoutTimestamp(wm + ASSEMBLE_TOMBSTONE_MS)
+        order = sorted(range(len(offs)), key=lambda i: offs[i])
+        return iter([pd.DataFrame({
+            "doc_id": [doc_id],
+            "n_spans": [len(offs)],
+            "complete": [True],
+            "text": ["\n\n".join(txts[i] for i in order)],
+        })])
+    state.update((False, offs, txts, n_total))
+    state.setTimeoutTimestamp(wm + ASSEMBLE_EVENT_GAP_MS)
+    return iter(())
+
+
+def stream_assemble_docs_event_time(
+    spark: SparkSession, input_dir: str, watermark: str = "10 seconds"
+):
+    """Event-time variant of stream_assemble_docs: span events carry an
+    event timestamp; incomplete docs evict relative to the WATERMARK
+    (not the executor clock) and emitted docs leave a tombstone so late
+    re-deliveries can't duplicate (see _assemble_event).
+
+    Input schema: (doc_id string, n_total int, offset int, text string,
+    ts timestamp) — one row per span event.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(
+            "doc_id string, n_total int, offset int, text string, "
+            "ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+
+    return src.groupBy("doc_id").applyInPandasWithState(
+        _assemble_event,
+        outputStructType=(
+            "doc_id string, n_spans long, complete boolean, text string"
+        ),
+        stateStructType=(
+            "emitted boolean, offs array<int>, txts array<string>, "
+            "n_total int"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_sessionize(
     spark: SparkSession, input_dir: str, schema, gap: str = "30 minutes"
 ):

@@ -423,3 +423,53 @@ def test_suffix_prefix_overlap_kmp_equals_quadratic():
         got = suffix_prefix_overlap(prev, cur)
         want = _suffix_prefix_overlap_quadratic(prev, cur)
         assert got == want, f"{prev!r} {cur!r}: {got} != {want}"
+
+
+def test_ivf_recall_curve_clustered_vs_clusterless():
+    """The N_PROBE=12 operating point is tuned on CLUSTERLESS synthetics
+    — the coarse quantizer's worst case. This test proves the
+    tune-per-corpus methodology (VERDICT r4 #6) with a planted-Gaussian
+    corpus: the same IVF math (identical centroid training, score
+    formula, probe selection) reaches the recall target at N_PROBE 1-2
+    when the corpus has real cluster structure, while the clusterless
+    curve sits far below at the same probe counts. All seeded — the
+    recall values are deterministic."""
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.similarity import _ivf_centroids
+
+    def ivf_recall(vecs, n_probe, k=3, query_mod=50):
+        cents = _ivf_centroids(vecs[:512])
+        # the operator's assignment math: score_j = ||c_j||^2 - 2<v,c_j>
+        scores = (cents ** 2).sum(1)[None, :] - 2 * vecs @ cents.T
+        assign = scores.argmin(1)
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        np.fill_diagonal(sims, -2)
+        hits = tot = 0
+        for q in range(0, len(vecs), query_mod):
+            brute = np.argsort(-sims[q])[:k]
+            probed = np.argsort(scores[q])[:n_probe]
+            cand = np.where(np.isin(assign, probed))[0]
+            cand = cand[cand != q]
+            top = cand[np.argsort(-sims[q][cand])[:k]]
+            hits += len(set(brute) & set(top))
+            tot += k
+        return hits / tot
+
+    rng = np.random.default_rng(42)
+    dim = 32
+    clusterless = rng.standard_normal((2000, dim))
+    centers = rng.standard_normal((16, dim)) * 4.0
+    labels = rng.integers(0, 16, 2000)
+    clustered = centers[labels] + rng.standard_normal((2000, dim)) * 0.4
+
+    # clustered corpus: target recall already at 1-2 probes
+    # (measured 0.992 / 1.0)
+    assert ivf_recall(clustered, 1) >= 0.9
+    assert ivf_recall(clustered, 2) >= 0.95
+    # clusterless at the same small probe counts sits far below
+    # (measured 0.25 / 0.483) — which is why the production constant is
+    # 12 there; the gap IS the tuning methodology
+    assert ivf_recall(clusterless, 2) <= 0.7
+    assert ivf_recall(clusterless, 12) >= 0.9

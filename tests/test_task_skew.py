@@ -163,3 +163,39 @@ def test_salted_emission_stage_is_bounded(spark, skewed):
         raise AssertionError(
             f"salted emission stage max task {r:.1f}x median in all 3 runs"
         )
+
+
+def test_split_landed_scan_is_bounded(spark, skewed, tmp_path):
+    """VERDICT r4 #7 closure: land the planted corpus SPLIT
+    (corpus.land_spans split_pages) and every stage of the split-landed
+    extraction — including the SCAN, which on nested-input plans was
+    bounded only by the largest stored row — stays <= 4x median. The
+    12.9x routing straggler was storage granularity; splitting at land
+    time removes the oversized rows themselves."""
+    from dd_ops_ocr_spark import corpus
+    from dd_ops_ocr_spark.plans.split_landed import extract_split_landed
+
+    spans, _ = skewed
+    out = str(tmp_path / "skew_split_landed")
+    corpus.land_spans(spans, out, n_partitions=48, split_pages=16)
+
+    # sanity: identical output to the plain kernel on the unsplit corpus
+    n_plain = pipeline.extract(spans).count()
+    n_split = extract_split_landed(spark, out).count()
+    assert n_split == n_plain
+
+    extract_split_landed(spark, out).count()  # warm
+    for attempt in range(3):
+        stages = _carrying(_stage_task_durations(
+            spark,
+            lambda: extract_split_landed(spark, out).count(),
+            f"skew_split_{attempt}",
+        ))
+        ratios = {sid: _ratio(durs) for sid, durs in stages.items()}
+        if ratios and all(r <= 4 for r in ratios.values()):
+            break
+    else:
+        raise AssertionError(
+            f"split-landed plan must keep every data-carrying stage's max "
+            f"task <= 4x median in at least one of 3 runs; last: {ratios}"
+        )
