@@ -476,3 +476,74 @@ def test_stream_assemble_event_time_late_span(spark):
                 pass
         for d in (land, ckpt):
             sh.rmtree(d, ignore_errors=True)
+
+
+def test_stream_assemble_rocksdb_state_store(spark):
+    """Large-state evidence: the assembler's keyed state at 10^12-doc
+    scale exceeds executor heaps, so production runs use the RocksDB
+    state store (spilling state to local disk, incremental checkpoints).
+    This runs the same event-time assembler under
+    RocksDBStateStoreProvider and asserts identical behavior — the
+    operator is state-backend-agnostic."""
+    import datetime
+    import glob
+    import os
+    import shutil as sh
+
+    from dd_ops_ocr_spark.streaming.jobs import stream_assemble_docs_event_time
+
+    land = tempfile.mkdtemp(prefix="stream_rdb_land_")
+    ckpt = tempfile.mkdtemp(prefix="stream_rdb_ckpt_")
+    schema = "doc_id string, n_total int, offset int, text string, ts timestamp"
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        tmp = f"{land}/_tmp_{name}"
+        df.write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        sh.copy(part, f"{land}/{name}.parquet")
+        sh.rmtree(tmp)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    q = None
+    try:
+        write_file("f1", [("doc_r", 2, 10, "second", base),
+                          ("doc_r", 2, 0, "first", base)])
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        q = (
+            stream_assemble_docs_event_time(spark, land)
+            .writeStream.format("memory").queryName("asm_rdb")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(240)
+        got = spark.sql("select * from asm_rdb").toPandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        assert bool(row["complete"]) and row["text"] == "first\n\nsecond"
+        # the checkpoint proves which backend ran: RocksDB state dirs
+        # materialize under state/<op>/<part>/ with .zip/.changelog files
+        state_files = glob.glob(f"{ckpt}/state/**/*", recursive=True)
+        assert any(".zip" in f or "rocksdb" in f.lower() for f in state_files), \
+            state_files[:10]
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        for d in (land, ckpt):
+            sh.rmtree(d, ignore_errors=True)

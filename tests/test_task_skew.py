@@ -127,6 +127,10 @@ def test_plain_path_has_straggler_and_bounded_path_does_not(spark, skewed):
             f"skew_bounded_{attempt}"))
         ratios = {sid: _ratio(durs) for sid, durs in bounded.items()}
         if ratios and all(r <= 4 for r in ratios.values()):
+            # recorded per round in BENCH.md's task-skew table (run with
+            # -s to capture): which run was accepted + its ratios
+            print(f"SKEW plain={plain_ratio:.1f}x bounded(attempt "
+                  f"{attempt})={sorted(round(r, 2) for r in ratios.values())}")
             break
     else:
         raise AssertionError(
@@ -158,6 +162,7 @@ def test_salted_emission_stage_is_bounded(spark, skewed):
         emission = max(stages.values(), key=len)
         r = _ratio(emission)
         if r <= 4:
+            print(f"SKEW salted emission(attempt {attempt})={r:.2f}x")
             break
     else:
         raise AssertionError(
@@ -193,6 +198,8 @@ def test_split_landed_scan_is_bounded(spark, skewed, tmp_path):
         ))
         ratios = {sid: _ratio(durs) for sid, durs in stages.items()}
         if ratios and all(r <= 4 for r in ratios.values()):
+            print(f"SKEW split_landed(attempt {attempt})="
+                  f"{sorted(round(r, 2) for r in ratios.values())}")
             break
     else:
         raise AssertionError(
