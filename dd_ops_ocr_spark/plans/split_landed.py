@@ -28,10 +28,17 @@ from dd_ops_ocr_spark import pipeline
 from dd_ops_ocr_spark.plans.bounded import extract_exploded_bounded
 
 
-def extract_split_landed(spark: SparkSession, path: str) -> DataFrame:
-    """Extract from a split-landed corpus directory. Both branches prune
-    at the file level via the size_class hive partition (one corpus scan
-    total, each file read once by exactly one branch)."""
+def extract_split_landed_branches(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two branch plans (small-doc kernel, big-doc bounded) before
+    the union. Exposed separately because the union merges them into ONE
+    Spark stage (neither branch ends at a shuffle boundary), so its task
+    population is heterogeneous by construction — kernel tasks cost
+    whole input partitions, bounded-plan tasks cost one shuffle
+    partition. Per-stage skew measurement (tests/test_task_skew.py) is
+    meaningful per branch; across branches the max/median ratio measures
+    branch cost difference, not data skew."""
     df = spark.read.parquet(path)
     small = df.filter(F.col("size_class") == "small").select(
         "doc_id", "spans"
@@ -41,6 +48,12 @@ def extract_split_landed(spark: SparkSession, path: str) -> DataFrame:
         .select("doc_id", F.explode("spans").alias("s"))
         .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
     )
-    out_small = pipeline.extract(small)
-    out_big = extract_exploded_bounded(big_flat)
+    return pipeline.extract(small), extract_exploded_bounded(big_flat)
+
+
+def extract_split_landed(spark: SparkSession, path: str) -> DataFrame:
+    """Extract from a split-landed corpus directory. Both branches prune
+    at the file level via the size_class hive partition (one corpus scan
+    total, each file read once by exactly one branch)."""
+    out_small, out_big = extract_split_landed_branches(spark, path)
     return out_small.unionByName(out_big)

@@ -86,8 +86,10 @@ def _stage_task_durations(spark, fn, group: str) -> dict[int, list[int]]:
     return out
 
 
-def _carrying(stages: dict[int, list[int]]) -> dict[int, list[int]]:
-    """Stages doing real data work: >= 8 tasks and >= 15% of the
+def _carrying(
+    stages: dict[int, list[int]], min_tasks: int = 8
+) -> dict[int, list[int]]:
+    """Stages doing real data work: >= min_tasks tasks and >= 15% of the
     busiest stage's total task time (filters out 1-task driver-side
     finalizers and ms-scale bookkeeping stages whose max/median ratio
     is scheduler noise, not skew)."""
@@ -95,7 +97,7 @@ def _carrying(stages: dict[int, list[int]]) -> dict[int, list[int]]:
     return {
         sid: durs
         for sid, durs in stages.items()
-        if len(durs) >= 8 and sum(durs) >= 0.15 * biggest
+        if len(durs) >= min_tasks and sum(durs) >= 0.15 * biggest
     }
 
 
@@ -176,9 +178,21 @@ def test_split_landed_scan_is_bounded(spark, skewed, tmp_path):
     extraction — including the SCAN, which on nested-input plans was
     bounded only by the largest stored row — stays <= 4x median. The
     12.9x routing straggler was storage granularity; splitting at land
-    time removes the oversized rows themselves."""
+    time removes the oversized rows themselves.
+
+    Skew is measured PER BRANCH: the composed query's final stage is the
+    union of the small-doc kernel partitions and the big-doc bounded
+    plan's last shuffle read (no shuffle separates them), so its task
+    population mixes two cost models — whole-input-partition kernel
+    tasks vs one-shuffle-partition window tasks — and max/median across
+    that mix measures branch cost difference, not data skew. Each
+    branch's own stages carry the actual invariant: the mega doc lives
+    in the big branch, and no stage there may concentrate it."""
     from dd_ops_ocr_spark import corpus
-    from dd_ops_ocr_spark.plans.split_landed import extract_split_landed
+    from dd_ops_ocr_spark.plans.split_landed import (
+        extract_split_landed,
+        extract_split_landed_branches,
+    )
 
     spans, _ = skewed
     out = str(tmp_path / "skew_split_landed")
@@ -190,19 +204,27 @@ def test_split_landed_scan_is_bounded(spark, skewed, tmp_path):
     assert n_split == n_plain
 
     extract_split_landed(spark, out).count()  # warm
-    for attempt in range(3):
-        stages = _carrying(_stage_task_durations(
-            spark,
-            lambda: extract_split_landed(spark, out).count(),
-            f"skew_split_{attempt}",
-        ))
-        ratios = {sid: _ratio(durs) for sid, durs in stages.items()}
-        if ratios and all(r <= 4 for r in ratios.values()):
-            print(f"SKEW split_landed(attempt {attempt})="
-                  f"{sorted(round(r, 2) for r in ratios.values())}")
-            break
-    else:
-        raise AssertionError(
-            f"split-landed plan must keep every data-carrying stage's max "
-            f"task <= 4x median in at least one of 3 runs; last: {ratios}"
-        )
+    for branch in ("small", "big"):
+        for attempt in range(3):
+            out_small, out_big = extract_split_landed_branches(spark, out)
+            df = out_small if branch == "small" else out_big
+            # the big branch holds ONE mega doc split into ~25 parts, so
+            # its scan stage has only as many tasks as landed files (~7
+            # at this fixture scale) — lower the task floor there; the
+            # boundedness claim is about those very tasks
+            stages = _carrying(
+                _stage_task_durations(
+                    spark, df.count, f"skew_split_{branch}_{attempt}"),
+                min_tasks=8 if branch == "small" else 4,
+            )
+            ratios = {sid: _ratio(durs) for sid, durs in stages.items()}
+            if ratios and all(r <= 4 for r in ratios.values()):
+                print(f"SKEW split_landed[{branch}](attempt {attempt})="
+                      f"{sorted(round(r, 2) for r in ratios.values())}")
+                break
+        else:
+            raise AssertionError(
+                f"split-landed {branch} branch must keep every "
+                f"data-carrying stage's max task <= 4x median in at least "
+                f"one of 3 runs; last: {ratios}"
+            )
