@@ -9,13 +9,18 @@ side-by-side in bench.py's ``media`` block.
 Deployment model
 ----------------
 * The shim compiles on demand (gcc + libjpeg-dev, both stock on the
-  build hosts) into ``_jpegshim.so`` next to this file; the build is
-  atomic (compile to a pid-suffixed temp, ``os.rename``) so concurrent
-  executors on one host cannot race.
+  build hosts) into ``_jpegshim_v{ABI}.so`` next to this file; the
+  build is atomic (compile to a pid-suffixed temp, ``os.rename``) so
+  concurrent executors on one host cannot race. The artifact name
+  carries the ABI version because dlopen caches by path string — a
+  same-path rebuild in a process that already loaded the old .so would
+  silently keep the stale handle.
 * On a real cluster, build once and ship the ``.so`` with
-  ``spark-submit --files _jpegshim.so``; the loader checks the task's
-  working directory before attempting a local compile, so executors
-  without a toolchain still work.
+  ``spark-submit --files _jpegshim_v2.so``; the loader checks the
+  task's working directory before attempting a local compile, so
+  executors without a toolchain still work (an old-ABI artifact under
+  the legacy unversioned name is accepted last, with the optional
+  newer entry points degraded).
 * ``available()`` is the capability probe: every consumer (tests, bench,
   the injected batch decoder) degrades to the pure-numpy codec when the
   shim cannot load, so the library never hard-requires a native lib.
@@ -35,7 +40,15 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "jpegshim.c")
-_SO_NAME = "_jpegshim.so"
+
+ABI_VERSION = 2  # keep in sync with ddops_abi_version() in jpegshim.c
+
+# The build artifact is named by ABI version: dlopen caches loaded
+# libraries by PATH STRING, so recompiling over the same filename in a
+# process that already loaded the old one silently returns the stale
+# handle. A new ABI means a new filename — never a same-path reload.
+_SO_NAME = f"_jpegshim_v{ABI_VERSION}.so"
+_SO_LEGACY = "_jpegshim.so"  # pre-versioning artifact: baseline-only ABI
 
 _lib = None
 _load_error: str | None = None
@@ -61,6 +74,17 @@ def _compile_shim(target: str) -> None:
             os.unlink(tmp)
 
 
+def _abi_of(lib: ctypes.CDLL) -> int:
+    """0 for a v1 .so (predates the version export)."""
+    try:
+        fn = lib.ddops_abi_version
+    except AttributeError:
+        return 0
+    fn.restype = ctypes.c_int
+    fn.argtypes = []
+    return int(fn())
+
+
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.ddops_jpeg_header.restype = ctypes.c_int
     lib.ddops_jpeg_header.argtypes = [
@@ -83,19 +107,30 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.ddops_free.restype = None
     lib.ddops_free.argtypes = [ctypes.c_void_p]
+    # optional (ABI v2+): progressive encode. A shipped v1 .so still
+    # serves baseline decode/encode; only progressive degrades.
+    try:
+        lib.ddops_jpeg_encode_rgb_prog.restype = ctypes.c_int
+        lib.ddops_jpeg_encode_rgb_prog.argtypes = (
+            lib.ddops_jpeg_encode_rgb.argtypes
+        )
+    except AttributeError:
+        pass
     return lib
 
 
 def _load() -> ctypes.CDLL | None:
-    """Load order: already-loaded -> package dir -> task working dir
-    (spark-submit --files lands there) -> compile locally."""
+    """Load order: already-loaded -> current-ABI .so in the package dir
+    or the task working dir (spark-submit --files lands there) ->
+    compile locally -> legacy-named .so (older ABI: baseline codec
+    works, optional symbols degrade)."""
     global _lib, _load_error
     if _lib is not None:
         return _lib
     if _load_error is not None:
         return None
-    candidates = [os.path.join(_HERE, _SO_NAME), os.path.join(os.getcwd(), _SO_NAME)]
-    for path in candidates:
+    dirs = [_HERE, os.getcwd()]
+    for path in [os.path.join(d, _SO_NAME) for d in dirs]:
         if os.path.exists(path):
             try:
                 _lib = _bind(ctypes.CDLL(path))
@@ -103,10 +138,18 @@ def _load() -> ctypes.CDLL | None:
             except OSError:
                 continue  # half-shipped or wrong-arch file: try the next
     try:
-        _compile_shim(candidates[0])
-        _lib = _bind(ctypes.CDLL(candidates[0]))
+        target = os.path.join(_HERE, _SO_NAME)
+        _compile_shim(target)
+        _lib = _bind(ctypes.CDLL(target))
         return _lib
     except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+        for path in [os.path.join(d, _SO_LEGACY) for d in dirs]:
+            if os.path.exists(path):
+                try:  # no toolchain: run with the older ABI
+                    _lib = _bind(ctypes.CDLL(path))
+                    return _lib
+                except OSError:
+                    continue
         _load_error = f"{type(e).__name__}: {e}"
         return None
 
@@ -157,13 +200,26 @@ _SAMP = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
 def encode_jpeg_native(
-    img: np.ndarray, quality: int = 95, subsampling: str = "4:2:0"
+    img: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "4:2:0",
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JPEG bytes via libjpeg. Same
-    signature as operators.jpeg.encode_jpeg."""
+    """(h, w, 3) uint8 RGB -> JPEG bytes via libjpeg. Same signature as
+    operators.jpeg.encode_jpeg plus ``progressive``: a progressive scan
+    script carries the SAME DCT coefficients reordered across scans, so
+    it decodes bit-identically to the baseline encoding — this is the
+    closure of the pure-numpy decoder's documented progressive seam
+    (operators/jpeg.py raises NotImplementedError there; libjpeg decodes
+    both transparently)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native jpeg shim unavailable: {_load_error}")
+    if progressive and not hasattr(lib, "ddops_jpeg_encode_rgb_prog"):
+        raise RuntimeError(
+            "loaded jpeg shim predates progressive support (ABI "
+            f"{_abi_of(lib)} < 2); rebuild _jpegshim.so"
+        )
     hs, vs = _SAMP[subsampling]
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w, c = img.shape
@@ -171,7 +227,12 @@ def encode_jpeg_native(
         raise ValueError("expected (h, w, 3) RGB")
     buf = ctypes.POINTER(ctypes.c_ubyte)()
     buflen = ctypes.c_ulong()
-    rc = lib.ddops_jpeg_encode_rgb(
+    fn = (
+        lib.ddops_jpeg_encode_rgb_prog
+        if progressive
+        else lib.ddops_jpeg_encode_rgb
+    )
+    rc = fn(
         img.ctypes.data_as(ctypes.c_void_p), w, h,
         int(quality), hs, vs, ctypes.byref(buf), ctypes.byref(buflen),
     )

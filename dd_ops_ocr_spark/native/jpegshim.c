@@ -106,14 +106,28 @@ int ddops_jpeg_decode_rgb(const unsigned char *buf, size_t len,
     return 0;
 }
 
+/* ABI probe: native/__init__.py recompiles a stale .so whose version
+ * predates the symbols it needs (the loader also accepts a shipped .so
+ * missing only optional symbols, degrading that capability). Bump when
+ * exported signatures change. */
+int ddops_abi_version(void)
+{
+    return 2;
+}
+
 /* Encode packed RGB24 -> baseline JPEG. h_samp/v_samp set the luma
  * sampling factors (2,2 = 4:2:0, 2,1 = 4:2:2, 1,1 = 4:4:4 — the same
- * three modes operators/jpeg.py emits). The output buffer is allocated
- * by jpeg_mem_dest; the caller copies it out and calls ddops_free.
- * Returns 0 on success, -1 on error. */
-int ddops_jpeg_encode_rgb(const unsigned char *rgb, int w, int h,
-                          int quality, int h_samp, int v_samp,
-                          unsigned char **outbuf, unsigned long *outlen)
+ * three modes operators/jpeg.py emits). `progressive` nonzero emits a
+ * progressive scan script (jpeg_simple_progression) — same DCT
+ * coefficients reordered across scans, so it decodes bit-identically to
+ * the baseline encoding; the pure-numpy decoder documents progressive
+ * as a NotImplementedError seam and this is the path that closes it.
+ * The output buffer is allocated by jpeg_mem_dest; the caller copies it
+ * out and calls ddops_free. Returns 0 on success, -1 on error. */
+static int encode_rgb_impl(const unsigned char *rgb, int w, int h,
+                           int quality, int h_samp, int v_samp,
+                           int progressive,
+                           unsigned char **outbuf, unsigned long *outlen)
 {
     struct jpeg_compress_struct cinfo;
     struct shim_err jerr;
@@ -146,6 +160,8 @@ int ddops_jpeg_encode_rgb(const unsigned char *rgb, int w, int h,
     cinfo.comp_info[1].v_samp_factor = 1;
     cinfo.comp_info[2].h_samp_factor = 1;
     cinfo.comp_info[2].v_samp_factor = 1;
+    if (progressive)
+        jpeg_simple_progression(&cinfo);
     jpeg_start_compress(&cinfo, TRUE);
     while (cinfo.next_scanline < cinfo.image_height) {
         JSAMPROW row = (JSAMPROW)(rgb + (size_t)cinfo.next_scanline * stride);
@@ -154,6 +170,22 @@ int ddops_jpeg_encode_rgb(const unsigned char *rgb, int w, int h,
     jpeg_finish_compress(&cinfo);
     jpeg_destroy_compress(&cinfo);
     return 0;
+}
+
+int ddops_jpeg_encode_rgb(const unsigned char *rgb, int w, int h,
+                          int quality, int h_samp, int v_samp,
+                          unsigned char **outbuf, unsigned long *outlen)
+{
+    return encode_rgb_impl(rgb, w, h, quality, h_samp, v_samp, 0,
+                           outbuf, outlen);
+}
+
+int ddops_jpeg_encode_rgb_prog(const unsigned char *rgb, int w, int h,
+                               int quality, int h_samp, int v_samp,
+                               unsigned char **outbuf, unsigned long *outlen)
+{
+    return encode_rgb_impl(rgb, w, h, quality, h_samp, v_samp, 1,
+                           outbuf, outlen);
 }
 
 void ddops_free(void *p)

@@ -254,17 +254,28 @@ def media_metadata(
     return media_df.mapInPandas(run, schema=MEDIA_META_DDL)
 
 
-def media_resize(media_df: DataFrame, target_w: int = 1024,
-                 target_h: int = 1280) -> DataFrame:
+def media_resize(
+    media_df: DataFrame,
+    target_w: int = 1024,
+    target_h: int = 1280,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+    encoder: Callable[[np.ndarray], bytes] = encode_bmp,
+) -> DataFrame:
     """(media_ref, payload) -> resized payload + dims, Arrow-batched:
-    REAL decode -> nearest-neighbor resample -> re-encode for BMP
-    payloads. The reference's equivalent is the 2x re-render +
-    scaled-DPI path (step2/02_image_reprocessor.py:68-133)."""
+    REAL decode -> nearest-neighbor resample -> re-encode. The
+    reference's equivalent is the 2x re-render + scaled-DPI path
+    (step2/02_image_reprocessor.py:68-133).
+
+    ``decoder``/``encoder`` are the same injection seam as
+    media_metadata(decoder=...): defaults are the dependency-free numpy
+    codecs; production injects the native libjpeg pair
+    (native.decode_jpeg_native / native.encode_jpeg_native) so the bulk
+    media path never runs Python-side entropy coding."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload = [
-                encode_bmp(resize_nn(decode_image(p), target_w, target_h))
+                encoder(resize_nn(decoder(p), target_w, target_h))
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -281,13 +292,20 @@ def media_resize(media_df: DataFrame, target_w: int = 1024,
     )
 
 
-def media_frame_sample(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+def media_frame_sample(
+    media_df: DataFrame,
+    n_frames: int = 4,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+    encoder: Callable[[np.ndarray], bytes] = encode_bmp,
+) -> DataFrame:
     """Video-style frame sampling: one binary payload -> n_frames rows of
     (frame_idx, frame payload). One-to-many Arrow-batched expansion — the
     multimodal analogue of posexplode. A real deployment plugs pyAV/
     ffmpeg in here; without a video codec, each "frame" is the REAL
     decoded image cyclically row-shifted by the frame index and
-    re-encoded (deterministic, and every frame is a valid BMP)."""
+    re-encoded (deterministic, and every frame is a valid image).
+    ``decoder``/``encoder`` are the same injection seam as media_resize
+    (native libjpeg pair in production, numpy defaults here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,11 +314,11 @@ def media_frame_sample(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
                 continue
             refs, idxs, frames = [], [], []
             for r, p in zip(pdf["media_ref"], pdf["payload"]):
-                img = decode_image(p)
+                img = decoder(p)
                 for i in range(n_frames):
                     refs.append(r)
                     idxs.append(i)
-                    frames.append(encode_bmp(np.roll(img, i, axis=0)))
+                    frames.append(encoder(np.roll(img, i, axis=0)))
             yield pd.DataFrame(
                 {
                     "media_ref": np.asarray(refs, dtype=object),
@@ -325,10 +343,27 @@ def _media_with_payload(
         .filter(F.col("s.kind") == "media")
         .select(F.col("s.media_ref").alias("media_ref"))
     )
-    synth = {
-        "jpeg": synth_jpeg_payload,
-        "png": synth_png_payload,
-    }.get(fmt, synth_bmp_payload)
+    if fmt == "jpeg_progressive":
+        # progressive scans need libjpeg on both sides; hosts without
+        # the native shim fall back to baseline bytes so the query (and
+        # its decoder-independent dims oracle) stays runnable anywhere
+        from dd_ops_ocr_spark import native
+
+        if native.available():
+            def synth(ref: str) -> bytes:
+                return native.encode_jpeg_native(
+                    _synth_pixels(ref),
+                    quality=95,
+                    subsampling="4:2:0",
+                    progressive=True,
+                )
+        else:
+            synth = synth_jpeg_payload
+    else:
+        synth = {
+            "jpeg": synth_jpeg_payload,
+            "png": synth_png_payload,
+        }.get(fmt, synth_bmp_payload)
 
     def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -380,6 +415,28 @@ def q_media_metadata_jpeg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_ref", "format", "width", "height")
 
 
+def q_media_metadata_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The metadata path over PROGRESSIVE JPEG payloads — the pure-numpy
+    decoder's documented NotImplementedError seam, closed by the native
+    shim (jpeg_simple_progression emits the same DCT coefficients
+    reordered across scans, so dimensions and pixels are unchanged; the
+    dims oracle is shared with the baseline-JPEG query). Hosts without
+    the shim degrade to baseline bytes + the numpy decoder, keeping the
+    query runnable and the oracle valid either way."""
+    from dd_ops_ocr_spark import native
+
+    decoder = (
+        native.native_decode_batch if native.available() else real_decode_batch
+    )
+    out = media_metadata(
+        _media_with_payload(spark, sf_dir, fmt="jpeg_progressive"),
+        decoder=decoder,
+    )
+    return out.select("media_ref", "format", "width", "height")
+
+
 def q_media_metadata_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same metadata path over REAL PNG payloads (stdlib-zlib codec,
     operators/png.py): lossless, so beyond the oracle-checked dimensions
@@ -414,6 +471,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "media_metadata_jpeg": q_media_metadata_jpeg,
     "media_metadata_jpeg_native": q_media_metadata_jpeg_native,
+    "media_metadata_jpeg_progressive": q_media_metadata_jpeg_progressive,
     "media_metadata_png": q_media_metadata_png,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,

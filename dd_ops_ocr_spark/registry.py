@@ -179,6 +179,11 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_metadata_jpeg_native"] = (
         fixtures.media_metadata_jpeg_oracle_sql(path)
     )
+    # progressive twin: same coefficients reordered across scans, so the
+    # decoder-independent dims surface shares the same oracle
+    ORACLE_SQL["media_metadata_jpeg_progressive"] = (
+        fixtures.media_metadata_jpeg_oracle_sql(path)
+    )
     ORACLE_SQL["media_metadata_png"] = fixtures.media_metadata_png_oracle_sql(path)
     ORACLE_SQL["media_binarize"] = fixtures.media_binarize_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
@@ -230,6 +235,7 @@ _register(_vision)
 _ROSTER_HEAD = [
     # new this round — never stamped
     "media_metadata_jpeg_native",
+    "media_metadata_jpeg_progressive",
     "flagship_extract_split_landed",
     # last stamped r03 (not in CORRECTNESS_r04's 50-prefix)
     "lsh_candidate_pairs",

@@ -100,6 +100,68 @@ def test_native_decode_is_faster_than_numpy():
     assert t_numpy / t_native > 10, (t_numpy, t_native)
 
 
+def test_progressive_closes_numpy_seam():
+    """Progressive JPEG is a documented NotImplementedError seam in the
+    pure-numpy decoder (operators/jpeg.py); the native shim closes it:
+    jpeg_simple_progression reorders the SAME DCT coefficients across
+    scans, so the progressive encoding must decode bit-identically to
+    the baseline encoding of the same pixels."""
+    from dd_ops_ocr_spark.operators.jpeg import decode_jpeg
+    from dd_ops_ocr_spark.operators.multimodal import detect_format
+
+    img = _page(160, 208)
+    base = native.encode_jpeg_native(img, quality=95, subsampling="4:2:0")
+    prog = native.encode_jpeg_native(
+        img, quality=95, subsampling="4:2:0", progressive=True
+    )
+    assert prog != base and detect_format(prog) == "jpeg"
+    assert np.array_equal(
+        native.decode_jpeg_native(prog), native.decode_jpeg_native(base)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)  # the numpy seam, still documented
+
+
+def test_media_resize_native_codec_injection(spark):
+    """media_resize/media_frame_sample accept the same decoder/encoder
+    seam as media_metadata: drive resize with the native libjpeg pair
+    under Spark and check the outputs are decodable JPEGs of the target
+    geometry whose pixels match a driver-side resample of the SAME
+    native decode to within re-encode tolerance (decoder agreement
+    itself is covered by test_native_agrees_with_numpy_decoder; the
+    synthetic payloads are 4:2:0 noise, where the two decoders'
+    upsampling filters legitimately diverge)."""
+    from dd_ops_ocr_spark.operators.multimodal import (
+        _media_with_payload,
+        media_resize,
+        resize_nn,
+    )
+
+    media = _media_with_payload(
+        spark, "/root/testdata/sf0.001", fmt="jpeg"
+    ).limit(16).cache()
+    out = media_resize(
+        media,
+        target_w=24,
+        target_h=30,
+        decoder=native.decode_jpeg_native,
+        encoder=lambda im: native.encode_jpeg_native(
+            im, quality=95, subsampling="4:4:4"
+        ),
+    ).collect()
+    src = {r.media_ref: r.payload for r in media.collect()}
+    assert len(out) == 16
+    for row in out:
+        assert (row.width, row.height) == (24, 30)
+        img = native.decode_jpeg_native(bytes(row.payload))
+        assert img.shape == (30, 24, 3)
+        ref = resize_nn(
+            native.decode_jpeg_native(bytes(src[row.media_ref])), 24, 30
+        )
+        err = np.abs(img.astype(int) - ref.astype(int)).mean()
+        assert err < 6.0, (row.media_ref, err)
+
+
 def test_media_metadata_native_decoder_spark(spark):
     """The injection seam end-to-end under Spark: media_metadata with
     decoder=native_decode_batch returns the same rows as the pure path
