@@ -187,6 +187,14 @@ def synth_png_payload(media_ref: str) -> bytes:
     return encode_png(_synth_pixels(media_ref))
 
 
+def synth_png_interlaced_payload(media_ref: str) -> bytes:
+    """Deterministic Adam7-interlaced PNG — same pixels as
+    synth_png_payload, seven-pass byte layout."""
+    from dd_ops_ocr_spark.operators.png import encode_png
+
+    return encode_png(_synth_pixels(media_ref), interlace=True)
+
+
 # ------------------------------------------------------------- operators
 
 def real_decode_batch(payloads: pd.Series) -> pd.DataFrame:
@@ -363,6 +371,7 @@ def _media_with_payload(
         synth = {
             "jpeg": synth_jpeg_payload,
             "png": synth_png_payload,
+            "png_interlaced": synth_png_interlaced_payload,
         }.get(fmt, synth_bmp_payload)
 
     def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -446,6 +455,19 @@ def q_media_metadata_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_ref", "format", "width", "height")
 
 
+def q_media_metadata_png_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The metadata path over Adam7-INTERLACED PNG payloads — the PNG
+    codec's last documented seam (operators/png.py decodes the seven
+    independently filtered sub-images and scatters them back on the
+    pass grid). Same pixels as media_metadata_png, different byte
+    layout, so the dims oracle is shared; lossless round-trip is
+    pytest-verified (test_png_adam7_roundtrip_exact)."""
+    out = media_metadata(_media_with_payload(spark, sf_dir, fmt="png_interlaced"))
+    return out.select("media_ref", "format", "width", "height")
+
+
 RESIZE_W, RESIZE_H = 16, 20  # small target keeps the sf0.01 query light
 
 
@@ -473,6 +495,7 @@ QUERIES = {
     "media_metadata_jpeg_native": q_media_metadata_jpeg_native,
     "media_metadata_jpeg_progressive": q_media_metadata_jpeg_progressive,
     "media_metadata_png": q_media_metadata_png,
+    "media_metadata_png_interlaced": q_media_metadata_png_interlaced,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
 }

@@ -8,8 +8,10 @@ operators/jpeg.py + PNG here); video remains the documented injection
 seam.
 
 Supported on decode: 8-bit gray (0), RGB (2), palette (3), gray+alpha
-(4), RGBA (6), non-interlaced. 16-bit and Adam7 interlace raise
-NotImplementedError. Encode emits 8-bit RGB, filter 0.
+(4), RGBA (6); both non-interlaced and Adam7-interlaced streams (each
+of the seven passes is an independently filtered sub-image scattered
+back on the pass grid). 16-bit depth raises NotImplementedError.
+Encode emits 8-bit RGB, filter 0, optionally Adam7-interlaced.
 """
 
 from __future__ import annotations
@@ -29,16 +31,44 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0)."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2
+# (starting_col/row = [0,4,0,2,0,1,0] / [0,0,4,0,2,0,1])
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0;
+    ``interlace`` emits the seven Adam7 sub-images in pass order)."""
     h, w, _ = pixels.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
-    raw[:, 1:] = pixels.reshape(h, w * 3)  # filter byte 0 per scanline
+    # IHDR field order: depth, color type, compression, filter, interlace
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            ph, pw, _ = sub.shape
+            if ph == 0 or pw == 0:
+                continue
+            raw = np.zeros((ph, 1 + pw * 3), dtype=np.uint8)
+            raw[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(raw.tobytes())
+        body = b"".join(parts)
+    else:
+        raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+        raw[:, 1:] = pixels.reshape(h, w * 3)  # filter byte 0 per scanline
+        body = raw.tobytes()
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IDAT", zlib.compress(body, 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -131,19 +161,39 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("no IHDR chunk")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"invalid PNG color type {ctype}")
     bpp = channels
-    stride = w * channels
     data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(data) != h * (1 + stride):
-        raise ValueError("PNG scanline data size mismatch")
-    px = _unfilter(data.reshape(h, 1 + stride), h, stride, bpp).reshape(
-        h, w, channels
-    )
+    if interlace:
+        # Adam7: seven independently filtered sub-images in pass order,
+        # each scattered back onto its (x0::dx, y0::dy) grid
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * channels
+            need = ph * (1 + pstride)
+            if pos2 + need > len(data):
+                raise ValueError("PNG interlaced scanline data truncated")
+            raw = data[pos2: pos2 + need].reshape(ph, 1 + pstride)
+            pos2 += need
+            px[y0::dy, x0::dx] = _unfilter(raw, ph, pstride, bpp).reshape(
+                ph, pw, channels
+            )
+        if pos2 != len(data):
+            raise ValueError("PNG scanline data size mismatch")
+    else:
+        stride = w * channels
+        if len(data) != h * (1 + stride):
+            raise ValueError("PNG scanline data size mismatch")
+        px = _unfilter(data.reshape(h, 1 + stride), h, stride, bpp).reshape(
+            h, w, channels
+        )
     if ctype == 2:
         return np.ascontiguousarray(px)
     if ctype == 6:

@@ -185,6 +185,11 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
         fixtures.media_metadata_jpeg_oracle_sql(path)
     )
     ORACLE_SQL["media_metadata_png"] = fixtures.media_metadata_png_oracle_sql(path)
+    # Adam7 twin: identical pixels in a seven-pass byte layout, so the
+    # decoder-independent dims surface shares the PNG oracle
+    ORACLE_SQL["media_metadata_png_interlaced"] = (
+        fixtures.media_metadata_png_oracle_sql(path)
+    )
     ORACLE_SQL["media_binarize"] = fixtures.media_binarize_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
     # IVF: the oracle bakes the deterministically-trained centroids as
@@ -237,6 +242,7 @@ _ROSTER_HEAD = [
     "media_metadata_jpeg_native",
     "media_metadata_jpeg_progressive",
     "flagship_extract_split_landed",
+    "media_metadata_png_interlaced",
     # last stamped r03 (not in CORRECTNESS_r04's 50-prefix)
     "lsh_candidate_pairs",
     "ngram_jaccard",

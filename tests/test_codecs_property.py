@@ -144,3 +144,30 @@ def test_jpeg_corrupt_bytes_raise_clean_exceptions():
             assert out.shape == px.shape
         except (EOFError, ValueError) as e:
             assert "negative shift" not in str(e)
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims, st.integers(0, 2**31), st.booleans())
+def test_png_adam7_roundtrip_exact(wh, seed, smooth):
+    """Adam7-interlaced encode -> decode is pixel-exact at every
+    geometry, including sub-8x8 images where most passes are empty."""
+    w, h = wh
+    px = _image(w, h, seed, smooth)
+    data = encode_png(px, interlace=True)
+    assert png_dimensions(data) == (w, h)
+    assert (decode_png(data) == px).all()
+    # same pixels either way: the interlace flag changes the byte
+    # layout, never the image
+    assert (decode_png(encode_png(px)) == decode_png(data)).all()
+
+
+def test_png_adam7_grid_is_a_partition():
+    """The seven pass grids tile the image exactly once (PNG spec §8.2) —
+    the invariant the scatter-based decoder relies on."""
+    from dd_ops_ocr_spark.operators.png import _ADAM7
+
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (40, 33)]:
+        cov = np.zeros((h, w), dtype=int)
+        for x0, y0, dx, dy in _ADAM7:
+            cov[y0::dy, x0::dx] += 1
+        assert (cov == 1).all(), (w, h)
