@@ -376,6 +376,30 @@ FROM g, UNNEST(range(0, {n_frames})) AS t(i)
 """
 
 
+def media_video_frames_oracle_sql(path: str, n_frames: int = 3) -> str:
+    """DuckDB twin of q_media_video_frames' SQL-statable surface: the
+    md5-derived container frame count (multimodal.synth_frame_count
+    restated), the integer round-half-up sampling arithmetic
+    (video.sample_indices restated — banker's-free on purpose), and the
+    decoded dimensions. Frame bytes are entropy-coded, pytest-checked."""
+    return _media_cte(path) + f"""
+, v AS (
+  SELECT media_ref, width, height,
+         CAST(2 + CAST(('0x' || substr(md5(media_ref), 5, 2)) AS INT) % 7
+              AS INT) AS n_src
+  FROM g
+),
+s AS (SELECT *, LEAST({n_frames}, n_src) AS kk FROM v)
+SELECT media_ref,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(CASE WHEN kk <= 1 THEN 0
+                 ELSE (2 * t.i * (n_src - 1) + (kk - 1)) // (2 * (kk - 1))
+            END AS INT) AS src_idx,
+       n_src AS n_src_frames, width, height
+FROM s, UNNEST(range(0, kk)) AS t(i)
+"""
+
+
 def metrics_oracle_sql(path: str) -> str:
     """DuckDB equivalent of pipeline.metrics over the extraction output."""
     return _extract_cte(path) + """

@@ -84,6 +84,8 @@ def detect_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -193,6 +195,34 @@ def synth_png_interlaced_payload(media_ref: str) -> bytes:
     from dd_ops_ocr_spark.operators.png import encode_png
 
     return encode_png(_synth_pixels(media_ref), interlace=True)
+
+
+def synth_frame_count(media_ref: str) -> int:
+    """Deterministic per-ref video frame count in [2, 8], md5-derived
+    like synth_geometry so the same arithmetic is statable in DuckDB
+    (fixtures.media_video_frames_oracle_sql)."""
+    import hashlib
+
+    hx = hashlib.md5(media_ref.encode()).hexdigest()
+    return 2 + int(hx[4:6], 16) % 7
+
+
+def synth_avi_payload(media_ref: str) -> bytes:
+    """Deterministic small REAL MJPEG AVI: synth_frame_count(ref) JPEG
+    frames (q95 4:4:4 — the synth pixels are high-frequency noise, where
+    chroma subsampling would swamp the lossy envelope), frame i = the
+    synth pixels cyclically row-shifted by i, in a spec-correct RIFF/AVI
+    container (operators/video.py)."""
+    from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
+    from dd_ops_ocr_spark.operators.video import encode_avi_mjpeg
+
+    px = _synth_pixels(media_ref)
+    h, w, _ = px.shape
+    frames = [
+        encode_jpeg(np.roll(px, i, axis=0), quality=95, subsampling="4:4:4")
+        for i in range(synth_frame_count(media_ref))
+    ]
+    return encode_avi_mjpeg(frames, w, h, fps=10)
 
 
 # ------------------------------------------------------------- operators
@@ -340,6 +370,65 @@ def media_frame_sample(
     )
 
 
+def media_video_frames(
+    media_df: DataFrame,
+    n_frames: int = 3,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """REAL video frame sampling over MJPEG-AVI payloads: walk the RIFF
+    container (operators/video.py — pure struct parsing, no pixel work),
+    pick ``n_frames`` evenly spaced frames, and decode ONLY those. That
+    selectivity is the 100 TB design point: a video corpus at scale is
+    dominated by pixel decode, so the container walk (O(bytes memcpy))
+    enumerates frames and the expensive decode touches k of n_src.
+
+    One-to-many Arrow-batched expansion like media_frame_sample, but the
+    frames are genuinely distinct images from the container, not
+    synthetic shifts. ``decoder`` is the usual injection seam (the
+    native libjpeg shim decodes MJPEG frames unchanged — MJPEG *is*
+    baseline JPEG per frame). Emits per sampled frame: its output
+    position, the source frame index chosen, the container's total
+    frame count, the decoded dimensions, and the frame payload."""
+    from dd_ops_ocr_spark.operators.video import avi_frames, sample_indices
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            refs, fidx, sidx, nsrc, ws, hs, frames = [], [], [], [], [], [], []
+            for r, p in zip(pdf["media_ref"], pdf["payload"]):
+                payload_frames = avi_frames(p)
+                n = len(payload_frames)
+                for i, src in enumerate(sample_indices(n, n_frames)):
+                    img = decoder(payload_frames[src])
+                    refs.append(r)
+                    fidx.append(i)
+                    sidx.append(src)
+                    nsrc.append(n)
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    frames.append(payload_frames[src])
+            yield pd.DataFrame(
+                {
+                    "media_ref": np.asarray(refs, dtype=object),
+                    "frame_idx": np.asarray(fidx, dtype=np.int32),
+                    "src_idx": np.asarray(sidx, dtype=np.int32),
+                    "n_src_frames": np.asarray(nsrc, dtype=np.int32),
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return media_df.mapInPandas(
+        run,
+        schema=(
+            "media_ref string, frame_idx int, src_idx int, "
+            "n_src_frames int, width int, height int, frame binary"
+        ),
+    )
+
+
 def _media_with_payload(
     spark: SparkSession, sf_dir: str, fmt: str = "bmp"
 ) -> DataFrame:
@@ -372,6 +461,7 @@ def _media_with_payload(
             "jpeg": synth_jpeg_payload,
             "png": synth_png_payload,
             "png_interlaced": synth_png_interlaced_payload,
+            "avi": synth_avi_payload,
         }.get(fmt, synth_bmp_payload)
 
     def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -455,6 +545,21 @@ def q_media_metadata_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_ref", "format", "width", "height")
 
 
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize REAL MJPEG-AVI payloads (2-8 md5-seeded
+    JPEG frames each), walk the container, sample 3 frames evenly, and
+    decode only those. SQL-statable surface: which source frames get
+    picked (the integer round-half-up sampling arithmetic), the
+    container's frame count, and the decoded dimensions — all
+    re-derivable from md5 in DuckDB. Frame payload bytes are
+    entropy-coded and pytest-checked instead (test_video.py asserts the
+    decoded pixels are the expected row-shifted synth image)."""
+    out = media_video_frames(_media_with_payload(spark, sf_dir, fmt="avi"))
+    return out.select(
+        "media_ref", "frame_idx", "src_idx", "n_src_frames", "width", "height"
+    )
+
+
 def q_media_metadata_png_interlaced(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -498,6 +603,7 @@ QUERIES = {
     "media_metadata_png_interlaced": q_media_metadata_png_interlaced,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "media_video_frames": q_media_video_frames,
 }
 # SQL oracles for these need the materialized spans fixture path —
 # registered by registry.register_flagship_oracles via fixtures.py.

@@ -1,0 +1,153 @@
+"""MJPEG-AVI container codec + video frame-sampling operator tests.
+
+The container layer (operators/video.py) is pure struct parsing and runs
+without Spark; the operator e2e runs q_media_video_frames at the smoke
+scale and checks the decoded pixels against the deterministic synth
+frames (the oracle covers the SQL-statable surface; this file covers the
+bytes the oracle can't state)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dd_ops_ocr_spark.operators.video import (
+    avi_frames,
+    avi_geometry,
+    encode_avi_mjpeg,
+    is_avi,
+    sample_indices,
+    _chunk,
+    _list,
+)
+
+from tests.conftest import SF_SMOKE
+
+SF = SF_SMOKE
+
+
+def _fake_frames(n: int) -> list[bytes]:
+    return [b"\xff\xd8" + bytes([i]) * (10 + i) + b"\xff\xd9" for i in range(n)]
+
+
+def test_avi_roundtrip_and_geometry():
+    frames = _fake_frames(5)
+    avi = encode_avi_mjpeg(frames, 32, 24, fps=10)
+    assert is_avi(avi)
+    assert avi_frames(avi) == frames
+    assert avi_geometry(avi) == (32, 24, 5)
+
+
+def test_avi_odd_sized_frames_word_align():
+    # odd chunk bodies get a pad byte; the reader must not absorb it
+    frames = [b"\xff\xd8" + b"x" * 7 + b"\xff\xd9", b"\xff\xd8" + b"\xff\xd9"]
+    avi = encode_avi_mjpeg(frames, 8, 8)
+    assert avi_frames(avi) == frames
+
+
+def test_avi_tolerant_reader_variants():
+    """Real-world AVIs vary: frames inside 'rec ' grouping LISTs, 00db
+    (uncompressed-named) chunks, and unknown chunks interleaved — the
+    reader takes all frame chunks and ignores the rest."""
+    frames = _fake_frames(3)
+    movi_body = (
+        _chunk(b"00dc", frames[0])
+        + _chunk(b"JUNK", b"\x00" * 11)
+        + _list(b"rec ", _chunk(b"00db", frames[1]))
+        + _chunk(b"00dc", frames[2])
+    )
+    avi = _chunk(
+        b"RIFF", b"AVI " + _list(b"hdrl", b"") + _list(b"movi", movi_body)
+    )
+    assert avi_frames(avi) == frames
+
+
+def test_avi_error_paths():
+    with pytest.raises(ValueError):
+        avi_frames(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(ValueError):
+        avi_geometry(_chunk(b"RIFF", b"AVI "))  # no avih
+    # chunk overrunning its parent must raise, not over-read
+    bad_movi = _list(b"movi", b"00dc\xff\xff\xff\x0fAB")
+    bad = _chunk(b"RIFF", b"AVI " + bad_movi)
+    with pytest.raises(ValueError):
+        avi_frames(bad)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8)
+
+
+def test_sample_indices_properties():
+    # endpoints included, strictly increasing, k > n dedupes to n
+    for n in range(1, 30):
+        for k in range(1, 10):
+            idx = sample_indices(n, k)
+            kk = min(k, n)
+            assert len(idx) == kk
+            assert idx[0] == 0
+            if kk > 1:
+                assert idx[-1] == n - 1
+                assert all(a < b for a, b in zip(idx, idx[1:]))
+            assert all(0 <= i < n for i in idx)
+    assert sample_indices(0, 3) == []
+    # integer round-half-up, NOT banker's: n=6, k=3 midpoint 2.5 -> 3
+    assert sample_indices(6, 3) == [0, 3, 5]
+
+
+def test_sample_indices_matches_sql_arithmetic():
+    """The DuckDB oracle restates the sampling formula; run the SQL
+    spelling over a grid and require bit-equality with the Python one."""
+    import duckdb
+
+    rows = duckdb.sql(
+        """
+        SELECT n, kk, t.i,
+               CASE WHEN kk <= 1 THEN 0
+                    ELSE (2 * t.i * (n - 1) + (kk - 1)) // (2 * (kk - 1))
+               END AS idx
+        FROM (SELECT n, LEAST(5, n) AS kk FROM UNNEST(range(1, 30)) AS s(n)),
+             UNNEST(range(0, kk)) AS t(i)
+        ORDER BY n, t.i
+        """
+    ).fetchall()
+    got: dict[int, list[int]] = {}
+    for n, _kk, _i, idx in rows:
+        got.setdefault(n, []).append(idx)
+    for n in range(1, 30):
+        assert got[n] == sample_indices(n, 5), n
+
+
+def test_media_video_frames_end_to_end(spark):
+    """Spark e2e at smoke scale: the sampled frames decode to exactly the
+    row-shifted synth pixels (MJPEG frames are q95 baseline JPEGs — same
+    tolerance as the JPEG codec tests), and the SQL-visible columns obey
+    the md5-derived frame count and geometry."""
+    from dd_ops_ocr_spark.operators.multimodal import (
+        _media_with_payload,
+        _synth_pixels,
+        media_video_frames,
+        synth_frame_count,
+        synth_geometry,
+    )
+    from dd_ops_ocr_spark.operators.jpeg import decode_jpeg
+
+    media = _media_with_payload(spark, SF, fmt="avi").limit(40)
+    out = media_video_frames(media).toPandas()
+    assert len(out) > 0
+    by_ref = dict(tuple(out.groupby("media_ref")))
+    for ref, grp in by_ref.items():
+        n_src = synth_frame_count(ref)
+        w, h = synth_geometry(ref)
+        assert set(grp["n_src_frames"]) == {n_src}
+        assert set(grp["width"]) == {w} and set(grp["height"]) == {h}
+        assert sorted(grp["src_idx"]) == sample_indices(n_src, 3)
+        px = _synth_pixels(ref)
+        for _, row in grp.iterrows():
+            img = decode_jpeg(bytes(row["frame"]))
+            want = np.roll(px, int(row["src_idx"]), axis=0)
+            assert img.shape == want.shape
+            # q95 4:4:4 noise bound, matching
+            # test_jpeg_noise_q95_tight_bound's envelope
+            err = np.abs(
+                img.astype(np.int32) - want.astype(np.int32)
+            ).mean()
+            assert err < 8.0, (ref, int(row["src_idx"]), err)
