@@ -421,6 +421,35 @@ def main() -> None:
         }
     else:  # loud, never silent: the injected row is a graded artifact
         media["native"] = {"unavailable": _native.load_error()}
+    # video: MJPEG-AVI containers through media_video_frames (walk the
+    # container, decode only the 3 sampled frames of each). Cached like
+    # the JPEG payload table; decoder is injectable, so time both sides
+    # of the seam when the shim exists.
+    from dd_ops_ocr_spark.operators.multimodal import media_video_frames
+
+    video_path = os.path.join(CACHE, f"media_avi_{_sf_name()}.parquet")
+    if not os.path.isdir(video_path):
+        _media_with_payload(spark, SF_DIR, fmt="avi").write.mode(
+            "overwrite").parquet(video_path)
+    video_df = spark.read.parquet(video_path)
+    n_frames = media_video_frames(video_df).count()  # warm
+    queries["media_video_frames"] = timed(
+        lambda: media_video_frames(video_df).count()
+    )
+    media["video"] = {
+        "n_sampled_frames": n_frames,
+        "frames_per_sec": round(n_frames / queries["media_video_frames"], 1),
+    }
+    if _native.available():
+        from dd_ops_ocr_spark.native import decode_jpeg_native
+
+        media_video_frames(video_df, decoder=decode_jpeg_native).count()
+        queries["media_video_frames_native"] = timed(
+            lambda: media_video_frames(
+                video_df, decoder=decode_jpeg_native).count()
+        )
+        media["video"]["native_frames_per_sec"] = round(
+            n_frames / queries["media_video_frames_native"], 1)
     spark.stop()
 
     scaling = None
