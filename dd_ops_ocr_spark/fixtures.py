@@ -400,6 +400,36 @@ FROM s, UNNEST(range(0, kk)) AS t(i)
 """
 
 
+def media_audio_features_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_audio_features: the md5-derived synthesis
+    parameters (multimodal.synth_audio_params restated) pin every
+    feature in closed form — a square wave's RMS and peak are its
+    amplitude, and its sign flips are (n-1) // half_period."""
+    return _media_cte(path) + """
+, a AS (
+  SELECT media_ref,
+         (CASE CAST(('0x' || substr(md5(media_ref), 7, 2)) AS INT) % 4
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END) AS sample_rate,
+         CAST(1 + CAST(('0x' || substr(md5(media_ref), 15, 2)) AS INT) % 2
+              AS INT) AS n_channels,
+         CAST(500 + CAST(('0x' || substr(md5(media_ref), 9, 2)) AS INT) * 7
+              AS INT) AS n_samples,
+         CAST(1000 + CAST(('0x' || substr(md5(media_ref), 11, 2)) AS INT) * 8
+              AS INT) AS amp,
+         CAST(8 + CAST(('0x' || substr(md5(media_ref), 13, 2)) AS INT) % 24
+              AS INT) AS half
+  FROM g
+)
+SELECT media_ref, CAST(sample_rate AS INT) AS sample_rate, n_channels,
+       n_samples,
+       CAST(n_samples * 1000 // sample_rate AS INT) AS duration_ms,
+       amp AS peak, amp AS rms,
+       CAST((n_samples - 1) // half AS INT) AS zero_crossings
+FROM a
+"""
+
+
 def metrics_oracle_sql(path: str) -> str:
     """DuckDB equivalent of pipeline.metrics over the extraction output."""
     return _extract_cte(path) + """

@@ -86,6 +86,8 @@ def detect_format(payload: bytes) -> str:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
     return "unknown"
 
 
@@ -195,6 +197,35 @@ def synth_png_interlaced_payload(media_ref: str) -> bytes:
     from dd_ops_ocr_spark.operators.png import encode_png
 
     return encode_png(_synth_pixels(media_ref), interlace=True)
+
+
+def synth_audio_params(media_ref: str) -> tuple[int, int, int, int, int]:
+    """Deterministic (rate, n_samples, amplitude, half_period, channels)
+    for a synthetic audio clip, md5-derived so every field — and the
+    square wave's exact RMS/peak/zero-crossing count — is statable in
+    DuckDB (fixtures.media_audio_features_oracle_sql)."""
+    import hashlib
+
+    hx = hashlib.md5(media_ref.encode()).hexdigest()
+    rate = (8000, 16000, 22050, 44100)[int(hx[6:8], 16) % 4]
+    n_samples = 500 + int(hx[8:10], 16) * 7
+    amp = 1000 + int(hx[10:12], 16) * 8
+    half = 8 + int(hx[12:14], 16) % 24
+    channels = 1 + int(hx[14:16], 16) % 2
+    return rate, n_samples, amp, half, channels
+
+
+def synth_wav_payload(media_ref: str) -> bytes:
+    """Deterministic REAL PCM WAV: a square wave at md5-derived
+    amplitude/period (so RMS == peak == amplitude exactly and the
+    sign-flip count is a closed-form integer), replicated across the
+    md5-derived channel count."""
+    from dd_ops_ocr_spark.operators.audio import encode_wav
+
+    rate, n, amp, half, ch = synth_audio_params(media_ref)
+    i = np.arange(n)
+    s = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+    return encode_wav(np.repeat(s[:, None], ch, axis=1), rate)
 
 
 def synth_frame_count(media_ref: str) -> int:
@@ -429,6 +460,40 @@ def media_video_frames(
     )
 
 
+def media_audio_features(media_df: DataFrame) -> DataFrame:
+    """Audio feature extraction over PCM WAV payloads: decode the RIFF
+    container (operators/audio.py) and reduce each clip to typed
+    metadata — geometry (rate/channels/samples/duration) plus channel-0
+    signal statistics (peak, RMS, zero-crossing count). Arrow-batched
+    mapInPandas like every media operator; all outputs are integers so
+    the reduction is bit-deterministic across hosts and the whole
+    surface hash-checks against the md5 oracle. The decode-and-reduce
+    shape (never materialize raw samples into the plan) is the 100 TB
+    point: features are ~30 bytes/row out of ~100 KB/row in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dd_ops_ocr_spark.operators.audio import audio_features
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = [audio_features(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_ref", pdf["media_ref"].to_numpy())
+            yield out.astype(
+                {c: np.int32 for c in out.columns if c != "media_ref"}
+            )
+
+    return media_df.mapInPandas(
+        run,
+        schema=(
+            "media_ref string, sample_rate int, n_channels int, "
+            "n_samples int, duration_ms int, peak int, rms int, "
+            "zero_crossings int"
+        ),
+    )
+
+
 def _media_with_payload(
     spark: SparkSession, sf_dir: str, fmt: str = "bmp"
 ) -> DataFrame:
@@ -462,6 +527,7 @@ def _media_with_payload(
             "png": synth_png_payload,
             "png_interlaced": synth_png_interlaced_payload,
             "avi": synth_avi_payload,
+            "wav": synth_wav_payload,
         }.get(fmt, synth_bmp_payload)
 
     def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -560,6 +626,19 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize REAL PCM WAV payloads (md5-seeded square
+    waves) and run the decode-and-reduce path. Every output column is an
+    integer with a closed-form md5 twin in DuckDB — including RMS and
+    the zero-crossing count, which the square-wave synthesis pins
+    exactly — so the driver hash-checks the entire feature surface."""
+    out = media_audio_features(_media_with_payload(spark, sf_dir, fmt="wav"))
+    return out.select(
+        "media_ref", "sample_rate", "n_channels", "n_samples",
+        "duration_ms", "peak", "rms", "zero_crossings",
+    )
+
+
 def q_media_metadata_png_interlaced(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -604,6 +683,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_video_frames": q_media_video_frames,
+    "media_audio_features": q_media_audio_features,
 }
 # SQL oracles for these need the materialized spans fixture path —
 # registered by registry.register_flagship_oracles via fixtures.py.

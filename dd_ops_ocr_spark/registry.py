@@ -193,6 +193,9 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_binarize"] = fixtures.media_binarize_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
     ORACLE_SQL["media_video_frames"] = fixtures.media_video_frames_oracle_sql(path)
+    ORACLE_SQL["media_audio_features"] = (
+        fixtures.media_audio_features_oracle_sql(path)
+    )
     # IVF: the oracle bakes the deterministically-trained centroids as
     # literals (similarity.train_ivf_centroids_local reads the same
     # parquet the query trains on)
@@ -245,6 +248,7 @@ _ROSTER_HEAD = [
     "flagship_extract_split_landed",
     "media_metadata_png_interlaced",
     "media_video_frames",
+    "media_audio_features",
     # last stamped r03 (not in CORRECTNESS_r04's 50-prefix)
     "lsh_candidate_pairs",
     "ngram_jaccard",
