@@ -22,9 +22,8 @@ import struct
 import numpy as np
 
 
-def _chunk(tag: bytes, body: bytes) -> bytes:
-    pad = b"\x00" if len(body) % 2 else b""
-    return tag + struct.pack("<I", len(body)) + body + pad
+from dd_ops_ocr_spark.operators.riff import chunk as _chunk
+from dd_ops_ocr_spark.operators.riff import container_end, iter_chunks
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -49,35 +48,36 @@ def is_wav(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
 
 
-def _walk_chunks(payload: bytes) -> dict[bytes, bytes]:
-    """Tolerant RIFF walk: first ``fmt `` and ``data`` chunk bodies;
-    everything else (LIST/INFO/fact/cue ...) is skipped. Raises on a
-    chunk overrunning the container."""
-    (riff_len,) = struct.unpack_from("<I", payload, 4)
-    end = min(8 + riff_len, len(payload))
-    found: dict[bytes, bytes] = {}
-    pos = 12
-    while pos + 8 <= end:
-        tag = payload[pos: pos + 4]
-        (ln,) = struct.unpack_from("<I", payload, pos + 4)
-        body_end = pos + 8 + ln
-        if body_end > end:
-            raise ValueError("WAV chunk overruns the RIFF container")
+def _walk_chunks(payload: bytes) -> dict[bytes, tuple[int, int]]:
+    """Tolerant RIFF walk: (body_start, body_end) spans of the first
+    ``fmt `` and ``data`` chunks; everything else (LIST/INFO/fact/cue
+    ...) is skipped. Spans, not slices — the metadata path must stay
+    O(header), never copying the sample bytes."""
+    found: dict[bytes, tuple[int, int]] = {}
+    for tag, body_start, body_end in iter_chunks(
+        payload, 12, container_end(payload)
+    ):
         if tag in (b"fmt ", b"data") and tag not in found:
-            found[tag] = payload[pos + 8: body_end]
-        pos = body_end + (ln & 1)  # word alignment
+            found[tag] = (body_start, body_end)
     return found
 
 
-def _parse(payload: bytes) -> tuple[int, int, int, bytes]:
-    """(sample_rate, channels, bits, data) with the fmt chunk validated."""
+def _parse(payload: bytes) -> tuple[int, int, int, tuple[int, int]]:
+    """(sample_rate, channels, bits, data_span) with fmt validated.
+    Malformed containers raise ValueError; format gaps (float PCM,
+    ADPCM, exotic depths) raise NotImplementedError — the module's
+    whole error contract, kept narrow so Spark-task callers can
+    classify failures."""
     if not is_wav(payload):
         raise ValueError("not a WAV payload")
     found = _walk_chunks(payload)
     if b"fmt " not in found or b"data" not in found:
         raise ValueError("WAV without fmt/data chunk")
+    f0, f1 = found[b"fmt "]
+    if f1 - f0 < 16:
+        raise ValueError("WAV fmt chunk truncated")
     audio_fmt, ch, rate, _br, block_align, bits = struct.unpack_from(
-        "<HHIIHH", found[b"fmt "]
+        "<HHIIHH", payload, f0
     )
     if audio_fmt != 1:
         raise NotImplementedError(
@@ -91,22 +91,23 @@ def _parse(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def wav_info(payload: bytes) -> tuple[int, int, int]:
-    """(sample_rate, channels, n_samples) from the headers — no sample
-    materialization (the cheap metadata path, like avi_geometry)."""
-    rate, ch, bits, data = _parse(payload)
-    return rate, ch, len(data) // (ch * bits // 8)
+    """(sample_rate, channels, n_samples) from the headers — O(header),
+    no sample materialization (the cheap metadata path, like
+    avi_geometry)."""
+    rate, ch, bits, (d0, d1) = _parse(payload)
+    return rate, ch, (d1 - d0) // (ch * bits // 8)
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (int16 samples of shape (n, channels), sample_rate).
     8-bit PCM (unsigned per spec) is widened to int16."""
-    rate, ch, bits, data = _parse(payload)
-    n = len(data) // (ch * bits // 8)
+    rate, ch, bits, (d0, d1) = _parse(payload)
+    n = (d1 - d0) // (ch * bits // 8)
     if bits == 8:
-        raw = np.frombuffer(data[: n * ch], dtype=np.uint8)
+        raw = np.frombuffer(payload, dtype=np.uint8, count=n * ch, offset=d0)
         samples = ((raw.astype(np.int16) - 128) << 8).reshape(n, ch)
     else:
-        raw = np.frombuffer(data[: n * ch * 2], dtype="<i2")
+        raw = np.frombuffer(payload, dtype="<i2", count=n * ch, offset=d0)
         samples = raw.astype(np.int16).reshape(n, ch)
     return samples, rate
 
@@ -119,7 +120,8 @@ def audio_features(payload: bytes) -> dict[str, int]:
     samples, rate = decode_wav(payload)
     x = samples[:, 0].astype(np.float64)
     n = len(x)
-    peak = int(np.abs(samples[:, 0]).max()) if n else 0
+    # abs in int32: np.abs(int16(-32768)) overflows back to -32768
+    peak = int(np.abs(samples[:, 0].astype(np.int32)).max()) if n else 0
     rms = int(round(float(np.sqrt(np.mean(x * x))))) if n else 0
     sign = np.signbit(samples[:, 0])
     zc = int(np.count_nonzero(sign[1:] != sign[:-1])) if n > 1 else 0

@@ -27,12 +27,10 @@ from __future__ import annotations
 
 import struct
 
+from dd_ops_ocr_spark.operators.riff import chunk as _chunk
+from dd_ops_ocr_spark.operators.riff import container_end, iter_chunks
+
 _AVIF_HASINDEX = 0x00000010
-
-
-def _chunk(tag: bytes, body: bytes) -> bytes:
-    pad = b"\x00" if len(body) % 2 else b""
-    return tag + struct.pack("<I", len(body)) + body + pad
 
 
 def _list(kind: bytes, body: bytes) -> bytes:
@@ -116,41 +114,47 @@ def avi_frames(payload: bytes) -> list[bytes]:
 
     frames: list[bytes] = []
 
-    def walk(data: bytes, start: int, end: int, in_movi: bool) -> None:
-        pos = start
-        while pos + 8 <= end:
-            tag = data[pos: pos + 4]
-            (ln,) = struct.unpack_from("<I", data, pos + 4)
-            body_start = pos + 8
-            body_end = body_start + ln
-            if body_end > end:
-                raise ValueError("AVI chunk overruns its parent")
+    def walk(start: int, end: int, in_movi: bool) -> None:
+        for tag, body_start, body_end in iter_chunks(payload, start, end):
             if tag == b"LIST":
-                kind = data[body_start: body_start + 4]
+                kind = payload[body_start: body_start + 4]
                 walk(
-                    data,
                     body_start + 4,
                     body_end,
                     in_movi or kind in (b"movi", b"rec "),
                 )
             elif in_movi and len(tag) == 4 and tag[2:4] in (b"dc", b"db"):
-                frames.append(data[body_start:body_end])
-            pos = body_end + (ln & 1)  # chunks are word-aligned
+                frames.append(payload[body_start:body_end])
 
-    (riff_len,) = struct.unpack_from("<I", payload, 4)
-    walk(payload, 12, min(8 + riff_len, len(payload)), False)
+    walk(12, container_end(payload), False)
     return frames
 
 
 def avi_geometry(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, n_frames) from the avih main header — no frame
-    decode, no full walk."""
+    """(width, height, n_frames) from the avih main header — a
+    structured walk of the chunk tree (top level, then inside LIST
+    hdrl), never a raw byte search: the 4-byte pattern 'avih' can
+    legitimately occur inside entropy-coded frame data. No frame
+    decode, no movi descent."""
     if not is_avi(payload):
         raise ValueError("not an AVI payload")
-    pos = payload.find(b"avih")
-    if pos < 0 or pos + 8 + 40 > len(payload):
+
+    def find_avih(start: int, end: int, depth: int) -> tuple[int, int] | None:
+        for tag, body_start, body_end in iter_chunks(payload, start, end):
+            if tag == b"avih":
+                return body_start, body_end
+            if tag == b"LIST" and depth < 2:
+                kind = payload[body_start: body_start + 4]
+                if kind == b"hdrl":
+                    hit = find_avih(body_start + 4, body_end, depth + 1)
+                    if hit is not None:
+                        return hit
+        return None
+
+    hit = find_avih(12, container_end(payload), 0)
+    if hit is None or hit[1] - hit[0] < 56:
         raise ValueError("AVI without avih header")
-    vals = struct.unpack_from("<14I", payload, pos + 8)
+    vals = struct.unpack_from("<14I", payload, hit[0])
     return vals[8], vals[9], vals[4]
 
 

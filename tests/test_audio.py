@@ -50,10 +50,14 @@ def test_wav_tolerant_reader_extra_chunks():
     s = np.arange(-10, 11, dtype=np.int16)
     base = encode_wav(s, 8000)
     fmt_and_data = base[12:]
+    # both skipped chunks have ODD bodies, so the walker must step over
+    # their pad bytes to find fmt/data at all — removing the word
+    # alignment from the shared RIFF walker fails this test
     payload = _chunk(
         b"RIFF",
         b"WAVE"
-        + _chunk(b"LIST", b"INFOsoftware-x")  # odd body -> pad byte
+        + _chunk(b"LIST", b"INFOsoftware-xy")  # 15 bytes -> pad byte
+        + _chunk(b"junk", b"\x07" * 3)  # odd mid-stream chunk
         + fmt_and_data
         + _chunk(b"fact", b"\x15\x00\x00\x00"),
     )
@@ -133,3 +137,23 @@ def test_media_audio_features_end_to_end(spark):
         assert row["duration_ms"] == n * 1000 // rate
         assert row["peak"] == amp and row["rms"] == amp
         assert row["zero_crossings"] == (n - 1) // half
+
+
+def test_audio_peak_full_scale_negative():
+    """int16 -32768 has no int16 absolute value: peak must widen before
+    abs (regression for the np.abs overflow)."""
+    s = np.array([[-32768], [100]], dtype=np.int16)
+    f = audio_features(encode_wav(s, 8000))
+    assert f["peak"] == 32768
+
+
+def test_wav_truncated_fmt_raises_value_error():
+    """A short fmt chunk must stay inside the ValueError contract, not
+    escape as struct.error."""
+    payload = _chunk(
+        b"RIFF",
+        b"WAVE" + _chunk(b"fmt ", b"\x01\x00\x01\x00")  # 4 of 16 bytes
+        + _chunk(b"data", b"\x00\x00"),
+    )
+    with pytest.raises(ValueError):
+        wav_info(payload)

@@ -151,3 +151,18 @@ def test_media_video_frames_end_to_end(spark):
                 img.astype(np.int32) - want.astype(np.int32)
             ).mean()
             assert err < 8.0, (ref, int(row["src_idx"]), err)
+
+
+def test_avi_geometry_ignores_avih_bytes_in_frame_data():
+    """avi_geometry walks the chunk tree — an 'avih' byte pattern inside
+    entropy-coded frame data must not be mistaken for the header."""
+    decoy = b"\xff\xd8" + b"avih" + b"\x00" * 60 + b"\xff\xd9"
+    # container with frames but NO hdrl/avih: must raise, not return
+    # garbage parsed out of the decoy frame bytes
+    avi = _chunk(b"RIFF", b"AVI " + _list(b"movi", _chunk(b"00dc", decoy)))
+    with pytest.raises(ValueError):
+        avi_geometry(avi)
+    # and a well-formed container with the same decoy frame still reads
+    # the real header
+    full = encode_avi_mjpeg([decoy], 17, 13, fps=5)
+    assert avi_geometry(full) == (17, 13, 1)
