@@ -430,6 +430,26 @@ FROM a
 """
 
 
+def media_metadata_quarantine_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_metadata_quarantine: the corruption rule
+    (md5 leading nibble '0' -> payload truncated to 10 bytes) is pure
+    md5 arithmetic, so the oracle states exactly which rows must be
+    quarantined (null dims, ok=false, 10 surviving bytes) and which must
+    decode normally."""
+    return _media_cte(path) + f"""
+SELECT media_ref,
+       'bmp' AS format,
+       CAST(CASE WHEN substr(md5(media_ref), 1, 1) = '0'
+                 THEN 10 ELSE {_BMP_BYTES_SQL} END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN substr(md5(media_ref), 1, 1) = '0'
+                 THEN NULL ELSE width END AS INT) AS width,
+       CAST(CASE WHEN substr(md5(media_ref), 1, 1) = '0'
+                 THEN NULL ELSE height END AS INT) AS height,
+       substr(md5(media_ref), 1, 1) <> '0' AS ok
+FROM g
+"""
+
+
 def metrics_oracle_sql(path: str) -> str:
     """DuckDB equivalent of pipeline.metrics over the extraction output."""
     return _extract_cte(path) + """

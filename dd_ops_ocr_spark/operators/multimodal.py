@@ -323,6 +323,61 @@ def media_metadata(
     return media_df.mapInPandas(run, schema=MEDIA_META_DDL)
 
 
+def media_metadata_quarantined(
+    media_df: DataFrame,
+    decoder: Callable[[pd.Series], pd.DataFrame] = real_decode_batch,
+) -> DataFrame:
+    """media_metadata with warn-and-continue semantics (the reference's
+    X1 posture, applied to media): a corrupt payload must never kill a
+    100 TB task. Optimistic two-tier decode — the whole Arrow batch goes
+    through ``decoder`` first (clean batches pay ZERO overhead over
+    media_metadata), and only a failing batch falls back to per-row
+    decode, where each failure becomes a quarantine row (null metrics +
+    the exception class/message in ``error``) instead of a task failure.
+    Format detection is header-only, so even quarantined rows keep their
+    sniffed format for triage aggregations."""
+
+    cols = ["n_bytes", "format", "width", "height", "phash"]
+
+    def decode_with_errors(payloads: pd.Series) -> pd.DataFrame:
+        try:
+            meta = decoder(payloads)
+            meta["error"] = None
+            return meta
+        except Exception:
+            rows = []
+            for p in payloads:
+                try:
+                    m = decoder(pd.Series([p]))
+                    rows.append(
+                        {c: m[c].iloc[0] for c in cols} | {"error": None}
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    rows.append(
+                        {
+                            "n_bytes": len(p),
+                            "format": detect_format(p),
+                            "width": None,
+                            "height": None,
+                            "phash": None,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            out = pd.DataFrame(rows, columns=cols + ["error"])
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["phash"] = out["phash"].astype("Int64")
+            return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = decode_with_errors(pdf["payload"])
+            meta.insert(0, "media_ref", pdf["media_ref"].to_numpy())
+            yield meta
+
+    return media_df.mapInPandas(run, schema=MEDIA_META_DDL + ", error string")
+
+
 def media_resize(
     media_df: DataFrame,
     target_w: int = 1024,
@@ -626,6 +681,29 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_metadata_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the warn-and-continue media path: payloads whose
+    md5 leading nibble is '0' (~1/16 of the corpus) are truncated to 10
+    bytes IN SPARK SQL (so the corruption rule is restatable in DuckDB),
+    then decoded through media_metadata_quarantined. Good rows carry the
+    md5-geometry dims; corrupt rows carry the sniffed format, the
+    truncated byte count, null dims, and ok=false — all statable, so
+    the driver hash-checks that quarantine fires on exactly the right
+    rows and nothing else degrades."""
+    media = _media_with_payload(spark, sf_dir)
+    corrupt = F.substring(F.md5(F.col("media_ref")), 1, 1) == F.lit("0")
+    media = media.withColumn(
+        "payload",
+        F.when(corrupt, F.expr("substring(payload, 1, 10)"))
+        .otherwise(F.col("payload")),
+    )
+    out = media_metadata_quarantined(media)
+    return out.select(
+        "media_ref", "format", "n_bytes", "width", "height",
+        F.col("error").isNull().alias("ok"),
+    )
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize REAL PCM WAV payloads (md5-seeded square
     waves) and run the decode-and-reduce path. Every output column is an
@@ -684,6 +762,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_video_frames": q_media_video_frames,
     "media_audio_features": q_media_audio_features,
+    "media_metadata_quarantine": q_media_metadata_quarantine,
 }
 # SQL oracles for these need the materialized spans fixture path —
 # registered by registry.register_flagship_oracles via fixtures.py.

@@ -196,6 +196,9 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_audio_features"] = (
         fixtures.media_audio_features_oracle_sql(path)
     )
+    ORACLE_SQL["media_metadata_quarantine"] = (
+        fixtures.media_metadata_quarantine_oracle_sql(path)
+    )
     # IVF: the oracle bakes the deterministically-trained centroids as
     # literals (similarity.train_ivf_centroids_local reads the same
     # parquet the query trains on)
@@ -249,6 +252,7 @@ _ROSTER_HEAD = [
     "media_metadata_png_interlaced",
     "media_video_frames",
     "media_audio_features",
+    "media_metadata_quarantine",
     # last stamped r03 (not in CORRECTNESS_r04's 50-prefix)
     "lsh_candidate_pairs",
     "ngram_jaccard",

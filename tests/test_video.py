@@ -166,3 +166,38 @@ def test_avi_geometry_ignores_avih_bytes_in_frame_data():
     # the real header
     full = encode_avi_mjpeg([decoy], 17, 13, fps=5)
     assert avi_geometry(full) == (17, 13, 1)
+
+
+def test_media_metadata_quarantine_mixed_batch(spark):
+    """Warn-and-continue media decode: in a batch mixing clean payloads,
+    pure garbage, and a truncated image, the good rows decode normally
+    and each bad row becomes a quarantine row with its exception
+    recorded — never a task failure."""
+    import pandas as pd
+    from dd_ops_ocr_spark.operators.multimodal import (
+        encode_bmp,
+        media_metadata_quarantined,
+        _synth_pixels,
+    )
+
+    good = encode_bmp(_synth_pixels("ok_ref"))
+    rows = [
+        ("good", good),
+        ("garbage", b"\x00\x01\x02 not an image at all"),
+        ("truncated", good[:10]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_ref", "payload"])
+    )
+    out = {
+        r["media_ref"]: r
+        for r in media_metadata_quarantined(df).collect()
+    }
+    g = out["good"]
+    assert g["error"] is None and g["width"] is not None
+    assert out["garbage"]["error"] is not None
+    assert out["garbage"]["width"] is None
+    assert out["garbage"]["format"] == "unknown"
+    t = out["truncated"]
+    assert t["error"] is not None and t["format"] == "bmp"
+    assert t["n_bytes"] == 10
