@@ -555,20 +555,24 @@ def main() -> None:
 
 
 
+def _bench_page():
+    """The shared 816x1056 document-page fixture — one definition
+    (multimodal.synth_page_pixels) so every codec-rate probe and the
+    cross-decoder tests measure the SAME pixels."""
+    from dd_ops_ocr_spark.operators.multimodal import synth_page_pixels
+
+    return synth_page_pixels()
+
+
 def _page_encode_rate() -> float:
     """Single-core JPEG encode rate (Mpx/s) on the same document page —
     the render-sink (S3) direction of the codec."""
-    import numpy as np
-
     from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
 
-    y, x = np.mgrid[0:1056, 0:816]
-    page = np.full((1056, 816), 235, np.uint8)
-    page[(y // 40 % 2 == 0) & (x % 13 < 8)] = 40
-    px = np.repeat(page[:, :, None], 3, axis=2)
+    px = _bench_page()
     best = timed(lambda: encode_jpeg(px, quality=95, subsampling="4:2:0"),
                  repeats=3)
-    return round(816 * 1056 / 1e6 / best, 2)
+    return round(px.shape[0] * px.shape[1] / 1e6 / best, 2)
 
 
 def _page_decode_rate() -> float:
@@ -577,54 +581,39 @@ def _page_decode_rate() -> float:
     cluster cores when budgeting a 100 TB media scan on the pure-numpy
     codec (codec injection remains the faster path for real deployments,
     multimodal.py seam)."""
-    import numpy as np
-
     from dd_ops_ocr_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    y, x = np.mgrid[0:1056, 0:816]
-    page = np.full((1056, 816), 235, np.uint8)
-    page[(y // 40 % 2 == 0) & (x % 13 < 8)] = 40
-    data = encode_jpeg(np.repeat(page[:, :, None], 3, axis=2),
-                       quality=95, subsampling="4:2:0")
+    px = _bench_page()
+    data = encode_jpeg(px, quality=95, subsampling="4:2:0")
     best = timed(lambda: decode_jpeg(data), repeats=3)
-    return round(816 * 1056 / 1e6 / best, 2)
+    return round(px.shape[0] * px.shape[1] / 1e6 / best, 2)
 
 
 def _page_decode_rate_native() -> float:
     """Single-core decode rate (Mpx/s) for the INJECTED libjpeg path on
     the same deterministic page — the side-by-side number proving the
     multimodal injection seam."""
-    import numpy as np
-
     from dd_ops_ocr_spark.native import decode_jpeg_native
     from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
 
-    y, x = np.mgrid[0:1056, 0:816]
-    page = np.full((1056, 816), 235, np.uint8)
-    page[(y // 40 % 2 == 0) & (x % 13 < 8)] = 40
-    data = encode_jpeg(np.repeat(page[:, :, None], 3, axis=2),
-                       quality=95, subsampling="4:2:0")
+    px = _bench_page()
+    data = encode_jpeg(px, quality=95, subsampling="4:2:0")
     # native decode is ~2 ms/page: time 50 calls per repeat so the
     # measurement isn't clock-granularity noise
     best = timed(lambda: [decode_jpeg_native(data) for _ in range(50)],
                  repeats=3)
-    return round(816 * 1056 * 50 / 1e6 / best, 2)
+    return round(px.shape[0] * px.shape[1] * 50 / 1e6 / best, 2)
 
 
 def _page_encode_rate_native() -> float:
-    import numpy as np
-
     from dd_ops_ocr_spark.native import encode_jpeg_native
 
-    y, x = np.mgrid[0:1056, 0:816]
-    page = np.full((1056, 816), 235, np.uint8)
-    page[(y // 40 % 2 == 0) & (x % 13 < 8)] = 40
-    px = np.repeat(page[:, :, None], 3, axis=2)
+    px = _bench_page()
     best = timed(
         lambda: [encode_jpeg_native(px, quality=95, subsampling="4:2:0")
                  for _ in range(50)],
         repeats=3)
-    return round(816 * 1056 * 50 / 1e6 / best, 2)
+    return round(px.shape[0] * px.shape[1] * 50 / 1e6 / best, 2)
 
 
 def _append_bench_md(n_docs: int, n_spans: int, scaling: dict) -> None:

@@ -283,8 +283,11 @@ def land_spans(
                 "doc_id", "size_class", F.posexplode("spans").alias("pos", "s")
             )
             .withColumn(
+                # integer div, matching the codebase's exact page
+                # arithmetic ('offset div STRIDE'): float true-division
+                # loses exactness once offset * ulp crosses the divisor
                 "part",
-                (F.col("s.offset") / F.lit(STRIDE * split_pages)).cast("int"),
+                F.expr(f"int(s.offset div {STRIDE * split_pages})"),
             )
             .groupBy("doc_id", "size_class", "part")
             .agg(

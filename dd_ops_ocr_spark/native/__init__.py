@@ -135,20 +135,23 @@ def _load() -> ctypes.CDLL | None:
             try:
                 _lib = _bind(ctypes.CDLL(path))
                 return _lib
-            except OSError:
-                continue  # half-shipped or wrong-arch file: try the next
+            except (OSError, AttributeError):
+                # half-shipped, wrong-arch, or symbol-less file (a stale
+                # or foreign .so dlopens fine but fails _bind): try next
+                continue
     try:
         target = os.path.join(_HERE, _SO_NAME)
         _compile_shim(target)
         _lib = _bind(ctypes.CDLL(target))
         return _lib
-    except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (OSError, AttributeError, subprocess.CalledProcessError,
+            FileNotFoundError) as e:
         for path in [os.path.join(d, _SO_LEGACY) for d in dirs]:
             if os.path.exists(path):
                 try:  # no toolchain: run with the older ABI
                     _lib = _bind(ctypes.CDLL(path))
                     return _lib
-                except OSError:
+                except (OSError, AttributeError):
                     continue
         _load_error = f"{type(e).__name__}: {e}"
         return None
@@ -189,10 +192,14 @@ def decode_jpeg_native(payload: bytes) -> np.ndarray:
         out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
         ctypes.byref(w), ctypes.byref(h),
     )
-    if rc == -2:  # scan dims exceeded header dims — re-read and retry once
+    if rc == -2:
         raise ValueError("JPEG scan dimensions disagree with header")
     if rc != 0:
-        raise EOFError("truncated or corrupt JPEG scan")
+        # libjpeg longjmp'd: truncated/corrupt scan, or a conversion it
+        # refuses (JCS_RGB output from CMYK/YCCK sources raises
+        # JERR_CONVERSION_NOTIMPL — CMYK is a documented seam, not
+        # auto-converted)
+        raise EOFError("truncated, corrupt, or unconvertible JPEG scan")
     return out
 
 
@@ -275,3 +282,19 @@ def native_decode_batch(payloads) -> "pd.DataFrame":  # noqa: F821
             "phash": np.asarray(phashes, dtype=np.int64),
         }
     )
+
+
+def native_decode_batch_or_numpy(payloads) -> "pd.DataFrame":  # noqa: F821
+    """native_decode_batch with the availability probe taken IN THE
+    CALLING PROCESS: on a heterogeneous cluster the driver may have a
+    toolchain/libjpeg while an executor does not, so choosing the
+    decoder driver-side (``if native.available(): ...``) ships a closure
+    that hard-fails in such workers. This wrapper defers the probe to
+    first use in each Python worker and degrades that worker to the
+    pure-numpy path — same output columns, same oracle-checked values,
+    just slower where the shim can't load."""
+    if available():
+        return native_decode_batch(payloads)
+    from dd_ops_ocr_spark.operators.multimodal import real_decode_batch
+
+    return real_decode_batch(payloads)

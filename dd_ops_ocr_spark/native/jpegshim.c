@@ -69,7 +69,9 @@ int ddops_jpeg_header(const unsigned char *buf, size_t len,
 
 /* Decode to packed RGB24 into caller-owned `out` (capacity out_cap).
  * Returns 0 on success, -1 on decode error, -2 if out is too small.
- * Grayscale and CMYK sources are converted to RGB by libjpeg. */
+ * Grayscale sources are converted to RGB by libjpeg; CMYK/YCCK
+ * sources make it longjmp (JERR_CONVERSION_NOTIMPL) and decode
+ * fails cleanly — CMYK is a documented seam. */
 int ddops_jpeg_decode_rgb(const unsigned char *buf, size_t len,
                           unsigned char *out, size_t out_cap,
                           int *w, int *h)

@@ -199,6 +199,18 @@ def synth_png_interlaced_payload(media_ref: str) -> bytes:
     return encode_png(_synth_pixels(media_ref), interlace=True)
 
 
+def synth_page_pixels(w: int = 816, h: int = 1056) -> np.ndarray:
+    """The canonical deterministic 'document page' image (stripes of
+    text-like dark runs on a light ground) used by bench.py's
+    single-core codec-rate probes and tests/test_native_codec.py's
+    cross-decoder comparisons — ONE definition so the side-by-side
+    numbers always measure the same pixels."""
+    y, x = np.mgrid[0:h, 0:w]
+    page = np.full((h, w), 235, np.uint8)
+    page[(y // 40 % 2 == 0) & (x % 13 < 8)] = 40
+    return np.repeat(page[:, :, None], 3, axis=2)
+
+
 def synth_audio_params(media_ref: str) -> tuple[int, int, int, int, int]:
     """Deterministic (rate, n_samples, amplitude, half_period, channels)
     for a synthetic audio clip, md5-derived so every field — and the
@@ -561,21 +573,23 @@ def _media_with_payload(
         .select(F.col("s.media_ref").alias("media_ref"))
     )
     if fmt == "jpeg_progressive":
-        # progressive scans need libjpeg on both sides; hosts without
+        # progressive scans need libjpeg on both sides; WORKERS without
         # the native shim fall back to baseline bytes so the query (and
-        # its decoder-independent dims oracle) stays runnable anywhere
-        from dd_ops_ocr_spark import native
+        # its decoder-independent dims oracle) stays runnable anywhere,
+        # including clusters where only some machines carry the shim —
+        # the probe runs inside the closure, per worker, not on the
+        # driver
+        def synth(ref: str) -> bytes:
+            from dd_ops_ocr_spark import native
 
-        if native.available():
-            def synth(ref: str) -> bytes:
+            if native.available():
                 return native.encode_jpeg_native(
                     _synth_pixels(ref),
                     quality=95,
                     subsampling="4:2:0",
                     progressive=True,
                 )
-        else:
-            synth = synth_jpeg_payload
+            return synth_jpeg_payload(ref)
     else:
         synth = {
             "jpeg": synth_jpeg_payload,
@@ -623,15 +637,14 @@ def q_media_metadata_jpeg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pure-numpy decode rate, bench.py media block): same payloads,
     same oracle (the true md5-geometry dimensions are decoder-independent,
     so a hash-match proves the native decoder recovers them too). Falls
-    back to the pure-numpy decoder when no toolchain/libjpeg exists, so
-    the query stays runnable on any host."""
+    back to the pure-numpy decoder when no toolchain/libjpeg exists —
+    probed PER WORKER (native_decode_batch_or_numpy), not on the driver,
+    so the query stays runnable on any host and on heterogeneous
+    clusters where only some machines carry the shim."""
     from dd_ops_ocr_spark import native
 
-    decoder = (
-        native.native_decode_batch if native.available() else real_decode_batch
-    )
     out = media_metadata(_media_with_payload(spark, sf_dir, fmt="jpeg"),
-                         decoder=decoder)
+                         decoder=native.native_decode_batch_or_numpy)
     return out.select("media_ref", "format", "width", "height")
 
 
@@ -642,17 +655,15 @@ def q_media_metadata_jpeg_progressive(
     decoder's documented NotImplementedError seam, closed by the native
     shim (jpeg_simple_progression emits the same DCT coefficients
     reordered across scans, so dimensions and pixels are unchanged; the
-    dims oracle is shared with the baseline-JPEG query). Hosts without
-    the shim degrade to baseline bytes + the numpy decoder, keeping the
-    query runnable and the oracle valid either way."""
+    dims oracle is shared with the baseline-JPEG query). Workers without
+    the shim degrade to baseline bytes + the numpy decoder — probed PER
+    WORKER on both the synth and decode sides — keeping the query
+    runnable and the oracle valid either way."""
     from dd_ops_ocr_spark import native
 
-    decoder = (
-        native.native_decode_batch if native.available() else real_decode_batch
-    )
     out = media_metadata(
         _media_with_payload(spark, sf_dir, fmt="jpeg_progressive"),
-        decoder=decoder,
+        decoder=native.native_decode_batch_or_numpy,
     )
     return out.select("media_ref", "format", "width", "height")
 

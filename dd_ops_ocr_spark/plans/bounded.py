@@ -48,6 +48,15 @@ from dd_ops_ocr_spark.schema import (
 )
 
 
+# At most ONE cached page-stats table per process: the pg DataFrame is
+# persisted (it feeds four downstream branches) but a lazy builder can't
+# know when its caller's final action ran, so without this the bench and
+# correctness drivers — which invoke the bounded/split-landed plans many
+# times per session — would pin one cached copy per invocation until LRU
+# pressure evicts them. Each new invocation evicts the previous one.
+_PG_CACHE: list[DataFrame] = []
+
+
 def extract_exploded_bounded(flat: DataFrame) -> DataFrame:
     """Flat (doc_id, kind, text, media_ref, offset) -> ranked spans.
 
@@ -110,6 +119,13 @@ def extract_exploded_bounded(flat: DataFrame) -> DataFrame:
         )
         .persist()
     )
+    while _PG_CACHE:
+        old = _PG_CACHE.pop()
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — its SparkSession may be stopped
+            pass
+    _PG_CACHE.append(pg)
 
     np_df = (
         pg.select("doc_id", "page")

@@ -70,27 +70,46 @@ def _flagship_extract_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.extract_exploded(flat)
 
 
-def _flagship_extract_salted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production salted path: routing via size_class partition
-    PRUNING over a landed corpus (corpus.materialize_spans) instead of
-    re-scanning the corpus per size class. The landing is a deterministic
-    derived fixture of sf_dir, materialized once per generator version
-    under .bench_cache/ (same layout bench.py lands)."""
+def _landed_cache(
+    spark: SparkSession, sf_dir: str, suffix: str, **land_kwargs
+) -> str:
+    """Materialize-once landing fixture under .bench_cache/: the landed
+    corpus is a deterministic derivative of sf_dir, keyed by generator
+    version + layout suffix (same layout bench.py lands). Written to a
+    temp dir and renamed into place so a run that dies mid-write can't
+    leave a partial directory that later runs mistake for a complete
+    cache."""
     import os
+    import shutil
 
     from dd_ops_ocr_spark import corpus
-    from dd_ops_ocr_spark.plans.salting import extract_salted_pruned
 
     name = os.path.basename(sf_dir.rstrip("/"))
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".bench_cache")
     path = os.path.join(
-        cache, f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}sc.parquet"
+        cache,
+        f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}{suffix}.parquet",
     )
     if not os.path.isdir(path):
         os.makedirs(cache, exist_ok=True)
-        corpus.materialize_spans(spark, sf_dir, path)
-    return extract_salted_pruned(spark, path)
+        tmp = f"{path}._building_{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        corpus.materialize_spans(spark, sf_dir, tmp, **land_kwargs)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # a concurrent builder won the rename — use its copy
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _flagship_extract_salted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production salted path: routing via size_class partition
+    PRUNING over a landed corpus (corpus.materialize_spans) instead of
+    re-scanning the corpus per size class."""
+    from dd_ops_ocr_spark.plans.salting import extract_salted_pruned
+
+    return extract_salted_pruned(spark, _landed_cache(spark, sf_dir, "sc"))
 
 
 def _flagship_extract_split_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,21 +118,11 @@ def _flagship_extract_split_landed(spark: SparkSession, sf_dir: str) -> DataFram
     small docs to the nested kernel and reassembles big docs with the
     bounded flat plan (plans/split_landed.py). Same flagship oracle —
     the landing layout must not change a single span."""
-    import os
-
-    from dd_ops_ocr_spark import corpus
     from dd_ops_ocr_spark.plans.split_landed import extract_split_landed
 
-    name = os.path.basename(sf_dir.rstrip("/"))
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".bench_cache")
-    path = os.path.join(
-        cache, f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}sp16.parquet"
+    return extract_split_landed(
+        spark, _landed_cache(spark, sf_dir, "sp16", split_pages=16)
     )
-    if not os.path.isdir(path):
-        os.makedirs(cache, exist_ok=True)
-        corpus.materialize_spans(spark, sf_dir, path, split_pages=16)
-    return extract_split_landed(spark, path)
 
 
 QUERIES["flagship_extract"] = _flagship_extract

@@ -209,17 +209,31 @@ def _assemble_event(key, pdfs, state):
       doc_id survives at-least-once delivery).
 
     Timeout semantics: emitted=False -> partial emit (complete=False,
-    the same flag the processing-time variant uses); emitted=True ->
-    drop the tombstone silently.
+    the same flag the processing-time variant uses) AND the key is
+    tombstoned — a span still in flight must find the tombstone, not
+    re-open the doc and emit a second row; emitted=True -> drop the
+    tombstone silently (retention elapsed).
+
+    Timeouts are anchored to max(watermark, newest event ts in the
+    batch): during the FIRST micro-batch getCurrentWatermarkMs() is
+    still 0, and anchoring to the raw watermark would stamp epoch-1970
+    timeouts that expire the instant the watermark initializes —
+    prematurely dropping batch-1 tombstones and partial-emitting
+    batch-1 docs whose pages are still in flight.
     """
     import pandas as pd
 
     doc_id = key[0]
     if state.hasTimedOut:
         emitted, offs, txts, n_total = state.get
-        state.remove()
         if emitted:
+            state.remove()  # tombstone retention elapsed
             return iter(())
+        # partial emit + tombstone (NOT remove): late spans of an
+        # evicted doc must be dropped, not re-accumulated
+        wm = state.getCurrentWatermarkMs()
+        state.update((True, [], [], n_total))
+        state.setTimeoutTimestamp(wm + ASSEMBLE_TOMBSTONE_MS)
         order = sorted(range(len(offs)), key=lambda i: offs[i])
         return iter([pd.DataFrame({
             "doc_id": [doc_id],
@@ -232,7 +246,11 @@ def _assemble_event(key, pdfs, state):
         emitted, offs, txts, n_total = state.get
         offs, txts = list(offs), list(txts)
     seen = set(offs)
+    wm = state.getCurrentWatermarkMs()
     for pdf in pdfs:
+        if "ts" in pdf.columns and len(pdf):
+            newest = pd.Timestamp(pdf["ts"].max())
+            wm = max(wm, int(newest.value // 1_000_000))
         for o, t, nt in zip(pdf["offset"], pdf["text"], pdf["n_total"]):
             n_total = int(nt)
             o = int(o)
@@ -240,7 +258,6 @@ def _assemble_event(key, pdfs, state):
                 seen.add(o)
                 offs.append(o)
                 txts.append(str(t))
-    wm = state.getCurrentWatermarkMs()
     if emitted:  # late re-delivery: refresh the tombstone, emit nothing
         state.update((True, [], [], n_total))
         state.setTimeoutTimestamp(wm + ASSEMBLE_TOMBSTONE_MS)

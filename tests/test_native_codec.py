@@ -18,10 +18,10 @@ pytestmark = pytest.mark.skipif(
 
 
 def _page(w=816, h=1056):
-    y, x = np.mgrid[0:h, 0:w]
-    page = np.full((h, w), 235, np.uint8)
-    page[(y // 40 % 2 == 0) & (x % 13 < 8)] = 40
-    return np.repeat(page[:, :, None], 3, axis=2)
+    # one definition shared with bench.py's rate probes
+    from dd_ops_ocr_spark.operators.multimodal import synth_page_pixels
+
+    return synth_page_pixels(w, h)
 
 
 def _noise(w, h, seed):

@@ -394,20 +394,65 @@ def test_assemble_event_late_redelivery_no_duplicate():
 
 
 def test_assemble_event_timeout_branches():
-    """Watermark timeout: incomplete doc -> partial emit (complete=False);
-    tombstone -> silent drop."""
-    from dd_ops_ocr_spark.streaming.jobs import _assemble_event
+    """Watermark timeout: incomplete doc -> partial emit (complete=False)
+    + a tombstone (NOT removal — a span still in flight must not re-open
+    the doc and emit a second row); tombstone -> silent drop."""
+    from dd_ops_ocr_spark.streaming.jobs import (
+        ASSEMBLE_TOMBSTONE_MS,
+        _assemble_event,
+    )
 
     st = _EventStubState(value=(False, [5, 0], ["late", "early"], 9),
                          timed_out=True)
     out = list(_assemble_event(("d",), iter(()), st))
-    assert len(out) == 1 and st.removed
+    assert len(out) == 1 and not st.removed
     row = out[0].iloc[0]
     assert not bool(row["complete"]) and row["text"] == "early\n\nlate"
+    emitted, offs, _txts, _ = st.get
+    assert emitted is True and offs == []  # tombstone installed
+    assert st.timeout_ts == 1_000_000 + ASSEMBLE_TOMBSTONE_MS
+    # a late span after the partial emit hits the tombstone: no 2nd row
+    import pandas as pd
+
+    st.hasTimedOut = False
+    late = pd.DataFrame({"offset": [7], "text": ["x"], "n_total": [9]})
+    assert list(_assemble_event(("d",), iter([late]), st)) == []
 
     st2 = _EventStubState(value=(True, [], [], 9), timed_out=True)
     assert list(_assemble_event(("d",), iter(()), st2)) == []
     assert st2.removed
+
+
+def test_assemble_event_first_batch_watermark_zero():
+    """During the FIRST micro-batch the watermark is still 0: timeouts
+    must anchor to the newest event timestamp in the batch, not epoch
+    1970 (which would expire the moment the watermark initializes)."""
+    import pandas as pd
+
+    from dd_ops_ocr_spark.streaming.jobs import (
+        ASSEMBLE_EVENT_GAP_MS,
+        ASSEMBLE_TOMBSTONE_MS,
+        _assemble_event,
+    )
+
+    ts = pd.Timestamp("2026-01-01T12:00:00")
+    ts_ms = ts.value // 1_000_000
+    # incomplete doc in batch 1
+    st = _EventStubState(watermark_ms=0)
+    batch = pd.DataFrame(
+        {"offset": [0], "text": ["a"], "n_total": [2], "ts": [ts]}
+    )
+    assert list(_assemble_event(("d",), iter([batch]), st)) == []
+    assert st.timeout_ts == ts_ms + ASSEMBLE_EVENT_GAP_MS
+    # complete doc in batch 1: tombstone anchored the same way
+    st2 = _EventStubState(watermark_ms=0)
+    batch2 = pd.DataFrame(
+        {"offset": [0, 10], "text": ["a", "b"], "n_total": [2, 2],
+         "ts": [ts, ts]}
+    )
+    out = list(_assemble_event(("d",), iter([batch2]), st2))
+    assert len(out) == 1
+    assert st2.timeout_ts == ts_ms + ASSEMBLE_TOMBSTONE_MS
 
 
 def test_stream_assemble_event_time_late_span(spark):
