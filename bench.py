@@ -450,6 +450,42 @@ def main() -> None:
         )
         media["video"]["native_frames_per_sec"] = round(
             n_frames / queries["media_video_frames_native"], 1)
+    # resize: the full decode -> resample -> RE-ENCODE round trip over
+    # the JPEG payload table, JPEG out on both sides — this is the row
+    # that proves the injected ENCODER through an operator end-to-end
+    # (the microbench covers it per-page; this covers the mapInPandas
+    # path at corpus cardinality)
+    from dd_ops_ocr_spark.operators.jpeg import (
+        decode_jpeg as _dj, encode_jpeg as _ej,
+    )
+    from dd_ops_ocr_spark.operators.multimodal import media_resize
+
+    def _np_enc(px):
+        return _ej(px, quality=95, subsampling="4:2:0")
+
+    media_resize(media_df, 16, 20, decoder=_dj, encoder=_np_enc).count()
+    queries["media_resize_jpeg"] = timed(
+        lambda: media_resize(
+            media_df, 16, 20, decoder=_dj, encoder=_np_enc).count()
+    )
+    media["resize"] = {
+        "payloads_per_sec": round(n_media / queries["media_resize_jpeg"], 1),
+    }
+    if _native.available():
+        from dd_ops_ocr_spark.native import encode_jpeg_native
+
+        def _nat_enc(px):
+            return encode_jpeg_native(px, quality=95, subsampling="4:2:0")
+
+        media_resize(media_df, 16, 20,
+                     decoder=decode_jpeg_native, encoder=_nat_enc).count()
+        queries["media_resize_jpeg_native"] = timed(
+            lambda: media_resize(
+                media_df, 16, 20,
+                decoder=decode_jpeg_native, encoder=_nat_enc).count()
+        )
+        media["resize"]["native_payloads_per_sec"] = round(
+            n_media / queries["media_resize_jpeg_native"], 1)
     spark.stop()
 
     scaling = None
