@@ -342,12 +342,21 @@ def media_metadata_quarantined(
     """media_metadata with warn-and-continue semantics (the reference's
     X1 posture, applied to media): a corrupt payload must never kill a
     100 TB task. Optimistic two-tier decode — the whole Arrow batch goes
-    through ``decoder`` first (clean batches pay ZERO overhead over
+    through ``decoder`` first (clean batches pay zero overhead over
     media_metadata), and only a failing batch falls back to per-row
     decode, where each failure becomes a quarantine row (null metrics +
     the exception class/message in ``error``) instead of a task failure.
-    Format detection is header-only, so even quarantined rows keep their
-    sniffed format for triage aggregations."""
+    Cost honesty: a failing batch re-decodes the rows the batch pass got
+    through before raising (sequential decoders stop at the first bad
+    payload, so that's ~1/corruption-rate rows, not the whole batch).
+
+    Quarantine is for PER-PAYLOAD corruption only: when every row of a
+    multi-row batch fails, that is decoder infrastructure breakage (a
+    missing native lib, an import error), and silently quarantining the
+    entire corpus would be data loss wearing a success status — the
+    batch re-raises instead. Format detection is header-only, so even
+    quarantined rows keep their sniffed format for triage
+    aggregations."""
 
     cols = ["n_bytes", "format", "width", "height", "phash"]
 
@@ -357,7 +366,7 @@ def media_metadata_quarantined(
             meta["error"] = None
             return meta
         except Exception:
-            rows = []
+            rows, n_failed, first_exc = [], 0, None
             for p in payloads:
                 try:
                     m = decoder(pd.Series([p]))
@@ -365,6 +374,8 @@ def media_metadata_quarantined(
                         {c: m[c].iloc[0] for c in cols} | {"error": None}
                     )
                 except Exception as exc:  # noqa: BLE001 — quarantine row
+                    n_failed += 1
+                    first_exc = first_exc if first_exc is not None else exc
                     rows.append(
                         {
                             "n_bytes": len(p),
@@ -375,6 +386,12 @@ def media_metadata_quarantined(
                             "error": f"{type(exc).__name__}: {exc}",
                         }
                     )
+            if n_failed == len(rows) and len(rows) > 1:
+                raise RuntimeError(
+                    f"decoder failed on all {len(rows)} payloads of the "
+                    "batch — systematic decoder failure, not per-payload "
+                    "corruption; refusing to quarantine the whole batch"
+                ) from first_exc
             out = pd.DataFrame(rows, columns=cols + ["error"])
             out["width"] = out["width"].astype("Int32")
             out["height"] = out["height"].astype("Int32")

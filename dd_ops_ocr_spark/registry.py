@@ -92,9 +92,16 @@ def _landed_cache(
         f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}{suffix}.parquet",
     )
     if not os.path.isdir(path):
+        import glob
+
         os.makedirs(cache, exist_ok=True)
+        # sweep temp dirs left by DEAD builders of this fixture (any
+        # pid) so crashes can't accumulate orphaned corpus copies; a
+        # live concurrent builder loses its tmp and simply rebuilds or
+        # adopts the winner's rename below
+        for stale in glob.glob(f"{path}._building_*"):
+            shutil.rmtree(stale, ignore_errors=True)
         tmp = f"{path}._building_{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
         corpus.materialize_spans(spark, sf_dir, tmp, **land_kwargs)
         try:
             os.rename(tmp, path)

@@ -214,12 +214,14 @@ def _assemble_event(key, pdfs, state):
     re-open the doc and emit a second row; emitted=True -> drop the
     tombstone silently (retention elapsed).
 
-    Timeouts are anchored to max(watermark, newest event ts in the
-    batch): during the FIRST micro-batch getCurrentWatermarkMs() is
-    still 0, and anchoring to the raw watermark would stamp epoch-1970
-    timeouts that expire the instant the watermark initializes —
-    prematurely dropping batch-1 tombstones and partial-emitting
-    batch-1 docs whose pages are still in flight.
+    Timeouts anchor to the watermark; ONLY while it is uninitialized
+    (first micro-batch, getCurrentWatermarkMs() == 0) they fall back to
+    the newest event ts in the batch — a raw-watermark anchor there
+    would stamp epoch-1970 timeouts that expire the instant the
+    watermark initializes, prematurely dropping batch-1 tombstones and
+    partial-emitting batch-1 docs whose pages are still in flight. A
+    live watermark is never overridden by event time, so a producer
+    with a skewed-forward clock cannot extend its doc's eviction.
     """
     import pandas as pd
 
@@ -247,8 +249,15 @@ def _assemble_event(key, pdfs, state):
         offs, txts = list(offs), list(txts)
     seen = set(offs)
     wm = state.getCurrentWatermarkMs()
+    uninitialized = wm == 0
     for pdf in pdfs:
-        if "ts" in pdf.columns and len(pdf):
+        if uninitialized and "ts" in pdf.columns and len(pdf):
+            # ONLY while the watermark is uninitialized (first micro-
+            # batch): fall back to the newest event ts so timeouts are
+            # not stamped near epoch 1970. Once the watermark is live it
+            # stays the sole anchor — event-time anchoring on every
+            # batch would let one skewed-forward producer clock push a
+            # doc's eviction arbitrarily far out.
             newest = pd.Timestamp(pdf["ts"].max())
             wm = max(wm, int(newest.value // 1_000_000))
         for o, t, nt in zip(pdf["offset"], pdf["text"], pdf["n_total"]):

@@ -201,3 +201,38 @@ def test_media_metadata_quarantine_mixed_batch(spark):
     t = out["truncated"]
     assert t["error"] is not None and t["format"] == "bmp"
     assert t["n_bytes"] == 10
+
+
+def test_media_metadata_quarantine_systematic_failure_raises(spark):
+    """When EVERY row of a multi-row batch fails, that's decoder
+    infrastructure breakage (missing lib, import error) — quarantining
+    the whole corpus would be silent data loss, so the task must fail
+    loudly instead."""
+    import pandas as pd
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from dd_ops_ocr_spark.operators.multimodal import (
+        media_metadata_quarantined,
+    )
+
+    def broken_decoder(payloads):
+        raise RuntimeError("libfoo.so: cannot open shared object file")
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": [f"r{i}" for i in range(6)],
+                "payload": [bytes([i]) for i in range(6)],
+            }
+        )
+    ).coalesce(1)  # one multi-row batch — the systematic-failure shape
+    with _pytest.raises((Py4JJavaError, PythonException)):
+        media_metadata_quarantined(df, decoder=broken_decoder).collect()
+    # and the single-row-batch edge still quarantines rather than raises
+    one = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["solo"], "payload": [b"zz"]})
+    ).coalesce(1)
+    rows = media_metadata_quarantined(one, decoder=broken_decoder).collect()
+    assert len(rows) == 1 and rows[0]["error"] is not None
