@@ -486,6 +486,45 @@ def main() -> None:
         )
         media["resize"]["native_payloads_per_sec"] = round(
             n_media / queries["media_resize_jpeg_native"], 1)
+    # webp: lossless VP8L payloads through the same metadata operator,
+    # timed on both sides of the codec seam (pure operators/webp.py vs
+    # ctypes libwebp in native/webp.py). The per-core Mpx/s probes
+    # decode the SAME literal-only stream through both decoders so the
+    # ratio is apples-to-apples (libwebp's own output of the structured
+    # page collapses to ~160 bytes and would flatter the native rate).
+    from dd_ops_ocr_spark.native import webp as _nwebp
+
+    webp_path = os.path.join(CACHE, f"media_webp_{_sf_name()}.parquet")
+    if not os.path.isdir(webp_path):
+        _media_with_payload(spark, SF_DIR, fmt="webp").write.mode(
+            "overwrite").parquet(webp_path)
+    webp_df = spark.read.parquet(webp_path)
+    n_webp = media_metadata(webp_df).count()  # warm
+    queries["media_metadata_webp"] = timed(
+        lambda: media_metadata(webp_df).count()
+    )
+    media["webp"] = {
+        "n_payloads": n_webp,
+        "payloads_per_sec": round(n_webp / queries["media_metadata_webp"], 1),
+        "decode_mpx_per_core": _webp_decode_rate(),
+        "encode_mpx_per_core": _webp_encode_rate(),
+    }
+    if _nwebp.available():
+        from dd_ops_ocr_spark.native import native_decode_batch
+
+        media_metadata(webp_df, decoder=native_decode_batch).count()  # warm
+        queries["media_metadata_webp_native"] = timed(
+            lambda: media_metadata(
+                webp_df, decoder=native_decode_batch).count()
+        )
+        media["webp"]["native"] = {
+            "payloads_per_sec": round(
+                n_webp / queries["media_metadata_webp_native"], 1),
+            "decode_mpx_per_core": _webp_decode_rate_native(),
+            "encode_mpx_per_core": _webp_encode_rate_native(),
+        }
+    else:
+        media["webp"]["native"] = {"unavailable": _nwebp.load_error()}
     spark.stop()
 
     scaling = None
@@ -650,6 +689,51 @@ def _page_encode_rate_native() -> float:
                  for _ in range(50)],
         repeats=3)
     return round(px.shape[0] * px.shape[1] * 50 / 1e6 / best, 2)
+
+
+def _webp_encode_rate() -> float:
+    """Single-core lossless-WebP encode rate (Mpx/s) on the shared
+    document page via the pure VP8L writer (operators/webp.py)."""
+    from dd_ops_ocr_spark.operators.webp import encode_webp_lossless
+
+    px = _bench_page()
+    best = timed(lambda: encode_webp_lossless(px), repeats=3)
+    return round(px.shape[0] * px.shape[1] / 1e6 / best, 2)
+
+
+def _webp_decode_rate() -> float:
+    """Single-core VP8L decode rate (Mpx/s), pure decoder, on the pure
+    encoder's literal-only stream of the shared page."""
+    from dd_ops_ocr_spark.operators.webp import (
+        decode_webp, encode_webp_lossless,
+    )
+
+    px = _bench_page()
+    data = encode_webp_lossless(px)
+    best = timed(lambda: decode_webp(data), repeats=3)
+    return round(px.shape[0] * px.shape[1] / 1e6 / best, 2)
+
+
+def _webp_decode_rate_native() -> float:
+    """libwebp decoding the SAME literal-only stream the pure probe
+    decodes — the honest side-by-side for the injection seam."""
+    from dd_ops_ocr_spark.native.webp import decode_webp_native
+    from dd_ops_ocr_spark.operators.webp import encode_webp_lossless
+
+    px = _bench_page()
+    data = encode_webp_lossless(px)
+    best = timed(lambda: [decode_webp_native(data) for _ in range(10)],
+                 repeats=3)
+    return round(px.shape[0] * px.shape[1] * 10 / 1e6 / best, 2)
+
+
+def _webp_encode_rate_native() -> float:
+    from dd_ops_ocr_spark.native.webp import encode_webp_native
+
+    px = _bench_page()
+    best = timed(lambda: [encode_webp_native(px) for _ in range(10)],
+                 repeats=3)
+    return round(px.shape[0] * px.shape[1] * 10 / 1e6 / best, 2)
 
 
 def _append_bench_md(n_docs: int, n_spans: int, scaling: dict) -> None:

@@ -357,6 +357,17 @@ FROM g
 """
 
 
+def media_metadata_webp_oracle_sql(path: str) -> str:
+    """WebP variant: dimensions recovered from the VP8L prefix-coded
+    payload (operators/webp.py) must equal the md5 synth geometry —
+    decoder-independent, so the pure and native-libwebp queries share
+    it (byte size is prefix-code-dependent and pytest-checked)."""
+    return _media_cte(path) + """
+SELECT media_ref, 'webp' AS format, width, height
+FROM g
+"""
+
+
 def media_binarize_oracle_sql(path: str) -> str:
     """Binarize keeps the source geometry and re-encodes as 24-bit BMP:
     the SQL-derivable surface is exactly the media_resize pattern."""

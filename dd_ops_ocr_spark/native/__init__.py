@@ -254,10 +254,12 @@ def encode_jpeg_native(
 def native_decode_batch(payloads) -> "pd.DataFrame":  # noqa: F821
     """Injectable batch decoder for media_metadata(decoder=...): the
     PRODUCTION twin of multimodal.real_decode_batch — identical output
-    columns, libjpeg for JPEG payloads, pure-numpy fallback for the
-    formats libjpeg doesn't cover (BMP/PNG)."""
+    columns, libjpeg for JPEG payloads, libwebp for WebP payloads (each
+    probed independently: a host can carry one native codec without the
+    other), pure-numpy fallback for everything else (BMP/PNG)."""
     import pandas as pd
 
+    from dd_ops_ocr_spark.native import webp as nwebp
     from dd_ops_ocr_spark.operators.multimodal import (
         ahash64,
         decode_image,
@@ -267,7 +269,12 @@ def native_decode_batch(payloads) -> "pd.DataFrame":  # noqa: F821
     n_bytes, fmts, widths, heights, phashes = [], [], [], [], []
     for p in payloads:
         fmt = detect_format(p)
-        img = decode_jpeg_native(p) if fmt == "jpeg" else decode_image(p)
+        if fmt == "jpeg" and available():
+            img = decode_jpeg_native(p)
+        elif fmt == "webp" and nwebp.available():
+            img = nwebp.decode_webp_native(p)
+        else:
+            img = decode_image(p)
         n_bytes.append(len(p))
         fmts.append(fmt)
         heights.append(img.shape[0])
@@ -285,15 +292,19 @@ def native_decode_batch(payloads) -> "pd.DataFrame":  # noqa: F821
 
 
 def native_decode_batch_or_numpy(payloads) -> "pd.DataFrame":  # noqa: F821
-    """native_decode_batch with the availability probe taken IN THE
+    """native_decode_batch with the availability probes taken IN THE
     CALLING PROCESS: on a heterogeneous cluster the driver may have a
-    toolchain/libjpeg while an executor does not, so choosing the
-    decoder driver-side (``if native.available(): ...``) ships a closure
-    that hard-fails in such workers. This wrapper defers the probe to
-    first use in each Python worker and degrades that worker to the
-    pure-numpy path — same output columns, same oracle-checked values,
-    just slower where the shim can't load."""
-    if available():
+    toolchain/libjpeg/libwebp while an executor does not, so choosing
+    the decoder driver-side (``if native.available(): ...``) ships a
+    closure that hard-fails in such workers. This wrapper defers the
+    probes to first use in each Python worker and degrades that worker
+    to the pure-numpy path — same output columns, same oracle-checked
+    values, just slower where a native codec can't load. The two codecs
+    probe independently (native_decode_batch falls back per format), so
+    a libwebp-only host still decodes WebP natively."""
+    from dd_ops_ocr_spark.native import webp as nwebp
+
+    if available() or nwebp.available():
         return native_decode_batch(payloads)
     from dd_ops_ocr_spark.operators.multimodal import real_decode_batch
 

@@ -88,16 +88,19 @@ def detect_format(payload: bytes) -> str:
         return "avi"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return "unknown"
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a media payload to (h, w, 3) uint8 RGB. BMP, baseline JPEG
-    (operators/jpeg.py — the reference's page media is JPEG q95), and PNG
-    (operators/png.py — stdlib zlib + numpy unfiltering) all decode
-    natively; video/webp/etc. still require external codecs and raise
-    NotImplementedError (the integration point for a real Pillow/OpenCV
-    deployment)."""
+    (operators/jpeg.py — the reference's page media is JPEG q95), PNG
+    (operators/png.py — stdlib zlib + numpy unfiltering), and lossless
+    WebP (operators/webp.py — VP8L literal subset) all decode natively;
+    video / lossy-VP8 / transform-coded VP8L raise NotImplementedError
+    (the integration points the native codec seams close:
+    native/__init__.py for JPEG, native/webp.py for WebP)."""
     fmt = detect_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
@@ -109,6 +112,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from dd_ops_ocr_spark.operators.png import decode_png
 
         return decode_png(payload)
+    if fmt == "webp":
+        from dd_ops_ocr_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
         f"no native {fmt} decoder; inject one into media_metadata(decoder=...)"
     )
@@ -197,6 +204,15 @@ def synth_png_interlaced_payload(media_ref: str) -> bytes:
     from dd_ops_ocr_spark.operators.png import encode_png
 
     return encode_png(_synth_pixels(media_ref), interlace=True)
+
+
+def synth_webp_payload(media_ref: str) -> bytes:
+    """Deterministic small REAL lossless WebP (VP8L literal subset,
+    operators/webp.py) — same md5-geometry pixels as every other
+    format's synth, so the dims oracle is shared."""
+    from dd_ops_ocr_spark.operators.webp import encode_webp_lossless
+
+    return encode_webp_lossless(_synth_pixels(media_ref))
 
 
 def synth_page_pixels(w: int = 816, h: int = 1056) -> np.ndarray:
@@ -614,6 +630,7 @@ def _media_with_payload(
             "png_interlaced": synth_png_interlaced_payload,
             "avi": synth_avi_payload,
             "wav": synth_wav_payload,
+            "webp": synth_webp_payload,
         }.get(fmt, synth_bmp_payload)
 
     def add_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -691,6 +708,33 @@ def q_media_metadata_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pytest also asserts pixel-exact round-trip. Byte size depends on
     the deflate stream and stays out of the SQL oracle."""
     out = media_metadata(_media_with_payload(spark, sf_dir, fmt="png"))
+    return out.select("media_ref", "format", "width", "height")
+
+
+def q_media_metadata_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same metadata path over REAL lossless WebP payloads (VP8L literal
+    subset, operators/webp.py): the decoder must recover the true
+    md5-geometry dimensions, shared with the other formats' dims
+    oracle. Byte size depends on the prefix-code framing and stays out
+    of the SQL oracle; lossless round-trip (pure->pure AND pure->
+    libwebp) is pytest-verified (tests/test_webp.py)."""
+    out = media_metadata(_media_with_payload(spark, sf_dir, fmt="webp"))
+    return out.select("media_ref", "format", "width", "height")
+
+
+def q_media_metadata_webp_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_media_metadata_webp surface driven through the NATIVE
+    libwebp binding (native/webp.py, ctypes over the stock shared
+    library — no compile step): same payloads, same decoder-independent
+    dims oracle, so a hash-match proves libwebp recovers the same
+    geometry the pure VP8L decoder does. Workers without libwebp
+    degrade per-payload to the pure decoder inside
+    native.native_decode_batch_or_numpy, keeping the query runnable on
+    heterogeneous clusters."""
+    from dd_ops_ocr_spark import native
+
+    out = media_metadata(_media_with_payload(spark, sf_dir, fmt="webp"),
+                         decoder=native.native_decode_batch_or_numpy)
     return out.select("media_ref", "format", "width", "height")
 
 
@@ -786,6 +830,8 @@ QUERIES = {
     "media_metadata_jpeg_progressive": q_media_metadata_jpeg_progressive,
     "media_metadata_png": q_media_metadata_png,
     "media_metadata_png_interlaced": q_media_metadata_png_interlaced,
+    "media_metadata_webp": q_media_metadata_webp,
+    "media_metadata_webp_native": q_media_metadata_webp_native,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_video_frames": q_media_video_frames,

@@ -206,6 +206,14 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_metadata_png_interlaced"] = (
         fixtures.media_metadata_png_oracle_sql(path)
     )
+    # WebP pair: the pure VP8L-subset decoder and the native libwebp
+    # binding share the decoder-independent dims oracle
+    ORACLE_SQL["media_metadata_webp"] = (
+        fixtures.media_metadata_webp_oracle_sql(path)
+    )
+    ORACLE_SQL["media_metadata_webp_native"] = (
+        fixtures.media_metadata_webp_oracle_sql(path)
+    )
     ORACLE_SQL["media_binarize"] = fixtures.media_binarize_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
     ORACLE_SQL["media_video_frames"] = fixtures.media_video_frames_oracle_sql(path)
@@ -262,6 +270,8 @@ _register(_vision)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "media_metadata_webp",
+    "media_metadata_webp_native",
     "media_metadata_jpeg_native",
     "media_metadata_jpeg_progressive",
     "flagship_extract_split_landed",
