@@ -441,6 +441,72 @@ FROM a
 """
 
 
+def media_video_frames_quarantine_oracle_sql(
+    path: str, n_frames: int = 3
+) -> str:
+    """DuckDB twin of q_media_video_frames_quarantine: clean refs emit
+    exactly the media_video_frames surface; md5-nibble-0 refs (their
+    RIFF container truncated in Spark SQL) collapse to ONE null-frame
+    quarantine row with ok=false."""
+    return _media_cte(path) + f"""
+, v AS (
+  SELECT media_ref, width, height,
+         CAST(2 + CAST(('0x' || substr(md5(media_ref), 5, 2)) AS INT) % 7
+              AS INT) AS n_src
+  FROM g
+  WHERE substr(md5(media_ref), 1, 1) <> '0'
+),
+s AS (SELECT *, LEAST({n_frames}, n_src) AS kk FROM v)
+SELECT media_ref,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(CASE WHEN kk <= 1 THEN 0
+                 ELSE (2 * t.i * (n_src - 1) + (kk - 1)) // (2 * (kk - 1))
+            END AS INT) AS src_idx,
+       n_src AS n_src_frames, width, height, TRUE AS ok
+FROM s, UNNEST(range(0, kk)) AS t(i)
+UNION ALL
+SELECT media_ref, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS INT), CAST(NULL AS INT), FALSE
+FROM g WHERE substr(md5(media_ref), 1, 1) = '0'
+"""
+
+
+def media_audio_quarantine_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_audio_quarantine: clean refs carry the
+    closed-form md5 feature surface, corrupt refs null features +
+    ok=false."""
+    return _media_cte(path) + """
+, a AS (
+  SELECT media_ref,
+         (CASE CAST(('0x' || substr(md5(media_ref), 7, 2)) AS INT) % 4
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END) AS sample_rate,
+         CAST(1 + CAST(('0x' || substr(md5(media_ref), 15, 2)) AS INT) % 2
+              AS INT) AS n_channels,
+         CAST(500 + CAST(('0x' || substr(md5(media_ref), 9, 2)) AS INT) * 7
+              AS INT) AS n_samples,
+         CAST(1000 + CAST(('0x' || substr(md5(media_ref), 11, 2)) AS INT) * 8
+              AS INT) AS amp,
+         CAST(8 + CAST(('0x' || substr(md5(media_ref), 13, 2)) AS INT) % 24
+              AS INT) AS half
+  FROM g
+  WHERE substr(md5(media_ref), 1, 1) <> '0'
+)
+SELECT media_ref, CAST(sample_rate AS INT) AS sample_rate, n_channels,
+       n_samples,
+       CAST(n_samples * 1000 // sample_rate AS INT) AS duration_ms,
+       amp AS peak, amp AS rms,
+       CAST((n_samples - 1) // half AS INT) AS zero_crossings,
+       TRUE AS ok
+FROM a
+UNION ALL
+SELECT media_ref, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS INT), FALSE
+FROM g WHERE substr(md5(media_ref), 1, 1) = '0'
+"""
+
+
 def media_metadata_quarantine_oracle_sql(path: str) -> str:
     """DuckDB twin of q_media_metadata_quarantine: the corruption rule
     (md5 leading nibble '0' -> payload truncated to 10 bytes) is pure

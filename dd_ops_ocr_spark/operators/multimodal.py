@@ -560,6 +560,146 @@ def media_video_frames(
     )
 
 
+def media_video_frames_quarantined(
+    media_df: DataFrame,
+    n_frames: int = 3,
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """media_video_frames with warn-and-continue semantics (the
+    reference's X1 posture applied to video): a corrupt container or a
+    corrupt frame inside it must never kill a 100 TB task. Unlike
+    media_metadata_quarantined there is no batch-level fast path to
+    protect — the container walk is already per-payload — so each
+    payload runs inside its own guard, and its frame rows are buffered
+    until the WHOLE container succeeds: a failure after k good frames
+    emits one quarantine row (null frame columns + the exception
+    class/message in ``error``) instead of k orphan rows plus an error,
+    preserving one-row-per-source accounting for triage aggregations.
+    The systematic-failure guard matches the metadata operator: every
+    payload of a multi-row batch failing means decoder infrastructure
+    breakage (missing codec, import error), not per-payload corruption,
+    and re-raises rather than quarantining the corpus."""
+    from dd_ops_ocr_spark.operators.video import avi_frames, sample_indices
+
+    int_cols = ("frame_idx", "src_idx", "n_src_frames", "width", "height")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: list[dict] = []
+            n_failed, first_exc = 0, None
+            for r, p in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    payload_frames = avi_frames(p)
+                    n = len(payload_frames)
+                    prows = []
+                    for i, src in enumerate(sample_indices(n, n_frames)):
+                        img = decoder(payload_frames[src])
+                        prows.append(
+                            {
+                                "media_ref": r,
+                                "frame_idx": i,
+                                "src_idx": src,
+                                "n_src_frames": n,
+                                "width": img.shape[1],
+                                "height": img.shape[0],
+                                "frame": payload_frames[src],
+                                "error": None,
+                            }
+                        )
+                    rows.extend(prows)
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    n_failed += 1
+                    first_exc = first_exc if first_exc is not None else exc
+                    rows.append(
+                        {
+                            "media_ref": r,
+                            **{c: None for c in int_cols},
+                            "frame": None,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            if n_failed == len(pdf) and len(pdf) > 1:
+                raise RuntimeError(
+                    f"video decode failed on all {len(pdf)} payloads of "
+                    "the batch — systematic decoder failure, not "
+                    "per-payload corruption; refusing to quarantine the "
+                    "whole batch"
+                ) from first_exc
+            out = pd.DataFrame(
+                rows, columns=["media_ref", *int_cols, "frame", "error"]
+            )
+            for c in int_cols:
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(
+        run,
+        schema=(
+            "media_ref string, frame_idx int, src_idx int, "
+            "n_src_frames int, width int, height int, frame binary, "
+            "error string"
+        ),
+    )
+
+
+def media_audio_features_quarantined(media_df: DataFrame) -> DataFrame:
+    """media_audio_features with warn-and-continue semantics: a corrupt
+    clip becomes one quarantine row (null features + the exception in
+    ``error``), a batch of nothing-but-failures re-raises (systematic
+    breakage, same guard as the other quarantine operators)."""
+    from dd_ops_ocr_spark.operators.audio import audio_features
+
+    feat_cols = (
+        "sample_rate", "n_channels", "n_samples", "duration_ms",
+        "peak", "rms", "zero_crossings",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: list[dict] = []
+            n_failed, first_exc = 0, None
+            for r, p in zip(pdf["media_ref"], pdf["payload"]):
+                try:
+                    feats = audio_features(p)
+                    rows.append({"media_ref": r, **feats, "error": None})
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    n_failed += 1
+                    first_exc = first_exc if first_exc is not None else exc
+                    rows.append(
+                        {
+                            "media_ref": r,
+                            **{c: None for c in feat_cols},
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            if n_failed == len(pdf) and len(pdf) > 1:
+                raise RuntimeError(
+                    f"audio decode failed on all {len(pdf)} payloads of "
+                    "the batch — systematic decoder failure, not "
+                    "per-payload corruption; refusing to quarantine the "
+                    "whole batch"
+                ) from first_exc
+            out = pd.DataFrame(
+                rows, columns=["media_ref", *feat_cols, "error"]
+            )
+            for c in feat_cols:
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(
+        run,
+        schema=(
+            "media_ref string, sample_rate int, n_channels int, "
+            "n_samples int, duration_ms int, peak int, rms int, "
+            "zero_crossings int, error string"
+        ),
+    )
+
+
 def media_audio_features(media_df: DataFrame) -> DataFrame:
     """Audio feature extraction over PCM WAV payloads: decode the RIFF
     container (operators/audio.py) and reduce each clip to typed
@@ -776,6 +916,49 @@ def q_media_metadata_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corrupt_md5_nibble0(media: DataFrame) -> DataFrame:
+    """The shared quarantine-query corruption rule: payloads whose md5
+    leading nibble is '0' (~1/16 of the corpus) are truncated to 10
+    bytes IN SPARK SQL, so the exact quarantine boundary is restatable
+    in DuckDB."""
+    corrupt = F.substring(F.md5(F.col("media_ref")), 1, 1) == F.lit("0")
+    return media.withColumn(
+        "payload",
+        F.when(corrupt, F.expr("substring(payload, 1, 10)"))
+        .otherwise(F.col("payload")),
+    )
+
+
+def q_media_video_frames_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warn-and-continue over MJPEG-AVI containers: md5-nibble-0 payloads
+    are truncated in Spark SQL (the RIFF walk then fails), so the oracle
+    states exactly which refs collapse to a single null-frame quarantine
+    row (ok=false) and which emit their normal sampled-frame rows —
+    the whole surface hash-checks."""
+    media = _corrupt_md5_nibble0(_media_with_payload(spark, sf_dir, fmt="avi"))
+    out = media_video_frames_quarantined(media)
+    return out.select(
+        "media_ref", "frame_idx", "src_idx", "n_src_frames",
+        "width", "height", F.col("error").isNull().alias("ok"),
+    )
+
+
+def q_media_audio_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warn-and-continue over PCM WAV clips: corrupt (truncated) clips
+    carry null features + ok=false, clean clips the exact closed-form
+    md5 feature surface — both statable, so the driver hash-checks the
+    quarantine boundary and that nothing else degrades."""
+    media = _corrupt_md5_nibble0(_media_with_payload(spark, sf_dir, fmt="wav"))
+    out = media_audio_features_quarantined(media)
+    return out.select(
+        "media_ref", "sample_rate", "n_channels", "n_samples",
+        "duration_ms", "peak", "rms", "zero_crossings",
+        F.col("error").isNull().alias("ok"),
+    )
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: synthesize REAL PCM WAV payloads (md5-seeded square
     waves) and run the decode-and-reduce path. Every output column is an
@@ -835,7 +1018,9 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_video_frames": q_media_video_frames,
+    "media_video_frames_quarantine": q_media_video_frames_quarantine,
     "media_audio_features": q_media_audio_features,
+    "media_audio_quarantine": q_media_audio_quarantine,
     "media_metadata_quarantine": q_media_metadata_quarantine,
 }
 # SQL oracles for these need the materialized spans fixture path —

@@ -223,6 +223,12 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_metadata_quarantine"] = (
         fixtures.media_metadata_quarantine_oracle_sql(path)
     )
+    ORACLE_SQL["media_video_frames_quarantine"] = (
+        fixtures.media_video_frames_quarantine_oracle_sql(path)
+    )
+    ORACLE_SQL["media_audio_quarantine"] = (
+        fixtures.media_audio_quarantine_oracle_sql(path)
+    )
     # IVF: the oracle bakes the deterministically-trained centroids as
     # literals (similarity.train_ivf_centroids_local reads the same
     # parquet the query trains on)
@@ -272,6 +278,8 @@ _ROSTER_HEAD = [
     # new this round — never stamped
     "media_metadata_webp",
     "media_metadata_webp_native",
+    "media_video_frames_quarantine",
+    "media_audio_quarantine",
     "media_metadata_jpeg_native",
     "media_metadata_jpeg_progressive",
     "flagship_extract_split_landed",

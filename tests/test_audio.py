@@ -157,3 +157,64 @@ def test_wav_truncated_fmt_raises_value_error():
     )
     with pytest.raises(ValueError):
         wav_info(payload)
+
+
+def test_media_audio_features_quarantine_mixed(spark):
+    """Warn-and-continue audio decode: clean clips keep their exact
+    feature surface, corrupt clips become one null-feature quarantine
+    row each."""
+    import pandas as pd
+
+    from dd_ops_ocr_spark.operators.multimodal import (
+        media_audio_features_quarantined,
+        synth_audio_params,
+        synth_wav_payload,
+    )
+
+    good = synth_wav_payload("aq_ref")
+    rate, n, amp, half, ch = synth_audio_params("aq_ref")
+    rows = [
+        ("good", good),
+        ("garbage", b"RIFFxxxx not wave data"),
+        ("truncated", good[:10]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_ref", "payload"])
+    )
+    out = {r["media_ref"]: r
+           for r in media_audio_features_quarantined(df).collect()}
+    g = out["good"]
+    assert g["error"] is None
+    assert (g["sample_rate"], g["n_samples"], g["peak"], g["rms"]) == (
+        rate, n, amp, amp
+    )
+    for ref in ("garbage", "truncated"):
+        q = out[ref]
+        assert q["error"] is not None and q["sample_rate"] is None
+
+
+def test_media_audio_features_quarantine_systematic_failure_raises(spark):
+    import pandas as pd
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from dd_ops_ocr_spark.operators.multimodal import (
+        media_audio_features_quarantined,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": [f"r{i}" for i in range(5)],
+                "payload": [b"not a wav"] * 5,
+            }
+        )
+    ).coalesce(1)
+    with _pytest.raises((Py4JJavaError, PythonException)):
+        media_audio_features_quarantined(df).collect()
+    one = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["solo"], "payload": [b"zz"]})
+    ).coalesce(1)
+    rows = media_audio_features_quarantined(one).collect()
+    assert len(rows) == 1 and rows[0]["error"] is not None

@@ -236,3 +236,75 @@ def test_media_metadata_quarantine_systematic_failure_raises(spark):
     ).coalesce(1)
     rows = media_metadata_quarantined(one, decoder=broken_decoder).collect()
     assert len(rows) == 1 and rows[0]["error"] is not None
+
+
+def test_media_video_frames_quarantine_mixed_and_partial(spark):
+    """Warn-and-continue video decode: a clean container emits its
+    sampled frame rows; a corrupt container emits exactly ONE
+    quarantine row; a container whose RIFF is valid but whose FRAME
+    bytes are garbage also collapses to one quarantine row with no
+    orphan frame rows (per-payload buffering)."""
+    import pandas as pd
+
+    from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
+    from dd_ops_ocr_spark.operators.multimodal import (
+        _synth_pixels,
+        media_video_frames_quarantined,
+    )
+    from dd_ops_ocr_spark.operators.video import encode_avi_mjpeg
+
+    px = _synth_pixels("vq_ref")
+    h, w, _ = px.shape
+    frame = encode_jpeg(px, quality=95, subsampling="4:4:4")
+    good = encode_avi_mjpeg([frame, frame], w, h, fps=10)
+    bad_frame = encode_avi_mjpeg([frame, b"\x00garbage not a jpeg"], w, h,
+                                 fps=10)
+    rows = [
+        ("good", good),
+        ("truncated", good[:10]),
+        ("bad_frame", bad_frame),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_ref", "payload"])
+    )
+    out = media_video_frames_quarantined(df).collect()
+    by_ref: dict[str, list] = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert len(by_ref["good"]) == 2  # n=2 sources, k=min(3, 2)
+    assert all(r["error"] is None and r["width"] == w
+               for r in by_ref["good"])
+    for ref in ("truncated", "bad_frame"):
+        (q,) = by_ref[ref]  # exactly one row — no orphan frames
+        assert q["error"] is not None
+        assert q["frame_idx"] is None and q["frame"] is None
+
+
+def test_media_video_frames_quarantine_systematic_failure_raises(spark):
+    """Every payload of a multi-row batch failing = infrastructure
+    breakage; the task must fail loudly, and the single-row edge must
+    still quarantine."""
+    import pandas as pd
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from dd_ops_ocr_spark.operators.multimodal import (
+        media_video_frames_quarantined,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": [f"r{i}" for i in range(5)],
+                "payload": [b"not an avi"] * 5,
+            }
+        )
+    ).coalesce(1)
+    with _pytest.raises((Py4JJavaError, PythonException)):
+        media_video_frames_quarantined(df).collect()
+    one = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["solo"], "payload": [b"zz"]})
+    ).coalesce(1)
+    rows = media_video_frames_quarantined(one).collect()
+    assert len(rows) == 1 and rows[0]["error"] is not None
