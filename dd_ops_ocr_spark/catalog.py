@@ -29,6 +29,7 @@ gets replaced by (SURVEY §2.1 S10).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -58,24 +59,78 @@ def _read_manifest(table_dir: str, snapshot_id: int) -> dict:
         return json.load(f)
 
 
-def _write_files(df: DataFrame, table_dir: str) -> list[str]:
+def _norm_stat(v):
+    """JSON-encodable, order-preserving representation of a footer stat.
+
+    Timestamps/dates become ISO-8601 strings (zero-padded, so
+    lexicographic order == chronological order); predicate values must
+    use the same representation (full ``YYYY-MM-DDTHH:MM:SS`` for
+    timestamp columns — a bare date string compares inconsistently
+    against padded timestamps at range edges). Bytes and other
+    non-orderable payloads return None (column dropped from stats)."""
+    if isinstance(v, bool) or v is None:
+        return None  # booleans prune nothing useful; skip
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _harvest_stats(path: str) -> dict:
+    """Per-file column stats from the parquet footer — no data scan.
+
+    Returns ``{"rows": n, "columns": {col: [min, max]}}``; a column is
+    included only when EVERY row group carries min/max for it (missing
+    stats on any group would make the file-level range a lie)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, list] = {}
+    dropped: set[str] = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves: file-level range not meaningful
+            st = c.statistics
+            lo = _norm_stat(st.min) if st is not None and st.has_min_max else None
+            hi = _norm_stat(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                dropped.add(name)
+                cols.pop(name, None)
+                continue
+            if name in cols:
+                cols[name][0] = min(cols[name][0], lo)
+                cols[name][1] = max(cols[name][1], hi)
+            else:
+                cols[name] = [lo, hi]
+    return {"rows": md.num_rows, "columns": cols}
+
+
+def _write_files(df: DataFrame, table_dir: str) -> tuple[list[str], dict]:
     """Write df to a unique staging dir; return the data-file names after
-    moving them into data/ (names are unique, moves are renames)."""
+    moving them into data/ (names are unique, moves are renames), plus
+    per-file footer stats keyed by final name (the data-skipping index,
+    Iceberg's manifest-entry lower/upper bounds)."""
     stage = os.path.join(table_dir, f"_stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
-    moved = []
+    moved, stats = [], {}
     for name in sorted(os.listdir(stage)):
         if not name.endswith(".parquet"):
             continue
         final = f"{uuid.uuid4().hex}-{name}"
+        stats[final] = _harvest_stats(os.path.join(stage, name))
         os.rename(os.path.join(stage, name), os.path.join(data_dir, final))
         moved.append(final)
     for leftover in os.listdir(stage):
         os.remove(os.path.join(stage, leftover))
     os.rmdir(stage)
-    return moved
+    return moved, stats
 
 
 def _max_manifest_id(table_dir: str) -> int:
@@ -135,15 +190,21 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
     Iceberg analogue of a snapshot carrying several manifests. Under
     ``append`` each aux file set unions the parent's files for that
     key, like the data files do."""
-    files = _write_files(df, table_dir)
-    aux_files = {k: _write_files(v, table_dir) for k, v in (aux or {}).items()}
+    files, stats = _write_files(df, table_dir)
+    aux_files = {}
+    for k, v in (aux or {}).items():
+        aux_files[k], _ = _write_files(v, table_dir)
     while True:
         parent = _max_manifest_id(table_dir) or None
         all_files = files
+        all_stats = dict(stats)
         all_aux = dict(aux_files)
         if operation == "append" and parent is not None:
             pm = _read_manifest(table_dir, parent)
             all_files = pm["files"] + files
+            # parent files keep their stats; pre-stats parents simply
+            # contribute no entries (their files are never pruned)
+            all_stats = {**pm.get("file_stats", {}), **stats}
             for k, pfiles in pm.get("aux", {}).items():
                 all_aux[k] = pfiles + aux_files.get(k, [])
         manifest = {
@@ -152,6 +213,7 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
             "operation": operation,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "files": all_files,
+            "file_stats": all_stats,
             "aux": all_aux,
             # schema rides in the manifest (like Iceberg's) so a snapshot
             # whose data file list is EMPTY — e.g. a batch where every doc
@@ -166,15 +228,75 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
             continue  # lost the race — re-read parent and retry
 
 
-def read_table(spark: SparkSession, table_dir: str,
-               snapshot_id: int | None = None) -> DataFrame:
-    """Read a snapshot (default: current) — file list comes from the
-    manifest, so in-flight writers are invisible."""
+_OPS = {
+    # conjunct survives when the file's [lo, hi] range can intersect it
+    "==": lambda lo, hi, v: lo <= v <= hi,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def plan_scan(table_dir: str, predicates, snapshot_id: int | None = None):
+    """File-skipping scan plan: keep only the data files whose footer
+    min/max ranges can satisfy ALL conjuncts (Iceberg's manifest-bound
+    pruning; the catalog-level analogue of parquet row-group skipping).
+
+    ``predicates`` is a list of ``(column, op, value)`` with op in
+    ``== < <= > >=``. Values must use the stats representation —
+    numbers/strings as-is, timestamps as full ISO-8601 strings (see
+    ``_norm_stat``). Files without stats for a referenced column are
+    conservatively KEPT, so pruning is always a superset of the true
+    match set; callers still apply the real filter. Returns
+    ``(kept_paths, total_file_count)``."""
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     m = _read_manifest(table_dir, sid)
-    paths = [os.path.join(table_dir, "data", f) for f in m["files"]]
+    stats = m.get("file_stats", {})
+    kept = []
+    for name in m["files"]:
+        cols = stats.get(name, {}).get("columns", {})
+        keep = True
+        for col, op, val in predicates:
+            rng = cols.get(col)
+            if rng is None:
+                continue  # no stats for this column — cannot prune
+            lo, hi = rng
+            if type(lo) is not type(val) and not (
+                isinstance(lo, (int, float)) and isinstance(val, (int, float))
+            ):
+                continue  # mismatched representation — cannot prune safely
+            if not _OPS[op](lo, hi, val):
+                keep = False
+                break
+        if keep:
+            kept.append(os.path.join(table_dir, "data", name))
+    return kept, len(m["files"])
+
+
+def read_table(spark: SparkSession, table_dir: str,
+               snapshot_id: int | None = None,
+               where=None) -> DataFrame:
+    """Read a snapshot (default: current) — file list comes from the
+    manifest, so in-flight writers are invisible.
+
+    ``where`` (optional ``(column, op, value)`` conjuncts, see
+    ``plan_scan``) prunes data files by footer stats BEFORE Spark ever
+    opens them — at 100 TB this is the difference between listing a
+    million files and reading the dozen a date-range query touches.
+    Pruning is file-granular and conservative: the result may contain
+    rows outside the predicate, so callers apply the real ``.filter``
+    on top (exactly Iceberg's contract with its scan planning)."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    m = _read_manifest(table_dir, sid)
+    if where:
+        paths, _total = plan_scan(table_dir, where, snapshot_id=sid)
+    else:
+        paths = [os.path.join(table_dir, "data", f) for f in m["files"]]
     if not paths:
         return _empty_df(spark, m)
     return spark.read.parquet(*paths)
@@ -205,6 +327,71 @@ def read_aux(spark: SparkSession, table_dir: str, name: str,
         return None
     paths = [os.path.join(table_dir, "data", f) for f in files]
     return spark.read.parquet(*paths)
+
+
+def compact(spark: SparkSession, table_dir: str, num_files: int = 1,
+            sort_by: list[str] | None = None) -> int:
+    """Rewrite the current snapshot's data into ``num_files`` files and
+    commit the result as a new ``compact`` snapshot (Iceberg's
+    rewrite_data_files). The row set is unchanged; old snapshots stay
+    time-travelable because their files are never touched — reclaiming
+    them is ``expire_snapshots``'s job.
+
+    At 100 TB this is the small-files maintenance loop: streaming /
+    per-bucket commits accumulate many sub-optimal files, and compaction
+    restores fat scan-friendly files WITH fresh footer stats. Passing
+    ``sort_by`` additionally range-clusters rows across the rewritten
+    files (repartitionByRange + in-file sort), which is what makes
+    ``plan_scan`` pruning effective on those columns afterwards."""
+    df = read_table(spark, table_dir)
+    if sort_by:
+        df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(num_files)
+    return write_snapshot(df, table_dir, operation="compact")
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots and delete the
+    data files no surviving snapshot references (Iceberg's
+    expire_snapshots + orphan-file sweep). Returns counts. The current
+    pointer is never expired (keep_last is clamped to >= 1); surviving
+    manifests may carry a dangling parent_id, which readers never
+    follow."""
+    keep_last = max(1, keep_last)
+    all_snaps = snapshots(table_dir)
+    if not all_snaps:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+    keep = {m["snapshot_id"] for m in all_snaps[-keep_last:]}
+    # the pointer can lag behind max id only transiently; be safe anyway
+    cur = current_snapshot_id(table_dir)
+    if cur is not None:
+        keep.add(cur)
+    kept_refs: set[str] = set()
+    dead_refs: set[str] = set()
+    for m in all_snaps:
+        refs = kept_refs if m["snapshot_id"] in keep else dead_refs
+        refs.update(m["files"])
+        for files in m.get("aux", {}).values():
+            refs.update(files)
+    expired = 0
+    for m in all_snaps:
+        if m["snapshot_id"] in keep:
+            continue
+        os.remove(_manifest_path(table_dir, m["snapshot_id"]))
+        expired += 1
+    # delete only files the EXPIRED manifests referenced and no kept one
+    # does — never a blind orphan sweep of data/, which would race a
+    # concurrent writer whose files land in data/ before its manifest
+    # commit (Iceberg separates these too: expire vs remove_orphan_files)
+    deleted = 0
+    data_dir = os.path.join(table_dir, "data")
+    for name in dead_refs - kept_refs:
+        path = os.path.join(data_dir, name)
+        if os.path.exists(path):
+            os.remove(path)
+            deleted += 1
+    return {"expired_snapshots": expired, "deleted_files": deleted}
 
 
 def snapshots(table_dir: str) -> list[dict]:

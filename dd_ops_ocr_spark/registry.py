@@ -236,6 +236,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
 
     ORACLE_SQL["ann_ivf_topk"] = ann_ivf_oracle_sql(sf_dir)
 
+from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
 from dd_ops_ocr_spark.operators import integrate as _integrate  # noqa: E402
@@ -265,6 +266,7 @@ _register(_integrate)
 _register(_jsonops)
 _register(_typeutils)
 _register(_vision)
+_register(_catalogops)
 
 
 # ---------------------------------------------------------------- roster order
@@ -276,6 +278,8 @@ _register(_vision)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "catalog_skip_scan",
+    "catalog_time_travel",
     "media_metadata_webp",
     "media_metadata_webp_native",
     "media_video_frames_quarantine",

@@ -169,3 +169,105 @@ def test_incremental_roster_upgrade_keeps_history(spark, table):
         spark, b2, table, "r4")["operation"] == "noop"
     got = catalog.read_table(spark, table)
     assert got.select("doc_id").distinct().count() == 80
+
+
+# ------------------------------------------------- stats / skipping / compact
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+
+def test_footer_stats_harvested_into_manifest(spark, table):
+    """write_snapshot records per-file rows + column [min,max] from the
+    parquet footers — no data scan — and append merges the parent's."""
+    df = _orders(spark).repartitionByRange(4, "o_orderkey")
+    catalog.write_snapshot(df, table, "overwrite")
+    m = catalog.snapshots(table)[-1]
+    assert set(m["file_stats"]) == set(m["files"])
+    total = 0
+    for st in m["file_stats"].values():
+        total += st["rows"]
+        lo, hi = st["columns"]["o_orderkey"]
+        assert isinstance(lo, int) and lo <= hi
+        # timestamps are stored as ISO strings (lexicographic == chrono)
+        dlo, dhi = st["columns"]["o_orderdate"]
+        assert dlo <= dhi and "T" in dlo
+    assert total == df.count()
+
+    catalog.write_snapshot(_orders(spark).limit(10), table, "append")
+    m2 = catalog.snapshots(table)[-1]
+    assert set(m2["file_stats"]) == set(m2["files"])  # parent stats kept
+
+
+def test_plan_scan_prunes_and_stays_superset(spark, table):
+    """Range-clustered files prune under a narrow predicate; the kept
+    set is a superset of the true matches (filter on top == full scan)."""
+    df = _orders(spark).repartitionByRange(
+        8, "o_orderdate").sortWithinPartitions("o_orderdate")
+    catalog.write_snapshot(df, table, "overwrite")
+    preds = [("o_orderdate", ">=", "1996-01-01T00:00:00"),
+             ("o_orderdate", "<", "1996-07-01T00:00:00")]
+    kept, total = catalog.plan_scan(table, preds)
+    assert total == 8 and 0 < len(kept) < total  # real skipping happened
+
+    cond = ("o_orderdate >= timestamp'1996-01-01' AND "
+            "o_orderdate < timestamp'1996-07-01'")
+    pruned = catalog.read_table(spark, table, where=preds).filter(cond)
+    full = catalog.read_table(spark, table).filter(cond)
+    assert pruned.count() == full.count() > 0
+
+    # unknown column / mismatched value type → conservative keep-all
+    assert catalog.plan_scan(table, [("nope", "==", 1)])[0] is not None
+    assert len(catalog.plan_scan(table, [("o_orderkey", "<", "zz")])[0]) == total
+
+
+def test_plan_scan_empty_result_reads_as_empty_df(spark, table):
+    df = _orders(spark).repartitionByRange(4, "o_orderkey")
+    catalog.write_snapshot(df, table, "overwrite")
+    out = catalog.read_table(
+        spark, table, where=[("o_orderkey", "<", -1)])
+    assert out.count() == 0
+    assert out.schema == df.schema
+
+
+def test_compact_preserves_rows_and_time_travel(spark, table):
+    df = _orders(spark).repartitionByRange(8, "o_orderdate")
+    s1 = catalog.write_snapshot(df, table, "overwrite")
+    n = df.count()
+    s2 = catalog.compact(spark, table, num_files=2, sort_by=["o_orderdate"])
+    m2 = catalog.snapshots(table)[-1]
+    assert m2["operation"] == "compact" and s2 == s1 + 1
+    assert len(m2["files"]) == 2 < 8
+    assert catalog.read_table(spark, table).count() == n
+    # identical row multiset, not just counts
+    a = catalog.read_table(spark, table).orderBy("o_orderkey").toPandas()
+    b = catalog.read_table(spark, table, snapshot_id=s1).orderBy(
+        "o_orderkey").toPandas()
+    assert a.equals(b)
+    # compaction re-harvests stats, so pruning works on the new layout
+    kept, total = catalog.plan_scan(
+        table, [("o_orderdate", "<", "1996-01-01T00:00:00")])
+    assert total == 2 and len(kept) < total
+
+
+def test_expire_snapshots_reclaims_only_dead_files(spark, table):
+    s1 = catalog.write_snapshot(_orders(spark).limit(100), table, "overwrite")
+    catalog.write_snapshot(_orders(spark).limit(50), table, "append")
+    s3 = catalog.compact(spark, table, num_files=1)
+    n = catalog.read_table(spark, table).count()
+    before = set(os.listdir(os.path.join(table, "data")))
+
+    res = catalog.expire_snapshots(table, keep_last=1)
+    assert res["expired_snapshots"] == 2
+    # snapshot 2's append reuses snapshot 1's files, so the dead set is
+    # exactly the files the compacted snapshot no longer references
+    after = set(os.listdir(os.path.join(table, "data")))
+    assert res["deleted_files"] == len(before) - len(after) > 0
+    # current still reads; expired ids are gone; parent_id dangles safely
+    assert catalog.read_table(spark, table).count() == n
+    snaps = catalog.snapshots(table)
+    assert [m["snapshot_id"] for m in snaps] == [s3]
+    assert snaps[0]["parent_id"] not in [m["snapshot_id"] for m in snaps]
+    with pytest.raises(FileNotFoundError):
+        catalog.read_table(spark, table, snapshot_id=s1)

@@ -359,15 +359,18 @@ def test_media_resize_and_frame_sample(spark):
 
 
 def test_decode_image_unsupported_format_is_stubbed():
-    """Formats needing external codecs (non-image magic here) still
-    raise — the documented integration point; BMP, baseline JPEG, and
-    PNG decode for real."""
+    """Formats needing external codecs still raise NotImplementedError —
+    the documented injection point; BMP, baseline/progressive JPEG, PNG,
+    and lossless WebP decode for real (so WebP magic no longer belongs
+    here — it routes to operators/webp.py)."""
     import pytest as _pytest
 
     from dd_ops_ocr_spark.operators.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # webp magic
+        decode_image(b"GIF89a\x00\x00")  # gif magic — no native decoder
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"II*\x00\x00\x00\x00\x00")  # tiff magic
 
 
 def test_media_metadata_png_lossless_end_to_end(spark):
