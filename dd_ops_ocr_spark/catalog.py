@@ -176,14 +176,29 @@ def _advance_pointer(table_dir: str, sid: int) -> None:
         os.rename(cur_tmp, _current_path(table_dir))  # atomic swap
 
 
+class CommitConflict(Exception):
+    """The table advanced past ``expected_parent`` before this commit
+    could publish — the caller's input snapshot is stale and must be
+    re-read (Iceberg's validation failure on replace operations)."""
+
+
 def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
                    properties: dict | None = None,
-                   aux: dict[str, DataFrame] | None = None) -> int:
+                   aux: dict[str, DataFrame] | None = None,
+                   expected_parent: int | None = None) -> int:
     """Commit df as a new snapshot. ``overwrite`` starts a new file set;
     ``append`` unions the parent snapshot's files. Concurrent committers
     are safe: a snapshot id is claimed by exclusive manifest creation,
     and the loser retries against the re-read parent (so no commit is
     ever silently discarded).
+
+    ``expected_parent`` makes the commit compare-and-swap: it only
+    publishes while the table's latest snapshot is exactly that id, and
+    raises :class:`CommitConflict` otherwise. Required for operations
+    whose OUTPUT was derived from a snapshot read (compaction, any
+    read-modify-write): a plain retry would re-commit the stale
+    derivation on top of a concurrent append, silently dropping the
+    appended rows.
 
     ``aux`` commits named side tables (e.g. a processed-doc_id roster)
     in the SAME manifest — one atomic commit covers data + aux, the
@@ -196,6 +211,11 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
         aux_files[k], _ = _write_files(v, table_dir)
     while True:
         parent = _max_manifest_id(table_dir) or None
+        if expected_parent is not None and parent != expected_parent:
+            raise CommitConflict(
+                f"table advanced to snapshot {parent}; "
+                f"commit was derived from {expected_parent}"
+            )
         all_files = files
         all_stats = dict(stats)
         all_aux = dict(aux_files)
@@ -342,13 +362,31 @@ def compact(spark: SparkSession, table_dir: str, num_files: int = 1,
     restores fat scan-friendly files WITH fresh footer stats. Passing
     ``sort_by`` additionally range-clusters rows across the rewritten
     files (repartitionByRange + in-file sort), which is what makes
-    ``plan_scan`` pruning effective on those columns afterwards."""
-    df = read_table(spark, table_dir)
-    if sort_by:
-        df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(*sort_by)
-    else:
-        df = df.coalesce(num_files)
-    return write_snapshot(df, table_dir, operation="compact")
+    ``plan_scan`` pruning effective on those columns afterwards.
+
+    Safe under concurrent appends: the commit is CAS'd on the snapshot
+    the rewrite actually read (``expected_parent``), and on conflict the
+    whole read-rewrite-commit loop retries against the new current —
+    never re-publishing a stale row set (which would silently drop the
+    concurrent append's rows, then let ``expire_snapshots`` reclaim
+    them)."""
+    for _ in range(16):
+        base = current_snapshot_id(table_dir)
+        df = read_table(spark, table_dir, snapshot_id=base)
+        if sort_by:
+            df = df.repartitionByRange(
+                num_files, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(num_files)
+        try:
+            return write_snapshot(
+                df, table_dir, operation="compact", expected_parent=base
+            )
+        except CommitConflict:
+            continue  # someone committed mid-rewrite — recompact the new state
+    raise CommitConflict(
+        f"compaction of {table_dir} lost 16 consecutive commit races"
+    )
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:

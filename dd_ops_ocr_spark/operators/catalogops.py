@@ -25,9 +25,7 @@ sf under .bench_cache with the same atomic tmp+rename protocol as
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -40,29 +38,26 @@ _LO, _HI = "1996-01-01", "1997-01-01"
 def _fixture_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once catalog table over orders: snapshot 1 = overwrite,
     8 files range-clustered by o_orderdate (tight footer bounds =
-    prunable); snapshot 2 = compact to 2 files, still date-sorted."""
+    prunable); snapshot 2 = compact to 2 files, still date-sorted.
+    Build/publish protocol shared with registry._landed_cache
+    (fixture_cache.cached_fixture)."""
     from dd_ops_ocr_spark import catalog
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
     cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".bench_cache")
     path = os.path.join(cache, f"catalog_orders_{name}_v{_FIXTURE_VERSION}")
-    if not os.path.isdir(path):
-        os.makedirs(cache, exist_ok=True)
-        for stale in glob.glob(f"{path}._building_*"):
-            shutil.rmtree(stale, ignore_errors=True)
-        tmp = f"{path}._building_{os.getpid()}"
+
+    def build(tmp: str) -> None:
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         clustered = orders.repartitionByRange(
             8, "o_orderdate"
         ).sortWithinPartitions("o_orderdate")
         catalog.write_snapshot(clustered, tmp, operation="overwrite")
         catalog.compact(spark, tmp, num_files=2, sort_by=["o_orderdate"])
-        try:
-            os.rename(tmp, path)
-        except OSError:  # a concurrent builder won the rename — adopt its copy
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
+
+    return cached_fixture(path, build)
 
 
 def _year_agg(df: DataFrame) -> DataFrame:

@@ -20,6 +20,7 @@ deterministic-fake fallback (``fake_decode_batch``) for plumbing tests.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -33,6 +34,46 @@ MEDIA_META_DDL = (
     "media_ref string, n_bytes long, format string, width int, height int,"
     " phash long"
 )
+
+# The decoder error contract for warn-and-continue operators: these
+# classes mean "THIS payload is corrupt/unsupported" and become
+# quarantine rows; anything else (RuntimeError from a missing native
+# lib, ImportError, OSError, MemoryError, ...) means the decode
+# INFRASTRUCTURE is broken and propagates immediately — quarantining a
+# whole corpus behind a broken decoder would be data loss wearing a
+# success status. Injected decoders (media_metadata(decoder=...), the
+# native shims) must raise one of these for payload-level failures;
+# native/__init__.py and native/webp.py do (ValueError/EOFError for
+# payloads, RuntimeError when the shim itself can't load). Failure
+# counting is per-payload by exception CLASS, never by "how much of the
+# batch failed": corruption clusters in real corpora (one bad producer
+# shard lands contiguously), so an all-corrupt batch is legitimate data
+# and must quarantine, not kill the task.
+DECODE_ERRORS = (
+    ValueError,
+    EOFError,
+    NotImplementedError,
+    IndexError,
+    KeyError,
+    OverflowError,
+    struct.error,
+    zlib.error,
+)
+
+
+def _quarantine_scan(media_refs, payloads, per_payload, null_row):
+    """Shared warn-and-continue scaffold: run ``per_payload(ref,
+    payload) -> list[row dict]`` for each payload; a DECODE_ERRORS
+    failure emits ``null_row(ref, payload, exc)`` instead (one row per
+    source, no orphan partial output); any other exception class
+    propagates (see DECODE_ERRORS)."""
+    rows: list[dict] = []
+    for r, p in zip(media_refs, payloads):
+        try:
+            rows.extend(per_payload(r, p))
+        except DECODE_ERRORS as exc:
+            rows.append(null_row(r, p, exc))
+    return rows
 
 
 # ---------------------------------------------------------------- BMP codec
@@ -366,59 +407,54 @@ def media_metadata_quarantined(
     through before raising (sequential decoders stop at the first bad
     payload, so that's ~1/corruption-rate rows, not the whole batch).
 
-    Quarantine is for PER-PAYLOAD corruption only: when every row of a
-    multi-row batch fails, that is decoder infrastructure breakage (a
-    missing native lib, an import error), and silently quarantining the
-    entire corpus would be data loss wearing a success status — the
-    batch re-raises instead. Format detection is header-only, so even
-    quarantined rows keep their sniffed format for triage
-    aggregations."""
+    Quarantine is for PER-PAYLOAD corruption only, discriminated by
+    exception CLASS (see DECODE_ERRORS): decoder infrastructure
+    breakage (a missing native lib, an import error — RuntimeError and
+    friends) propagates on the FIRST failing payload instead of being
+    quarantined, because silently quarantining the corpus behind a
+    broken decoder would be data loss wearing a success status. Format
+    detection is header-only, so even quarantined rows keep their
+    sniffed format for triage aggregations."""
 
     cols = ["n_bytes", "format", "width", "height", "phash"]
 
-    def decode_with_errors(payloads: pd.Series) -> pd.DataFrame:
-        try:
-            meta = decoder(payloads)
-            meta["error"] = None
-            return meta
-        except Exception:
-            rows, n_failed, first_exc = [], 0, None
-            for p in payloads:
-                try:
-                    m = decoder(pd.Series([p]))
-                    rows.append(
-                        {c: m[c].iloc[0] for c in cols} | {"error": None}
-                    )
-                except Exception as exc:  # noqa: BLE001 — quarantine row
-                    n_failed += 1
-                    first_exc = first_exc if first_exc is not None else exc
-                    rows.append(
-                        {
-                            "n_bytes": len(p),
-                            "format": detect_format(p),
-                            "width": None,
-                            "height": None,
-                            "phash": None,
-                            "error": f"{type(exc).__name__}: {exc}",
-                        }
-                    )
-            if n_failed == len(rows) and len(rows) > 1:
-                raise RuntimeError(
-                    f"decoder failed on all {len(rows)} payloads of the "
-                    "batch — systematic decoder failure, not per-payload "
-                    "corruption; refusing to quarantine the whole batch"
-                ) from first_exc
-            out = pd.DataFrame(rows, columns=cols + ["error"])
-            out["width"] = out["width"].astype("Int32")
-            out["height"] = out["height"].astype("Int32")
-            out["phash"] = out["phash"].astype("Int64")
-            return out
+    def per_payload(r, p) -> list[dict]:
+        m = decoder(pd.Series([p]))
+        return [
+            {"media_ref": r}
+            | {c: m[c].iloc[0] for c in cols}
+            | {"error": None}
+        ]
+
+    def null_row(r, p, exc) -> dict:
+        return {
+            "media_ref": r,
+            "n_bytes": len(p),
+            "format": detect_format(p),
+            "width": None,
+            "height": None,
+            "phash": None,
+            "error": f"{type(exc).__name__}: {exc}",
+        }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = decode_with_errors(pdf["payload"])
-            meta.insert(0, "media_ref", pdf["media_ref"].to_numpy())
-            yield meta
+            try:
+                meta = decoder(pdf["payload"])  # whole-batch fast path
+                meta["error"] = None
+                meta.insert(0, "media_ref", pdf["media_ref"].to_numpy())
+                yield meta
+                continue
+            except DECODE_ERRORS:
+                pass  # some payload is bad — per-row fallback below
+            rows = _quarantine_scan(
+                pdf["media_ref"], pdf["payload"], per_payload, null_row
+            )
+            out = pd.DataFrame(rows, columns=["media_ref", *cols, "error"])
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["phash"] = out["phash"].astype("Int64")
+            yield out
 
     return media_df.mapInPandas(run, schema=MEDIA_META_DDL + ", error string")
 
@@ -575,58 +611,48 @@ def media_video_frames_quarantined(
     emits one quarantine row (null frame columns + the exception
     class/message in ``error``) instead of k orphan rows plus an error,
     preserving one-row-per-source accounting for triage aggregations.
-    The systematic-failure guard matches the metadata operator: every
-    payload of a multi-row batch failing means decoder infrastructure
-    breakage (missing codec, import error), not per-payload corruption,
-    and re-raises rather than quarantining the corpus."""
+    Failure discrimination matches the metadata operator: DECODE_ERRORS
+    quarantine per payload (clustered corruption never kills the task),
+    infrastructure errors propagate on the first failing payload."""
     from dd_ops_ocr_spark.operators.video import avi_frames, sample_indices
 
     int_cols = ("frame_idx", "src_idx", "n_src_frames", "width", "height")
+
+    def per_payload(r, p) -> list[dict]:
+        payload_frames = avi_frames(p)
+        n = len(payload_frames)
+        prows = []
+        for i, src in enumerate(sample_indices(n, n_frames)):
+            img = decoder(payload_frames[src])
+            prows.append(
+                {
+                    "media_ref": r,
+                    "frame_idx": i,
+                    "src_idx": src,
+                    "n_src_frames": n,
+                    "width": img.shape[1],
+                    "height": img.shape[0],
+                    "frame": payload_frames[src],
+                    "error": None,
+                }
+            )
+        return prows
+
+    def null_row(r, p, exc) -> dict:
+        return {
+            "media_ref": r,
+            **{c: None for c in int_cols},
+            "frame": None,
+            "error": f"{type(exc).__name__}: {exc}",
+        }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows: list[dict] = []
-            n_failed, first_exc = 0, None
-            for r, p in zip(pdf["media_ref"], pdf["payload"]):
-                try:
-                    payload_frames = avi_frames(p)
-                    n = len(payload_frames)
-                    prows = []
-                    for i, src in enumerate(sample_indices(n, n_frames)):
-                        img = decoder(payload_frames[src])
-                        prows.append(
-                            {
-                                "media_ref": r,
-                                "frame_idx": i,
-                                "src_idx": src,
-                                "n_src_frames": n,
-                                "width": img.shape[1],
-                                "height": img.shape[0],
-                                "frame": payload_frames[src],
-                                "error": None,
-                            }
-                        )
-                    rows.extend(prows)
-                except Exception as exc:  # noqa: BLE001 — quarantine row
-                    n_failed += 1
-                    first_exc = first_exc if first_exc is not None else exc
-                    rows.append(
-                        {
-                            "media_ref": r,
-                            **{c: None for c in int_cols},
-                            "frame": None,
-                            "error": f"{type(exc).__name__}: {exc}",
-                        }
-                    )
-            if n_failed == len(pdf) and len(pdf) > 1:
-                raise RuntimeError(
-                    f"video decode failed on all {len(pdf)} payloads of "
-                    "the batch — systematic decoder failure, not "
-                    "per-payload corruption; refusing to quarantine the "
-                    "whole batch"
-                ) from first_exc
+            rows = _quarantine_scan(
+                pdf["media_ref"], pdf["payload"], per_payload, null_row
+            )
             out = pd.DataFrame(
                 rows, columns=["media_ref", *int_cols, "frame", "error"]
             )
@@ -647,8 +673,8 @@ def media_video_frames_quarantined(
 def media_audio_features_quarantined(media_df: DataFrame) -> DataFrame:
     """media_audio_features with warn-and-continue semantics: a corrupt
     clip becomes one quarantine row (null features + the exception in
-    ``error``), a batch of nothing-but-failures re-raises (systematic
-    breakage, same guard as the other quarantine operators)."""
+    ``error``); infrastructure errors propagate per the DECODE_ERRORS
+    contract shared by every quarantine operator."""
     from dd_ops_ocr_spark.operators.audio import audio_features
 
     feat_cols = (
@@ -656,33 +682,23 @@ def media_audio_features_quarantined(media_df: DataFrame) -> DataFrame:
         "peak", "rms", "zero_crossings",
     )
 
+    def per_payload(r, p) -> list[dict]:
+        return [{"media_ref": r, **audio_features(p), "error": None}]
+
+    def null_row(r, p, exc) -> dict:
+        return {
+            "media_ref": r,
+            **{c: None for c in feat_cols},
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows: list[dict] = []
-            n_failed, first_exc = 0, None
-            for r, p in zip(pdf["media_ref"], pdf["payload"]):
-                try:
-                    feats = audio_features(p)
-                    rows.append({"media_ref": r, **feats, "error": None})
-                except Exception as exc:  # noqa: BLE001 — quarantine row
-                    n_failed += 1
-                    first_exc = first_exc if first_exc is not None else exc
-                    rows.append(
-                        {
-                            "media_ref": r,
-                            **{c: None for c in feat_cols},
-                            "error": f"{type(exc).__name__}: {exc}",
-                        }
-                    )
-            if n_failed == len(pdf) and len(pdf) > 1:
-                raise RuntimeError(
-                    f"audio decode failed on all {len(pdf)} payloads of "
-                    "the batch — systematic decoder failure, not "
-                    "per-payload corruption; refusing to quarantine the "
-                    "whole batch"
-                ) from first_exc
+            rows = _quarantine_scan(
+                pdf["media_ref"], pdf["payload"], per_payload, null_row
+            )
             out = pd.DataFrame(
                 rows, columns=["media_ref", *feat_cols, "error"]
             )

@@ -62,13 +62,29 @@ _PG_CACHE_MAX = 2
 _PG_LOCK = __import__("threading").Lock()
 
 
+def _session_live(df: DataFrame) -> bool:
+    try:
+        return not df.sparkSession._jsparkSession.sparkContext().isStopped()
+    except Exception:  # noqa: BLE001 — any JVM-side failure = not usable
+        return False
+
+
 def _cached_pg(flat: DataFrame, build) -> DataFrame:
     with _PG_LOCK:
-        for cached_flat, cached_pg in _PG_CACHE:
+        for cached_flat, cached_pg in list(_PG_CACHE):
+            # a hit must come from THIS session: sameSemantics compares
+            # logical plans only, so an entry persisted under a stopped
+            # (or different) session would splice dead RDD state into a
+            # live plan. Evict dead-session entries as they're seen.
+            if cached_flat.sparkSession is not flat.sparkSession or (
+                not _session_live(cached_flat)
+            ):
+                _PG_CACHE.remove((cached_flat, cached_pg))
+                continue
             try:
                 if flat.sameSemantics(cached_flat):
                     return cached_pg
-            except Exception:  # noqa: BLE001 — entry from a stopped session
+            except Exception:  # noqa: BLE001 — comparison itself failed
                 continue
         pg = build().persist()
         _PG_CACHE.append((flat, pg))
@@ -79,6 +95,21 @@ def _cached_pg(flat: DataFrame, build) -> DataFrame:
             except Exception:  # noqa: BLE001 — its session may be stopped
                 pass
         return pg
+
+
+def clear_pg_cache() -> None:
+    """Unpersist and drop every cached page-stats table. Benchmarks call
+    this between timed repeats so each run pays the full aggregation —
+    keeping the recorded cost comparable with rounds measured before the
+    cache existed (a warm pg would silently skip the plan's widest
+    stage)."""
+    with _PG_LOCK:
+        while _PG_CACHE:
+            _, old = _PG_CACHE.pop()
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — its session may be stopped
+                pass
 
 
 def extract_exploded_bounded(flat: DataFrame) -> DataFrame:

@@ -75,14 +75,13 @@ def _landed_cache(
 ) -> str:
     """Materialize-once landing fixture under .bench_cache/: the landed
     corpus is a deterministic derivative of sf_dir, keyed by generator
-    version + layout suffix (same layout bench.py lands). Written to a
-    temp dir and renamed into place so a run that dies mid-write can't
-    leave a partial directory that later runs mistake for a complete
-    cache."""
+    version + layout suffix (same layout bench.py lands). Build/publish
+    protocol (tmp + atomic rename, dead-builder sweep, live-builder
+    safety) lives in fixture_cache.cached_fixture."""
     import os
-    import shutil
 
     from dd_ops_ocr_spark import corpus
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
     cache = os.path.join(os.path.dirname(os.path.dirname(
@@ -91,23 +90,10 @@ def _landed_cache(
         cache,
         f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}{suffix}.parquet",
     )
-    if not os.path.isdir(path):
-        import glob
-
-        os.makedirs(cache, exist_ok=True)
-        # sweep temp dirs left by DEAD builders of this fixture (any
-        # pid) so crashes can't accumulate orphaned corpus copies; a
-        # live concurrent builder loses its tmp and simply rebuilds or
-        # adopts the winner's rename below
-        for stale in glob.glob(f"{path}._building_*"):
-            shutil.rmtree(stale, ignore_errors=True)
-        tmp = f"{path}._building_{os.getpid()}"
-        corpus.materialize_spans(spark, sf_dir, tmp, **land_kwargs)
-        try:
-            os.rename(tmp, path)
-        except OSError:  # a concurrent builder won the rename — use its copy
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
+    return cached_fixture(
+        path,
+        lambda tmp: corpus.materialize_spans(spark, sf_dir, tmp, **land_kwargs),
+    )
 
 
 def _flagship_extract_salted_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -193,11 +193,13 @@ def test_media_audio_features_quarantine_mixed(spark):
         assert q["error"] is not None and q["sample_rate"] is None
 
 
-def test_media_audio_features_quarantine_systematic_failure_raises(spark):
+def test_media_audio_quarantine_all_corrupt_batch_still_quarantines(spark):
+    """Corruption clusters in real corpora (one bad producer shard lands
+    contiguously): an all-corrupt batch is legitimate data, not decoder
+    breakage, and must quarantine row-by-row rather than kill the task
+    (discrimination is by exception CLASS — DECODE_ERRORS — never by
+    how much of the batch failed)."""
     import pandas as pd
-    import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PythonException
 
     from dd_ops_ocr_spark.operators.multimodal import (
         media_audio_features_quarantined,
@@ -210,9 +212,12 @@ def test_media_audio_features_quarantine_systematic_failure_raises(spark):
                 "payload": [b"not a wav"] * 5,
             }
         )
-    ).coalesce(1)
-    with _pytest.raises((Py4JJavaError, PythonException)):
-        media_audio_features_quarantined(df).collect()
+    ).coalesce(1)  # one multi-row batch, every payload corrupt
+    rows = media_audio_features_quarantined(df).collect()
+    assert len(rows) == 5
+    assert all(
+        r["error"] is not None and r["sample_rate"] is None for r in rows
+    )
     one = spark.createDataFrame(
         pd.DataFrame({"media_ref": ["solo"], "payload": [b"zz"]})
     ).coalesce(1)

@@ -218,7 +218,7 @@ def test_plan_scan_prunes_and_stays_superset(spark, table):
     assert pruned.count() == full.count() > 0
 
     # unknown column / mismatched value type → conservative keep-all
-    assert catalog.plan_scan(table, [("nope", "==", 1)])[0] is not None
+    assert len(catalog.plan_scan(table, [("nope", "==", 1)])[0]) == total
     assert len(catalog.plan_scan(table, [("o_orderkey", "<", "zz")])[0]) == total
 
 
@@ -271,3 +271,38 @@ def test_expire_snapshots_reclaims_only_dead_files(spark, table):
     assert snaps[0]["parent_id"] not in [m["snapshot_id"] for m in snaps]
     with pytest.raises(FileNotFoundError):
         catalog.read_table(spark, table, snapshot_id=s1)
+
+
+def test_write_snapshot_expected_parent_cas(spark, table):
+    """A commit derived from a stale snapshot must refuse to publish."""
+    s1 = catalog.write_snapshot(_orders(spark).limit(10), table, "overwrite")
+    catalog.write_snapshot(_orders(spark).limit(5), table, "append")
+    with pytest.raises(catalog.CommitConflict):
+        catalog.write_snapshot(
+            _orders(spark).limit(10), table, "compact", expected_parent=s1
+        )
+
+
+def test_compact_retries_past_concurrent_append(spark, table, monkeypatch):
+    """An append landing between compact's read and its publish must not
+    be dropped: the CAS rejects the stale rewrite and the loop recompacts
+    the post-append state."""
+    base = _orders(spark).filter("o_orderkey < 80")
+    extra = _orders(spark).filter("o_orderkey >= 80 AND o_orderkey < 100")
+    catalog.write_snapshot(base, table, "overwrite")
+
+    real_read = catalog.read_table
+    fired = {"done": False}
+
+    def racy_read(spark_, tdir, snapshot_id=None, where=None):
+        df = real_read(spark_, tdir, snapshot_id=snapshot_id, where=where)
+        if not fired["done"]:
+            fired["done"] = True
+            catalog.write_snapshot(extra, tdir, "append")  # races the rewrite
+        return df
+
+    monkeypatch.setattr(catalog, "read_table", racy_read)
+    catalog.compact(spark, table, num_files=1)
+    monkeypatch.undo()
+    assert catalog.read_table(spark, table).count() == 100
+    assert catalog.snapshots(table)[-1]["operation"] == "compact"

@@ -146,3 +146,42 @@ def test_bounded_exploded_plan_shape(spark):
         )
     # the boilerplate decision joins only hashed header/footer candidates
     assert "xxhash64" in plan
+
+
+def test_pg_cache_is_session_scoped(spark):
+    """_PG_CACHE must never serve a pg persisted under a stopped or
+    different session (sameSemantics compares plans, not liveness), and
+    clear_pg_cache() must leave nothing behind for benchmarks that time
+    the cold plan."""
+    from dd_ops_ocr_spark.plans import bounded
+
+    df = spark.range(4).selectExpr("cast(id as string) as doc_id")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return df.groupBy("doc_id").count()
+
+    pg1 = bounded._cached_pg(df, build)
+    pg2 = bounded._cached_pg(df, build)
+    assert pg1 is pg2 and len(builds) == 1  # same-session plan reuse
+
+    # an entry whose DataFrame belongs to another session object is
+    # evicted, never compared — even with an identical logical plan
+    class _FakeSession:
+        pass
+
+    class _FakeDF:
+        sparkSession = _FakeSession()
+
+    fake = _FakeDF()
+    bounded._PG_CACHE.insert(0, (fake, fake))
+    pg3 = bounded._cached_pg(df, build)
+    assert pg3 is pg1  # still served from the live entry
+    assert all(f is not fake for f, _ in bounded._PG_CACHE)
+
+    bounded.clear_pg_cache()
+    assert bounded._PG_CACHE == []
+    bounded._cached_pg(df, build)
+    assert len(builds) == 2  # cold after clear — what bench relies on
+    bounded.clear_pg_cache()

@@ -203,11 +203,13 @@ def test_media_metadata_quarantine_mixed_batch(spark):
     assert t["n_bytes"] == 10
 
 
-def test_media_metadata_quarantine_systematic_failure_raises(spark):
-    """When EVERY row of a multi-row batch fails, that's decoder
-    infrastructure breakage (missing lib, import error) — quarantining
-    the whole corpus would be silent data loss, so the task must fail
-    loudly instead."""
+def test_media_metadata_quarantine_infra_error_raises(spark):
+    """Decoder INFRASTRUCTURE breakage (a missing native lib raising
+    RuntimeError — outside the DECODE_ERRORS payload contract) must fail
+    the task on the first payload, even a single-row batch: quarantining
+    the corpus behind a broken decoder is silent data loss. Payload-level
+    corruption (DECODE_ERRORS classes) quarantines no matter how much of
+    the batch is corrupt."""
     import pandas as pd
     import pytest as _pytest
     from py4j.protocol import Py4JJavaError
@@ -227,15 +229,18 @@ def test_media_metadata_quarantine_systematic_failure_raises(spark):
                 "payload": [bytes([i]) for i in range(6)],
             }
         )
-    ).coalesce(1)  # one multi-row batch — the systematic-failure shape
+    ).coalesce(1)
     with _pytest.raises((Py4JJavaError, PythonException)):
         media_metadata_quarantined(df, decoder=broken_decoder).collect()
-    # and the single-row-batch edge still quarantines rather than raises
+    # infra errors raise even on a single-row batch — never quarantined
     one = spark.createDataFrame(
         pd.DataFrame({"media_ref": ["solo"], "payload": [b"zz"]})
     ).coalesce(1)
-    rows = media_metadata_quarantined(one, decoder=broken_decoder).collect()
-    assert len(rows) == 1 and rows[0]["error"] is not None
+    with _pytest.raises((Py4JJavaError, PythonException)):
+        media_metadata_quarantined(one, decoder=broken_decoder).collect()
+    # whereas an all-corrupt batch through the REAL decoder quarantines
+    rows = media_metadata_quarantined(df).collect()
+    assert len(rows) == 6 and all(r["error"] is not None for r in rows)
 
 
 def test_media_video_frames_quarantine_mixed_and_partial(spark):
@@ -280,10 +285,10 @@ def test_media_video_frames_quarantine_mixed_and_partial(spark):
         assert q["frame_idx"] is None and q["frame"] is None
 
 
-def test_media_video_frames_quarantine_systematic_failure_raises(spark):
-    """Every payload of a multi-row batch failing = infrastructure
-    breakage; the task must fail loudly, and the single-row edge must
-    still quarantine."""
+def test_media_video_quarantine_all_corrupt_batch_still_quarantines(spark):
+    """An all-corrupt multi-row batch is legitimate clustered corruption
+    and must quarantine row-by-row, not kill the task; infra errors
+    (non-DECODE_ERRORS from the injected frame decoder) must raise."""
     import pandas as pd
     import pytest as _pytest
     from py4j.protocol import Py4JJavaError
@@ -301,10 +306,32 @@ def test_media_video_frames_quarantine_systematic_failure_raises(spark):
             }
         )
     ).coalesce(1)
-    with _pytest.raises((Py4JJavaError, PythonException)):
-        media_video_frames_quarantined(df).collect()
+    rows = media_video_frames_quarantined(df).collect()
+    assert len(rows) == 5
+    assert all(r["error"] is not None and r["frame"] is None for r in rows)
     one = spark.createDataFrame(
         pd.DataFrame({"media_ref": ["solo"], "payload": [b"zz"]})
     ).coalesce(1)
     rows = media_video_frames_quarantined(one).collect()
     assert len(rows) == 1 and rows[0]["error"] is not None
+
+    # a broken injected frame decoder = infrastructure -> task failure
+    def broken_frame_decoder(frame_payload):
+        raise RuntimeError("codec lib failed to load")
+
+    from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
+
+    frame = encode_jpeg(np.full((8, 8, 3), 128, dtype=np.uint8))
+    avi = encode_avi_mjpeg([frame, frame], 8, 8, fps=10)
+    good = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["v0", "v1"],
+                "payload": [avi, avi],
+            }
+        )
+    ).coalesce(1)
+    with _pytest.raises((Py4JJavaError, PythonException)):
+        media_video_frames_quarantined(
+            good, decoder=broken_frame_decoder
+        ).collect()
