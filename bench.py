@@ -534,6 +534,61 @@ def main() -> None:
         }
     else:
         media["webp"]["native"] = {"unavailable": _nwebp.load_error()}
+
+    # catalog data skipping: the flat corpus landed ONCE as a range-
+    # clustered snapshot table (32 files, doc_id-sorted => tight footer
+    # bounds), then the same selective aggregate timed through a full
+    # manifest scan vs plan_scan file pruning. At 100 TB this ratio is
+    # the point of the catalog: a selective query reads the files its
+    # predicate touches, not the corpus.
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark import catalog as _catalog
+    from dd_ops_ocr_spark import corpus as _corpus
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+
+    def _build_cat(tmp: str) -> None:
+        flat = spark.read.parquet(flat_path)
+        _catalog.write_snapshot(
+            flat.repartitionByRange(32, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            tmp, operation="overwrite",
+        )
+
+    cat_tbl = cached_fixture(
+        os.path.join(
+            CACHE,
+            f"catalog_flat_{_sf_name()}_x{REPLICATE}"
+            f"_v{_corpus.GENERATOR_VERSION}",
+        ),
+        _build_cat,
+    )
+    mf = _catalog.snapshots(cat_tbl)[-1]
+    mid = mf["files"][len(mf["files"]) // 2]
+    lo, hi = mf["file_stats"][mid]["columns"]["doc_id"]
+    preds = [("doc_id", ">=", lo), ("doc_id", "<=", hi)]
+    kept, total = _catalog.plan_scan(cat_tbl, preds)
+
+    def _selective(where):
+        (
+            _catalog.read_table(spark, cat_tbl, where=where)
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+            .agg(F.count("*"), F.sum("offset"))
+            .collect()
+        )
+
+    _selective(None), _selective(preds)  # warm both paths
+    queries["catalog_selective_full_scan"] = timed(
+        lambda: _selective(None), repeats=3)
+    queries["catalog_selective_skip_scan"] = timed(
+        lambda: _selective(preds), repeats=3)
+    result_catalog = {
+        "files_kept": len(kept),
+        "files_total": total,
+        "speedup": round(
+            queries["catalog_selective_full_scan"]
+            / queries["catalog_selective_skip_scan"], 2),
+    }
     spark.stop()
 
     scaling = None
@@ -633,6 +688,7 @@ def main() -> None:
     )
     result["host_health"] = health
     result["media"] = media
+    result["catalog"] = result_catalog
     if scaling:
         result["scaling"] = scaling
     print(json.dumps(result))
