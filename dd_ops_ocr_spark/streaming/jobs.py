@@ -365,3 +365,94 @@ def stream_event_metrics(spark: SparkSession, input_dir: str, schema):
         .groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
+
+
+def stream_extract_with_dlq(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    dlq_dir: str,
+    trigger_once: bool = True,
+):
+    """stream_extract with a dead-letter queue — the streaming face of
+    the engine's warn-and-continue posture (sources.py quarantines
+    corrupt batch rows; operators/multimodal.py quarantines corrupt
+    payloads): a malformed document in one micro-batch must never stall
+    the stream, and must never silently vanish either.
+
+    Each micro-batch splits into valid docs (extracted to ``out_dir``)
+    and invalid docs (routed to ``dlq_dir`` with a ``reason`` column for
+    triage/replay: null doc_id, null spans array, span with null or
+    negative offset). BOTH sinks are epoch-partitioned with dynamic
+    overwrite, so a replayed micro-batch rewrites exactly its own
+    epoch partition on each side — the DLQ inherits the same
+    exactly-once-per-epoch convergence as the main output (a redelivered
+    bad doc updates its DLQ row instead of appending a duplicate).
+
+    The reference's equivalent is the per-message try/except around the
+    extraction call in the push webhook (api/main.py:453-650) that acks
+    the message and records the failure rather than NACK-looping a
+    poison document forever.
+    """
+    from dd_ops_ocr_spark import pipeline
+
+    src = (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    reason = (
+        F.when(F.col("doc_id").isNull(), "null_doc_id")
+        .when(F.col("spans").isNull(), "null_spans")
+        .when(
+            F.exists(
+                "spans",
+                lambda s: s["offset"].isNull() | (s["offset"] < 0),
+            ),
+            "bad_offset",
+        )
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        flagged = (
+            batch_df.dropDuplicates(["doc_id"])
+            .withColumn("dlq_reason", reason)
+            .persist()  # both sinks consume the split — one source scan
+        )
+        try:
+            (
+                flagged.filter(F.col("dlq_reason").isNotNull())
+                .select(
+                    "doc_id",
+                    F.col("dlq_reason").alias("reason"),
+                    F.lit(epoch_id).alias("epoch"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(dlq_dir)
+            )
+            out = pipeline.extract(
+                flagged.filter(F.col("dlq_reason").isNull())
+                .drop("dlq_reason")
+            )
+            (
+                out.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out_dir)
+            )
+        finally:
+            flagged.unpersist()
+
+    writer = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -592,3 +592,74 @@ def test_stream_assemble_rocksdb_state_store(spark):
                 pass
         for d in (land, ckpt):
             sh.rmtree(d, ignore_errors=True)
+
+
+def test_stream_extract_dlq_routes_malformed_docs(spark):
+    """The DLQ split: malformed docs (null spans, negative offset) land
+    in dlq_dir with a reason; valid docs extract exactly as the batch
+    path would; a replay (fresh checkpoint, same epoch ids) converges on
+    BOTH sinks instead of appending duplicates."""
+    import glob
+    import shutil as sh
+
+    from pyspark.sql import Row, functions as F
+
+    from dd_ops_ocr_spark.schema import SPANS_SCHEMA
+    from dd_ops_ocr_spark.streaming.jobs import stream_extract_with_dlq
+
+    land = tempfile.mkdtemp(prefix="stream_dlq_land_")
+    ckpt1 = tempfile.mkdtemp(prefix="stream_dlq_ck1_")
+    ckpt2 = tempfile.mkdtemp(prefix="stream_dlq_ck2_")
+    out = tempfile.mkdtemp(prefix="stream_dlq_out_")
+    dlq = tempfile.mkdtemp(prefix="stream_dlq_dlq_")
+    try:
+        spans = corpus.build_spans_df(spark, SF_SMOKE).limit(40).cache()
+        # SPANS_SCHEMA declares spans non-nullable, but parquet READ does
+        # not enforce nullability — a producer writing with a laxer
+        # schema can land nulls, which is exactly what the DLQ guards.
+        import copy
+
+        lax = copy.deepcopy(SPANS_SCHEMA)
+        for f in lax.fields:
+            f.nullable = True
+        bad = spark.createDataFrame(
+            [
+                Row(doc_id="bad_null_spans", spans=None),
+                Row(
+                    doc_id="bad_offset",
+                    spans=[
+                        Row(kind="text", text="x", media_ref=None, offset=-3)
+                    ],
+                ),
+            ],
+            lax,
+        )
+        delivery = spans.unionByName(bad).coalesce(1)
+        delivery.write.mode("overwrite").parquet(f"{land}/d")
+        for i, f in enumerate(glob.glob(f"{land}/d/part-*.parquet")):
+            sh.copy(f, f"{land}/file_{i}.parquet")
+        sh.rmtree(f"{land}/d")
+
+        stream_extract_with_dlq(spark, land, ckpt1, out, dlq).awaitTermination(120)
+
+        got_dlq = spark.read.parquet(dlq)
+        reasons = {r["doc_id"]: r["reason"] for r in got_dlq.collect()}
+        assert reasons == {
+            "bad_null_spans": "null_spans",
+            "bad_offset": "bad_offset",
+        }
+        got = spark.read.parquet(out)
+        batch = pipeline.extract(spans)
+        cols = ["doc_id", "kind", "text", "media_ref", "order"]
+        assert got.select(cols).exceptAll(batch.select(cols)).count() == 0
+        assert batch.select(cols).exceptAll(got.select(cols)).count() == 0
+        assert got.filter(F.col("doc_id").startswith("bad_")).count() == 0
+        n_first = got.count()  # before replay invalidates got's file index
+
+        # replay: same landing files, fresh checkpoint -> same epoch ids
+        stream_extract_with_dlq(spark, land, ckpt2, out, dlq).awaitTermination(120)
+        assert spark.read.parquet(dlq).count() == 2  # overwrote, not appended
+        assert spark.read.parquet(out).count() == n_first
+    finally:
+        for d in (land, ckpt1, ckpt2, out, dlq):
+            shutil.rmtree(d, ignore_errors=True)
