@@ -577,7 +577,7 @@ def main() -> None:
             .collect()
         )
 
-    _selective(None), _selective(preds)  # warm both paths
+    # timed(repeats=3) runs its own untimed warm-up call — no extra warm here
     queries["catalog_selective_full_scan"] = timed(
         lambda: _selective(None), repeats=3)
     queries["catalog_selective_skip_scan"] = timed(

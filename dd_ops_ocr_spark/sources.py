@@ -50,29 +50,43 @@ def read_spans_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def invalid_reason() -> F.Column:
+    """The single validity predicate for span documents, as a reason
+    column: NULL means valid; otherwise one of ``null_doc_id`` /
+    ``null_spans`` / ``empty_spans`` / ``bad_offset`` (first failing
+    rule wins). ``split_valid`` and the streaming DLQ both derive from
+    this expression so the batch and streaming quarantine rules cannot
+    drift. Every WHEN branch is null-safe (the bad_offset predicate maps
+    a null element offset to true, not null), so the chain is NULL
+    exactly when the doc passes all rules."""
+    return (
+        F.when(F.col("doc_id").isNull(), "null_doc_id")
+        .when(F.col("spans").isNull(), "null_spans")
+        .when(F.size("spans") == 0, "empty_spans")
+        .when(
+            F.exists(
+                "spans", lambda s: s["offset"].isNull() | (s["offset"] < 0)
+            ),
+            "bad_offset",
+        )
+    )
+
+
 def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine): a doc is invalid when it has no spans, a null
     doc_id, or any span whose offset is negative (corrupt geometry) —
-    the reference's corrupt-PDF rejection, row-level.
+    the reference's corrupt-PDF rejection, row-level. The rules live in
+    ``invalid_reason`` (shared with the streaming DLQ).
 
     Input contract: one row per doc_id. Duplicate doc_ids are the
     ingestion layer's job (streaming.stream_dedup_stateful /
     dropDuplicates) — this validity check is deliberately shuffle-free,
     so it cannot see cross-row duplicates."""
-    flagged = df.withColumn(
-        "_valid",
-        # coalesce: a NULL spans array makes size()/forall() NULL, and a
-        # bare `filter(~_valid)` silently drops NULL rows from BOTH
-        # outputs — every row must land exactly one side
-        F.coalesce(
-            F.col("doc_id").isNotNull()
-            & (F.size("spans") > 0)
-            & F.expr("forall(spans, s -> s.offset >= 0)"),
-            F.lit(False),
-        ),
-    )
-    valid = flagged.filter(F.col("_valid")).drop("_valid")
-    quarantine = flagged.filter(~F.col("_valid")).drop("_valid")
+    # reason NULL <=> valid; both filters are on the same expression, so
+    # every row lands exactly one side (no NULL three-way leak).
+    flagged = df.withColumn("_reason", invalid_reason())
+    valid = flagged.filter(F.col("_reason").isNull()).drop("_reason")
+    quarantine = flagged.filter(F.col("_reason").isNotNull()).drop("_reason")
     return valid, quarantine
 
 

@@ -382,8 +382,11 @@ def stream_extract_with_dlq(
     the stream, and must never silently vanish either.
 
     Each micro-batch splits into valid docs (extracted to ``out_dir``)
-    and invalid docs (routed to ``dlq_dir`` with a ``reason`` column for
-    triage/replay: null doc_id, null spans array, span with null or
+    and invalid docs (routed to ``dlq_dir`` with a ``reason`` column and
+    the original ``spans`` payload for triage/replay). The validity
+    rules are ``sources.invalid_reason()`` — the SAME expression the
+    batch path's ``split_valid`` uses, so the two quarantine boundaries
+    cannot drift (null doc_id, null/empty spans array, span with null or
     negative offset). BOTH sinks are epoch-partitioned with dynamic
     overwrite, so a replayed micro-batch rewrites exactly its own
     epoch partition on each side — the DLQ inherits the same
@@ -395,7 +398,7 @@ def stream_extract_with_dlq(
     the message and records the failure rather than NACK-looping a
     poison document forever.
     """
-    from dd_ops_ocr_spark import pipeline
+    from dd_ops_ocr_spark import pipeline, sources
 
     src = (
         spark.readStream.schema(SPANS_SCHEMA)
@@ -403,22 +406,14 @@ def stream_extract_with_dlq(
         .parquet(input_dir)
     )
 
-    reason = (
-        F.when(F.col("doc_id").isNull(), "null_doc_id")
-        .when(F.col("spans").isNull(), "null_spans")
-        .when(
-            F.exists(
-                "spans",
-                lambda s: s["offset"].isNull() | (s["offset"] < 0),
-            ),
-            "bad_offset",
-        )
-    )
-
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Flag BEFORE deduplicating: dropDuplicates treats NULL doc_ids
+        # as equal, so deduping first would collapse every corrupt
+        # null-id doc in the batch into one DLQ row. Only the valid side
+        # dedupes (redelivery idempotence); the DLQ keeps every
+        # malformed arrival, payload included.
         flagged = (
-            batch_df.dropDuplicates(["doc_id"])
-            .withColumn("dlq_reason", reason)
+            batch_df.withColumn("dlq_reason", sources.invalid_reason())
             .persist()  # both sinks consume the split — one source scan
         )
         try:
@@ -427,6 +422,7 @@ def stream_extract_with_dlq(
                 .select(
                     "doc_id",
                     F.col("dlq_reason").alias("reason"),
+                    "spans",
                     F.lit(epoch_id).alias("epoch"),
                 )
                 .write.mode("overwrite")
@@ -437,6 +433,7 @@ def stream_extract_with_dlq(
             out = pipeline.extract(
                 flagged.filter(F.col("dlq_reason").isNull())
                 .drop("dlq_reason")
+                .dropDuplicates(["doc_id"])
             )
             (
                 out.withColumn("epoch", F.lit(epoch_id))

@@ -43,17 +43,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="report what would happen; commit nothing")
     args = p.parse_args(argv)
 
-    from pyspark.sql import SparkSession
-
     from dd_ops_ocr_spark import catalog
-
-    spark = SparkSession.builder.appName("maintain_table").getOrCreate()
 
     sid = catalog.current_snapshot_id(args.table)
     if sid is None:
         print(json.dumps({"table": args.table, "error": "no snapshot"}))
         return 1
-    manifest = catalog.snapshots(args.table)[-1]
+    # Read the manifest FOR sid, not snapshots()[-1]: the pointer can
+    # transiently lag a concurrent ingest's newest manifest, and the
+    # report must describe the snapshot it names.
+    manifest = catalog._read_manifest(args.table, sid)
     n_files = len(manifest["files"])
     report: dict = {
         "table": args.table,
@@ -65,16 +64,30 @@ def main(argv: list[str] | None = None) -> int:
         "dry_run": args.dry_run,
     }
 
+    # Spark is only needed for the rewrite itself — the report, the
+    # dry-run, and the (pure-metadata) expiry never pay JVM startup.
     if n_files > args.target_files:
         report["compact"] = {
             "from_files": n_files, "to_files": args.target_files,
         }
         if not args.dry_run:
-            sort_by = args.sort_by.split(",") if args.sort_by else None
-            new_sid = catalog.compact(
-                spark, args.table, num_files=args.target_files,
-                sort_by=sort_by,
+            from pyspark.sql import SparkSession
+
+            # only stop a session this job itself created (embedding
+            # callers — tests, notebooks — keep theirs)
+            existing = SparkSession.getActiveSession()
+            spark = existing or (
+                SparkSession.builder.appName("maintain_table").getOrCreate()
             )
+            try:
+                sort_by = args.sort_by.split(",") if args.sort_by else None
+                new_sid = catalog.compact(
+                    spark, args.table, num_files=args.target_files,
+                    sort_by=sort_by,
+                )
+            finally:
+                if existing is None:
+                    spark.stop()
             report["compact"]["snapshot_id"] = new_sid
     else:
         report["compact"] = None
@@ -89,7 +102,6 @@ def main(argv: list[str] | None = None) -> int:
             args.table, keep_last=args.keep_snapshots
         )
 
-    spark.stop()
     print(json.dumps(report))
     return 0
 

@@ -306,3 +306,50 @@ def test_compact_retries_past_concurrent_append(spark, table, monkeypatch):
     monkeypatch.undo()
     assert catalog.read_table(spark, table).count() == 100
     assert catalog.snapshots(table)[-1]["operation"] == "compact"
+
+
+def test_maintain_table_job_dry_run_and_compact(spark, table, capsys):
+    """The maintenance job's report/compact/expire loop: dry-run reports
+    without committing (and without needing a SparkSession for the
+    metadata-only paths); the real run compacts to --target-files and
+    expires old snapshots; an already-compact table is a no-op."""
+    import json
+
+    from jobs.maintain_table import main as maintain
+
+    df = _orders(spark).repartitionByRange(8, "o_orderdate")
+    s1 = catalog.write_snapshot(df, table, "overwrite")
+    n = df.count()
+
+    rc = maintain(["--table", table, "--target-files", "2", "--dry-run"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert rep["snapshot_id"] == s1 and rep["files"] == 8
+    assert rep["compact"] == {"from_files": 8, "to_files": 2}
+    assert catalog.snapshots(table)[-1]["snapshot_id"] == s1  # no commit
+
+    rc = maintain(["--table", table, "--target-files", "2",
+                   "--sort-by", "o_orderdate", "--keep-snapshots", "1"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    m = catalog.snapshots(table)[-1]
+    assert m["operation"] == "compact" and len(m["files"]) == 2
+    assert rep["compact"]["snapshot_id"] == m["snapshot_id"]
+    assert catalog.read_table(spark, table).count() == n
+
+    # already compact: report-only, no new snapshot
+    before = catalog.current_snapshot_id(table)
+    rc = maintain(["--table", table, "--target-files", "4"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["compact"] is None
+    assert catalog.current_snapshot_id(table) == before
+
+    # empty table dir: clean error, rc 1
+    import tempfile as tf
+    empty = tf.mkdtemp(prefix="cat_empty_")
+    try:
+        rc = maintain(["--table", empty])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 1 and rep["error"] == "no snapshot"
+    finally:
+        shutil.rmtree(empty, ignore_errors=True)

@@ -631,6 +631,24 @@ def test_stream_extract_dlq_routes_malformed_docs(spark):
                         Row(kind="text", text="x", media_ref=None, offset=-3)
                     ],
                 ),
+                # spans=[] must reach the DLQ, not silently extract to
+                # zero rows (the batch path quarantines it too)
+                Row(doc_id="bad_empty_spans", spans=[]),
+                # TWO distinct null-id docs: dropDuplicates treats NULLs
+                # as equal, so the DLQ must flag before any dedup or one
+                # of these vanishes without trace
+                Row(
+                    doc_id=None,
+                    spans=[
+                        Row(kind="text", text="a", media_ref=None, offset=0)
+                    ],
+                ),
+                Row(
+                    doc_id=None,
+                    spans=[
+                        Row(kind="text", text="b", media_ref=None, offset=0)
+                    ],
+                ),
             ],
             lax,
         )
@@ -643,11 +661,26 @@ def test_stream_extract_dlq_routes_malformed_docs(spark):
         stream_extract_with_dlq(spark, land, ckpt1, out, dlq).awaitTermination(120)
 
         got_dlq = spark.read.parquet(dlq)
-        reasons = {r["doc_id"]: r["reason"] for r in got_dlq.collect()}
+        dlq_rows = got_dlq.collect()
+        reasons = {
+            r["doc_id"]: r["reason"] for r in dlq_rows
+            if r["doc_id"] is not None
+        }
         assert reasons == {
             "bad_null_spans": "null_spans",
             "bad_offset": "bad_offset",
+            "bad_empty_spans": "empty_spans",
         }
+        null_id = [r for r in dlq_rows if r["doc_id"] is None]
+        assert len(null_id) == 2  # both null-id docs kept, not collapsed
+        assert {r["reason"] for r in null_id} == {"null_doc_id"}
+        # the DLQ carries the original payload for triage/replay
+        texts = {
+            r["spans"][0]["text"] for r in null_id
+        }
+        assert texts == {"a", "b"}
+        bad_off = [r for r in dlq_rows if r["doc_id"] == "bad_offset"][0]
+        assert bad_off["spans"][0]["offset"] == -3
         got = spark.read.parquet(out)
         batch = pipeline.extract(spans)
         cols = ["doc_id", "kind", "text", "media_ref", "order"]
@@ -658,7 +691,7 @@ def test_stream_extract_dlq_routes_malformed_docs(spark):
 
         # replay: same landing files, fresh checkpoint -> same epoch ids
         stream_extract_with_dlq(spark, land, ckpt2, out, dlq).awaitTermination(120)
-        assert spark.read.parquet(dlq).count() == 2  # overwrote, not appended
+        assert spark.read.parquet(dlq).count() == 5  # overwrote, not appended
         assert spark.read.parquet(out).count() == n_first
     finally:
         for d in (land, ckpt1, ckpt2, out, dlq):
