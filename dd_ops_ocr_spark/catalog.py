@@ -38,6 +38,35 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _norm_table_dir(table_dir: str) -> str:
+    """Normalize a table location to a local POSIX path, or refuse loudly.
+
+    The catalog's commit protocol is built on two POSIX atomic
+    primitives: O_CREAT|O_EXCL manifest creation (the CAS that makes
+    concurrent committers safe) and rename() for the ``_current``
+    pointer swap. Plain paths and ``file://`` URIs provide both. Object
+    stores (s3a://, gs://) provide NEITHER — create-exclusive and rename
+    are check-then-act there, which is exactly why Iceberg requires a
+    metastore (Hive/Glue/JDBC/DynamoDB) to CAS its table pointer rather
+    than a file. Silently degrading would corrupt tables under
+    concurrency, and an unguarded open() would misread an existing
+    remote table as "no snapshot" — so any remote scheme raises with
+    that deployment guidance instead (same standard as
+    ledger._parquet_nonempty)."""
+    if "://" not in table_dir:
+        return table_dir
+    scheme, rest = table_dir.split("://", 1)
+    if scheme == "file":
+        return rest
+    raise NotImplementedError(
+        f"catalog table on {scheme}:// — the manifest CAS and pointer swap "
+        "need POSIX atomicity (O_EXCL create + rename), which object "
+        "stores do not provide. Deploy the pointer through a metastore "
+        "CAS (Hive/Glue/JDBC) as Iceberg does, or mount the table dir on "
+        "a POSIX filesystem (HDFS via NFS gateway, local, file://)."
+    )
+
+
 def _manifest_path(table_dir: str, snapshot_id: int) -> str:
     return os.path.join(table_dir, "metadata", f"snap-{snapshot_id:06d}.json")
 
@@ -47,6 +76,7 @@ def _current_path(table_dir: str) -> str:
 
 
 def current_snapshot_id(table_dir: str) -> int | None:
+    table_dir = _norm_table_dir(table_dir)
     try:
         with open(_current_path(table_dir)) as f:
             return int(f.read().strip())
@@ -55,7 +85,8 @@ def current_snapshot_id(table_dir: str) -> int | None:
 
 
 def _read_manifest(table_dir: str, snapshot_id: int) -> dict:
-    with open(_manifest_path(table_dir, snapshot_id)) as f:
+    # normalized here too: jobs call this directly with user-given URIs
+    with open(_manifest_path(_norm_table_dir(table_dir), snapshot_id)) as f:
         return json.load(f)
 
 
@@ -205,6 +236,7 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
     Iceberg analogue of a snapshot carrying several manifests. Under
     ``append`` each aux file set unions the parent's files for that
     key, like the data files do."""
+    table_dir = _norm_table_dir(table_dir)
     files, stats = _write_files(df, table_dir)
     aux_files = {}
     for k, v in (aux or {}).items():
@@ -270,6 +302,7 @@ def plan_scan(table_dir: str, predicates, snapshot_id: int | None = None):
     conservatively KEPT, so pruning is always a superset of the true
     match set; callers still apply the real filter. Returns
     ``(kept_paths, total_file_count)``."""
+    table_dir = _norm_table_dir(table_dir)
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -309,6 +342,7 @@ def read_table(spark: SparkSession, table_dir: str,
     Pruning is file-granular and conservative: the result may contain
     rows outside the predicate, so callers apply the real ``.filter``
     on top (exactly Iceberg's contract with its scan planning)."""
+    table_dir = _norm_table_dir(table_dir)
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -338,6 +372,7 @@ def read_aux(spark: SparkSession, table_dir: str, name: str,
     """Read an aux side table committed with the snapshot (default:
     current). Returns None when the snapshot has no such aux component
     (pre-aux tables stay readable)."""
+    table_dir = _norm_table_dir(table_dir)
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -370,6 +405,7 @@ def compact(spark: SparkSession, table_dir: str, num_files: int = 1,
     never re-publishing a stale row set (which would silently drop the
     concurrent append's rows, then let ``expire_snapshots`` reclaim
     them)."""
+    table_dir = _norm_table_dir(table_dir)
     for _ in range(16):
         base = current_snapshot_id(table_dir)
         df = read_table(spark, table_dir, snapshot_id=base)
@@ -396,6 +432,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     pointer is never expired (keep_last is clamped to >= 1); surviving
     manifests may carry a dangling parent_id, which readers never
     follow."""
+    table_dir = _norm_table_dir(table_dir)
     keep_last = max(1, keep_last)
     all_snaps = snapshots(table_dir)
     if not all_snaps:
@@ -434,6 +471,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
 
 def snapshots(table_dir: str) -> list[dict]:
     """Snapshot lineage, oldest first."""
+    table_dir = _norm_table_dir(table_dir)
     meta = os.path.join(table_dir, "metadata")
     names = [
         n for n in os.listdir(meta)

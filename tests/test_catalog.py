@@ -353,3 +353,29 @@ def test_maintain_table_job_dry_run_and_compact(spark, table, capsys):
         assert rc == 1 and rep["error"] == "no snapshot"
     finally:
         shutil.rmtree(empty, ignore_errors=True)
+
+
+def test_table_dir_uri_schemes(spark, table):
+    """file:// table URIs work end-to-end (normalized to the POSIX path
+    — same table either way); remote object-store schemes raise with
+    metastore deployment guidance instead of misreading an existing
+    table as empty (the ledger's silent-wrong standard, applied here)."""
+    s1 = catalog.write_snapshot(
+        _orders(spark).limit(50), f"file://{table}", "overwrite")
+    # both spellings see the same table
+    assert catalog.current_snapshot_id(table) == s1
+    assert catalog.current_snapshot_id(f"file://{table}") == s1
+    assert catalog.read_table(spark, f"file://{table}").count() == 50
+    assert len(catalog.snapshots(f"file://{table}")) == 1
+    # jobs call the private manifest reader with the raw user URI
+    assert catalog._read_manifest(f"file://{table}", s1)["snapshot_id"] == s1
+
+    for fn in (
+        lambda: catalog.current_snapshot_id("s3a://bucket/tbl"),
+        lambda: catalog.write_snapshot(
+            _orders(spark).limit(1), "gs://bucket/tbl", "overwrite"),
+        lambda: catalog.read_table(spark, "hdfs://nn/tbl"),
+        lambda: catalog.expire_snapshots("s3a://bucket/tbl"),
+    ):
+        with pytest.raises(NotImplementedError, match="metastore"):
+            fn()
