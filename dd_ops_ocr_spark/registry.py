@@ -237,7 +237,9 @@ from dd_ops_ocr_spark.operators import textops as _textops  # noqa: E402
 from dd_ops_ocr_spark.operators import textstats as _textstats  # noqa: E402
 from dd_ops_ocr_spark.operators import typeutils as _typeutils  # noqa: E402
 from dd_ops_ocr_spark.operators import vision as _vision  # noqa: E402
+from dd_ops_ocr_spark import sources as _sources  # noqa: E402
 
+_register(_sources)
 _register(_geometry)
 _register(_merges)
 _register(_textops)
@@ -264,6 +266,7 @@ _register(_catalogops)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "doc_validity_audit",
     "catalog_skip_scan",
     "catalog_time_travel",
     "media_metadata_webp",

@@ -148,3 +148,71 @@ def try_iceberg_writer(df: DataFrame, table: str):
             "write_output() + ledger.run_with_ledger() for snapshot-style "
             "commits"
         ) from exc
+
+
+def q_doc_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the quarantine boundary itself (F1-class rules;
+    reference: step1/01_pdf_reader.py's corrupt-PDF rejection): plant
+    every invalidity class IN SPARK SQL over the documents table — the
+    md5 leading nibble of doc_id picks the defect ('0' null doc_id, '1'
+    null spans, '2' empty spans, '3' a negative and a null offset;
+    everything else stays valid) — then run the REAL ``split_valid`` and
+    emit (src_id, reason, valid). The oracle restates only the planting
+    rule, so a misrouted class (e.g. empty spans slipping through as
+    valid, the exact defect the streaming DLQ once had) hash-mismatches.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    good = F.expr(
+        "array("
+        " named_struct('kind','text','text',text,"
+        "              'media_ref',CAST(NULL AS STRING),'offset',0),"
+        " named_struct('kind','text','text',text,"
+        "              'media_ref',CAST(NULL AS STRING),'offset',1))"
+    )
+    bad = F.expr(
+        "array("
+        " named_struct('kind','text','text',text,"
+        "              'media_ref',CAST(NULL AS STRING),'offset',-1),"
+        " named_struct('kind','text','text',text,"
+        "              'media_ref',CAST(NULL AS STRING),'offset',"
+        "              CAST(NULL AS INT)))"
+    )
+    planted = docs.select(
+        F.col("doc_id").alias("src_id"),
+        F.when(nib == "0", F.lit(None)).otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(nib == "1", F.lit(None))
+        .when(nib == "2", F.slice(good, 1, 0))  # typed empty array
+        .when(nib == "3", bad)
+        .otherwise(good)
+        .alias("spans"),
+    )
+    valid, quarantine = split_valid(planted)
+    return valid.select(
+        "src_id",
+        F.lit(None).cast("string").alias("reason"),
+        F.lit(True).alias("valid"),
+    ).unionByName(
+        quarantine.select(
+            "src_id",
+            invalid_reason().alias("reason"),
+            F.lit(False).alias("valid"),
+        )
+    )
+
+
+QUERIES = {"doc_validity_audit": q_doc_validity_audit}
+ORACLE_SQL = {
+    "doc_validity_audit": """
+        SELECT doc_id AS src_id,
+               CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 WHEN '0' THEN 'null_doc_id'
+                 WHEN '1' THEN 'null_spans'
+                 WHEN '2' THEN 'empty_spans'
+                 WHEN '3' THEN 'bad_offset'
+               END AS reason,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0','1','2','3') AS valid
+        FROM documents
+    """,
+}
