@@ -83,3 +83,69 @@ def test_read_dimension_jdbc_gates_cleanly(spark):
         )
     with pytest.raises(NotImplementedError, match="JDBC driver"):
         read_dimension_jdbc(spark, "jdbc:postgresql://db/x", "risk")
+
+
+def test_invalid_reason_matches_referee_property(spark):
+    """Property: for generated docs covering every validity class (and
+    combinations — a null-offset span inside an otherwise-fine doc, a
+    negative offset in the LAST span, null doc_id WITH bad spans),
+    invalid_reason() agrees with a pure-Python referee, and split_valid
+    routes each row to exactly one side consistent with it."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import types as T
+
+    span = st.fixed_dictionaries({
+        "kind": st.sampled_from(["text", "media"]),
+        "text": st.one_of(st.none(), st.text(max_size=5)),
+        "media_ref": st.none(),
+        "offset": st.one_of(st.none(), st.integers(-3, 3)),
+    })
+    doc = st.fixed_dictionaries({
+        "doc_id": st.one_of(st.none(), st.text(min_size=1, max_size=6)),
+        "spans": st.one_of(st.none(), st.lists(span, max_size=4)),
+    })
+
+    def referee(d):
+        if d["doc_id"] is None:
+            return "null_doc_id"
+        if d["spans"] is None:
+            return "null_spans"
+        if len(d["spans"]) == 0:
+            return "empty_spans"
+        if any(s["offset"] is None or s["offset"] < 0 for s in d["spans"]):
+            return "bad_offset"
+        return None
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("media_ref", T.StringType(), True),
+            T.StructField("offset", T.IntegerType(), True),
+        ])), True),
+    ])
+
+    idx_schema = T.StructType(
+        [T.StructField("idx", T.IntegerType(), False)] + list(schema.fields)
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(docs):
+        rows = [dict(d, idx=i) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, idx_schema)
+        got = {
+            r["idx"]: r["reason"]
+            for r in df.withColumn(
+                "reason", sources.invalid_reason()).collect()
+        }
+        want = {i: referee(d) for i, d in enumerate(docs)}
+        assert got == want
+        valid, quar = sources.split_valid(df)
+        assert sorted(r["idx"] for r in quar.collect()) == sorted(
+            i for i, v in want.items() if v is not None)
+        assert sorted(r["idx"] for r in valid.collect()) == sorted(
+            i for i, v in want.items() if v is None)
+
+    check()
