@@ -52,11 +52,30 @@ def _norm_table_dir(table_dir: str) -> str:
     concurrency, and an unguarded open() would misread an existing
     remote table as "no snapshot" — so any remote scheme raises with
     that deployment guidance instead (same standard as
-    ledger._parquet_nonempty)."""
-    if "://" not in table_dir:
+    ledger._parquet_nonempty).
+
+    Scheme detection covers both Hadoop URI renderings — ``file:///p``
+    and the no-authority ``file:/p`` form Spark prints in its own
+    output — but NOT a colon inside a path segment (``tbl:v2`` stays a
+    local name): a scheme is only letters/digits/+.- followed by ``:/``.
+    A ``file://host/...`` URI with a real (non-localhost) authority is
+    refused: that names a remote host, not this machine's POSIX tree."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(?=/)", table_dir)
+    if m is None:
         return table_dir
-    scheme, rest = table_dir.split("://", 1)
+    scheme = m.group(1)
     if scheme == "file":
+        rest = table_dir[m.end():]
+        if rest.startswith("//"):
+            authority, _, path = rest[2:].partition("/")
+            if authority not in ("", "localhost"):
+                raise NotImplementedError(
+                    f"file:// URI with remote authority {authority!r} — the "
+                    "catalog needs this machine's local POSIX filesystem"
+                )
+            return "/" + path
         return rest
     raise NotImplementedError(
         f"catalog table on {scheme}:// — the manifest CAS and pointer swap "
@@ -65,6 +84,18 @@ def _norm_table_dir(table_dir: str) -> str:
         "CAS (Hive/Glue/JDBC) as Iceberg does, or mount the table dir on "
         "a POSIX filesystem (HDFS via NFS gateway, local, file://)."
     )
+
+
+def _spark_url(path: str) -> str:
+    """Local path → explicit ``file://`` URL for Spark-side reads/writes.
+
+    The catalog's data files live on the driver-visible POSIX tree (see
+    ``_norm_table_dir``); passing a bare path to Spark would resolve it
+    against ``fs.defaultFS``, which on a real cluster is hdfs:// — the
+    python-side metadata and the Spark-side data would land on two
+    different filesystems. Pinning the scheme keeps both on the POSIX
+    mount regardless of cluster defaults."""
+    return "file://" + os.path.abspath(path)
 
 
 def _manifest_path(table_dir: str, snapshot_id: int) -> str:
@@ -147,7 +178,7 @@ def _write_files(df: DataFrame, table_dir: str) -> tuple[list[str], dict]:
     per-file footer stats keyed by final name (the data-skipping index,
     Iceberg's manifest-entry lower/upper bounds)."""
     stage = os.path.join(table_dir, f"_stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    df.write.mode("overwrite").parquet(_spark_url(stage))
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     moved, stats = [], {}
@@ -353,7 +384,7 @@ def read_table(spark: SparkSession, table_dir: str,
         paths = [os.path.join(table_dir, "data", f) for f in m["files"]]
     if not paths:
         return _empty_df(spark, m)
-    return spark.read.parquet(*paths)
+    return spark.read.parquet(*[_spark_url(p) for p in paths])
 
 
 def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -381,7 +412,7 @@ def read_aux(spark: SparkSession, table_dir: str, name: str,
     if not files:
         return None
     paths = [os.path.join(table_dir, "data", f) for f in files]
-    return spark.read.parquet(*paths)
+    return spark.read.parquet(*[_spark_url(p) for p in paths])
 
 
 def compact(spark: SparkSession, table_dir: str, num_files: int = 1,

@@ -72,11 +72,17 @@ def invalid_reason() -> F.Column:
     )
 
 
-def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_valid(
+    df: DataFrame, with_reason: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantine): a doc is invalid when it has no spans, a null
     doc_id, or any span whose offset is negative (corrupt geometry) —
     the reference's corrupt-PDF rejection, row-level. The rules live in
     ``invalid_reason`` (shared with the streaming DLQ).
+
+    ``with_reason=True`` keeps the already-computed classification on
+    the quarantine side as a ``reason`` column (no second evaluation,
+    and no way for routing and labeling to disagree).
 
     Input contract: one row per doc_id. Duplicate doc_ids are the
     ingestion layer's job (streaming.stream_dedup_stateful /
@@ -86,7 +92,11 @@ def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     # every row lands exactly one side (no NULL three-way leak).
     flagged = df.withColumn("_reason", invalid_reason())
     valid = flagged.filter(F.col("_reason").isNull()).drop("_reason")
-    quarantine = flagged.filter(F.col("_reason").isNotNull()).drop("_reason")
+    quarantine = flagged.filter(F.col("_reason").isNotNull())
+    quarantine = (
+        quarantine.withColumnRenamed("_reason", "reason")
+        if with_reason else quarantine.drop("_reason")
+    )
     return valid, quarantine
 
 
@@ -188,16 +198,16 @@ def q_doc_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(good)
         .alias("spans"),
     )
-    valid, quarantine = split_valid(planted)
+    valid, quarantine = split_valid(planted, with_reason=True)
     return valid.select(
         "src_id",
         F.lit(None).cast("string").alias("reason"),
         F.lit(True).alias("valid"),
     ).unionByName(
+        # reason comes from the SAME evaluation that routed the row —
+        # label and side cannot disagree
         quarantine.select(
-            "src_id",
-            invalid_reason().alias("reason"),
-            F.lit(False).alias("valid"),
+            "src_id", "reason", F.lit(False).alias("valid"),
         )
     )
 

@@ -73,12 +73,20 @@ def main(argv: list[str] | None = None) -> int:
         if not args.dry_run:
             from pyspark.sql import SparkSession
 
-            # only stop a session this job itself created (embedding
-            # callers — tests, notebooks — keep theirs)
-            existing = SparkSession.getActiveSession()
-            spark = existing or (
+            # Only stop a session this job itself created. Ownership is
+            # decided by comparing getOrCreate's result to the process-
+            # global session captured beforehand — getActiveSession()
+            # alone is thread-local and misses a caller's session when
+            # this runs on a worker thread, which would stop the host
+            # application's SparkContext out from under it.
+            prior = (
+                SparkSession.getActiveSession()
+                or SparkSession._instantiatedSession
+            )
+            spark = (
                 SparkSession.builder.appName("maintain_table").getOrCreate()
             )
+            created = spark is not prior
             try:
                 sort_by = args.sort_by.split(",") if args.sort_by else None
                 new_sid = catalog.compact(
@@ -86,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
                     sort_by=sort_by,
                 )
             finally:
-                if existing is None:
+                if created:
                     spark.stop()
             report["compact"]["snapshot_id"] = new_sid
     else:

@@ -370,8 +370,13 @@ def test_table_dir_uri_schemes(spark, table):
     # jobs call the private manifest reader with the raw user URI
     assert catalog._read_manifest(f"file://{table}", s1)["snapshot_id"] == s1
 
+    # Hadoop's no-authority rendering (file:/p) must normalize too —
+    # it is how Spark prints local URIs in its own output
+    assert catalog.current_snapshot_id(f"file:{table}") == s1
+
     for fn in (
         lambda: catalog.current_snapshot_id("s3a://bucket/tbl"),
+        lambda: catalog.current_snapshot_id("s3a:/bucket/tbl"),  # typo form
         lambda: catalog.write_snapshot(
             _orders(spark).limit(1), "gs://bucket/tbl", "overwrite"),
         lambda: catalog.read_table(spark, "hdfs://nn/tbl"),
@@ -379,3 +384,10 @@ def test_table_dir_uri_schemes(spark, table):
     ):
         with pytest.raises(NotImplementedError, match="metastore"):
             fn()
+    # a file:// URI naming another host is NOT this machine's tree
+    with pytest.raises(NotImplementedError, match="authority"):
+        catalog.current_snapshot_id("file://otherhost/data/tbl")
+    # a colon inside a path segment is a local name, not a scheme
+    import os as _os
+    weird = _os.path.join(table, "data")  # exists, no metadata -> None
+    assert catalog.current_snapshot_id(table + ":v2") is None
