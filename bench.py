@@ -427,6 +427,11 @@ def main() -> None:
                 n_media / queries["media_metadata_jpeg_native"], 1),
             "jpeg_decode_mpx_per_core": _page_decode_rate_native(),
             "jpeg_encode_mpx_per_core": _page_encode_rate_native(),
+            # thumbnail path: DCT-domain scaled decode (source Mpx/s);
+            # compare against jpeg_decode_mpx_per_core — the delta is
+            # the IDCT/color/memory cost the scaled path never pays
+            "jpeg_scaled_resize_mpx_per_core": (
+                _page_scaled_resize_rate_native()),
         }
     else:  # loud, never silent: the injected row is a graded artifact
         media["native"] = {"unavailable": _native.load_error()}
@@ -742,6 +747,27 @@ def _page_decode_rate_native() -> float:
     # measurement isn't clock-granularity noise
     best = timed(lambda: [decode_jpeg_native(data) for _ in range(50)],
                  repeats=3)
+    return round(px.shape[0] * px.shape[1] * 50 / 1e6 / best, 2)
+
+
+def _page_scaled_resize_rate_native() -> float:
+    """Single-core SOURCE-pixel throughput (Mpx/s) of thumbnail-style
+    resize via DCT-domain scaled decode (ABI v3): decode a q95 4:2:0
+    page at the coarsest M/8 scale covering a 128x160 target, then
+    nearest-resample — vs _page_decode_rate_native + resample which
+    materializes the full grid first. Entropy decoding still touches
+    every coded bit, so the win is the IDCT + color-convert + memory
+    traffic (~2-3x page-scale), not the full 64x pixel ratio."""
+    from dd_ops_ocr_spark import native
+    from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
+    from dd_ops_ocr_spark.operators.multimodal import resize_nn
+
+    px = _bench_page()
+    data = encode_jpeg(px, quality=95, subsampling="4:2:0")
+    dec = native.scaled_resize_decoder(128, 160)
+    best = timed(
+        lambda: [resize_nn(dec(data), 128, 160) for _ in range(50)],
+        repeats=3)
     return round(px.shape[0] * px.shape[1] * 50 / 1e6 / best, 2)
 
 

@@ -16,7 +16,7 @@ Deployment model
   same-path rebuild in a process that already loaded the old .so would
   silently keep the stale handle.
 * On a real cluster, build once and ship the ``.so`` with
-  ``spark-submit --files _jpegshim_v2.so``; the loader checks the
+  ``spark-submit --files _jpegshim_v3.so``; the loader checks the
   task's working directory before attempting a local compile, so
   executors without a toolchain still work (an old-ABI artifact under
   the legacy unversioned name is accepted last, with the optional
@@ -41,7 +41,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "jpegshim.c")
 
-ABI_VERSION = 2  # keep in sync with ddops_abi_version() in jpegshim.c
+ABI_VERSION = 3  # keep in sync with ddops_abi_version() in jpegshim.c
 
 # The build artifact is named by ABI version: dlopen caches loaded
 # libraries by PATH STRING, so recompiling over the same filename in a
@@ -114,6 +114,18 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.ddops_jpeg_encode_rgb_prog.argtypes = (
             lib.ddops_jpeg_encode_rgb.argtypes
         )
+    except AttributeError:
+        pass
+    # optional (ABI v3+): DCT-domain scaled decode. Older .so degrades
+    # to full-scale decode (scaled_resize_decoder falls back).
+    try:
+        lib.ddops_jpeg_decode_rgb_scaled.restype = ctypes.c_int
+        lib.ddops_jpeg_decode_rgb_scaled.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
     except AttributeError:
         pass
     return lib
@@ -249,6 +261,107 @@ def encode_jpeg_native(
         return ctypes.string_at(buf, buflen.value)
     finally:
         lib.ddops_free(buf)
+
+
+def decode_jpeg_native_scaled(
+    payload: bytes, scale_num: int, scale_denom: int = 8
+) -> np.ndarray:
+    """JPEG bytes -> (h', w', 3) uint8 RGB decoded at scale_num/8 of the
+    coded size, reconstructed in the DCT domain — the full pixel grid is
+    never materialized, so IDCT cost and memory traffic drop with the
+    square of the scale. Output dims are ceil(dim * scale_num / 8)
+    (jpeg_calc_output_dimensions). libjpeg-turbo supports scale_num
+    1..16 over a fixed denominator of 8; this binding keeps the 8."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native jpeg shim unavailable: {_load_error}")
+    if not hasattr(lib, "ddops_jpeg_decode_rgb_scaled"):
+        raise RuntimeError(
+            "loaded jpeg shim predates scaled decode (ABI "
+            f"{_abi_of(lib)} < 3); rebuild _jpegshim.so"
+        )
+    if scale_denom != 8 or not (1 <= scale_num <= 16):
+        raise ValueError(
+            f"unsupported scale {scale_num}/{scale_denom}: libjpeg "
+            "accepts M/8 with M in 1..16"
+        )
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    nc = ctypes.c_int()
+    rc = lib.ddops_jpeg_header(payload, len(payload),
+                               ctypes.byref(w), ctypes.byref(h),
+                               ctypes.byref(nc))
+    if rc != 0:
+        raise ValueError("not a decodable JPEG payload")
+    if not (0 < w.value <= MAX_DIM and 0 < h.value <= MAX_DIM):
+        raise ValueError(f"implausible JPEG dimensions {w.value}x{h.value}")
+    exp_w = (w.value * scale_num + scale_denom - 1) // scale_denom
+    exp_h = (h.value * scale_num + scale_denom - 1) // scale_denom
+    out = np.empty((exp_h, exp_w, 3), dtype=np.uint8)
+    rc = lib.ddops_jpeg_decode_rgb_scaled(
+        payload, len(payload), scale_num, scale_denom,
+        out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc == -2 or (rc == 0 and (h.value, w.value) != (exp_h, exp_w)):
+        raise ValueError(
+            f"scaled decode produced {w.value}x{h.value}, expected "
+            f"{exp_w}x{exp_h} — libjpeg disagreed on the scaled geometry"
+        )
+    if rc != 0:
+        raise EOFError("truncated, corrupt, or unconvertible JPEG scan")
+    return out
+
+
+def pick_dct_scale(w: int, h: int, target_w: int, target_h: int) -> int:
+    """Smallest M in 1..8 such that a DCT-domain M/8 decode still covers
+    the resample target in BOTH dimensions (ceil(dim*M/8) >= target), so
+    the nearest-neighbor pass downsamples — never invents pixels the
+    scaled decode dropped. Returns 8 (full decode) when even the full
+    image is smaller than the target (the resample then upscales, same
+    as the pure-numpy path)."""
+    for m in range(1, 8):
+        if (w * m + 7) // 8 >= target_w and (h * m + 7) // 8 >= target_h:
+            return m
+    return 8
+
+
+def scaled_resize_decoder(target_w: int, target_h: int):
+    """Decoder closure for media_resize(decoder=...): per-payload, pick
+    the coarsest DCT-domain scale that still covers the resize target
+    and decode ONLY that many pixels. Probes run at call time in each
+    Python worker (same rationale as native_decode_batch_or_numpy):
+    no scaled symbol -> full native decode; no shim at all or a
+    non-JPEG payload -> pure-numpy decode. Every rung yields an image
+    >= target (or the full image when the source is smaller), so the
+    downstream nearest-neighbor resample produces identically-shaped
+    output on every rung — the query oracle is decoder-independent."""
+
+    def dec(payload: bytes) -> np.ndarray:
+        from dd_ops_ocr_spark.operators.multimodal import (
+            decode_image,
+            detect_format,
+        )
+
+        if detect_format(payload) != "jpeg" or not available():
+            return decode_image(payload)
+        lib = _load()
+        if not hasattr(lib, "ddops_jpeg_decode_rgb_scaled"):
+            return decode_jpeg_native(payload)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        nc = ctypes.c_int()
+        rc = lib.ddops_jpeg_header(payload, len(payload),
+                                   ctypes.byref(w), ctypes.byref(h),
+                                   ctypes.byref(nc))
+        if rc != 0:
+            raise ValueError("not a decodable JPEG payload")
+        m = pick_dct_scale(w.value, h.value, target_w, target_h)
+        if m == 8:
+            return decode_jpeg_native(payload)
+        return decode_jpeg_native_scaled(payload, m)
+
+    return dec
 
 
 def native_decode_batch(payloads) -> "pd.DataFrame":  # noqa: F821

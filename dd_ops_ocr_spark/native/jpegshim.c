@@ -108,13 +108,63 @@ int ddops_jpeg_decode_rgb(const unsigned char *buf, size_t len,
     return 0;
 }
 
+/* Decode to packed RGB24 at a reduced DCT-domain scale: libjpeg
+ * reconstructs scale_num/scale_denom of the coded size directly from
+ * the frequency coefficients (scale_denom is 8; scale_num 1..16 in
+ * libjpeg-turbo), so a 1/8-scale decode never materializes the full
+ * pixel grid — IDCT cost and memory traffic drop with the square of
+ * the scale. This is the thumbnail/resize fast path: at 100 TB of
+ * page images, resizing to a model input size decodes ~1-2% of the
+ * pixels the full-decode-then-resample path touches.
+ * Output dims follow jpeg_calc_output_dimensions:
+ * ceil(image_dim * scale_num / scale_denom). Returns 0 on success,
+ * -1 on decode error, -2 if out is too small. */
+int ddops_jpeg_decode_rgb_scaled(const unsigned char *buf, size_t len,
+                                 int scale_num, int scale_denom,
+                                 unsigned char *out, size_t out_cap,
+                                 int *w, int *h)
+{
+    struct jpeg_decompress_struct cinfo;
+    struct shim_err jerr;
+    size_t stride;
+
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = shim_error_exit;
+    jerr.pub.emit_message = shim_emit_message;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, (unsigned char *)buf, (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    cinfo.scale_num = (unsigned int)scale_num;
+    cinfo.scale_denom = (unsigned int)scale_denom;
+    jpeg_start_decompress(&cinfo);
+    *w = (int)cinfo.output_width;
+    *h = (int)cinfo.output_height;
+    stride = (size_t)cinfo.output_width * (size_t)cinfo.output_components;
+    if ((size_t)cinfo.output_height * stride > out_cap) {
+        jpeg_destroy_decompress(&cinfo);
+        return -2;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + (size_t)cinfo.output_scanline * stride;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
 /* ABI probe: native/__init__.py recompiles a stale .so whose version
  * predates the symbols it needs (the loader also accepts a shipped .so
  * missing only optional symbols, degrading that capability). Bump when
  * exported signatures change. */
 int ddops_abi_version(void)
 {
-    return 2;
+    return 3;
 }
 
 /* Encode packed RGB24 -> baseline JPEG. h_samp/v_samp set the luma

@@ -1014,6 +1014,30 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize_native_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_resize over REAL JPEG payloads with the DCT-domain scaled
+    decoder injected: libjpeg reconstructs only ceil(dim*M/8) pixels per
+    axis (native.scaled_resize_decoder picks the coarsest M that still
+    covers the resize target), so the resample never sees the full pixel
+    grid — at 100 TB of page images this decodes ~1-2% of the pixels the
+    full-decode path touches. Output geometry and payload bytes are
+    decoder-independent (every rung yields >= target pixels for the NN
+    pass to reduce), so the query shares media_resize's oracle; workers
+    without the shim degrade to pure-numpy full decode, same output."""
+    from dd_ops_ocr_spark import native
+
+    out = media_resize(
+        _media_with_payload(spark, sf_dir, fmt="jpeg"),
+        target_w=RESIZE_W,
+        target_h=RESIZE_H,
+        decoder=native.scaled_resize_decoder(RESIZE_W, RESIZE_H),
+    )
+    return out.select(
+        "media_ref", "width", "height",
+        F.length("payload").cast("long").alias("payload_bytes"),
+    )
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = media_frame_sample(_media_with_payload(spark, sf_dir))
     return out.select(
@@ -1032,6 +1056,7 @@ QUERIES = {
     "media_metadata_webp": q_media_metadata_webp,
     "media_metadata_webp_native": q_media_metadata_webp_native,
     "media_resize": q_media_resize,
+    "media_resize_native_scaled": q_media_resize_native_scaled,
     "media_frame_sample": q_media_frame_sample,
     "media_video_frames": q_media_video_frames,
     "media_video_frames_quarantine": q_media_video_frames_quarantine,

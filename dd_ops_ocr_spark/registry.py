@@ -174,6 +174,12 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
         path, RISK_DIM_DEFAULT_SQL
     )
     ORACLE_SQL["media_resize"] = fixtures.media_resize_oracle_sql(path)
+    # DCT-domain scaled-decode twin: every decoder rung yields >= target
+    # pixels for the NN resample to reduce, so geometry and BMP byte
+    # size — the SQL-statable surface — are decoder-independent
+    ORACLE_SQL["media_resize_native_scaled"] = (
+        fixtures.media_resize_oracle_sql(path)
+    )
     ORACLE_SQL["media_metadata"] = fixtures.media_metadata_oracle_sql(path)
     ORACLE_SQL["media_metadata_jpeg"] = fixtures.media_metadata_jpeg_oracle_sql(path)
     # native-codec twin: identical SQL-statable surface (dimensions are
@@ -266,6 +272,7 @@ _register(_catalogops)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "media_resize_native_scaled",
     "doc_validity_audit",
     "catalog_skip_scan",
     "catalog_time_travel",

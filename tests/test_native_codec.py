@@ -184,3 +184,122 @@ def test_media_metadata_native_decoder_spark(spark):
     ra = [(r.media_ref, r.format, r.width, r.height) for r in a.collect()]
     rb = [(r.media_ref, r.format, r.width, r.height) for r in b.collect()]
     assert ra == rb and len(ra) == 64
+
+
+# --------------------------------------------------------------- scaled decode
+
+
+def test_scaled_decode_geometry_and_full_scale_identity():
+    """DCT-domain scaled decode (ABI v3): output dims must follow
+    jpeg_calc_output_dimensions — ceil(dim * M / 8) — for every M, and
+    M=8 must be bit-identical to the plain full decode (same IDCT, same
+    path, no resampling involved)."""
+    img = _page(210, 170)  # non-multiples of 8/16 exercise the ceil
+    payload = native.encode_jpeg_native(img, quality=95, subsampling="4:2:0")
+    full = native.decode_jpeg_native(payload)
+    for m in range(1, 9):
+        out = native.decode_jpeg_native_scaled(payload, m)
+        exp = ((170 * m + 7) // 8, (210 * m + 7) // 8, 3)
+        assert out.shape == exp, (m, out.shape, exp)
+    assert np.array_equal(native.decode_jpeg_native_scaled(payload, 8), full)
+
+
+def test_scaled_decode_flat_color_exact():
+    """A flat-color JPEG is DC-only: the reduced-size IDCT of a constant
+    block is the same constant, so every scale must reproduce the full
+    decode's color exactly — a sharp agreement bound with no filter
+    tolerance needed."""
+    img = np.full((96, 128, 3), [200, 120, 60], dtype=np.uint8)
+    payload = native.encode_jpeg_native(img, quality=95, subsampling="4:4:4")
+    full = native.decode_jpeg_native(payload)
+    color = np.unique(full.reshape(-1, 3), axis=0)
+    assert len(color) == 1
+    for m in (1, 2, 3, 5, 7):
+        out = native.decode_jpeg_native_scaled(payload, m)
+        got = np.unique(out.reshape(-1, 3), axis=0)
+        assert got.shape == (1, 3) and np.array_equal(got, color), m
+
+
+def test_scaled_decode_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        native.decode_jpeg_native_scaled(b"not a jpeg at all", 4)
+    img = _page(32, 32)
+    payload = native.encode_jpeg_native(img)
+    for bad in (0, 17):
+        with pytest.raises(ValueError):
+            native.decode_jpeg_native_scaled(payload, bad)
+    with pytest.raises(ValueError):
+        native.decode_jpeg_native_scaled(payload, 4, scale_denom=4)
+
+
+def test_pick_dct_scale_minimal_and_covering():
+    """pick_dct_scale must return the SMALLEST M whose scaled dims still
+    cover the target in both axes (never inventing pixels the decode
+    dropped), and 8 when even the full image is smaller than the
+    target."""
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        w, h = int(rng.integers(1, 4000)), int(rng.integers(1, 4000))
+        tw, th = int(rng.integers(1, 1200)), int(rng.integers(1, 1200))
+        m = native.pick_dct_scale(w, h, tw, th)
+        assert 1 <= m <= 8
+
+        def covers(k):
+            return (w * k + 7) // 8 >= tw and (h * k + 7) // 8 >= th
+
+        if m < 8:
+            assert covers(m)
+            assert all(not covers(k) for k in range(1, m))
+        else:
+            # either full decode covers, or nothing does (upscale case)
+            assert covers(8) or not any(covers(k) for k in range(1, 8))
+    # exact-boundary spot checks
+    assert native.pick_dct_scale(816, 1056, 16, 20) == 1
+    assert native.pick_dct_scale(816, 1056, 816, 1) == 8
+    assert native.pick_dct_scale(10, 10, 16, 20) == 8  # upscale -> full
+
+
+def test_scaled_resize_decoder_rungs():
+    """The injectable closure: JPEG payloads large enough for a reduced
+    scale decode small; non-JPEG payloads take the pure-numpy path
+    unchanged; the final resample output matches the full-decode path
+    to re-encode tolerance on smooth pixels."""
+    from dd_ops_ocr_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        resize_nn,
+    )
+
+    y, x = np.mgrid[0:416, 0:384]
+    img = np.stack(
+        [(x // 4 + y // 8) % 256, (x // 3) % 256, (y // 5) % 256], axis=2
+    ).astype(np.uint8)
+    payload = native.encode_jpeg_native(img, quality=95, subsampling="4:2:0")
+    dec = native.scaled_resize_decoder(16, 20)
+    small = dec(payload)
+    # 416x384 -> M=1 covers 16x20: decode materializes 52x48, not 416x384
+    assert small.shape == (52, 48, 3)
+    a = resize_nn(small, 16, 20)
+    b = resize_nn(native.decode_jpeg_native(payload), 16, 20)
+    assert a.shape == b.shape == (20, 16, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).mean() < 8.0
+    # non-JPEG payload: byte-for-byte the pure-numpy decode
+    bmp = encode_bmp(img[:40, :40])
+    assert np.array_equal(dec(bmp), decode_image(bmp))
+
+
+def test_media_resize_scaled_spark_parity(spark):
+    """q_media_resize_native_scaled under Spark must emit exactly the
+    oracle surface of the plain path — identical (media_ref, width,
+    height, payload_bytes) rows — while decoding through the scaled
+    rungs (the corpus has payloads both above and below the target, so
+    both the scaled and the full-decode rung execute)."""
+    from dd_ops_ocr_spark.operators.multimodal import (
+        q_media_resize,
+        q_media_resize_native_scaled,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, q_media_resize(spark, sf).collect()))
+    b = sorted(map(tuple, q_media_resize_native_scaled(spark, sf).collect()))
+    assert a == b and len(a) > 0
