@@ -429,9 +429,15 @@ def main() -> None:
             "jpeg_encode_mpx_per_core": _page_encode_rate_native(),
             # thumbnail path: DCT-domain scaled decode (source Mpx/s);
             # compare against jpeg_decode_mpx_per_core — the delta is
-            # the IDCT/color/memory cost the scaled path never pays
+            # the IDCT/color/memory cost the scaled path never pays.
+            # Guarded on the ABI-v3 capability, not just available():
+            # an accepted older .so would silently run the full-decode
+            # rung and this graded row must never relabel that number
             "jpeg_scaled_resize_mpx_per_core": (
-                _page_scaled_resize_rate_native()),
+                _page_scaled_resize_rate_native()
+                if _native.scaled_decode_available()
+                else "unavailable: loaded shim predates ABI v3"
+            ),
         }
     else:  # loud, never silent: the injected row is a graded artifact
         media["native"] = {"unavailable": _native.load_error()}

@@ -134,8 +134,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
 def _load() -> ctypes.CDLL | None:
     """Load order: already-loaded -> current-ABI .so in the package dir
     or the task working dir (spark-submit --files lands there) ->
-    compile locally -> legacy-named .so (older ABI: baseline codec
-    works, optional symbols degrade)."""
+    compile locally -> OLDER versioned .so, newest first, then the
+    legacy unversioned name (every post-v1 symbol is optional in _bind,
+    so a cluster that shipped _jpegshim_v2.so keeps its 60-120x native
+    decode after an ABI bump — only the newer entry points degrade)."""
     global _lib, _load_error
     if _lib is not None:
         return _lib
@@ -158,19 +160,30 @@ def _load() -> ctypes.CDLL | None:
         return _lib
     except (OSError, AttributeError, subprocess.CalledProcessError,
             FileNotFoundError) as e:
-        for path in [os.path.join(d, _SO_LEGACY) for d in dirs]:
-            if os.path.exists(path):
-                try:  # no toolchain: run with the older ABI
-                    _lib = _bind(ctypes.CDLL(path))
-                    return _lib
-                except (OSError, AttributeError):
-                    continue
+        older = [f"_jpegshim_v{v}.so" for v in range(ABI_VERSION - 1, 1, -1)]
+        for name in older + [_SO_LEGACY]:
+            for path in [os.path.join(d, name) for d in dirs]:
+                if os.path.exists(path):
+                    try:  # no toolchain: run with the older ABI
+                        _lib = _bind(ctypes.CDLL(path))
+                        return _lib
+                    except (OSError, AttributeError):
+                        continue
         _load_error = f"{type(e).__name__}: {e}"
         return None
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def scaled_decode_available() -> bool:
+    """True when the LOADED shim exports the ABI-v3 scaled entry point —
+    an accepted older .so serves the baseline codec with this capability
+    degraded, and graded consumers (bench rows, tests) must distinguish
+    the rungs rather than silently relabel full-decode throughput."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "ddops_jpeg_decode_rgb_scaled")
 
 
 def load_error() -> str | None:
@@ -264,7 +277,10 @@ def encode_jpeg_native(
 
 
 def decode_jpeg_native_scaled(
-    payload: bytes, scale_num: int, scale_denom: int = 8
+    payload: bytes,
+    scale_num: int,
+    scale_denom: int = 8,
+    src_dims: "tuple[int, int] | None" = None,
 ) -> np.ndarray:
     """JPEG bytes -> (h', w', 3) uint8 RGB decoded at scale_num/8 of the
     coded size, reconstructed in the DCT domain — the full pixel grid is
@@ -285,18 +301,30 @@ def decode_jpeg_native_scaled(
             f"unsupported scale {scale_num}/{scale_denom}: libjpeg "
             "accepts M/8 with M in 1..16"
         )
-    w = ctypes.c_int()
-    h = ctypes.c_int()
-    nc = ctypes.c_int()
-    rc = lib.ddops_jpeg_header(payload, len(payload),
-                               ctypes.byref(w), ctypes.byref(h),
-                               ctypes.byref(nc))
-    if rc != 0:
-        raise ValueError("not a decodable JPEG payload")
-    if not (0 < w.value <= MAX_DIM and 0 < h.value <= MAX_DIM):
-        raise ValueError(f"implausible JPEG dimensions {w.value}x{h.value}")
-    exp_w = (w.value * scale_num + scale_denom - 1) // scale_denom
-    exp_h = (h.value * scale_num + scale_denom - 1) // scale_denom
+    if src_dims is None:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        nc = ctypes.c_int()
+        rc = lib.ddops_jpeg_header(payload, len(payload),
+                                   ctypes.byref(w), ctypes.byref(h),
+                                   ctypes.byref(nc))
+        if rc != 0:
+            raise ValueError("not a decodable JPEG payload")
+        src_w, src_h = w.value, h.value
+    else:  # caller already probed the header (hot-path: skip a re-parse)
+        src_w, src_h = src_dims
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+    if not (0 < src_w <= MAX_DIM and 0 < src_h <= MAX_DIM):
+        raise ValueError(f"implausible JPEG dimensions {src_w}x{src_h}")
+    exp_w = (src_w * scale_num + scale_denom - 1) // scale_denom
+    exp_h = (src_h * scale_num + scale_denom - 1) // scale_denom
+    if exp_w > MAX_DIM or exp_h > MAX_DIM:
+        # scale_num > 8 upscales: keep the forged-header allocation cap
+        # on the OUTPUT grid too, not just the coded dims
+        raise ValueError(
+            f"scaled output {exp_w}x{exp_h} exceeds MAX_DIM={MAX_DIM}"
+        )
     out = np.empty((exp_h, exp_w, 3), dtype=np.uint8)
     rc = lib.ddops_jpeg_decode_rgb_scaled(
         payload, len(payload), scale_num, scale_denom,
@@ -345,9 +373,9 @@ def scaled_resize_decoder(target_w: int, target_h: int):
 
         if detect_format(payload) != "jpeg" or not available():
             return decode_image(payload)
-        lib = _load()
-        if not hasattr(lib, "ddops_jpeg_decode_rgb_scaled"):
+        if not scaled_decode_available():
             return decode_jpeg_native(payload)
+        lib = _load()
         w = ctypes.c_int()
         h = ctypes.c_int()
         nc = ctypes.c_int()
@@ -359,7 +387,18 @@ def scaled_resize_decoder(target_w: int, target_h: int):
         m = pick_dct_scale(w.value, h.value, target_w, target_h)
         if m == 8:
             return decode_jpeg_native(payload)
-        return decode_jpeg_native_scaled(payload, m)
+        try:
+            return decode_jpeg_native_scaled(
+                payload, m, src_dims=(w.value, h.value)
+            )
+        except ValueError:
+            # a libjpeg built without M/8 scaling (pre-v7 IJG supports
+            # only 1/2, 1/4, 1/8) silently rounds the ratio UP to a
+            # supported one; the geometry check then rejects the decode.
+            # That is a capability gap, not a corrupt payload — take the
+            # full-decode rung (a genuinely bad payload fails there too,
+            # with the error type the quarantine layers classify).
+            return decode_jpeg_native(payload)
 
     return dec
 

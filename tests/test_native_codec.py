@@ -188,7 +188,19 @@ def test_media_metadata_native_decoder_spark(spark):
 
 # --------------------------------------------------------------- scaled decode
 
+# The loader deliberately accepts older-ABI artifacts (baseline codec
+# works, newer entry points degrade); that configuration is supported,
+# not broken, so these tests SKIP rather than fail on it. The Spark
+# parity test stays unconditional: scaled_resize_decoder's output is
+# decoder-independent across every rung by design.
+requires_scaled = pytest.mark.skipif(
+    not native.scaled_decode_available(),
+    reason="loaded jpeg shim predates ABI v3 (scaled decode)",
+)
 
+
+
+@requires_scaled
 def test_scaled_decode_geometry_and_full_scale_identity():
     """DCT-domain scaled decode (ABI v3): output dims must follow
     jpeg_calc_output_dimensions — ceil(dim * M / 8) — for every M, and
@@ -204,6 +216,7 @@ def test_scaled_decode_geometry_and_full_scale_identity():
     assert np.array_equal(native.decode_jpeg_native_scaled(payload, 8), full)
 
 
+@requires_scaled
 def test_scaled_decode_flat_color_exact():
     """A flat-color JPEG is DC-only: the reduced-size IDCT of a constant
     block is the same constant, so every scale must reproduce the full
@@ -220,6 +233,7 @@ def test_scaled_decode_flat_color_exact():
         assert got.shape == (1, 3) and np.array_equal(got, color), m
 
 
+@requires_scaled
 def test_scaled_decode_rejects_bad_inputs():
     with pytest.raises(ValueError):
         native.decode_jpeg_native_scaled(b"not a jpeg at all", 4)
@@ -259,6 +273,7 @@ def test_pick_dct_scale_minimal_and_covering():
     assert native.pick_dct_scale(10, 10, 16, 20) == 8  # upscale -> full
 
 
+@requires_scaled
 def test_scaled_resize_decoder_rungs():
     """The injectable closure: JPEG payloads large enough for a reduced
     scale decode small; non-JPEG payloads take the pure-numpy path
@@ -303,3 +318,57 @@ def test_media_resize_scaled_spark_parity(spark):
     a = sorted(map(tuple, q_media_resize(spark, sf).collect()))
     b = sorted(map(tuple, q_media_resize_native_scaled(spark, sf).collect()))
     assert a == b and len(a) > 0
+
+
+def test_scaled_output_respects_max_dim():
+    """scale_num > 8 upscales: the forged-header allocation cap must
+    bind on the OUTPUT grid, not just the coded dims (a 32768x32768
+    header at 16/8 would otherwise attempt a ~12.9 GB allocation)."""
+    img = _page(32, 32)
+    payload = native.encode_jpeg_native(img)
+    with pytest.raises(ValueError, match="exceeds MAX_DIM"):
+        native.decode_jpeg_native_scaled(
+            payload, 16, src_dims=(native.MAX_DIM, native.MAX_DIM)
+        )
+
+
+def test_loader_accepts_older_versioned_artifact(tmp_path, monkeypatch):
+    """A cluster that shipped _jpegshim_v2.so via --files must keep its
+    native decode after the ABI bump: with no current-ABI artifact and
+    no toolchain, _load falls back to older VERSIONED names (newest
+    first) before the legacy unversioned one, and only the v3 entry
+    points degrade."""
+    import importlib.util
+    import os
+    import shutil
+    import subprocess
+
+    v2 = os.path.join(os.path.dirname(native.__file__), "_jpegshim_v2.so")
+    if not os.path.exists(v2):
+        pytest.skip("no v2 artifact on this host to exercise the fallback")
+    pkg = tmp_path / "pkgdir"
+    pkg.mkdir()
+    shutil.copy(v2, pkg / "_jpegshim_v2.so")
+    cwd = tmp_path / "taskdir"
+    cwd.mkdir()
+    monkeypatch.chdir(cwd)
+
+    spec = importlib.util.spec_from_file_location(
+        "native_fallback_probe", native.__file__
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod._HERE = str(pkg)
+
+    def no_toolchain(target):
+        raise subprocess.CalledProcessError(1, ["gcc"])
+
+    mod._compile_shim = no_toolchain
+    assert mod.available(), mod.load_error()
+    assert not mod.scaled_decode_available()  # v2 predates scaled decode
+    img = _page(48, 40)
+    payload = native.encode_jpeg_native(img)
+    assert mod.decode_jpeg_native(payload).shape == (40, 48, 3)
+    # the injectable closure takes the full-decode rung, not a failure
+    out = mod.scaled_resize_decoder(16, 20)(payload)
+    assert out.shape == (40, 48, 3)
