@@ -200,11 +200,120 @@ GROUP BY doc_id
 """
 
 
+# C4-style repeated-span removal parameters: a span is a window of
+# _SPAN_W consecutive words (the corpus has no sentence punctuation, so
+# word windows stand in for C4's three-sentence spans); a span is "hot"
+# boilerplate when it occurs in >= _SPAN_K distinct documents.
+_SPAN_W = 4
+_SPAN_K = 3
+_EMPTY_INT_ARR = "CAST(array() AS array<int>)"
+
+
+def q_repeated_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus repeated-span removal (C4-style dedup): any
+    _SPAN_W-word shingle appearing in >= _SPAN_K distinct docs is
+    boilerplate; every word covered by a hot shingle occurrence is
+    stripped and the doc re-assembled from the surviving words.
+
+    Scale shape: shingling is doc-local (higher-order functions over the
+    split array, no word-level explode join); the ONLY big shuffle is
+    the shingle-frequency hash-agg (keyed on md5 of the shingle, partial
+    aggregation applies). The hot set is tiny (boilerplate is rare) and
+    is broadcast back onto the shingle stream; per-doc hot starts are a
+    second small agg, and the final strip is again doc-local via
+    filter(ws, (w, i) -> ...) with coalesced empty starts. The
+    d-to-hot_starts join is left UNHINTED on purpose: at 100 TB most
+    docs can carry boilerplate, so the planner/AQE must be free to pick
+    shuffle-hash over broadcast there.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ", -1).alias("ws")
+    )
+    sh = d.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform("
+            f" CASE WHEN size(ws) >= {_SPAN_W}"
+            f"  THEN sequence(0, size(ws) - {_SPAN_W})"
+            f"  ELSE {_EMPTY_INT_ARR} END,"
+            f" i -> struct(i AS start,"
+            f"  md5(array_join(slice(ws, i + 1, {_SPAN_W}), ' ')) AS gh)))"
+        ).alias("s"),
+    ).select("doc_id", "s.start", "s.gh")
+    hot = (
+        sh.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _SPAN_K)
+        .select("gh")
+    )
+    hot_starts = (
+        sh.join(F.broadcast(hot), "gh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+    )
+    joined = d.join(hot_starts, "doc_id", "left").withColumn(
+        "st", F.expr(f"coalesce(starts, {_EMPTY_INT_ARR})")
+    )
+    kept = F.expr(
+        f"filter(ws, (w, i) ->"
+        f" NOT exists(st, s -> i >= s AND i <= s + {_SPAN_W - 1}))"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size("st").cast("long").alias("n_hot_spans"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
+SQL_REPEATED_SPAN_STRIP = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT doc_id, CAST(t.i AS INT) - 1 AS start,
+         md5(array_to_string(
+           ws[CAST(t.i AS INT):CAST(t.i AS INT) + {_SPAN_W - 1}], ' ')) AS gh
+  FROM d, UNNEST(range(1, GREATEST(len(ws) - {_SPAN_W - 1}, 0) + 1)) AS t(i)
+), hot AS (
+  SELECT gh FROM sh GROUP BY gh
+  HAVING COUNT(DISTINCT doc_id) >= {_SPAN_K}
+), hotsh AS (
+  SELECT s.doc_id, s.start FROM sh s JOIN hot USING (gh)
+), cov AS (
+  SELECT DISTINCT h.doc_id, h.start + CAST(o.k AS INT) AS idx
+  FROM hotsh h, UNNEST(range(0, {_SPAN_W})) AS o(k)
+), words AS (
+  SELECT doc_id, CAST(t.i AS INT) - 1 AS idx, ws[CAST(t.i AS INT)] AS w
+  FROM d, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), kept AS (
+  SELECT w.doc_id, w.idx, w.w
+  FROM words w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.idx = c.idx
+  WHERE c.idx IS NULL
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY idx) AS cleaned_text
+  FROM kept GROUP BY doc_id
+), spans AS (
+  SELECT doc_id, COUNT(*) AS n_hot_spans FROM hotsh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(d.ws) AS n_words,
+       COALESCE(s.n_hot_spans, 0) AS n_hot_spans,
+       len(d.ws) - COALESCE(a.n_kept, 0) AS n_removed,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN spans s USING (doc_id)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "repeated_span_strip": q_repeated_span_strip,
 }
 
 ORACLE_SQL = {
@@ -212,4 +321,5 @@ ORACLE_SQL = {
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repeated_span_strip": SQL_REPEATED_SPAN_STRIP,
 }

@@ -272,6 +272,7 @@ _register(_catalogops)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "repeated_span_strip",
     "media_resize_native_scaled",
     "doc_validity_audit",
     "catalog_skip_scan",

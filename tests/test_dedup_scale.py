@@ -100,3 +100,34 @@ def test_connected_components_round_cap(spark):
     # and with enough rounds the same input converges exactly
     labels = connected_components(pairs, max_rounds=16)
     assert labels.select(F.collect_set("lab")).first()[0] == [0]
+
+
+def test_repeated_span_strip_planted(spark, tmp_path):
+    """C4-style span removal on a planted corpus: the 4-word phrase
+    shared by >= 3 docs is stripped everywhere it occurs (including
+    twice in one doc), sub-window matches and short docs survive."""
+    from dd_ops_ocr_spark.operators.textstats import q_repeated_span_strip
+
+    rows = [
+        (1, "x alpha beta gamma delta y"),
+        (2, "alpha beta gamma delta end"),
+        (3, "p q alpha beta gamma delta"),
+        (4, "alpha beta gamma z z z"),          # 3-word sub-window only
+        (5, "tiny doc"),                         # shorter than the window
+        (6, "alpha beta gamma delta alpha beta gamma delta"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in q_repeated_span_strip(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["cleaned_text"] == "x y"
+    assert (got[1]["n_hot_spans"], got[1]["n_removed"]) == (1, 4)
+    assert got[2]["cleaned_text"] == "end"
+    assert got[3]["cleaned_text"] == "p q"
+    assert got[4]["cleaned_text"] == rows[3][1] and got[4]["n_removed"] == 0
+    assert got[5]["cleaned_text"] == "tiny doc"
+    assert (got[5]["n_words"], got[5]["n_hot_spans"]) == (2, 0)
+    assert got[6]["cleaned_text"] == ""
+    assert (got[6]["n_hot_spans"], got[6]["n_removed"]) == (2, 8)
