@@ -32,6 +32,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import time
 import uuid
 
@@ -266,8 +267,19 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
     in the SAME manifest — one atomic commit covers data + aux, the
     Iceberg analogue of a snapshot carrying several manifests. Under
     ``append`` each aux file set unions the parent's files for that
-    key, like the data files do."""
+    key, like the data files do; under ``compact`` (a data-only
+    rewrite) the parent's aux file references are carried forward
+    verbatim for every key not explicitly re-supplied — otherwise
+    maintenance would silently drop side tables and a later
+    expire_snapshots would reclaim their files."""
     table_dir = _norm_table_dir(table_dir)
+    if expected_parent is not None and \
+            (_max_manifest_id(table_dir) or None) != expected_parent:
+        # fast-fail BEFORE staging: a stale caller costs no data writes
+        raise CommitConflict(
+            f"table advanced past snapshot {expected_parent} "
+            "before staging"
+        )
     files, stats = _write_files(df, table_dir)
     aux_files = {}
     for k, v in (aux or {}).items():
@@ -275,6 +287,14 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
     while True:
         parent = _max_manifest_id(table_dir) or None
         if expected_parent is not None and parent != expected_parent:
+            # the table advanced while we were staging: our files were
+            # never referenced by any published manifest, so removing
+            # them is safe and prevents a permanent orphan leak (there
+            # is deliberately no blind orphan sweep to catch them later)
+            _remove_staged(
+                table_dir,
+                files + [f for fs in aux_files.values() for f in fs],
+            )
             raise CommitConflict(
                 f"table advanced to snapshot {parent}; "
                 f"commit was derived from {expected_parent}"
@@ -282,14 +302,18 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
         all_files = files
         all_stats = dict(stats)
         all_aux = dict(aux_files)
-        if operation == "append" and parent is not None:
+        if parent is not None and operation in ("append", "compact"):
             pm = _read_manifest(table_dir, parent)
-            all_files = pm["files"] + files
-            # parent files keep their stats; pre-stats parents simply
-            # contribute no entries (their files are never pruned)
-            all_stats = {**pm.get("file_stats", {}), **stats}
-            for k, pfiles in pm.get("aux", {}).items():
-                all_aux[k] = pfiles + aux_files.get(k, [])
+            if operation == "append":
+                all_files = pm["files"] + files
+                # parent files keep their stats; pre-stats parents simply
+                # contribute no entries (their files are never pruned)
+                all_stats = {**pm.get("file_stats", {}), **stats}
+                for k, pfiles in pm.get("aux", {}).items():
+                    all_aux[k] = pfiles + aux_files.get(k, [])
+            else:  # compact rewrites DATA only; aux rides along unchanged
+                for k, pfiles in pm.get("aux", {}).items():
+                    all_aux.setdefault(k, pfiles)
         manifest = {
             "snapshot_id": (parent or 0) + 1,
             "parent_id": parent,
@@ -311,6 +335,18 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
             continue  # lost the race — re-read parent and retry
 
 
+def _remove_staged(table_dir: str, names: list[str]) -> None:
+    """Best-effort removal of data files this call staged but never
+    published. Only ever invoked for files whose manifest was NOT
+    committed, so nothing can reference them."""
+    data_dir = os.path.join(table_dir, "data")
+    for n in names:
+        try:
+            os.remove(os.path.join(data_dir, n))
+        except FileNotFoundError:
+            continue  # already gone — nothing staged to reclaim
+
+
 _OPS = {
     # conjunct survives when the file's [lo, hi] range can intersect it
     "==": lambda lo, hi, v: lo <= v <= hi,
@@ -321,7 +357,15 @@ _OPS = {
 }
 
 
-def plan_scan(table_dir: str, predicates, snapshot_id: int | None = None):
+# ISO-8601-shaped stat strings (dates/timestamps via _norm_stat). A
+# predicate at a DIFFERENT granularity ('1996-01-01' vs
+# '1996-01-01T00:00:00') compares lexicographically wrong at range
+# edges, so pruning must fail open on length mismatch for these.
+_ISO_SHAPED = re.compile(r"^\d{4}-\d{2}-\d{2}")
+
+
+def plan_scan(table_dir: str, predicates, snapshot_id: int | None = None,
+              manifest: dict | None = None):
     """File-skipping scan plan: keep only the data files whose footer
     min/max ranges can satisfy ALL conjuncts (Iceberg's manifest-bound
     pruning; the catalog-level analogue of parquet row-group skipping).
@@ -332,12 +376,18 @@ def plan_scan(table_dir: str, predicates, snapshot_id: int | None = None):
     ``_norm_stat``). Files without stats for a referenced column are
     conservatively KEPT, so pruning is always a superset of the true
     match set; callers still apply the real filter. Returns
-    ``(kept_paths, total_file_count)``."""
+    ``(kept_paths, total_file_count)``. ``manifest`` lets a caller that
+    already parsed the snapshot manifest (read_table) avoid a second
+    metadata read — at a million files that parse is not free."""
     table_dir = _norm_table_dir(table_dir)
-    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
-    if sid is None:
-        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    m = _read_manifest(table_dir, sid)
+    if manifest is not None:
+        m = manifest
+    else:
+        sid = (snapshot_id if snapshot_id is not None
+               else current_snapshot_id(table_dir))
+        if sid is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+        m = _read_manifest(table_dir, sid)
     stats = m.get("file_stats", {})
     kept = []
     for name in m["files"]:
@@ -352,6 +402,10 @@ def plan_scan(table_dir: str, predicates, snapshot_id: int | None = None):
                 isinstance(lo, (int, float)) and isinstance(val, (int, float))
             ):
                 continue  # mismatched representation — cannot prune safely
+            if isinstance(lo, str) and (
+                _ISO_SHAPED.match(lo) or _ISO_SHAPED.match(val)
+            ) and not (len(lo) == len(hi) == len(val)):
+                continue  # mixed ISO granularity — cannot prune safely
             if not _OPS[op](lo, hi, val):
                 keep = False
                 break
@@ -379,7 +433,7 @@ def read_table(spark: SparkSession, table_dir: str,
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     m = _read_manifest(table_dir, sid)
     if where:
-        paths, _total = plan_scan(table_dir, where, snapshot_id=sid)
+        paths, _total = plan_scan(table_dir, where, manifest=m)
     else:
         paths = [os.path.join(table_dir, "data", f) for f in m["files"]]
     if not paths:

@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import uuid
 from collections.abc import Callable
 
 
@@ -44,15 +45,24 @@ def cached_fixture(path: str, build: Callable[[str], None]) -> str:
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     for stale in glob.glob(f"{path}._building_*"):
+        # tmp name is ._building_<pid>_<token> (token makes retries and
+        # concurrent same-process threads land in distinct dirs)
+        suffix = stale.rsplit("._building_", 1)[-1]
         try:
-            pid = int(stale.rsplit("_", 1)[-1])
+            pid = int(suffix.split("_", 1)[0])
         except ValueError:
             pid = -1
         if pid > 0 and _pid_alive(pid):
             continue  # a live builder owns this tmp — leave it alone
         shutil.rmtree(stale, ignore_errors=True)
-    tmp = f"{path}._building_{os.getpid()}"
-    build(tmp)
+    tmp = f"{path}._building_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    try:
+        build(tmp)
+    except BaseException:
+        # a failed build must not leave a dirty tmp for a same-process
+        # retry to publish as if complete
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, path)
     except OSError:

@@ -411,12 +411,11 @@ FROM s, UNNEST(range(0, kk)) AS t(i)
 """
 
 
-def media_audio_features_oracle_sql(path: str) -> str:
-    """DuckDB twin of q_media_audio_features: the md5-derived synthesis
-    parameters (multimodal.synth_audio_params restated) pin every
-    feature in closed form — a square wave's RMS and peak are its
-    amplitude, and its sign flips are (n-1) // half_period."""
-    return _media_cte(path) + """
+def _audio_params_cte(where: str = "") -> str:
+    """The md5-derived audio synthesis parameters
+    (multimodal.synth_audio_params restated in SQL), shared by the
+    features and quarantine oracles so the arithmetic cannot drift."""
+    return f"""
 , a AS (
   SELECT media_ref,
          (CASE CAST(('0x' || substr(md5(media_ref), 7, 2)) AS INT) % 4
@@ -430,8 +429,16 @@ def media_audio_features_oracle_sql(path: str) -> str:
               AS INT) AS amp,
          CAST(8 + CAST(('0x' || substr(md5(media_ref), 13, 2)) AS INT) % 24
               AS INT) AS half
-  FROM g
-)
+  FROM g{where}
+)"""
+
+
+def media_audio_features_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_audio_features: the md5-derived synthesis
+    parameters (multimodal.synth_audio_params restated) pin every
+    feature in closed form — a square wave's RMS and peak are its
+    amplitude, and its sign flips are (n-1) // half_period."""
+    return _media_cte(path) + _audio_params_cte() + """
 SELECT media_ref, CAST(sample_rate AS INT) AS sample_rate, n_channels,
        n_samples,
        CAST(n_samples * 1000 // sample_rate AS INT) AS duration_ms,
@@ -475,23 +482,9 @@ def media_audio_quarantine_oracle_sql(path: str) -> str:
     """DuckDB twin of q_media_audio_quarantine: clean refs carry the
     closed-form md5 feature surface, corrupt refs null features +
     ok=false."""
-    return _media_cte(path) + """
-, a AS (
-  SELECT media_ref,
-         (CASE CAST(('0x' || substr(md5(media_ref), 7, 2)) AS INT) % 4
-               WHEN 0 THEN 8000 WHEN 1 THEN 16000
-               WHEN 2 THEN 22050 ELSE 44100 END) AS sample_rate,
-         CAST(1 + CAST(('0x' || substr(md5(media_ref), 15, 2)) AS INT) % 2
-              AS INT) AS n_channels,
-         CAST(500 + CAST(('0x' || substr(md5(media_ref), 9, 2)) AS INT) * 7
-              AS INT) AS n_samples,
-         CAST(1000 + CAST(('0x' || substr(md5(media_ref), 11, 2)) AS INT) * 8
-              AS INT) AS amp,
-         CAST(8 + CAST(('0x' || substr(md5(media_ref), 13, 2)) AS INT) % 24
-              AS INT) AS half
-  FROM g
-  WHERE substr(md5(media_ref), 1, 1) <> '0'
-)
+    return _media_cte(path) + _audio_params_cte(
+        "\n  WHERE substr(md5(media_ref), 1, 1) <> '0'"
+    ) + """
 SELECT media_ref, CAST(sample_rate AS INT) AS sample_rate, n_channels,
        n_samples,
        CAST(n_samples * 1000 // sample_rate AS INT) AS duration_ms,

@@ -391,3 +391,67 @@ def test_table_dir_uri_schemes(spark, table):
     import os as _os
     weird = _os.path.join(table, "data")  # exists, no metadata -> None
     assert catalog.current_snapshot_id(table + ":v2") is None
+
+
+def test_compact_carries_aux_forward(spark, table):
+    """compact() rewrites DATA only: aux side tables (e.g. the
+    incremental roster) must ride into the compact snapshot unchanged,
+    and expire_snapshots afterwards must not reclaim their files —
+    otherwise every maintenance cycle wipes the processed-doc history."""
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    roster = spark.range(10).selectExpr("CAST(id AS STRING) AS doc_id")
+    catalog.write_snapshot(df, table, "overwrite", aux={"docids": roster})
+    catalog.compact(spark, table, num_files=1)
+    aux = catalog.read_aux(spark, table, "docids")
+    assert aux is not None and aux.count() == 10
+    catalog.expire_snapshots(table, keep_last=1)
+    assert catalog.read_aux(spark, table, "docids").count() == 10
+    assert catalog.read_table(spark, table).count() == 100
+
+
+def test_cas_conflict_leaves_no_orphan_files(spark, table, monkeypatch):
+    """A CAS-rejected commit must not leak staged data files: the
+    pre-staging fast-fail writes nothing, and a mid-staging advance is
+    cleaned up before CommitConflict propagates (expire_snapshots never
+    blind-sweeps, so an orphan here would live forever)."""
+    df = spark.range(50).selectExpr("id", "id AS v")
+    s1 = catalog.write_snapshot(df, table, "overwrite")
+    data_dir = os.path.join(table, "data")
+    before = set(os.listdir(data_dir))
+
+    # stale before staging: fast-fail, no new files at all
+    with pytest.raises(catalog.CommitConflict):
+        catalog.write_snapshot(df, table, "compact", expected_parent=s1 + 9)
+    assert set(os.listdir(data_dir)) == before
+
+    # table advances AFTER the pre-check: staged files must be removed
+    real = catalog._max_manifest_id
+    calls = {"n": 0}
+
+    def advancing(table_dir):
+        calls["n"] += 1
+        return real(table_dir) if calls["n"] == 1 else real(table_dir) + 1
+
+    monkeypatch.setattr(catalog, "_max_manifest_id", advancing)
+    with pytest.raises(catalog.CommitConflict):
+        catalog.write_snapshot(df, table, "compact", expected_parent=s1)
+    monkeypatch.undo()
+    assert set(os.listdir(data_dir)) == before
+
+
+def test_plan_scan_mixed_iso_granularity_fails_open(spark, table):
+    """A bare-date predicate against padded-timestamp stats must NOT
+    prune (lexicographic compare across granularities is wrong at range
+    edges); the same-granularity predicate still prunes."""
+    df = spark.createDataFrame(
+        [("1996-01-01T00:00:00", 1), ("1997-06-15T12:00:00", 2)],
+        "ts string, v int",
+    ).repartitionByRange(2, "ts").sortWithinPartitions("ts")
+    catalog.write_snapshot(df, table, "overwrite")
+    total = len(catalog.plan_scan(table, [])[0])
+    # mixed granularity: keep everything (superset contract)
+    kept, _ = catalog.plan_scan(table, [("ts", ">=", "1997-01-01")])
+    assert len(kept) == total
+    # matched granularity: prunes the 1996 file
+    kept, _ = catalog.plan_scan(table, [("ts", ">=", "1997-01-01T00:00:00")])
+    assert len(kept) < total
