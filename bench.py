@@ -380,6 +380,11 @@ def main() -> None:
     queries["judgment_merge"] = timed(
         lambda: q_judgment_merge(spark, SF_DIR).count()
     )
+    from dd_ops_ocr_spark.operators.textstats import q_repeated_span_strip
+
+    queries["repeated_span_strip"] = timed(
+        lambda: q_repeated_span_strip(spark, SF_DIR).count()
+    )
     # media decode path: REAL baseline-JPEG payloads through the
     # mapInPandas metadata operator (the bulk-media cost the judge asked
     # to see as a number, not a caveat)
