@@ -377,6 +377,27 @@ FROM g
 """
 
 
+def media_upscale_oracle_sql(path: str) -> str:
+    """K13 super-resolution doubles both axes and re-encodes as 24-bit
+    BMP: the SQL-derivable surface is the doubled md5 geometry plus the
+    exact padded-row byte size at (2w, 2h). Interpolated pixel values
+    are pytest territory (planted gradients)."""
+    return _media_cte(path) + """
+SELECT media_ref,
+       CAST(width * 2 AS INT) AS width,
+       CAST(height * 2 AS INT) AS height,
+       CAST(54 + ((width * 2 * 3 + 3) // 4) * 4 * height * 2 AS BIGINT)
+         AS payload_bytes
+FROM g
+"""
+
+
+def media_debug_draw_oracle_sql(path: str) -> str:
+    """K14 annotation draws in place: geometry and BMP size are those of
+    the source image — identical surface to media_binarize."""
+    return media_binarize_oracle_sql(path)
+
+
 def media_frame_sample_oracle_sql(path: str, n_frames: int = 4) -> str:
     """Frame sampling invariants in SQL: n_frames rows per media span,
     each frame a re-encoded BMP of exactly the source geometry's size."""

@@ -207,6 +207,8 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
         fixtures.media_metadata_webp_oracle_sql(path)
     )
     ORACLE_SQL["media_binarize"] = fixtures.media_binarize_oracle_sql(path)
+    ORACLE_SQL["media_upscale"] = fixtures.media_upscale_oracle_sql(path)
+    ORACLE_SQL["media_debug_draw"] = fixtures.media_debug_draw_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
     ORACLE_SQL["media_video_frames"] = fixtures.media_video_frames_oracle_sql(path)
     ORACLE_SQL["media_audio_features"] = (
