@@ -279,6 +279,38 @@ FROM art_json a LEFT JOIN fired f USING (doc_id)
     )
 
 
+def engine_dual_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_engine_dual_extract (K12): the primary engine is
+    the flagship + integration spec (shared CTEs); the alt engine is the
+    raw DocumentAI-style pass restated directly over the unnested spans;
+    the reconciliation is the same full-outer merge."""
+    return _extract_cte(path) + _INTEGRATED_CTE + f""",
+alt AS (
+  SELECT doc_id,
+         CAST(SUM(LENGTH(text)) + COUNT(*) - 1 AS BIGINT) AS alt_chars,
+         CAST(COUNT(DISTINCT "offset" // {STRIDE}) AS BIGINT) AS alt_pages
+  FROM raw
+  WHERE kind = 'text' AND text IS NOT NULL
+  GROUP BY doc_id
+),
+prim AS (
+  SELECT doc_id,
+         CAST(LENGTH(integrated_text) AS BIGINT) AS primary_chars,
+         CAST(pages_integrated AS BIGINT) AS primary_pages
+  FROM integrated
+)
+SELECT doc_id,
+       CASE WHEN p.primary_chars IS NULL THEN 'alt_only'
+            WHEN a.alt_chars IS NULL THEN 'primary_only'
+            ELSE 'both' END AS pairing,
+       CASE WHEN p.primary_chars IS NOT NULL THEN 'primary'
+            ELSE 'alt' END AS engine_used,
+       p.primary_chars, p.primary_pages, a.alt_chars, a.alt_pages,
+       COALESCE(p.primary_chars, a.alt_chars) AS reconciled_chars
+FROM prim p FULL OUTER JOIN alt a USING (doc_id)
+"""
+
+
 def media_resize_oracle_sql(path: str) -> str:
     """DuckDB twin of q_media_resize's OBSERVABLE surface: the media-ref
     set (one row per media span of the corpus), the target geometry, and

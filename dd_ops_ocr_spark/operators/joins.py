@@ -155,6 +155,81 @@ FROM d, UNNEST(range(0, d.k + 1)) AS t(i)
 
 
 
+def q_engine_dual_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12: a REAL second extraction engine reconciled with the primary.
+
+    The reference runs two OCR engines over the same pages — the primary
+    LLM path and a DocumentAI pass restricted to the field mask
+    `text,pages.pageNumber` (step6/04_document_ai_ocr_engine.py:62-177),
+    gathered per group and merged (step6/03_step6_processor.py:250-282).
+    Here both engines actually run over the corpus:
+
+      * primary = the flagship kernel's integrated text per doc
+        (normalization, boilerplate strip, two-up ordering — the full
+        pipeline.extract + integrate fold);
+      * alt = the raw pass: every non-null text span as-is, one char
+        count + distinct-page count per doc (exactly the DocumentAI
+        field mask: text and page numbers, no preprocessing).
+
+    The engines genuinely diverge — whitespace-only docs with no media
+    vanish from the primary (kernel drops empty normalized spans) but
+    keep an alt row; media-only docs keep a primary row ([media:] markers
+    integrate) but have no alt row — so the full-outer pairing classes
+    arise from engine behavior, not planted arithmetic. Reconciliation
+    prefers the primary engine and falls back to alt, the reference's
+    merge order. Both sides are per-doc aggregates before the join, so
+    at 100 TB the shuffle carries two ~doc-count tables, not spans."""
+    from dd_ops_ocr_spark import corpus
+
+    return engine_dual_extract(corpus.build_spans_df_cached(spark, sf_dir))
+
+
+def engine_dual_extract(spans: DataFrame) -> DataFrame:
+    """Core of q_engine_dual_extract over any nested-spans DataFrame —
+    see that query's docstring for the dual-engine semantics."""
+    from dd_ops_ocr_spark import pipeline
+    from dd_ops_ocr_spark.operators.integrate import integrate_text
+    from dd_ops_ocr_spark.schema import STRIDE
+
+    primary = integrate_text(
+        pipeline.extract(spans, include_page=True)
+    ).select(
+        "doc_id",
+        F.col("total_characters").alias("primary_chars"),
+        F.col("pages_integrated").alias("primary_pages"),
+    )
+    alt = (
+        spans.select("doc_id", F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "text") & F.col("s.text").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            # chars of the alt transcript = span chars + one "\n" between
+            # consecutive spans (counted, never materialized)
+            (F.sum(F.length("s.text")) + F.count("*") - 1).alias("alt_chars"),
+            F.countDistinct(F.expr(f"s.offset DIV {STRIDE}")).alias("alt_pages"),
+        )
+    )
+    j = primary.join(alt, "doc_id", "full_outer")
+    pairing = (
+        F.when(F.col("primary_chars").isNull(), "alt_only")
+        .when(F.col("alt_chars").isNull(), "primary_only")
+        .otherwise("both")
+    )
+    engine_used = F.when(
+        F.col("primary_chars").isNotNull(), "primary"
+    ).otherwise("alt")
+    return j.select(
+        "doc_id",
+        pairing.alias("pairing"),
+        engine_used.alias("engine_used"),
+        "primary_chars",
+        "primary_pages",
+        "alt_chars",
+        "alt_pages",
+        F.coalesce("primary_chars", "alt_chars").alias("reconciled_chars"),
+    )
+
+
 def q_engine_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: the dual-engine result pairing (Gemini + DocumentAI results for
     the same group_key, paired by construction via asyncio.gather —
@@ -240,6 +315,7 @@ FROM gemini g FULL OUTER JOIN docai a
 
 QUERIES = {
     "engine_zip": q_engine_zip,
+    "engine_dual_extract": q_engine_dual_extract,
     "dim_enrich_join": q_dim_enrich_join,
     "success_filter": q_success_filter,
     "lenient_coercion": q_lenient_coercion,

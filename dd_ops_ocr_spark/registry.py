@@ -173,6 +173,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["contract_schema"] = fixtures.contract_schema_oracle_sql(
         path, RISK_DIM_DEFAULT_SQL
     )
+    ORACLE_SQL["engine_dual_extract"] = fixtures.engine_dual_oracle_sql(path)
     ORACLE_SQL["media_resize"] = fixtures.media_resize_oracle_sql(path)
     # DCT-domain scaled-decode twin: every decoder rung yields >= target
     # pixels for the NN resample to reduce, so geometry and BMP byte

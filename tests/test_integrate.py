@@ -79,3 +79,47 @@ def test_contract_schema_json_is_reference_shaped(spark):
         assert c["articleCount"] == len(arts)
         ids = [x["id"] for x in c["risks"]]
         assert ids == sorted(ids)
+
+
+def test_engine_dual_extract_pairing_classes(spark):
+    """K12 dual-engine reconciliation on planted docs exercising every
+    pairing class: both engines, primary-only (media-only doc — the alt
+    raw pass sees no text), alt-only (whitespace-only text — the primary
+    kernel drops it), and a doc neither engine emits (empty spans)."""
+    from dd_ops_ocr_spark.operators.joins import engine_dual_extract
+    from dd_ops_ocr_spark.schema import SPANS_SCHEMA, STRIDE
+
+    rows = [
+        # d1: real text on two pages + a media span -> both engines
+        ("d1", [("text", "hello world", None, 0),
+                ("text", "second page", None, STRIDE),
+                ("media", None, "m1", 5)]),
+        # d2: media only -> primary integrates [media:m2], alt has no rows
+        ("d2", [("media", None, "m2", 0)]),
+        # d3: whitespace-only text, no media -> primary drops the doc,
+        # the raw alt pass keeps it
+        ("d3", [("text", "   \n  ", None, 0)]),
+        # d4: empty spans -> absent from both engines entirely
+        ("d4", []),
+    ]
+    spans = spark.createDataFrame(rows, SPANS_SCHEMA)
+    got = {r["doc_id"]: r.asDict() for r in engine_dual_extract(spans).collect()}
+
+    assert set(got) == {"d1", "d2", "d3"}
+    assert got["d1"]["pairing"] == "both"
+    assert got["d1"]["engine_used"] == "primary"
+    assert got["d1"]["alt_pages"] == 2
+    # alt transcript: "hello world\nsecond page\n   \n  "-style per doc —
+    # d1 text spans only: 11 + 11 chars + 1 separator
+    assert got["d1"]["alt_chars"] == 23
+    assert got["d1"]["reconciled_chars"] == got["d1"]["primary_chars"]
+
+    assert got["d2"]["pairing"] == "primary_only"
+    assert got["d2"]["engine_used"] == "primary"
+    assert got["d2"]["alt_chars"] is None
+    assert got["d2"]["primary_chars"] == len("[media:m2]")
+
+    assert got["d3"]["pairing"] == "alt_only"
+    assert got["d3"]["engine_used"] == "alt"
+    assert got["d3"]["primary_chars"] is None
+    assert got["d3"]["reconciled_chars"] == got["d3"]["alt_chars"] == 6
