@@ -174,6 +174,11 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
         path, RISK_DIM_DEFAULT_SQL
     )
     ORACLE_SQL["engine_dual_extract"] = fixtures.engine_dual_oracle_sql(path)
+    from dd_ops_ocr_spark import sources
+
+    ORACLE_SQL["model_artifact_fetch"] = sources.model_artifact_oracle_sql(
+        sources.ensure_model_artifact()
+    )
     ORACLE_SQL["media_resize"] = fixtures.media_resize_oracle_sql(path)
     # DCT-domain scaled-decode twin: every decoder rung yields >= target
     # pixels for the NN resample to reduce, so geometry and BMP byte

@@ -212,7 +212,114 @@ def q_doc_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"doc_validity_audit": q_doc_validity_audit}
+# ------------------------------------------------------- S13 model artifact
+
+ARTIFACT_NAME = "ddops_heuristic_weights_v1.json"
+ARTIFACT_SLOTS = 8
+
+
+def synth_model_artifact_bytes() -> bytes:
+    """Deterministic ASCII weights manifest — the stand-in for the
+    reference's YOLO .pt blob (S13, api/model_downloader.py:25-131). The
+    north_star design needs no learned weights (deterministic
+    heuristics), so the artifact's CONTENT is a fixed integer manifest;
+    its DISTRIBUTION mechanics below are the real S13 surface. UTF-8 by
+    construction so DuckDB's read_blob -> decode() digest is exact."""
+    import json
+
+    weights = [(i * 2654435761) % 1000003 for i in range(256)]
+    doc = {"name": "ddops-heuristic-weights", "version": 1,
+           "weights": weights}
+    return json.dumps(doc, separators=(",", ":"), sort_keys=True).encode()
+
+
+def ensure_model_artifact(cache_dir: str | None = None) -> str:
+    """Write the artifact once (atomic tmp+rename, concurrent-safe) and
+    return its absolute path — the 'ensure_models_available' half of
+    S13: idempotent localization before use, never a per-task fetch."""
+    import os
+
+    from dd_ops_ocr_spark import fixtures
+
+    cache_dir = cache_dir or fixtures.FIXTURE_DIR
+    path = os.path.join(cache_dir, ARTIFACT_NAME)
+    if not os.path.exists(path):
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(synth_model_artifact_bytes())
+        os.replace(tmp, path)
+    return os.path.abspath(path)
+
+
+def fetch_model_artifact(
+    spark: SparkSession, path: str, n_slots: int = ARTIFACT_SLOTS
+) -> DataFrame:
+    """S13 Spark-first: ``sc.addFile`` ships the artifact to every
+    executor ONCE (torrent-style at cluster scale, never per task —
+    the reference's lazy GCS download with a local cache has exactly
+    this once-per-node semantics); each task localizes it via
+    ``SparkFiles.get`` and verifies the sha256 digest against the
+    driver-side expectation, so a corrupt or stale copy on any node is
+    a visible ``ok=false`` row, not a silently wrong model. Same
+    shipping mechanism the native codec shim uses (--files)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    with open(path, "rb") as f:
+        expected = hashlib.sha256(f.read()).hexdigest()
+    spark.sparkContext.addFile(path)
+    name = os.path.basename(path)
+
+    def probe(batches):
+        from pyspark import SparkFiles
+
+        with open(SparkFiles.get(name), "rb") as f:
+            data = f.read()
+        digest = hashlib.sha256(data).hexdigest()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "slot": pdf["slot"].astype("int64"),
+                    "n_bytes": len(data),
+                    "sha256": digest,
+                    "ok": digest == expected,
+                }
+            )
+
+    base = spark.range(0, n_slots, 1, n_slots).select(
+        F.col("id").alias("slot")
+    )
+    return base.mapInPandas(
+        probe, schema="slot long, n_bytes long, sha256 string, ok boolean"
+    )
+
+
+def q_model_artifact_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (S13): distribute the weights manifest and verify
+    its digest on every task slot. The oracle reads the SAME file with
+    DuckDB's read_blob and hashes it independently."""
+    return fetch_model_artifact(spark, ensure_model_artifact())
+
+
+def model_artifact_oracle_sql(path: str) -> str:
+    return f"""
+WITH a AS (
+  SELECT CAST(size AS BIGINT) AS n_bytes,
+         sha256(decode(content)) AS sha256
+  FROM read_blob('{path}')
+)
+SELECT CAST(t.i AS BIGINT) AS slot, a.n_bytes, a.sha256, true AS ok
+FROM a, range(0, {ARTIFACT_SLOTS}) t(i)
+"""
+
+
+QUERIES = {
+    "doc_validity_audit": q_doc_validity_audit,
+    "model_artifact_fetch": q_model_artifact_fetch,
+}
 ORACLE_SQL = {
     "doc_validity_audit": """
         SELECT doc_id AS src_id,

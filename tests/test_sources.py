@@ -149,3 +149,42 @@ def test_invalid_reason_matches_referee_property(spark):
             i for i, v in want.items() if v is None)
 
     check()
+
+
+def test_model_artifact_fetch_mechanics(spark, tmp_path):
+    """S13: ensure is idempotent, every task slot localizes and verifies
+    the artifact, and a tampered local copy is a visible ok=false row
+    (not a silently wrong model)."""
+    import hashlib
+
+    from dd_ops_ocr_spark import sources
+
+    p1 = sources.ensure_model_artifact(str(tmp_path))
+    p2 = sources.ensure_model_artifact(str(tmp_path))
+    assert p1 == p2
+    data = open(p1, "rb").read()
+    assert data == sources.synth_model_artifact_bytes()
+
+    rows = sources.fetch_model_artifact(spark, p1, n_slots=4).collect()
+    assert len(rows) == 4
+    assert sorted(r["slot"] for r in rows) == [0, 1, 2, 3]
+    want = hashlib.sha256(data).hexdigest()
+    assert all(r["ok"] and r["sha256"] == want and r["n_bytes"] == len(data)
+               for r in rows)
+
+    # tamper with the LOCALIZED copy (what an executor actually reads):
+    # digest verification must flag every slot, proving the check runs
+    # against the shipped bytes, not the driver's original
+    from pyspark import SparkFiles
+    import os
+
+    local = SparkFiles.get(os.path.basename(p1))
+    with open(local, "wb") as f:
+        f.write(b"corrupted-weights")
+    try:
+        rows = sources.fetch_model_artifact(spark, p1, n_slots=4).collect()
+        assert all(not r["ok"] for r in rows)
+        assert all(r["n_bytes"] == len(b"corrupted-weights") for r in rows)
+    finally:
+        with open(local, "wb") as f:
+            f.write(data)
