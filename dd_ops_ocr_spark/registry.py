@@ -280,6 +280,10 @@ _register(_catalogops)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "media_upscale",
+    "media_debug_draw",
+    "engine_dual_extract",
+    "model_artifact_fetch",
     "repeated_span_strip",
     "media_resize_native_scaled",
     "doc_validity_audit",
