@@ -308,12 +308,223 @@ LEFT JOIN spans s USING (doc_id)
 """
 
 
+# --------------------------------------------- benchmark decontamination
+
+_DECON_W = 5      # word n-gram width for eval-overlap matching
+_EVAL_NIBBLE = "e"  # md5(doc_id) first nibble selecting the eval split
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    _DECON_W-word shingle with the held-out eval split (the md5-selected
+    1/16 of the corpus stands in for a benchmark table). The
+    train-test-overlap scrub every serious pretraining pipeline runs
+    (C4/Gopher/Llama decontamination).
+
+    Scale shape: shingling is doc-local (transform over the split
+    array); the eval side collapses to DISTINCT shingle hashes —
+    benchmarks are tiny next to a 100 TB corpus, so that set broadcasts
+    and the match is a map-side left join; the only shuffle is the
+    per-doc hit count (partial agg applies). Zero-shingle docs (< W
+    words) are kept via the left join from the doc table."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split("text", " ", -1).alias("ws"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+         == _EVAL_NIBBLE).alias("is_eval"),
+    )
+    sh = d.select(
+        "doc_id",
+        "is_eval",
+        F.expr(
+            f"explode(transform("
+            f" CASE WHEN size(ws) >= {_DECON_W}"
+            f"  THEN sequence(0, size(ws) - {_DECON_W})"
+            f"  ELSE {_EMPTY_INT_ARR} END,"
+            f" i -> md5(array_join(slice(ws, i + 1, {_DECON_W}), ' '))))"
+        ).alias("gh"),
+    )
+    eval_sh = (
+        sh.filter("is_eval").select("gh").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_hits = (
+        sh.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_sh), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    return (
+        d.filter(~F.col("is_eval"))
+        .select("doc_id")
+        .join(train_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long")
+             .alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long")
+             .alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{_EVAL_NIBBLE}'
+           AS is_eval
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_eval,
+         md5(array_to_string(
+           ws[CAST(t.i AS INT):CAST(t.i AS INT) + {_DECON_W - 1}], ' ')) AS gh
+  FROM d, UNNEST(range(1, GREATEST(len(ws) - {_DECON_W - 1}, 0) + 1)) AS t(i)
+), ev AS (
+  SELECT DISTINCT gh FROM sh WHERE is_eval
+), hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         COUNT(e.gh) AS n_contaminated
+  FROM sh s LEFT JOIN ev e USING (gh)
+  WHERE NOT s.is_eval
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shingles, 0) AS n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+WHERE NOT d.is_eval
+"""
+
+
+# ------------------------------------------------ deterministic sampling
+
+_SAMPLE_CAP = 220        # target docs kept per language stratum
+_HASH_BITS = 60          # 15 md5 hex digits -> unbiased int64 key
+_HASH_MOD = 1 << _HASH_BITS
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling: downsample each
+    language stratum toward _SAMPLE_CAP docs by keeping docs whose
+    60-bit md5 key falls under the stratum's rate — keep iff
+    key * n_stratum < CAP << 60 (exact integer compare, no floats).
+
+    This is the scale-correct shape: the per-stratum count is one tiny
+    agg broadcast back onto the corpus, and the keep decision is then a
+    stateless map — no per-stratum global sort or rank, so a skewed
+    stratum (English at 60% of 100 TB) costs nothing extra. Stratum
+    sizes land binomially around CAP, the standard trade of
+    hash-threshold samplers."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("decimal(38,0)").alias("hkey"),
+    )
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_stratum"))
+    thresh = F.lit(_SAMPLE_CAP).cast("decimal(38,0)") * F.lit(
+        _HASH_MOD
+    ).cast("decimal(38,0)")
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .filter(F.col("hkey") * F.col("n_stratum").cast("decimal(38,0)")
+                < thresh)
+        .select("doc_id", "lang")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hkey
+  FROM documents
+), c AS (
+  SELECT lang, COUNT(*) AS n_stratum FROM d GROUP BY lang
+)
+SELECT d.doc_id, d.lang
+FROM d JOIN c USING (lang)
+WHERE CAST(d.hkey AS HUGEINT) * c.n_stratum
+      < CAST({_SAMPLE_CAP} AS HUGEINT) * {_HASH_MOD}
+"""
+
+
+# --------------------------------------------------- sequence packing
+
+_PACK_BUDGET = 256   # tokens per training sequence
+_PACK_BUCKETS = 16   # parallel packing partitions
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign docs to fixed token-budget
+    sequences by cumulative fill. Docs are first scattered into
+    _PACK_BUCKETS md5 buckets and packed independently per bucket —
+    packing is a running sum, and making it bucket-local keeps the
+    window partition bounded (a single global pack order would serialize
+    100 TB through one partition). seq_id is globally unique:
+    bucket * 2^32 + local bin. A doc straddling a boundary starts the
+    next sequence's fill (contiguous-fill approximation, the standard
+    distributed packing trade)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        # NB: conv(), not CAST('0x..') — Spark's string->int cast does
+        # not parse hex (DuckDB's does; the oracle uses that spelling)
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 2),
+                16, 10).cast("int") % _PACK_BUCKETS).alias("bucket"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("tokens").over(w)
+    return d.select(
+        "doc_id",
+        "bucket",
+        "tokens",
+        (F.col("bucket").cast("long") * F.lit(2**32)
+         + F.floor((cum - F.col("tokens")) / _PACK_BUDGET)).alias("seq_id"),
+        ((cum - F.col("tokens")) % _PACK_BUDGET).alias("seq_offset"),
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 2))
+              AS INT) % {_PACK_BUCKETS} AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+)
+SELECT doc_id, bucket, tokens,
+       CAST(bucket AS BIGINT) * 4294967296
+         + CAST(FLOOR((SUM(tokens) OVER w - tokens) / {_PACK_BUDGET})
+                AS BIGINT) AS seq_id,
+       CAST((SUM(tokens) OVER w - tokens) % {_PACK_BUDGET} AS BIGINT)
+         AS seq_offset
+FROM d
+WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "repeated_span_strip": q_repeated_span_strip,
+    "decontaminate": q_decontaminate,
+    "sample_stratified": q_sample_stratified,
+    "sequence_pack": q_sequence_pack,
 }
 
 ORACLE_SQL = {
@@ -322,4 +533,7 @@ ORACLE_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repeated_span_strip": SQL_REPEATED_SPAN_STRIP,
+    "decontaminate": SQL_DECONTAMINATE,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sequence_pack": SQL_SEQUENCE_PACK,
 }

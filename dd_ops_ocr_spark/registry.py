@@ -284,6 +284,9 @@ _ROSTER_HEAD = [
     "media_debug_draw",
     "engine_dual_extract",
     "model_artifact_fetch",
+    "decontaminate",
+    "sample_stratified",
+    "sequence_pack",
     "repeated_span_strip",
     "media_resize_native_scaled",
     "doc_validity_audit",

@@ -1,0 +1,93 @@
+"""Training-pipeline corpus operators (decontaminate / sample_stratified /
+sequence_pack) against planted documents tables with known structure."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from dd_ops_ocr_spark.operators.textstats import (
+    _PACK_BUDGET,
+    _SAMPLE_CAP,
+    q_decontaminate,
+    q_sample_stratified,
+    q_sequence_pack,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    path = str(tmp_path)
+    pdf.to_parquet(os.path.join(path, "documents.parquet"))
+    return path
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    """doc_ids 3/5/34 are the md5-nibble 'e' eval split. A train doc
+    repeating an eval 5-gram is contaminated at exactly the positions
+    that contain it; clean and short docs are not."""
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (3, eval_text, "en"),                      # eval
+        (5, "totally different benchmark words here", "en"),   # eval
+        (34, "x " * 3, "en"),                      # eval, short
+        # train: contains eval 5-gram "alpha beta gamma delta epsilon"
+        (0, "intro alpha beta gamma delta epsilon zeta outro", "en"),
+        # train: clean
+        (1, "one two three four five six seven", "en"),
+        # train: too short to shingle
+        (2, "tiny doc", "en"),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in q_decontaminate(spark, _write_docs(tmp_path, rows)).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    # doc 0 has 4 shingles; positions 1 and 2 reproduce eval shingles
+    # ("alpha..epsilon" and "beta..zeta")
+    assert got[0]["n_shingles"] == 4
+    assert got[0]["n_contaminated"] == 2
+    assert got[0]["contaminated"] is True
+    assert got[1] == {"doc_id": 1, "n_shingles": 3, "n_contaminated": 0,
+                      "contaminated": False}
+    assert got[2] == {"doc_id": 2, "n_shingles": 0, "n_contaminated": 0,
+                      "contaminated": False}
+
+
+def test_sample_stratified_small_and_large_strata(spark, tmp_path):
+    """Strata at/below the cap are kept whole; a stratum far above it
+    downsamples to ~CAP (binomial), deterministically."""
+    rows = [(i, "w", "small") for i in range(10)]
+    rows += [(1000 + i, "w", "big") for i in range(2000)]
+    path = _write_docs(tmp_path, rows)
+    got = q_sample_stratified(spark, path).toPandas()
+    small = got[got["lang"] == "small"]
+    big = got[got["lang"] == "big"]
+    assert len(small) == 10  # n <= CAP: hash*n < CAP<<60 always holds
+    assert 140 <= len(big) <= 310, len(big)  # ~binomial(2000, 220/2000)
+    again = q_sample_stratified(spark, path).toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_sequence_pack_cumulative_fill(spark, tmp_path):
+    """Docs planted into one md5 bucket pack by cumulative fill: bins
+    advance when the running sum crosses the budget; offsets are the
+    pre-fill remainder."""
+    # ids 12/19/139/144/159 all land in bucket 0; word counts chosen so
+    # cumulative sums (ordered by doc_id) cross the 256 budget twice
+    toks = {12: 100, 19: 100, 139: 100, 144: 30, 159: 200}
+    rows = [(i, " ".join(["w"] * t), "en") for i, t in toks.items()]
+    got = (
+        q_sequence_pack(spark, _write_docs(tmp_path, rows))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["bucket"] for r in got] == [0] * 5
+    assert [r["tokens"] for r in got] == [100, 100, 100, 30, 200]
+    # cums: 100,200,300,330,530 -> starts 0,100,200,300,330
+    assert [r["seq_id"] for r in got] == [0, 0, 0, 1, 1]
+    assert [r["seq_offset"] for r in got] == [0, 100, 200, 44, 74]
+    assert all(0 <= r["seq_offset"] < _PACK_BUDGET for r in got)
+    assert _SAMPLE_CAP > 0  # imported constants stay wired
