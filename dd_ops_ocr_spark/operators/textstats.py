@@ -209,6 +209,24 @@ _SPAN_K = 3
 _EMPTY_INT_ARR = "CAST(array() AS array<int>)"
 
 
+def _shingle_expr(width: int, with_start: bool = False) -> str:
+    """Doc-local word-shingling as ONE higher-order-function expression
+    over a pre-split ``ws`` array: explode the md5 of every consecutive
+    ``width``-word window (plus its start index when ``with_start``).
+    Shared by repeated-span removal and decontamination so the shingle
+    semantics (short-doc empty case, separator, hashing) cannot
+    diverge."""
+    gh = f"md5(array_join(slice(ws, i + 1, {width}), ' '))"
+    body = f"struct(i AS start, {gh} AS gh)" if with_start else gh
+    return (
+        f"explode(transform("
+        f" CASE WHEN size(ws) >= {width}"
+        f"  THEN sequence(0, size(ws) - {width})"
+        f"  ELSE {_EMPTY_INT_ARR} END,"
+        f" i -> {body}))"
+    )
+
+
 def q_repeated_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-corpus repeated-span removal (C4-style dedup): any
     _SPAN_W-word shingle appearing in >= _SPAN_K distinct docs is
@@ -231,14 +249,7 @@ def q_repeated_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = d.select(
         "doc_id",
-        F.expr(
-            f"explode(transform("
-            f" CASE WHEN size(ws) >= {_SPAN_W}"
-            f"  THEN sequence(0, size(ws) - {_SPAN_W})"
-            f"  ELSE {_EMPTY_INT_ARR} END,"
-            f" i -> struct(i AS start,"
-            f"  md5(array_join(slice(ws, i + 1, {_SPAN_W}), ' ')) AS gh)))"
-        ).alias("s"),
+        F.expr(_shingle_expr(_SPAN_W, with_start=True)).alias("s"),
     ).select("doc_id", "s.start", "s.gh")
     hot = (
         sh.groupBy("gh")
@@ -322,11 +333,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (C4/Gopher/Llama decontamination).
 
     Scale shape: shingling is doc-local (transform over the split
-    array); the eval side collapses to DISTINCT shingle hashes —
-    benchmarks are tiny next to a 100 TB corpus, so that set broadcasts
-    and the match is a map-side left join; the only shuffle is the
-    per-doc hit count (partial agg applies). Zero-shingle docs (< W
-    words) are kept via the left join from the doc table."""
+    array); the eval side collapses to DISTINCT shingle hashes. The
+    eval-vs-train join is left UNHINTED: against a real benchmark table
+    (tiny next to 100 TB) AQE picks a broadcast join on its own, while
+    this md5-split stand-in — 1/16 of the corpus, so its shingle set
+    GROWS with the input — must stay eligible for a shuffle join rather
+    than being forced through an ever-growing broadcast. The remaining
+    shuffle is the per-doc hit count (partial agg applies). Zero-shingle
+    docs (< W words) are kept via the left join from the doc table."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.split("text", " ", -1).alias("ws"),
@@ -336,13 +350,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id",
         "is_eval",
-        F.expr(
-            f"explode(transform("
-            f" CASE WHEN size(ws) >= {_DECON_W}"
-            f"  THEN sequence(0, size(ws) - {_DECON_W})"
-            f"  ELSE {_EMPTY_INT_ARR} END,"
-            f" i -> md5(array_join(slice(ws, i + 1, {_DECON_W}), ' '))))"
-        ).alias("gh"),
+        F.expr(_shingle_expr(_DECON_W)).alias("gh"),
     )
     eval_sh = (
         sh.filter("is_eval").select("gh").distinct()
@@ -350,7 +358,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train_hits = (
         sh.filter(~F.col("is_eval"))
-        .join(F.broadcast(eval_sh), "gh", "left")
+        .join(eval_sh, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

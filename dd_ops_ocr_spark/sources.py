@@ -236,19 +236,29 @@ def synth_model_artifact_bytes() -> bytes:
 def ensure_model_artifact(cache_dir: str | None = None) -> str:
     """Write the artifact once (atomic tmp+rename, concurrent-safe) and
     return its absolute path — the 'ensure_models_available' half of
-    S13: idempotent localization before use, never a per-task fetch."""
+    S13: idempotent localization before use, never a per-task fetch.
+    An existing cache file is VALIDATED against the canonical bytes and
+    rewritten on mismatch (a truncated or stale driver-side copy would
+    otherwise become the 'expected' digest and self-verify everywhere,
+    silently defeating the executor check)."""
     import os
 
     from dd_ops_ocr_spark import fixtures
 
     cache_dir = cache_dir or fixtures.FIXTURE_DIR
     path = os.path.join(cache_dir, ARTIFACT_NAME)
-    if not os.path.exists(path):
-        os.makedirs(cache_dir, exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(synth_model_artifact_bytes())
-        os.replace(tmp, path)
+    want = synth_model_artifact_bytes()
+    try:
+        with open(path, "rb") as f:
+            if f.read() == want:
+                return os.path.abspath(path)
+    except OSError:
+        pass  # missing/unreadable — (re)write below
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(want)
+    os.replace(tmp, path)
     return os.path.abspath(path)
 
 

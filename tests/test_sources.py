@@ -188,3 +188,21 @@ def test_model_artifact_fetch_mechanics(spark, tmp_path):
     finally:
         with open(local, "wb") as f:
             f.write(data)
+
+
+def test_model_artifact_driver_cache_validated(tmp_path):
+    """A stale/corrupt DRIVER-side cache file must be rewritten, not
+    adopted as the expected digest."""
+    import os
+
+    from dd_ops_ocr_spark import sources
+
+    p = sources.ensure_model_artifact(str(tmp_path))
+    with open(p, "wb") as f:
+        f.write(b"stale-v0-weights")
+    p2 = sources.ensure_model_artifact(str(tmp_path))
+    assert p2 == p
+    assert open(p, "rb").read() == sources.synth_model_artifact_bytes()
+    os.remove(p)
+    p3 = sources.ensure_model_artifact(str(tmp_path))
+    assert open(p3, "rb").read() == sources.synth_model_artifact_bytes()
