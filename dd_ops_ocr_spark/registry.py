@@ -237,6 +237,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["ann_ivf_topk"] = ann_ivf_oracle_sql(sf_dir)
 
 from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
+from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
 from dd_ops_ocr_spark.operators import integrate as _integrate  # noqa: E402
@@ -269,6 +270,7 @@ _register(_jsonops)
 _register(_typeutils)
 _register(_vision)
 _register(_catalogops)
+_register(_external)
 
 
 # ---------------------------------------------------------------- roster order
@@ -287,6 +289,7 @@ _ROSTER_HEAD = [
     "decontaminate",
     "sample_stratified",
     "sequence_pack",
+    "bounded_engine_calls",
     "repeated_span_strip",
     "media_resize_native_scaled",
     "doc_validity_audit",

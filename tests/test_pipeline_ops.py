@@ -91,3 +91,45 @@ def test_sequence_pack_cumulative_fill(spark, tmp_path):
     assert [r["seq_offset"] for r in got] == [0, 100, 200, 44, 74]
     assert all(0 <= r["seq_offset"] < _PACK_BUDGET for r in got)
     assert _SAMPLE_CAP > 0  # imported constants stay wired
+
+
+def test_bounded_engine_calls_concurrency_and_order(spark, tmp_path):
+    """X4: the semaphore-bounded gather never exceeds max_inflight, DOES
+    reach it (calls genuinely overlap), and keeps input order; the Spark
+    path produces the engine outputs end-to-end."""
+    import asyncio
+
+    from dd_ops_ocr_spark.operators.external import (
+        bounded_engine_calls,
+        run_bounded,
+    )
+
+    state = {"now": 0, "high": 0}
+
+    async def recording_engine(text):
+        state["now"] += 1
+        state["high"] = max(state["high"], state["now"])
+        await asyncio.sleep(0)  # yield so gather interleaves
+        await asyncio.sleep(0)
+        state["now"] -= 1
+        return {"result_len": len(text), "head": text[:10].upper()}
+
+    texts = [f"doc number {i} body" for i in range(20)]
+    outs = run_bounded(texts, recording_engine, max_inflight=3)
+    assert [o["result_len"] for o in outs] == [len(t) for t in texts]
+    assert state["high"] == 3, state  # bound reached, never exceeded
+    assert state["now"] == 0
+
+    # max_inflight=1 degrades to strictly sequential
+    state["high"] = 0
+    run_bounded(texts, recording_engine, max_inflight=1)
+    assert state["high"] == 1
+
+    # Spark path end-to-end with the default deterministic engine
+    rows = [(i, f"doc number {i} body", "en") for i in range(20)]
+    docs = _write_docs(tmp_path, rows)
+    df = spark.read.parquet(f"{docs}/documents.parquet")
+    out = {r["doc_id"]: r for r in bounded_engine_calls(df).collect()}
+    assert len(out) == 20
+    assert out[7]["result_len"] == len("doc number 7 body")
+    assert out[7]["head"] == "DOC NUMBER"
