@@ -185,3 +185,49 @@ def test_pg_cache_is_session_scoped(spark):
     bounded._cached_pg(df, build)
     assert len(builds) == 2  # cold after clear — what bench relies on
     bounded.clear_pg_cache()
+
+
+def test_pipeline_ops_plan_shapes(spark):
+    """The new corpus ops keep their scale shapes: packing windows are
+    bucket-partitioned (never a single global window), sampling
+    broadcasts only the tiny per-stratum count table, decontamination
+    plans no cartesian product and stays broadcast-UNhinted."""
+    from dd_ops_ocr_spark.operators.textstats import (
+        q_decontaminate,
+        q_sample_stratified,
+        q_sequence_pack,
+    )
+
+    pack = _plan(q_sequence_pack(spark, SF_SMOKE))
+    # the window must be partitioned by bucket; an empty partitionBy
+    # would serialize the corpus through one partition
+    win_line = next(l for l in pack.splitlines() if "Window" in l)
+    assert "bucket" in win_line, win_line
+
+    samp = _plan(q_sample_stratified(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in samp  # counts side is O(#langs)
+    assert "CartesianProduct" not in samp
+
+    dec = _plan(q_decontaminate(spark, SF_SMOKE))
+    assert "CartesianProduct" not in dec
+    assert "BroadcastNestedLoopJoin" not in dec
+
+
+def test_engine_dual_plan_aggregates_before_join(spark):
+    """K12: both engine sides reduce to per-doc rows BEFORE the
+    full-outer join — the join must consume aggregates, not spans."""
+    from dd_ops_ocr_spark.operators.joins import q_engine_dual_extract
+
+    plan = _plan(q_engine_dual_extract(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    join_idx = [i for i, l in enumerate(lines)
+                if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+                or "BroadcastHashJoin" in l]
+    assert join_idx, plan[:2000]
+    # plan strings print parents first: the join's inputs (per-doc
+    # aggregates) must appear BELOW the topmost join line
+    below = "\n".join(lines[join_idx[0]:])
+    assert below.count("HashAggregate") >= 2 or (
+        below.count("SortAggregate") + below.count("HashAggregate") >= 2
+    ), below[:2000]
