@@ -5,10 +5,11 @@ reference: src/modules/step1/03_image_converter.py:42-57); this container
 has no Pillow/OpenCV, so the multimodal path gets a real, library-free
 baseline-JPEG implementation:
 
-  * ``decode_jpeg``  — baseline sequential DCT (SOF0), arbitrary Huffman
-    tables from DHT, 4:4:4 / 4:2:2 / 4:2:0 / grayscale sampling, restart
-    markers, byte-unstuffing. Progressive (SOF2) and arithmetic coding
-    raise NotImplementedError.
+  * ``decode_jpeg``  — baseline sequential DCT (SOF0/1) AND progressive
+    (SOF2: spectral selection + successive approximation, EOB runs,
+    refinement scans), arbitrary Huffman tables from DHT, 4:4:4 / 4:2:2
+    / 4:2:0 / grayscale sampling, restart markers, byte-unstuffing.
+    Lossless/extended/arithmetic coding raise NotImplementedError.
   * ``encode_jpeg``  — baseline encoder (4:4:4 or 4:2:0), quality-scaled
     Annex-K quantization tables, single-length canonical Huffman tables
     (valid per the spec — DHT carries whatever tables the scan uses, and
@@ -310,8 +311,10 @@ def _build_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
     return lut
 
 
-def _entropy_segments(payload: bytes, pos: int) -> list[list[int]]:
-    """RST-delimited entropy segments starting at ``pos``.
+def _entropy_segments(payload: bytes, pos: int) -> tuple[list[list[int]], int]:
+    """RST-delimited entropy segments starting at ``pos``, plus the
+    absolute index of the terminating marker's 0xFF (so multi-scan
+    progressive parsing can resume at the next marker).
 
     Each segment is unstuffed (FF 00 -> FF) with vectorized numpy — no
     per-byte Python — and packed as a 32-bit sliding-window list:
@@ -351,7 +354,7 @@ def _entropy_segments(payload: bytes, pos: int) -> list[list[int]]:
         b = np.concatenate([seg, np.zeros(4, dtype=np.uint8)]).astype(np.uint32)
         word = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
         segs.append(word.tolist())
-    return segs
+    return segs, end
 
 
 def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
@@ -371,7 +374,7 @@ def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y
-    segs = _entropy_segments(payload, pos)
+    segs, _ = _entropy_segments(payload, pos)
     blocks_out: list[list[list[int]]] = [[] for _ in comps]
     luts = [(huff_dc[c["td"]], huff_ac[c["ta"]]) for c in comps]
     nblk = [c["v"] * c["h"] for c in comps]
@@ -470,6 +473,214 @@ def _decode_mcus(n_mcus, restart_interval, segs, comps, luts, nblk,
                 out_ci.append(coef)
 
 
+def _decode_progressive_scan(payload, pos, scan_comps, Ss, Se, Ah, Al,
+                             comps, grids, mcus_x, mcus_y,
+                             huff_dc, huff_ac, restart_interval,
+                             w, h) -> int:
+    """Decode ONE progressive scan (T.81 G.2 / the public libjpeg
+    jdphuff successive-approximation procedures) into the per-component
+    zigzag coefficient grids; returns the payload index where the next
+    marker begins.
+
+    Four scan kinds: DC first (Ss=0, Ah=0; the only kind that may
+    interleave several components), DC refine (one bit per block,
+    OR-appended — two's-complement makes that exact for negatives too),
+    AC first (EOB-run coded band values shifted by Al), and AC refine
+    (correction bits for nonzero history + ±1<<Al for new
+    coefficients). Restart markers reset DC predictors and the EOB run.
+    Serial per-symbol Python by design — this is the dependency-free
+    fallback; production decodes progressive through the native shim."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    interleaved = len(scan_comps) > 1
+    bw = 0
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        c = comps[scan_comps[0]]
+        # component sample dims, then block dims (plain ceil twice)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        n_units = bw * bh
+    segs, end = _entropy_segments(payload, pos)
+    try:
+        _progressive_units(segs, n_units, scan_comps, Ss, Se, Ah, Al,
+                           comps, grids, mcus_x, interleaved,
+                           huff_dc, huff_ac, restart_interval,
+                           bw if not interleaved else 0)
+    except IndexError:
+        raise EOFError("truncated JPEG scan") from None
+    return end
+
+
+def _progressive_units(segs, n_units, scan_comps, Ss, Se, Ah, Al,
+                       comps, grids, mcus_x, interleaved,
+                       huff_dc, huff_ac, restart_interval, bw):
+    p1 = 1 << Al
+    m1 = -p1
+    seg_i = 0
+    word = segs[0]
+    bp = 0
+    pred = {ci: 0 for ci in scan_comps}
+    eobrun = 0
+
+    def receive(nbits):
+        nonlocal bp
+        wv = word[bp >> 3]
+        v = (wv >> (32 - (bp & 7) - nbits)) & ((1 << nbits) - 1)
+        bp += nbits
+        return v
+
+    def decode_sym(lut):
+        nonlocal bp
+        wv = word[bp >> 3]
+        e = lut[(wv >> (16 - (bp & 7))) & 0xFFFF]
+        ln = e >> 8
+        if ln == 0:
+            raise ValueError("invalid Huffman code")
+        bp += ln
+        return e & 0xFF
+
+    for m in range(n_units):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise EOFError("missing RST segment")
+            word = segs[seg_i]
+            bp = 0
+            pred = {ci: 0 for ci in scan_comps}
+            eobrun = 0
+        if interleaved:
+            # DC scans only (T.81 forbids interleaved AC scans)
+            for ci in scan_comps:
+                c = comps[ci]
+                grid = grids[ci]
+                row_blocks = mcus_x * c["h"]
+                my, mx = divmod(m, mcus_x)
+                for bv in range(c["v"]):
+                    for bx in range(c["h"]):
+                        idx = (my * c["v"] + bv) * row_blocks \
+                            + mx * c["h"] + bx
+                        coef = grid[idx]
+                        if Ah == 0:
+                            s = decode_sym(huff_dc[c["td"]])
+                            if s:
+                                v = receive(s)
+                                pred[ci] += (
+                                    v if v >= (1 << (s - 1))
+                                    else v - (1 << s) + 1
+                                )
+                            coef[0] = pred[ci] << Al
+                        else:
+                            if receive(1):
+                                coef[0] |= p1
+        else:
+            ci = scan_comps[0]
+            c = comps[ci]
+            grid = grids[ci]
+            row_blocks = mcus_x * c["h"]
+            by, bx = divmod(m, bw)
+            coef = grid[by * row_blocks + bx]
+            if Ss == 0:
+                if Ah == 0:
+                    s = decode_sym(huff_dc[c["td"]])
+                    if s:
+                        v = receive(s)
+                        pred[ci] += (
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
+                    coef[0] = pred[ci] << Al
+                else:
+                    if receive(1):
+                        coef[0] |= p1
+            elif Ah == 0:
+                # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = decode_sym(huff_ac[c["ta"]])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += receive(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC index out of range")
+                    v = receive(s)
+                    coef[k] = (
+                        v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    ) << Al
+                    k += 1
+            else:
+                # AC refine scan (libjpeg decode_mcu_AC_refine shape)
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        rs = decode_sym(huff_ac[c["ta"]])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += receive(r)
+                                break
+                            val = 0  # ZRL: 16 zero-history positions
+                        else:
+                            # s is 1 in valid streams: a new ±1<<Al coef
+                            val = p1 if receive(1) else m1
+                        while k <= Se:
+                            if coef[k]:
+                                if receive(1) and not (coef[k] & p1):
+                                    coef[k] += p1 if coef[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= Se:
+                            coef[k] = val
+                        k += 1
+                if eobrun:
+                    while k <= Se:
+                        if coef[k]:
+                            if receive(1) and not (coef[k] & p1):
+                                coef[k] += p1 if coef[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _assemble_grids(comps, grids, qts, mcus_x, mcus_y, w, h) -> np.ndarray:
+    """Dequant + IDCT + upsample for the progressive grid layout
+    (blocks stored row-major over the padded component block grid)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    dct_t = DCT.T
+    planes = []
+    for c, grid in zip(comps, grids):
+        rows = mcus_y * c["v"]
+        cols = mcus_x * c["h"]
+        coef_zz = np.asarray(grid, dtype=np.int64)
+        qt_zz = qts[c["tq"]][ZZ]
+        blocks = (coef_zz * qt_zz[None, :])[:, UNZZ].reshape(-1, 8, 8)
+        px = dct_t @ blocks.astype(np.float64) @ DCT + 128.0
+        plane = (
+            px.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+        planes.append(plane)
+    return _finish_scan(comps, planes, vmax, hmax, w, h)
+
+
 def _finish_scan(comps, planes, vmax, hmax, w, h) -> np.ndarray:
     """Upsample chroma to full resolution (nearest), crop, color-convert."""
     full = []
@@ -516,7 +727,14 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+    """Baseline OR progressive JPEG bytes -> (h, w, 3) uint8 RGB.
+
+    Baseline (SOF0/1) decodes in one pass at the first SOS; progressive
+    (SOF2) accumulates coefficients across every scan and assembles at
+    EOI. Progressive output is BIT-IDENTICAL to decoding the baseline
+    encoding of the same quantized coefficients (the scans are a
+    reordering, not a re-quantization) — tests assert exactly that
+    against libjpeg's progressive encoder."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qts: dict[int, np.ndarray] = {}
@@ -525,6 +743,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    grids: list[list[list[int]]] | None = None
+    mcus_x = mcus_y = 0
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -539,8 +760,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(payload):
+            raise EOFError("truncated JPEG (cut inside a marker header)")
         (seg_len,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2: pos + seg_len]
+        if len(seg) < seg_len - 2:
+            raise EOFError("truncated JPEG (cut inside a marker segment)")
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             o = 0
             while o < len(seg):
@@ -559,10 +784,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[o + 1: o + 17])
                 nv = sum(bits)
                 vals = list(seg[o + 17: o + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise EOFError("truncated DHT segment")
                 table = _build_decode_lut(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = table
                 o += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             comps = []
             for i in range(nc):
@@ -570,22 +798,44 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("progressive/extended JPEG (not baseline)")
+            raise NotImplementedError("lossless/extended/arithmetic JPEG")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             ns = seg[0]
+            scan_comps = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i: 3 + 2 * i]
-                for c in comps:
+                for j, c in enumerate(comps):
                     if c["id"] == cid:
                         c["td"], c["ta"] = tt >> 4, tt & 0xF
+                        scan_comps.append(j)
             scan_start = pos + seg_len
-            return _decode_scan(
-                payload, scan_start, w, h, comps, qts, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, scan_start, w, h, comps, qts, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se, ahal = seg[1 + 2 * ns: 4 + 2 * ns]
+            if grids is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                grids = [
+                    [[0] * 64
+                     for _ in range(mcus_y * c["v"] * mcus_x * c["h"])]
+                    for c in comps
+                ]
+            pos = _decode_progressive_scan(
+                payload, scan_start, scan_comps, ss, se,
+                ahal >> 4, ahal & 0xF, comps, grids, mcus_x, mcus_y,
+                huff_dc, huff_ac, restart_interval, w, h,
             )
+            continue
         pos += seg_len
+    if progressive and grids is not None:
+        return _assemble_grids(comps, grids, qts, mcus_x, mcus_y, w, h)
     raise ValueError("no SOS marker found")

@@ -841,14 +841,15 @@ def q_media_metadata_jpeg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_metadata_jpeg_progressive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The metadata path over PROGRESSIVE JPEG payloads — the pure-numpy
-    decoder's documented NotImplementedError seam, closed by the native
-    shim (jpeg_simple_progression emits the same DCT coefficients
-    reordered across scans, so dimensions and pixels are unchanged; the
-    dims oracle is shared with the baseline-JPEG query). Workers without
-    the shim degrade to baseline bytes + the numpy decoder — probed PER
-    WORKER on both the synth and decode sides — keeping the query
-    runnable and the oracle valid either way."""
+    """The metadata path over PROGRESSIVE JPEG payloads. BOTH decoders
+    handle progressive now: the native shim, and the pure-numpy decoder
+    (spectral-selection + successive-approximation scans in jpeg.py,
+    bit-identical to its baseline decode of the same coefficients —
+    jpeg_simple_progression reorders, never re-quantizes; the dims
+    oracle is shared with the baseline-JPEG query). Only the
+    progressive ENCODER still needs the shim, so workers without it
+    degrade to baseline synth bytes — probed PER WORKER — keeping the
+    query runnable and the oracle valid either way."""
     from dd_ops_ocr_spark import native
 
     out = media_metadata(

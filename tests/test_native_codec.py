@@ -101,11 +101,12 @@ def test_native_decode_is_faster_than_numpy():
 
 
 def test_progressive_closes_numpy_seam():
-    """Progressive JPEG is a documented NotImplementedError seam in the
-    pure-numpy decoder (operators/jpeg.py); the native shim closes it:
-    jpeg_simple_progression reorders the SAME DCT coefficients across
-    scans, so the progressive encoding must decode bit-identically to
-    the baseline encoding of the same pixels."""
+    """Progressive JPEG, both decoders: jpeg_simple_progression reorders
+    the SAME DCT coefficients across scans, so the progressive encoding
+    must decode bit-identically to the baseline encoding of the same
+    pixels — through libjpeg AND through the pure-numpy progressive
+    decoder (which shares the baseline path's IDCT, making the equality
+    exact, not tolerance-bounded)."""
     from dd_ops_ocr_spark.operators.jpeg import decode_jpeg
     from dd_ops_ocr_spark.operators.multimodal import detect_format
 
@@ -118,8 +119,43 @@ def test_progressive_closes_numpy_seam():
     assert np.array_equal(
         native.decode_jpeg_native(prog), native.decode_jpeg_native(base)
     )
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)  # the numpy seam, still documented
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+
+
+def test_numpy_progressive_decode_matrix():
+    """The numpy progressive decoder across sampling layouts and
+    partial-MCU geometries: every case bit-identical to the baseline
+    decode of the same pixels; mid-stream truncation raises a clear
+    error, never a raw IndexError/struct.error."""
+    from dd_ops_ocr_spark.operators.jpeg import decode_jpeg
+
+    for w, h, sub, q in [
+        (83, 57, "4:2:0", 90),   # partial MCUs both axes
+        (96, 120, "4:4:4", 95),
+        (64, 48, "4:2:2", 75),
+        (40, 56, "4:4:4", 95),   # flat-ish content
+    ]:
+        img = _page(w, h)
+        base = native.encode_jpeg_native(img, quality=q, subsampling=sub)
+        prog = native.encode_jpeg_native(
+            img, quality=q, subsampling=sub, progressive=True
+        )
+        db, dp = decode_jpeg(base), decode_jpeg(prog)
+        assert db.shape == (h, w, 3)
+        assert np.array_equal(db, dp), (w, h, sub, q)
+
+    prog = native.encode_jpeg_native(
+        _page(83, 57), quality=90, subsampling="4:2:0", progressive=True
+    )
+    for cut in range(10, len(prog), 13):
+        try:
+            out = decode_jpeg(prog[:cut])
+        except (EOFError, ValueError, NotImplementedError):
+            continue  # clear, documented error types only
+        # a cut at a scan boundary is a VALID progressive prefix — the
+        # later scans are refinements; the decode must still be a
+        # full-geometry image (coarser, never smaller/garbled-shape)
+        assert out.shape == (57, 83, 3), cut
 
 
 def test_media_resize_native_codec_injection(spark):
