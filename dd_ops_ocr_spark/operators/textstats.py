@@ -209,14 +209,17 @@ _SPAN_K = 3
 _EMPTY_INT_ARR = "CAST(array() AS array<int>)"
 
 
-def _shingle_expr(width: int, with_start: bool = False) -> str:
+def _shingle_expr(width: int, with_start: bool = False,
+                  hashed: bool = True) -> str:
     """Doc-local word-shingling as ONE higher-order-function expression
-    over a pre-split ``ws`` array: explode the md5 of every consecutive
-    ``width``-word window (plus its start index when ``with_start``).
-    Shared by repeated-span removal and decontamination so the shingle
-    semantics (short-doc empty case, separator, hashing) cannot
-    diverge."""
-    gh = f"md5(array_join(slice(ws, i + 1, {width}), ' '))"
+    over a pre-split ``ws`` array: explode every consecutive
+    ``width``-word window — md5-hashed (join keys) or raw text
+    (``hashed=False``, for human-readable counting) — plus its start
+    index when ``with_start``. Shared by repeated-span removal,
+    decontamination, and heavy-hitter counting so the shingle semantics
+    (short-doc empty case, separator, hashing) cannot diverge."""
+    gram = f"array_join(slice(ws, i + 1, {width}), ' ')"
+    gh = f"md5({gram})" if hashed else gram
     body = f"struct(i AS start, {gh} AS gh)" if with_start else gh
     return (
         f"explode(transform("
@@ -409,6 +412,61 @@ WHERE NOT d.is_eval
 """
 
 
+# ------------------------------------------------- corpus heavy hitters
+
+_TOPK_W = 3    # n-gram width
+_TOPK_K = 50   # hitters returned
+
+
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the _TOPK_K most frequent _TOPK_W-word
+    n-grams with occurrence and document counts — the corpus-statistics
+    pass behind boilerplate discovery and contamination triage.
+
+    Scale shape: doc-local shingling (no word explode-join), ONE
+    hash-agg shuffle keyed on the n-gram (map-side partial aggregation
+    collapses each task's repeats before the exchange — exactly the
+    pattern that makes corpus counting feasible at 100 TB), then a
+    global top-k sort of the already-aggregated (tiny) key set.
+    Deterministic total order: count desc, then the n-gram text asc as
+    the tie-break, so Spark and DuckDB cut the same K rows."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ", -1).alias("ws")
+    )
+    grams = d.select(
+        "doc_id",
+        F.expr(_shingle_expr(_TOPK_W, hashed=False)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("gram"))
+        .limit(_TOPK_K)
+    )
+
+
+SQL_TOPK_NGRAMS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(
+           ws[CAST(t.i AS INT):CAST(t.i AS INT) + {_TOPK_W - 1}], ' ') AS gram
+  FROM d, UNNEST(range(1, GREATEST(len(ws) - {_TOPK_W - 1}, 0) + 1)) AS t(i)
+)
+SELECT gram,
+       CAST(COUNT(*) AS BIGINT) AS occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams
+GROUP BY gram
+ORDER BY occurrences DESC, gram ASC
+LIMIT {_TOPK_K}
+"""
+
+
 # ------------------------------------------------ deterministic sampling
 
 _SAMPLE_CAP = 220        # target docs kept per language stratum
@@ -533,6 +591,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "sequence_pack": q_sequence_pack,
+    "topk_ngrams": q_topk_ngrams,
 }
 
 ORACLE_SQL = {
@@ -544,4 +603,5 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "topk_ngrams": SQL_TOPK_NGRAMS,
 }

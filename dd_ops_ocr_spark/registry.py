@@ -290,6 +290,7 @@ _ROSTER_HEAD = [
     "sample_stratified",
     "sequence_pack",
     "bounded_engine_calls",
+    "topk_ngrams",
     "repeated_span_strip",
     "media_resize_native_scaled",
     "doc_validity_audit",

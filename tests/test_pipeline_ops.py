@@ -133,3 +133,21 @@ def test_bounded_engine_calls_concurrency_and_order(spark, tmp_path):
     assert len(out) == 20
     assert out[7]["result_len"] == len("doc number 7 body")
     assert out[7]["head"] == "DOC NUMBER"
+
+
+def test_topk_ngrams_deterministic_order(spark, tmp_path):
+    """Heavy hitters: exact counts and the (count desc, gram asc) total
+    order, including ties."""
+    from dd_ops_ocr_spark.operators.textstats import q_topk_ngrams
+
+    rows = [
+        (1, "a b c a b c", "en"),     # grams: "a b c","b c a","c a b","a b c"
+        (2, "a b c d", "en"),          # "a b c","b c d"
+        (3, "x y", "en"),              # too short -> none
+    ]
+    got = q_topk_ngrams(spark, _write_docs(tmp_path, rows)).collect()
+    rows_out = [(r["gram"], r["occurrences"], r["n_docs"]) for r in got]
+    assert rows_out[0] == ("a b c", 3, 2)
+    # the three singletons tie on count and sort lexicographically
+    assert rows_out[1:] == [("b c a", 1, 1), ("b c d", 1, 1),
+                            ("c a b", 1, 1)]
