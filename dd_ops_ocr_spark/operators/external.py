@@ -33,9 +33,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 async def default_engine(text: str) -> dict:
     """Deterministic stand-in for the external OCR/LLM call: character
-    count + uppercased head. Restatable in SQL, so the driver grades the
-    full operator path end-to-end."""
-    return {"result_len": len(text), "head": text[:10].upper()}
+    count + the 10-char head. Restatable in SQL, so the driver grades
+    the full operator path end-to-end. Deliberately NO case mapping:
+    Python str.upper() is full Unicode case folding while DuckDB's
+    UPPER() is the simple mapping (straße -> STRASSE vs STRAẞE), so an
+    upper() here would silently break the oracle on non-ASCII corpora;
+    code-point slicing agrees between the engines."""
+    return {"result_len": len(text), "head": text[:10]}
 
 
 def run_bounded(
@@ -97,7 +101,7 @@ def q_bounded_engine_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BOUNDED_ENGINE_CALLS = """
 SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS result_len,
-       UPPER(substring(text, 1, 10)) AS head
+       substring(text, 1, 10) AS head
 FROM documents
 """
 

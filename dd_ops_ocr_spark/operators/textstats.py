@@ -423,25 +423,58 @@ def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams with occurrence and document counts — the corpus-statistics
     pass behind boilerplate discovery and contamination triage.
 
-    Scale shape: doc-local shingling (no word explode-join), ONE
-    hash-agg shuffle keyed on the n-gram (map-side partial aggregation
-    collapses each task's repeats before the exchange — exactly the
-    pattern that makes corpus counting feasible at 100 TB), then a
-    global top-k sort of the already-aggregated (tiny) key set.
-    Deterministic total order: count desc, then the n-gram text asc as
-    the tie-break, so Spark and DuckDB cut the same K rows."""
+    Scale shape: the per-doc gram multiset is collapsed DOC-LOCALLY to
+    (gram, occurrences-in-doc) runs before anything shuffles — sort the
+    doc's gram array, find run starts, zip consecutive starts into run
+    lengths, all as higher-order functions — so the one and only
+    exchange is the per-gram hash-agg (sum of local counts + count of
+    docs), with map-side partial aggregation on top. A naive
+    count + countDistinct(doc_id) would plan a second, full-width
+    (gram, doc_id) exchange — the dominant cost at 100 TB;
+    test_plan_shape asserts the single-exchange shape. Deterministic
+    total order: count desc, then the n-gram text asc as the tie-break,
+    so Spark and DuckDB cut the same K rows."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.split("text", " ", -1).alias("ws")
     )
-    grams = d.select(
-        "doc_id",
-        F.expr(_shingle_expr(_TOPK_W, hashed=False)).alias("gram"),
+    # sorted grams -> run starts -> (gram, run length) structs, built as
+    # chained narrow projections (Spark SQL has no LET binding; the
+    # projections collapse into one whole-stage-codegen'd stage). Docs
+    # shorter than the window are dropped up front so every array
+    # expression below sees size(s) >= 1 (sequence(0, -1) would DESCEND
+    # and index out of range, not produce an empty list).
+    runs = (
+        d.filter(F.expr(f"size(ws) >= {_TOPK_W}"))
+        .select(
+            F.expr(
+                f"array_sort(transform(sequence(0, size(ws) - {_TOPK_W}),"
+                f" i -> array_join(slice(ws, i + 1, {_TOPK_W}), ' ')))"
+            ).alias("s")
+        )
+        .select(
+            "s",
+            F.expr(
+                "concat(array(0),"
+                " CASE WHEN size(s) = 1 THEN CAST(array() AS array<int>)"
+                " ELSE filter(sequence(1, size(s) - 1),"
+                "             i -> s[i] != s[i - 1]) END)"
+            ).alias("starts"),
+        )
+        .select(
+            F.expr(
+                "explode("
+                " zip_with(starts,"
+                "  concat(slice(starts, 2, size(starts)), array(size(s))),"
+                "  (a, b) -> struct(s[a] AS gram, b - a AS occ)))"
+            ).alias("run")
+        )
+        .select("run.gram", "run.occ")
     )
     return (
-        grams.groupBy("gram")
+        runs.groupBy("gram")
         .agg(
-            F.count("*").alias("occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("occ").alias("occurrences"),
+            F.count("*").alias("n_docs"),
         )
         .orderBy(F.desc("occurrences"), F.asc("gram"))
         .limit(_TOPK_K)

@@ -112,7 +112,7 @@ def test_bounded_engine_calls_concurrency_and_order(spark, tmp_path):
         await asyncio.sleep(0)  # yield so gather interleaves
         await asyncio.sleep(0)
         state["now"] -= 1
-        return {"result_len": len(text), "head": text[:10].upper()}
+        return {"result_len": len(text), "head": text[:10]}
 
     texts = [f"doc number {i} body" for i in range(20)]
     outs = run_bounded(texts, recording_engine, max_inflight=3)
@@ -132,7 +132,7 @@ def test_bounded_engine_calls_concurrency_and_order(spark, tmp_path):
     out = {r["doc_id"]: r for r in bounded_engine_calls(df).collect()}
     assert len(out) == 20
     assert out[7]["result_len"] == len("doc number 7 body")
-    assert out[7]["head"] == "DOC NUMBER"
+    assert out[7]["head"] == "doc number"
 
 
 def test_topk_ngrams_deterministic_order(spark, tmp_path):

@@ -212,6 +212,17 @@ def test_pipeline_ops_plan_shapes(spark):
     assert "CartesianProduct" not in dec
     assert "BroadcastNestedLoopJoin" not in dec
 
+    from dd_ops_ocr_spark.operators.textstats import q_topk_ngrams
+
+    topk = _plan(q_topk_ngrams(spark, SF_SMOKE))
+    # doc-local run-length counting means ONE exchange (the per-gram
+    # hash-agg with map-side partials) and a TakeOrdered top-k — a
+    # count+countDistinct formulation would add a full-width
+    # (gram, doc_id) exchange, the dominant cost at corpus scale
+    assert topk.count("Exchange") == 1, topk[:2000]
+    assert "partial_sum" in topk
+    assert "TakeOrderedAndProject" in topk
+
 
 def test_engine_dual_plan_aggregates_before_join(spark):
     """K12: both engine sides reduce to per-doc rows BEFORE the
@@ -228,6 +239,6 @@ def test_engine_dual_plan_aggregates_before_join(spark):
     # plan strings print parents first: the join's inputs (per-doc
     # aggregates) must appear BELOW the topmost join line
     below = "\n".join(lines[join_idx[0]:])
-    assert below.count("HashAggregate") >= 2 or (
+    assert (
         below.count("SortAggregate") + below.count("HashAggregate") >= 2
     ), below[:2000]
