@@ -615,6 +615,100 @@ WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
 """
 
 
+# ----------------------------------------------- end-to-end curriculum
+
+def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE composed DAG —
+    the integration proof that the corpus operators chain: quality
+    filter -> exact-dedup keep -> benchmark decontamination (eval split
+    excluded, contaminated docs dropped) -> stratified downsampling ->
+    sequence packing of the survivors. Output: one row per surviving
+    doc with its training-sequence assignment.
+
+    Scale shape: each stage keeps its own audited plan (see the
+    individual ops); the composition joins only doc_id keep-lists —
+    narrow columns, partial-agg-friendly — and the final pack window
+    stays bucket-local. The oracle composes the same stages' SQL
+    verbatim, so the chained semantics are hash-checked end to end."""
+    quality = (
+        q_quality_score(spark, sf_dir)
+        .filter(F.col("passes_quality") == 1)
+        .select("doc_id")
+    )
+    docs = _docs(spark, sf_dir)
+    keepers = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    clean = (
+        q_decontaminate(spark, sf_dir)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    surv = (
+        q_sample_stratified(spark, sf_dir)
+        .join(quality, "doc_id")
+        .join(keepers, "doc_id")
+        .join(clean, "doc_id")
+    )
+    d = docs.join(surv.select("doc_id"), "doc_id").select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 2),
+                16, 10).cast("int") % _PACK_BUCKETS).alias("bucket"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("tokens").over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        "tokens",
+        (F.col("bucket").cast("long") * F.lit(2**32)
+         + F.floor((cum - F.col("tokens")) / _PACK_BUDGET)).alias("seq_id"),
+        ((cum - F.col("tokens")) % _PACK_BUDGET).alias("seq_offset"),
+    )
+
+
+SQL_CORPUS_CURRICULUM = f"""
+WITH q AS (
+  SELECT doc_id FROM ({{quality}}) WHERE passes_quality = 1
+), k AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), dc AS (
+  SELECT doc_id FROM ({{decon}}) WHERE NOT contaminated
+), sm AS (
+  {{sample}}
+), surv AS (
+  SELECT sm.doc_id, sm.lang
+  FROM sm JOIN q USING (doc_id) JOIN k USING (doc_id)
+          JOIN dc USING (doc_id)
+), d AS (
+  SELECT s.doc_id, s.lang,
+         CAST(('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 2, 2))
+              AS INT) % {_PACK_BUCKETS} AS bucket,
+         CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS tokens
+  FROM surv s JOIN documents doc ON doc.doc_id = s.doc_id
+)
+SELECT doc_id, lang, tokens,
+       CAST(bucket AS BIGINT) * 4294967296
+         + CAST(FLOOR((SUM(tokens) OVER w - tokens) / {_PACK_BUDGET})
+                AS BIGINT) AS seq_id,
+       CAST((SUM(tokens) OVER w - tokens) % {_PACK_BUDGET} AS BIGINT)
+         AS seq_offset
+FROM d
+WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -625,6 +719,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sequence_pack": q_sequence_pack,
     "topk_ngrams": q_topk_ngrams,
+    "corpus_curriculum": q_corpus_curriculum,
 }
 
 ORACLE_SQL = {
@@ -637,4 +732,9 @@ ORACLE_SQL = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "topk_ngrams": SQL_TOPK_NGRAMS,
+    "corpus_curriculum": SQL_CORPUS_CURRICULUM.format(
+        quality=SQL_QUALITY_SCORE,
+        decon=SQL_DECONTAMINATE,
+        sample=SQL_SAMPLE_STRATIFIED,
+    ),
 }

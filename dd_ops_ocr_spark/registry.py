@@ -291,6 +291,7 @@ _ROSTER_HEAD = [
     "sequence_pack",
     "bounded_engine_calls",
     "topk_ngrams",
+    "corpus_curriculum",
     "repeated_span_strip",
     "media_resize_native_scaled",
     "doc_validity_audit",
