@@ -151,3 +151,44 @@ def test_topk_ngrams_deterministic_order(spark, tmp_path):
     # the three singletons tie on count and sort lexicographically
     assert rows_out[1:] == [("b c a", 1, 1), ("b c d", 1, 1),
                             ("c a b", 1, 1)]
+
+
+def test_curate_corpus_job(spark, tmp_path, capsys):
+    """The spark-submit curation entry point end-to-end in-process:
+    packed sequences partitioned by bucket, heavy-hitter report, JSON
+    summary consistent with the written outputs."""
+    import json
+    import os
+
+    from jobs.curate_corpus import main as curate
+
+    out = str(tmp_path / "out")
+    rc = curate(["--input", "/root/testdata/sf0.001", "--output", out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    seqs = spark.read.parquet(f"{out}/sequences")
+    assert rep["docs_packed"] == seqs.count() > 0
+    assert rep["sequences"] == seqs.select("seq_id").distinct().count()
+    assert rep["report_rows"] == 50
+    # hive partitioning by pack bucket (downstream reads one bucket/task)
+    assert any(d.startswith("bucket=") for d in os.listdir(f"{out}/sequences"))
+    # offsets stay inside the budget
+    from dd_ops_ocr_spark.operators.textstats import _PACK_BUDGET
+
+    assert seqs.filter(f"seq_offset >= {_PACK_BUDGET}").count() == 0
+
+
+def test_bounded_engine_calls_failure_fails_task(spark, tmp_path):
+    """X4 retry posture: an engine exception propagates (Spark task
+    retry territory), never a silent skip."""
+    import pytest
+
+    from dd_ops_ocr_spark.operators.external import bounded_engine_calls
+
+    async def failing_engine(text):
+        raise RuntimeError("engine down")
+
+    rows = [(1, "some text", "en")]
+    df = spark.read.parquet(f"{_write_docs(tmp_path, rows)}/documents.parquet")
+    with pytest.raises(Exception, match="engine down"):
+        bounded_engine_calls(df, engine=failing_engine).collect()
