@@ -557,26 +557,28 @@ WHERE CAST(d.hkey AS HUGEINT) * c.n_stratum
 
 _PACK_BUDGET = 256   # tokens per training sequence
 _PACK_BUCKETS = 16   # parallel packing partitions
+# seq_id = bucket << _PACK_SHIFT | local bin. 44 bits of bin space =
+# 2^44 * _PACK_BUDGET ≈ 4.5e15 tokens per bucket before collision —
+# three orders of magnitude above the ~1e12 tokens/bucket a 100 TB
+# corpus puts through 16 buckets (a 32-bit shift would overflow there).
+_PACK_SHIFT = 44
 
 
-def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-sequence packing: assign docs to fixed token-budget
-    sequences by cumulative fill. Docs are first scattered into
-    _PACK_BUCKETS md5 buckets and packed independently per bucket —
-    packing is a running sum, and making it bucket-local keeps the
-    window partition bounded (a single global pack order would serialize
-    100 TB through one partition). seq_id is globally unique:
-    bucket * 2^32 + local bin. A doc straddling a boundary starts the
-    next sequence's fill (contiguous-fill approximation, the standard
-    distributed packing trade)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        # NB: conv(), not CAST('0x..') — Spark's string->int cast does
-        # not parse hex (DuckDB's does; the oracle uses that spelling)
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 2),
-                16, 10).cast("int") % _PACK_BUCKETS).alias("bucket"),
-        F.size(F.split("text", " ", -1)).cast("long").alias("tokens"),
-    )
+def _bucket_expr():
+    """md5-nibble pack bucket. NB: conv(), not CAST('0x..') — Spark's
+    string->int cast does not parse hex (DuckDB's does; the oracles use
+    that spelling)."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 2),
+               16, 10).cast("int") % _PACK_BUCKETS
+    ).alias("bucket")
+
+
+def _pack(d: DataFrame) -> DataFrame:
+    """Shared packing tail over (doc_id, lang?, bucket, tokens): window
+    cumsum per bucket -> (seq_id, seq_offset). ONE definition consumed
+    by q_sequence_pack and q_corpus_curriculum so the two queries can
+    never disagree on sequence assignment."""
     from pyspark.sql import Window
 
     w = (
@@ -586,33 +588,60 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = F.sum("tokens").over(w)
     return d.select(
-        "doc_id",
-        "bucket",
-        "tokens",
-        (F.col("bucket").cast("long") * F.lit(2**32)
+        *d.columns,
+        (F.shiftleft(F.col("bucket").cast("long"), _PACK_SHIFT)
          + F.floor((cum - F.col("tokens")) / _PACK_BUDGET)).alias("seq_id"),
         ((cum - F.col("tokens")) % _PACK_BUDGET).alias("seq_offset"),
     )
 
 
-SQL_SEQUENCE_PACK = f"""
-WITH d AS (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 2))
-              AS INT) % {_PACK_BUCKETS} AS bucket,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
-  FROM documents
-)
-SELECT doc_id, bucket, tokens,
-       CAST(bucket AS BIGINT) * 4294967296
+# the same packing tail in SQL, parameterized on the source relation
+# (which must provide doc_id, bucket, tokens, plus any carry columns)
+_SQL_PACK_TAIL = f"""
+SELECT *,
+       CAST(bucket AS BIGINT) * {1 << _PACK_SHIFT}
          + CAST(FLOOR((SUM(tokens) OVER w - tokens) / {_PACK_BUDGET})
                 AS BIGINT) AS seq_id,
        CAST((SUM(tokens) OVER w - tokens) % {_PACK_BUDGET} AS BIGINT)
          AS seq_offset
-FROM d
+FROM {{src}}
 WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+def _sql_bucket(col: str = "doc_id") -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 2, 2))"
+        f" AS INT) % {_PACK_BUCKETS}"
+    )
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign docs to fixed token-budget
+    sequences by cumulative fill. Docs are first scattered into
+    _PACK_BUCKETS md5 buckets and packed independently per bucket —
+    packing is a running sum, and making it bucket-local keeps the
+    window partition bounded (a single global pack order would serialize
+    100 TB through one partition). seq_id is globally unique:
+    (bucket << _PACK_SHIFT) | local bin. A doc straddling a boundary
+    starts the next sequence's fill (contiguous-fill approximation, the
+    standard distributed packing trade)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        _bucket_expr(),
+        F.size(F.split("text", " ", -1)).cast("long").alias("tokens"),
+    )
+    return _pack(d)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_sql_bucket()} AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+)
+""" + _SQL_PACK_TAIL.format(src="d")
 
 
 # ----------------------------------------------- end-to-end curriculum
@@ -655,26 +684,13 @@ def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.join(surv.select("doc_id"), "doc_id").select(
         "doc_id",
         "lang",
-        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 2),
-                16, 10).cast("int") % _PACK_BUCKETS).alias("bucket"),
+        _bucket_expr(),
         F.size(F.split("text", " ", -1)).cast("long").alias("tokens"),
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("tokens").over(w)
-    return d.select(
-        "doc_id",
-        "lang",
-        "tokens",
-        (F.col("bucket").cast("long") * F.lit(2**32)
-         + F.floor((cum - F.col("tokens")) / _PACK_BUDGET)).alias("seq_id"),
-        ((cum - F.col("tokens")) % _PACK_BUDGET).alias("seq_offset"),
-    )
+    # bucket stays in the output: it is the partition column downstream
+    # sequence assembly (jobs/curate_corpus.py) writes by — emitting it
+    # beats reverse-engineering it from seq_id
+    return _pack(d)
 
 
 SQL_CORPUS_CURRICULUM = f"""
@@ -692,21 +708,11 @@ WITH q AS (
           JOIN dc USING (doc_id)
 ), d AS (
   SELECT s.doc_id, s.lang,
-         CAST(('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 2, 2))
-              AS INT) % {_PACK_BUCKETS} AS bucket,
+         {_sql_bucket('s.doc_id')} AS bucket,
          CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS tokens
   FROM surv s JOIN documents doc ON doc.doc_id = s.doc_id
 )
-SELECT doc_id, lang, tokens,
-       CAST(bucket AS BIGINT) * 4294967296
-         + CAST(FLOOR((SUM(tokens) OVER w - tokens) / {_PACK_BUDGET})
-                AS BIGINT) AS seq_id,
-       CAST((SUM(tokens) OVER w - tokens) % {_PACK_BUDGET} AS BIGINT)
-         AS seq_offset
-FROM d
-WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-"""
+""" + _SQL_PACK_TAIL.format(src="d")
 
 
 QUERIES = {

@@ -40,7 +40,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession, functions as F
 
-    prior = SparkSession.getActiveSession()
+    # getActiveSession is thread-local; _instantiatedSession is the
+    # process-global — check both so a host application's session on
+    # another thread is never stopped out from under it (same ownership
+    # rule as jobs/maintain_table.py)
+    prior = (
+        SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    )
     spark = (
         SparkSession.builder.appName("ddops_curate")
         .config("spark.ui.showConsoleProgress", "false")
@@ -55,20 +61,23 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.monotonic()
     try:
-        seqs = q_corpus_curriculum(spark, args.input).withColumn(
-            "bucket", (F.col("seq_id") / F.lit(2**32)).cast("int")
-        )
-        seqs.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{args.output}/sequences"
-        )
+        # the query emits the pack bucket — partition by it directly
+        q_corpus_curriculum(spark, args.input).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(f"{args.output}/sequences")
         q_topk_ngrams(spark, args.input).write.mode("overwrite").parquet(
             f"{args.output}/report"
         )
         out = spark.read.parquet(f"{args.output}/sequences")
+        stats = out.agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("seq_id").alias("seqs"),
+            F.sum("tokens").alias("toks"),
+        ).collect()[0]
         summary = {
-            "docs_packed": out.count(),
-            "sequences": out.select("seq_id").distinct().count(),
-            "tokens_packed": out.agg(F.sum("tokens")).collect()[0][0],
+            "docs_packed": stats["docs"],
+            "sequences": stats["seqs"],
+            "tokens_packed": stats["toks"],
             "report_rows": spark.read.parquet(
                 f"{args.output}/report"
             ).count(),

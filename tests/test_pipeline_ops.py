@@ -163,7 +163,9 @@ def test_curate_corpus_job(spark, tmp_path, capsys):
     from jobs.curate_corpus import main as curate
 
     out = str(tmp_path / "out")
-    rc = curate(["--input", "/root/testdata/sf0.001", "--output", out])
+    from tests.conftest import SF_SMOKE
+
+    rc = curate(["--input", SF_SMOKE, "--output", out])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     seqs = spark.read.parquet(f"{out}/sequences")

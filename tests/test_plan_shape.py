@@ -242,3 +242,16 @@ def test_engine_dual_plan_aggregates_before_join(spark):
     assert (
         below.count("SortAggregate") + below.count("HashAggregate") >= 2
     ), below[:2000]
+
+
+def test_corpus_curriculum_plan_shape(spark):
+    """The composed curation DAG keeps the stages' audited shapes: the
+    pack window stays bucket-partitioned and no join degenerates into a
+    cartesian product."""
+    from dd_ops_ocr_spark.operators.textstats import q_corpus_curriculum
+
+    plan = _plan(q_corpus_curriculum(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    win_line = next(l for l in plan.splitlines() if "Window" in l)
+    assert "bucket" in win_line, win_line
