@@ -14,6 +14,9 @@ baseline-JPEG implementation:
     Annex-K quantization tables, single-length canonical Huffman tables
     (valid per the spec — DHT carries whatever tables the scan uses, and
     interop decoders read them from the file).
+  * ``encode_jpeg_progressive`` — SOF2 encoder (interleaved DC scan +
+    one full AC band per component): same quantized coefficients as the
+    baseline encoder, so decodes bit-identically to it.
   * ``jpeg_dimensions`` — header-only (SOFn) width/height probe, no
     entropy decode.
 
@@ -278,6 +281,170 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75,
+                            subsampling: str = "4:2:0") -> bytes:
+    """(h, w, 3) uint8 RGB -> PROGRESSIVE (SOF2) JFIF JPEG bytes.
+
+    Minimal spec-valid scan script, no successive approximation: one
+    interleaved DC scan (Ss=0 Se=0 Ah=Al=0) then one full-band AC scan
+    per component (Ss=1 Se=63, EOB0-coded). The quantized coefficients
+    are computed EXACTLY like encode_jpeg's — progressive is a
+    reordering of the same data, so decoding this stream is
+    bit-identical to decoding the baseline encoding of the same pixels
+    (tests assert it through both the numpy and libjpeg decoders).
+    Uses the same fixed Huffman tables; DC prediction restarts per scan
+    and per component (non-interleaved scans predict within the single
+    component), per T.81 G.1.2.1. Not a hot path — the native shim
+    encodes progressive in production; this closes the dependency-free
+    fallback's last encode seam."""
+    h, w, _ = pixels.shape
+    qt_l = _scaled_qt(QT_LUMA, quality)
+    qt_c = _scaled_qt(QT_CHROMA, quality)
+    sub = {"4:4:4": (1, 1), "4:2:0": (2, 2)}[subsampling]
+    hs, vs = sub
+    y, cb, cr = _rgb_to_ycbcr(pixels)
+    if hs == 2:
+        cbp = _pad_to(cb, 2, 2)
+        crp = _pad_to(cr, 2, 2)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+    y = _pad_to(y, 8 * vs, 8 * hs)
+    cb = _pad_to(cb, 8, 8)
+    cr = _pad_to(cr, 8, 8)
+    comps_q = [
+        _quantized_blocks_zz(y, qt_l),
+        _quantized_blocks_zz(cb, qt_c),
+        _quantized_blocks_zz(cr, qt_c),
+    ]
+    mcus_y = y.shape[0] // (8 * vs)
+    mcus_x = y.shape[1] // (8 * hs)
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
+
+    def scan_writer():
+        # same closure bit-writer idiom as encode_jpeg (kept local per
+        # scan: each scan's entropy data pads/terminates independently)
+        buf = bytearray()
+        append = buf.append
+        state = [0, 0]  # acc, nbits
+
+        def put(code: int, ln: int) -> None:
+            acc = (state[0] << ln) | code
+            nbits = state[1] + ln
+            while nbits >= 8:
+                nbits -= 8
+                b = (acc >> nbits) & 0xFF
+                append(b)
+                if b == 0xFF:
+                    append(0x00)
+            state[0] = acc & ((1 << nbits) - 1)
+            state[1] = nbits
+
+        def flush() -> bytes:
+            if state[1]:
+                pad = 8 - state[1]
+                b = ((state[0] << pad) | ((1 << pad) - 1)) & 0xFF
+                append(b)
+                if b == 0xFF:
+                    append(0x00)
+            return bytes(buf)
+
+        return put, flush
+
+    # --- scan 1: interleaved DC ------------------------------------
+    put, flush = scan_writer()
+
+    def put_dc(ci: int, bi: int, pred: int) -> int:
+        dc = comps_q[ci][0][bi][0]
+        diff = dc - pred
+        if diff == 0:
+            c, ln = dc_codes[0]
+            put(c, ln)
+        else:
+            size = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            c, ln = dc_codes[size]
+            put(c, ln)
+            put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        return dc
+
+    ystride = comps_q[0][2]
+    cstride = comps_q[1][2]
+    p0 = p1 = p2 = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(vs):
+                base = (my * vs + by) * ystride + mx * hs
+                for bx in range(hs):
+                    p0 = put_dc(0, base + bx, p0)
+            cbi = my * cstride + mx
+            p1 = put_dc(1, cbi, p1)
+            p2 = put_dc(2, cbi, p2)
+    dc_scan = flush()
+
+    # --- scans 2-4: one full AC band per component ------------------
+    # non-interleaved block grids: ceil(component dims / 8); the padded
+    # storage grid may be wider (luma pads to the 2-block MCU), so the
+    # loop skips padding blocks the decoder never visits in AC scans
+    comp_dims = [
+        (-(-w * hs // hs), -(-h * vs // vs)),  # luma: (w, h)
+        (-(-w // hs), -(-h // vs)),
+        (-(-w // hs), -(-h // vs)),
+    ]
+    ac_scans = []
+    for ci in range(3):
+        put, flush = scan_writer()
+        rows, lasts, stride = comps_q[ci]
+        cw, chh = comp_dims[ci]
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                bi = by * stride + bx
+                coef = rows[bi]
+                run = 0
+                for k in range(1, lasts[bi] + 1):
+                    v = coef[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        c, ln = ac_codes[0xF0]
+                        put(c, ln)
+                        run -= 16
+                    size = v.bit_length() if v > 0 else (-v).bit_length()
+                    c, ln = ac_codes[(run << 4) | size]
+                    put(c, ln)
+                    put(v if v > 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if lasts[bi] < 63:
+                    c, ln = ac_codes[0x00]  # EOB0
+                    put(c, ln)
+        ac_scans.append(flush())
+
+    # --- file assembly ----------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l[ZZ].tolist())
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c[ZZ].tolist())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, hs << 4 | vs, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    out += _dht_segment(0, 0, _ENC_DC_BITS, _DC_SYMS)
+    out += _dht_segment(1, 0, _ENC_AC_BITS, _AC_SYMS)
+    out += _dht_segment(0, 1, _ENC_DC_BITS, _DC_SYMS)
+    out += _dht_segment(1, 1, _ENC_AC_BITS, _AC_SYMS)
+    sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0])  # DC, all comps
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + dc_scan
+    for ci, scan in enumerate(ac_scans):
+        ta = 0 if ci == 0 else 1
+        sos = bytes([1, ci + 1, ta, 1, 63, 0])  # AC band, one component
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + scan
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -762,23 +762,17 @@ def _media_with_payload(
         .select(F.col("s.media_ref").alias("media_ref"))
     )
     if fmt == "jpeg_progressive":
-        # progressive scans need libjpeg on both sides; WORKERS without
-        # the native shim fall back to baseline bytes so the query (and
-        # its decoder-independent dims oracle) stays runnable anywhere,
-        # including clusters where only some machines carry the shim —
-        # the probe runs inside the closure, per worker, not on the
-        # driver
+        # pure-numpy progressive encoder: deterministic on every worker,
+        # no shim probe needed (jpeg.py encodes AND decodes SOF2 now;
+        # the native shim remains the production fast path)
         def synth(ref: str) -> bytes:
-            from dd_ops_ocr_spark import native
+            from dd_ops_ocr_spark.operators.jpeg import (
+                encode_jpeg_progressive,
+            )
 
-            if native.available():
-                return native.encode_jpeg_native(
-                    _synth_pixels(ref),
-                    quality=95,
-                    subsampling="4:2:0",
-                    progressive=True,
-                )
-            return synth_jpeg_payload(ref)
+            return encode_jpeg_progressive(
+                _synth_pixels(ref), quality=95, subsampling="4:2:0"
+            )
     else:
         synth = {
             "jpeg": synth_jpeg_payload,

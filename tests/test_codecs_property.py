@@ -171,3 +171,41 @@ def test_png_adam7_grid_is_a_partition():
         for x0, y0, dx, dy in _ADAM7:
             cov[y0::dy, x0::dx] += 1
         assert (cov == 1).all(), (w, h)
+
+
+def test_progressive_encoder_bit_identical_to_baseline():
+    """The numpy progressive ENCODER (SOF2, DC scan + per-component AC
+    bands): decoding its output must be bit-identical to decoding the
+    baseline encoding of the same pixels — through the numpy decoder
+    AND (when present) libjpeg, since both encodings carry the same
+    quantized coefficients."""
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from dd_ops_ocr_spark import native
+    from dd_ops_ocr_spark.operators.multimodal import (
+        _synth_pixels,
+        synth_page_pixels,
+    )
+
+    cases = [
+        (synth_page_pixels(83, 57), "4:2:0", 90),   # partial MCUs
+        (synth_page_pixels(96, 120), "4:4:4", 95),
+        (_synth_pixels("m1"), "4:2:0", 95),          # md5 noise
+        (np.full((17, 23, 3), 200, np.uint8), "4:2:0", 85),  # flat
+    ]
+    for px, sub, q in cases:
+        base = encode_jpeg(px, quality=q, subsampling=sub)
+        prog = encode_jpeg_progressive(px, quality=q, subsampling=sub)
+        # genuinely SOF2 (the frame marker follows the two DQT segments)
+        assert b"\xff\xc2" in prog[:200] and b"\xff\xc2" not in base[:200]
+        assert np.array_equal(decode_jpeg(base), decode_jpeg(prog))
+        if native.available():
+            assert np.array_equal(
+                native.decode_jpeg_native(base),
+                native.decode_jpeg_native(prog),
+            )
