@@ -158,6 +158,31 @@ def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
 
+def _file_headers(h: int, w: int, hs: int, vs: int,
+                  qt_l_zz, qt_c_zz, sof_marker: bytes) -> bytearray:
+    """SOI + APP0 + DQT x2 + SOFn + DHT x4 — shared verbatim between the
+    baseline and progressive encoders (only the SOF marker differs), so
+    header fixes cannot diverge. The per-scan entropy emission stays
+    deliberately duplicated in each encoder's local closures (hot-path
+    idiom); the bit-identical-decode test pins those against each
+    other."""
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l_zz.tolist())
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c_zz.tolist())
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, hs << 4 | vs, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _ENC_DC_BITS, _DC_SYMS)
+    out += _dht_segment(1, 0, _ENC_AC_BITS, _AC_SYMS)
+    out += _dht_segment(0, 1, _ENC_DC_BITS, _DC_SYMS)
+    out += _dht_segment(1, 1, _ENC_AC_BITS, _AC_SYMS)
+    return out
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 75,
                 subsampling: str = "4:2:0") -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes."""
@@ -262,21 +287,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
             append(0x00)
     scan = bytes(buf)
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-            + struct.pack(">HH", 1, 1) + b"\x00\x00")  # APP0
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l_zz.tolist())
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c_zz.tolist())
-    # SOF0: 3 components, Y uses sampling (hs, vs), chroma (1, 1)
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, hs << 4 | vs, 0])
-    sof += bytes([2, 0x11, 1])
-    sof += bytes([3, 0x11, 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    out += _dht_segment(0, 0, _ENC_DC_BITS, _DC_SYMS)
-    out += _dht_segment(1, 0, _ENC_AC_BITS, _AC_SYMS)
-    out += _dht_segment(0, 1, _ENC_DC_BITS, _DC_SYMS)
-    out += _dht_segment(1, 1, _ENC_AC_BITS, _AC_SYMS)
+    out = _file_headers(h, w, hs, vs, qt_l_zz, qt_c_zz, b"\xff\xc0")
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += scan
@@ -424,20 +435,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75,
         ac_scans.append(flush())
 
     # --- file assembly ----------------------------------------------
-    out = bytearray(b"\xff\xd8")
-    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-            + struct.pack(">HH", 1, 1) + b"\x00\x00")
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_l[ZZ].tolist())
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qt_c[ZZ].tolist())
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, hs << 4 | vs, 0])
-    sof += bytes([2, 0x11, 1])
-    sof += bytes([3, 0x11, 1])
-    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
-    out += _dht_segment(0, 0, _ENC_DC_BITS, _DC_SYMS)
-    out += _dht_segment(1, 0, _ENC_AC_BITS, _AC_SYMS)
-    out += _dht_segment(0, 1, _ENC_DC_BITS, _DC_SYMS)
-    out += _dht_segment(1, 1, _ENC_AC_BITS, _AC_SYMS)
+    out = _file_headers(h, w, hs, vs, qt_l[ZZ], qt_c[ZZ], b"\xff\xc2")
     sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0])  # DC, all comps
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + dc_scan
     for ci, scan in enumerate(ac_scans):

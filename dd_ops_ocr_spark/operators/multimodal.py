@@ -835,15 +835,14 @@ def q_media_metadata_jpeg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_metadata_jpeg_progressive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The metadata path over PROGRESSIVE JPEG payloads. BOTH decoders
-    handle progressive now: the native shim, and the pure-numpy decoder
-    (spectral-selection + successive-approximation scans in jpeg.py,
-    bit-identical to its baseline decode of the same coefficients —
-    jpeg_simple_progression reorders, never re-quantizes; the dims
-    oracle is shared with the baseline-JPEG query). Only the
-    progressive ENCODER still needs the shim, so workers without it
-    degrade to baseline synth bytes — probed PER WORKER — keeping the
-    query runnable and the oracle valid either way."""
+    """The metadata path over PROGRESSIVE JPEG payloads. The pure-numpy
+    codec covers SOF2 in BOTH directions now (encode_jpeg_progressive /
+    _decode_progressive_scan, each bit-identical to the baseline path
+    on the same coefficients), so every worker synthesizes genuinely
+    progressive bytes with no shim probe; decode still prefers the
+    native shim per worker when present. The dims oracle is shared with
+    the baseline-JPEG query (progressive reorders coefficients, never
+    re-quantizes)."""
     from dd_ops_ocr_spark import native
 
     out = media_metadata(
