@@ -501,6 +501,59 @@ FROM a
 """
 
 
+def media_audio_formats_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_audio_formats: the md5 codec CASE
+    (multimodal.synth_audio_codec restated) plus the SAME closed-form
+    square-wave features as media_audio_features — every codec in the
+    mix is exact for int16 sources, so one feature arithmetic covers
+    the whole corpus and the codec column pins the byte-level format
+    dispatch."""
+    return _media_cte(path) + _audio_params_cte() + """
+SELECT media_ref,
+       (CASE CAST(('0x' || substr(md5(media_ref), 17, 2)) AS INT) % 4
+             WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm24'
+             WHEN 2 THEN 'float32' ELSE 'extensible/pcm16' END) AS codec,
+       CAST(sample_rate AS INT) AS sample_rate, n_channels, n_samples,
+       CAST(n_samples * 1000 // sample_rate AS INT) AS duration_ms,
+       amp AS peak, amp AS rms,
+       CAST((n_samples - 1) // half AS INT) AS zero_crossings
+FROM a
+"""
+
+
+def media_audio_adpcm_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_audio_adpcm: the md5-derived block
+    geometry (multimodal.synth_audio_adpcm_params restated — block_align
+    -> samples_per_block -> fact sample count) and the exact feature
+    triple the block-aligned square wave pins (peak == rms == amp,
+    zero_crossings == n_blocks - 1)."""
+    return _media_cte(path) + """
+, p AS (
+  SELECT media_ref,
+         (CASE CAST(('0x' || substr(md5(media_ref), 7, 2)) AS INT) % 4
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END) AS sample_rate,
+         CAST(1000 + CAST(('0x' || substr(md5(media_ref), 11, 2)) AS INT) * 8
+              AS INT) AS amp,
+         (CASE CAST(('0x' || substr(md5(media_ref), 17, 2)) AS INT) % 3
+               WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END) AS block_align,
+         CAST(2 + CAST(('0x' || substr(md5(media_ref), 19, 2)) AS INT) % 5
+              AS INT) AS n_blocks
+  FROM g
+),
+q AS (
+  SELECT *, CAST((block_align - 4) * 2 + 1 AS INT) AS spb FROM p
+)
+SELECT media_ref, 'ima-adpcm' AS codec, spb AS samples_per_block,
+       CAST(sample_rate AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(n_blocks * spb AS INT) AS n_samples,
+       CAST(n_blocks * spb * 1000 // sample_rate AS INT) AS duration_ms,
+       amp AS peak, amp AS rms,
+       CAST(n_blocks - 1 AS INT) AS zero_crossings
+FROM q
+"""
+
+
 def media_video_frames_quarantine_oracle_sql(
     path: str, n_frames: int = 3
 ) -> str:

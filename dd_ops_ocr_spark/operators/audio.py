@@ -1,12 +1,25 @@
-"""PCM WAV audio codec (pure stdlib struct + numpy, no audio libs).
+"""WAV audio codec (pure stdlib struct + numpy, no audio libs).
 
 Completes the multimodal triple (image / video / AUDIO) with a real
-byte-level format: WAV is RIFF (the same chunk grammar as the AVI
-container in operators/video.py) holding a ``fmt `` header and a
-``data`` chunk of interleaved little-endian PCM samples. 16-bit and
-8-bit integer PCM decode natively; float/ADPCM/extensible formats raise
-NotImplementedError — they are the injection seam for a real
-soundfile/ffmpeg deployment, exactly like exotic image codecs.
+byte-level format family: WAV is RIFF (the same chunk grammar as the
+AVI container in operators/video.py) holding a ``fmt `` header and a
+``data`` chunk of interleaved little-endian samples. Natively decoded
+codecs:
+
+- integer PCM at 8 / 16 / 24 bits (WAVE_FORMAT_PCM, tag 1),
+- IEEE float at 32 / 64 bits (WAVE_FORMAT_IEEE_FLOAT, tag 3),
+- mono IMA/DVI ADPCM (WAVE_FORMAT_IMA_ADPCM, tag 0x11), block-coded
+  4-bit differential PCM whose per-block headers make every block
+  independently decodable — the audio analog of a video keyframe, and
+  the reason both directions vectorize ACROSS blocks in numpy (the
+  sequential predictor recurrence runs over the ~hundreds of in-block
+  sample positions while numpy sweeps all blocks of the batch at once),
+- WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) containers wrapping any of the
+  above via the KSDATAFORMAT subformat GUID.
+
+Remaining formats (A-law/mu-law, MPEG-in-WAV, stereo ADPCM's per-channel
+4-byte interleave) raise NotImplementedError — the injection seam for a
+real soundfile/ffmpeg deployment, exactly like exotic image codecs.
 
 The reference pipeline is image-only (its media are PDF page renders);
 audio support follows SURVEY §6's training-data-pipeline mandate: treat
@@ -18,6 +31,7 @@ reference has no counterpart.
 from __future__ import annotations
 
 import struct
+from typing import NamedTuple
 
 import numpy as np
 
@@ -25,24 +39,201 @@ import numpy as np
 from dd_ops_ocr_spark.operators.riff import chunk as _chunk
 from dd_ops_ocr_spark.operators.riff import container_end, iter_chunks
 
+_FMT_PCM = 0x0001
+_FMT_IEEE_FLOAT = 0x0003
+_FMT_IMA_ADPCM = 0x0011
+_FMT_EXTENSIBLE = 0xFFFE
 
-def encode_wav(samples: np.ndarray, rate: int) -> bytes:
-    """int16 samples of shape (n,) or (n, channels) -> PCM WAV bytes."""
-    if samples.ndim == 1:
-        samples = samples[:, None]
-    if samples.dtype != np.int16:
-        raise ValueError("encode_wav takes int16 samples")
-    n, ch = samples.shape
-    block_align = ch * 2
-    fmt = struct.pack(
-        "<HHIIHH", 1, ch, rate, rate * block_align, block_align, 16
+# KSDATAFORMAT_SUBTYPE_* GUIDs are {tag:08x}-0000-0010-8000-00AA00389B71;
+# serialized little-endian the first two bytes carry the format tag and
+# these 14 bytes are the fixed remainder.
+_KS_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+# IMA ADPCM quantizer ladder (IMA Recommended Practices / DVI RTP
+# payload spec): 89 step sizes and the nibble-magnitude -> index
+# adjustment table.
+_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], np.int32)
+_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+class WavHeader(NamedTuple):
+    """Validated ``fmt `` contents plus the data-chunk span."""
+
+    codec: str             # 'pcm8'|'pcm16'|'pcm24'|'float32'|'float64'|'ima-adpcm'
+    extensible: bool       # wrapped in WAVE_FORMAT_EXTENSIBLE
+    rate: int
+    channels: int
+    bits: int
+    block_align: int
+    data_span: tuple[int, int]
+    n_samples: int         # per channel (fact-chunk truncated for ADPCM)
+    samples_per_block: int  # 1 for sample-aligned codecs
+
+    @property
+    def codec_label(self) -> str:
+        return f"extensible/{self.codec}" if self.extensible else self.codec
+
+
+# ------------------------------------------------------------- encoders
+
+def _wav_container(fmt_body: bytes, data: bytes, n_samples: int | None) -> bytes:
+    """Assemble RIFF/WAVE from a fmt body, optional fact count (the spec
+    requires ``fact`` for every non-PCM codec), and the data chunk."""
+    fact = b"" if n_samples is None else _chunk(
+        b"fact", struct.pack("<I", n_samples)
     )
-    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
     return _chunk(
         b"RIFF",
-        b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", data),
+        b"WAVE" + _chunk(b"fmt ", fmt_body) + fact + _chunk(b"data", data),
     )
 
+
+def _fmt_base(tag: int, ch: int, rate: int, block_align: int, bits: int) -> bytes:
+    return struct.pack(
+        "<HHIIHH", tag, ch, rate, rate * block_align, block_align, bits
+    )
+
+
+def _as_2d_int16(samples: np.ndarray) -> np.ndarray:
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16 or samples.ndim != 2:
+        raise ValueError("encoders take int16 samples of shape (n[, ch])")
+    return samples
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples of shape (n,) or (n, channels) -> 16-bit PCM WAV."""
+    samples = _as_2d_int16(samples)
+    ch = samples.shape[1]
+    fmt = _fmt_base(_FMT_PCM, ch, rate, ch * 2, 16)
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    return _wav_container(fmt, data, None)
+
+
+def encode_wav_pcm24(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples -> 24-bit PCM WAV (each sample stored as
+    value << 8, so decode's top-two-byte read recovers it exactly)."""
+    samples = _as_2d_int16(samples)
+    n, ch = samples.shape
+    wide = (samples.astype("<i4") << 8).reshape(-1)
+    tri = wide.view(np.uint8).reshape(-1, 4)[:, :3]  # 24-bit LE slices
+    fmt = _fmt_base(_FMT_PCM, ch, rate, ch * 3, 24)
+    return _wav_container(fmt, np.ascontiguousarray(tri).tobytes(), None)
+
+
+def encode_wav_float32(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples -> IEEE float32 WAV storing sample/32767. The
+    quotient's float32 rounding error is < 2^-23 relative, far inside
+    the +-0.5 integer window, so decode_wav's round(x*32767) recovers
+    the original int16 exactly."""
+    samples = _as_2d_int16(samples)
+    n, ch = samples.shape
+    data = np.ascontiguousarray(
+        samples.astype(np.float64) / 32767.0, dtype="<f4"
+    ).tobytes()
+    fmt = _fmt_base(_FMT_IEEE_FLOAT, ch, rate, ch * 4, 32)
+    return _wav_container(fmt, data, n)
+
+
+def encode_wav_extensible(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples -> WAVE_FORMAT_EXTENSIBLE container wrapping 16-bit
+    PCM (cbSize=22 extension: valid bits, channel mask, subformat
+    GUID)."""
+    samples = _as_2d_int16(samples)
+    n, ch = samples.shape
+    ext = struct.pack(
+        "<HHI", 22, 16, (1 << ch) - 1
+    ) + struct.pack("<H", _FMT_PCM) + _KS_GUID_TAIL
+    fmt = _fmt_base(_FMT_EXTENSIBLE, ch, rate, ch * 2, 16) + ext
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    return _wav_container(fmt, data, n)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, rate: int, block_align: int = 256
+) -> bytes:
+    """Mono int16 samples -> IMA ADPCM WAV. Every block stores its own
+    (predictor, step-index) header, the index chosen per block from the
+    block's mean first difference — blocks are independently decodable
+    (random access / parallel decode), which
+    is also what lets this encoder run vectorized across blocks: the
+    predictor recurrence loops over the samples_per_block positions
+    while numpy processes every block at once. The final partial block
+    is edge-padded to full length; the ``fact`` chunk carries the true
+    sample count for decode-side truncation."""
+    samples = _as_2d_int16(samples)
+    n, ch = samples.shape
+    if ch != 1:
+        raise NotImplementedError("IMA ADPCM encoder is mono-only")
+    if n == 0:
+        raise ValueError("ADPCM needs at least one sample")
+    if block_align < 8 or block_align % 4:
+        raise ValueError("IMA ADPCM block_align must be a multiple of 4 >= 8")
+    spb = (block_align - 4) * 2 + 1
+    nb = -(-n // spb)
+    flat = samples[:, 0]
+    padded = np.concatenate(
+        [flat, np.full(nb * spb - n, flat[-1], np.int16)]
+    ).reshape(nb, spb)
+
+    pred = padded[:, 0].astype(np.int32)
+    # Per-block initial step index, chosen from the block's mean
+    # absolute first difference (vectorized across blocks). Blocks stay
+    # independently decodable — the stored header index is exactly what
+    # makes random access work — while the quantizer starts near the
+    # right rung instead of re-climbing from step 7 every block.
+    wide = padded.astype(np.int32)
+    mean_d = np.abs(np.diff(wide, axis=1)).mean(axis=1) if spb > 1 else (
+        np.zeros(nb)
+    )
+    idx0 = np.clip(
+        np.searchsorted(_STEP, mean_d, side="right") - 1, 0, 88
+    ).astype(np.int32)
+    idx = idx0.copy()
+    nibs = np.empty((nb, spb - 1), np.uint8)
+    for j in range(spb - 1):
+        step = _STEP[idx]
+        diff = padded[:, j + 1].astype(np.int32) - pred
+        sign = diff < 0
+        d = np.abs(diff)
+        b4 = d >= step
+        d -= np.where(b4, step, 0)
+        b2 = d >= step >> 1
+        d -= np.where(b2, step >> 1, 0)
+        b1 = d >= step >> 2
+        delta = b4 * 4 + b2 * 2 + b1 * 1
+        rdiff = (
+            (step >> 3)
+            + np.where(b4, step, 0)
+            + np.where(b2, step >> 1, 0)
+            + np.where(b1, step >> 2, 0)
+        )
+        pred = np.clip(np.where(sign, pred - rdiff, pred + rdiff),
+                       -32768, 32767)
+        idx = np.clip(idx + _INDEX_ADJ[delta], 0, 88)
+        nibs[:, j] = delta + sign * 8
+
+    blk = np.zeros((nb, block_align), np.uint8)
+    blk[:, :2] = padded[:, 0].astype("<i2").view(np.uint8).reshape(nb, 2)
+    blk[:, 2] = idx0  # initial step index; byte 3 (reserved) stays 0
+    blk[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)  # low nibble first
+    fmt = _fmt_base(_FMT_IMA_ADPCM, 1, rate, block_align, 4) + struct.pack(
+        "<HH", 2, spb
+    )
+    return _wav_container(fmt, blk.tobytes(), n)
+
+
+# -------------------------------------------------------------- parsing
 
 def is_wav(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
@@ -50,24 +241,23 @@ def is_wav(payload: bytes) -> bool:
 
 def _walk_chunks(payload: bytes) -> dict[bytes, tuple[int, int]]:
     """Tolerant RIFF walk: (body_start, body_end) spans of the first
-    ``fmt `` and ``data`` chunks; everything else (LIST/INFO/fact/cue
-    ...) is skipped. Spans, not slices — the metadata path must stay
+    ``fmt ``, ``fact`` and ``data`` chunks; everything else (LIST/INFO/
+    cue ...) is skipped. Spans, not slices — the metadata path must stay
     O(header), never copying the sample bytes."""
     found: dict[bytes, tuple[int, int]] = {}
     for tag, body_start, body_end in iter_chunks(
         payload, 12, container_end(payload)
     ):
-        if tag in (b"fmt ", b"data") and tag not in found:
+        if tag in (b"fmt ", b"data", b"fact") and tag not in found:
             found[tag] = (body_start, body_end)
     return found
 
 
-def _parse(payload: bytes) -> tuple[int, int, int, tuple[int, int]]:
-    """(sample_rate, channels, bits, data_span) with fmt validated.
-    Malformed containers raise ValueError; format gaps (float PCM,
-    ADPCM, exotic depths) raise NotImplementedError — the module's
-    whole error contract, kept narrow so Spark-task callers can
-    classify failures."""
+def _parse(payload: bytes) -> WavHeader:
+    """Validated WavHeader. Malformed containers raise ValueError;
+    format gaps (mu-law, stereo ADPCM, exotic depths) raise
+    NotImplementedError — the module's whole error contract, kept
+    narrow so Spark-task callers can classify failures."""
     if not is_wav(payload):
         raise ValueError("not a WAV payload")
     found = _walk_chunks(payload)
@@ -76,48 +266,147 @@ def _parse(payload: bytes) -> tuple[int, int, int, tuple[int, int]]:
     f0, f1 = found[b"fmt "]
     if f1 - f0 < 16:
         raise ValueError("WAV fmt chunk truncated")
-    audio_fmt, ch, rate, _br, block_align, bits = struct.unpack_from(
+    tag, ch, rate, _br, block_align, bits = struct.unpack_from(
         "<HHIIHH", payload, f0
     )
-    if audio_fmt != 1:
-        raise NotImplementedError(
-            f"WAV audio format {audio_fmt} (only integer PCM)"
-        )
-    if bits not in (8, 16):
-        raise NotImplementedError(f"PCM bit depth {bits} (only 8/16)")
-    if ch == 0 or rate == 0 or block_align != ch * bits // 8:
+    extensible = tag == _FMT_EXTENSIBLE
+    if extensible:
+        if f1 - f0 < 40:
+            raise ValueError("EXTENSIBLE fmt chunk truncated")
+        (cb,) = struct.unpack_from("<H", payload, f0 + 16)
+        if cb < 22:
+            raise ValueError("EXTENSIBLE extension too short")
+        sub = payload[f0 + 24: f0 + 40]
+        if sub[2:] != _KS_GUID_TAIL:
+            raise NotImplementedError(
+                f"EXTENSIBLE subformat GUID {sub.hex()}"
+            )
+        (tag,) = struct.unpack_from("<H", sub, 0)
+    if ch == 0 or rate == 0:
         raise ValueError("WAV fmt header inconsistent")
-    return rate, ch, bits, found[b"data"]
+    d0, d1 = found[b"data"]
+    fact: int | None = None
+    if b"fact" in found and found[b"fact"][1] - found[b"fact"][0] >= 4:
+        (fact,) = struct.unpack_from("<I", payload, found[b"fact"][0])
+
+    if tag == _FMT_PCM or tag == _FMT_IEEE_FLOAT:
+        ok_bits = (8, 16, 24) if tag == _FMT_PCM else (32, 64)
+        kind = "pcm" if tag == _FMT_PCM else "float"
+        if bits not in ok_bits:
+            raise NotImplementedError(f"{kind.upper()} bit depth {bits}")
+        if block_align != ch * bits // 8:
+            raise ValueError("WAV fmt header inconsistent")
+        n = (d1 - d0) // block_align
+        return WavHeader(f"{kind}{bits}", extensible, rate, ch, bits,
+                         block_align, (d0, d1), n, 1)
+
+    if tag == _FMT_IMA_ADPCM:
+        if ch != 1:
+            raise NotImplementedError("IMA ADPCM decode is mono-only")
+        if bits != 4:
+            raise NotImplementedError(f"IMA ADPCM bit depth {bits}")
+        if block_align < 8 or block_align % 4:
+            raise ValueError("IMA ADPCM block_align invalid")
+        spb = (block_align - 4) * 2 + 1
+        if f1 - f0 >= 20:
+            (stored_spb,) = struct.unpack_from("<H", payload, f0 + 18)
+            if stored_spb != spb:
+                raise ValueError("IMA ADPCM samples-per-block mismatch")
+        if (d1 - d0) % block_align:
+            raise ValueError("IMA ADPCM data not block-aligned")
+        capacity = (d1 - d0) // block_align * spb
+        n = capacity if fact is None else fact
+        if n > capacity or (capacity and n <= capacity - spb):
+            raise ValueError("IMA ADPCM fact count inconsistent with data")
+        return WavHeader("ima-adpcm", extensible, rate, ch, bits,
+                         block_align, (d0, d1), n, spb)
+
+    raise NotImplementedError(f"WAV audio format 0x{tag:04x}")
 
 
 def wav_info(payload: bytes) -> tuple[int, int, int]:
     """(sample_rate, channels, n_samples) from the headers — O(header),
     no sample materialization (the cheap metadata path, like
     avi_geometry)."""
-    rate, ch, bits, (d0, d1) = _parse(payload)
-    return rate, ch, (d1 - d0) // (ch * bits // 8)
+    hdr = _parse(payload)
+    return hdr.rate, hdr.channels, hdr.n_samples
+
+
+# -------------------------------------------------------------- decoders
+
+def _adpcm_decode(payload: bytes, hdr: WavHeader) -> np.ndarray:
+    """Block-vectorized IMA ADPCM decode: the per-sample predictor
+    recurrence is inherently sequential, but blocks are independent
+    (each carries its own predictor + step index), so the loop runs
+    over the samples_per_block positions while numpy advances every
+    block of the payload simultaneously."""
+    d0, d1 = hdr.data_span
+    ba, spb = hdr.block_align, hdr.samples_per_block
+    data = np.frombuffer(payload, np.uint8, count=d1 - d0, offset=d0)
+    nb = len(data) // ba
+    blocks = data.reshape(nb, ba)
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    idx = blocks[:, 2].astype(np.int32)
+    if (idx > 88).any():
+        raise ValueError("IMA ADPCM step index out of range")
+    nib_bytes = blocks[:, 4:]
+    nibs = np.empty((nb, (ba - 4) * 2), np.uint8)
+    nibs[:, 0::2] = nib_bytes & 0xF
+    nibs[:, 1::2] = nib_bytes >> 4
+    out = np.empty((nb, spb), np.int16)
+    out[:, 0] = pred
+    for j in range(spb - 1):
+        nv = nibs[:, j].astype(np.int32)
+        delta = nv & 7
+        step = _STEP[idx]
+        diff = (
+            (step >> 3)
+            + np.where(delta & 4, step, 0)
+            + np.where(delta & 2, step >> 1, 0)
+            + np.where(delta & 1, step >> 2, 0)
+        )
+        pred = np.clip(np.where(nv & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        idx = np.clip(idx + _INDEX_ADJ[delta], 0, 88)
+        out[:, j + 1] = pred
+    return out.reshape(-1)[: hdr.n_samples][:, None]
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (int16 samples of shape (n, channels), sample_rate).
-    8-bit PCM (unsigned per spec) is widened to int16."""
-    rate, ch, bits, (d0, d1) = _parse(payload)
-    n = (d1 - d0) // (ch * bits // 8)
-    if bits == 8:
-        raw = np.frombuffer(payload, dtype=np.uint8, count=n * ch, offset=d0)
+
+    Every codec normalizes to int16: 8-bit PCM (unsigned per spec) is
+    widened, 24-bit PCM keeps its top two bytes, IEEE float maps the
+    nominal [-1, 1] range through round(x * 32767) with clipping, and
+    IMA ADPCM runs the block-vectorized predictor."""
+    hdr = _parse(payload)
+    (d0, d1), ch, n = hdr.data_span, hdr.channels, hdr.n_samples
+    if hdr.codec == "ima-adpcm":
+        return _adpcm_decode(payload, hdr), hdr.rate
+    if hdr.codec == "pcm8":
+        raw = np.frombuffer(payload, np.uint8, count=n * ch, offset=d0)
         samples = ((raw.astype(np.int16) - 128) << 8).reshape(n, ch)
-    else:
-        raw = np.frombuffer(payload, dtype="<i2", count=n * ch, offset=d0)
+    elif hdr.codec == "pcm16":
+        raw = np.frombuffer(payload, "<i2", count=n * ch, offset=d0)
         samples = raw.astype(np.int16).reshape(n, ch)
-    return samples, rate
+    elif hdr.codec == "pcm24":
+        raw = np.frombuffer(payload, np.uint8, count=n * ch * 3, offset=d0)
+        samples = (
+            raw.reshape(-1, 3)[:, 1:3].copy().view("<i2")[:, 0]
+            .astype(np.int16).reshape(n, ch)
+        )
+    else:  # float32 / float64
+        dt = "<f4" if hdr.codec == "float32" else "<f8"
+        raw = np.frombuffer(payload, dt, count=n * ch, offset=d0)
+        samples = np.clip(
+            np.rint(raw.astype(np.float64) * 32767.0), -32768, 32767
+        ).astype(np.int16).reshape(n, ch)
+    return samples, hdr.rate
 
 
-def audio_features(payload: bytes) -> dict[str, int]:
-    """Decode and reduce to the SQL-statable feature surface: geometry
-    (rate / channels / count / integer-ms duration) plus channel-0
-    signal statistics (peak magnitude, rounded RMS, sign-change count).
-    All integers — float reductions stay deterministic across hosts."""
-    samples, rate = decode_wav(payload)
+def _features_from_samples(
+    samples: np.ndarray, rate: int
+) -> dict[str, int]:
     x = samples[:, 0].astype(np.float64)
     n = len(x)
     # abs in int32: np.abs(int16(-32768)) overflows back to -32768
@@ -133,4 +422,28 @@ def audio_features(payload: bytes) -> dict[str, int]:
         "peak": peak,
         "rms": rms,
         "zero_crossings": zc,
+    }
+
+
+def audio_features(payload: bytes) -> dict[str, int]:
+    """Decode and reduce to the SQL-statable feature surface: geometry
+    (rate / channels / count / integer-ms duration) plus channel-0
+    signal statistics (peak magnitude, rounded RMS, sign-change count).
+    All integers — float reductions stay deterministic across hosts."""
+    samples, rate = decode_wav(payload)
+    return _features_from_samples(samples, rate)
+
+
+def audio_codec_features(payload: bytes) -> dict[str, object]:
+    """audio_features plus the parsed container facts: the codec label
+    (including the EXTENSIBLE wrapping) and the block geometry — so a
+    query over a mixed-codec corpus can hash-check that the byte-level
+    format dispatch landed where the synthesis arithmetic says it
+    must."""
+    hdr = _parse(payload)
+    samples, rate = decode_wav(payload)
+    return {
+        "codec": hdr.codec_label,
+        "samples_per_block": hdr.samples_per_block,
+        **_features_from_samples(samples, rate),
     }

@@ -297,6 +297,73 @@ def synth_wav_payload(media_ref: str) -> bytes:
     return encode_wav(np.repeat(s[:, None], ch, axis=1), rate)
 
 
+_AUDIO_CODECS = ("pcm16", "pcm24", "float32", "extensible/pcm16")
+
+
+def synth_audio_codec(media_ref: str) -> str:
+    """Deterministic per-ref WAV codec pick for the mixed-codec corpus,
+    md5-derived so the same CASE is statable in DuckDB
+    (fixtures.media_audio_formats_oracle_sql)."""
+    import hashlib
+
+    hx = hashlib.md5(media_ref.encode()).hexdigest()
+    return _AUDIO_CODECS[int(hx[16:18], 16) % 4]
+
+
+def synth_wav_codec_payload(media_ref: str) -> bytes:
+    """The synth_wav_payload square wave re-encoded in the md5-chosen
+    codec. Every codec here is exact for int16 sources (24-bit stores
+    value<<8, float32 stores value/32767 whose rounding error is far
+    inside the +-0.5 window, EXTENSIBLE wraps plain PCM16), so all four
+    share the closed-form feature arithmetic — the audio analog of the
+    image formats sharing one dims oracle."""
+    from dd_ops_ocr_spark.operators import audio
+
+    rate, n, amp, half, ch = synth_audio_params(media_ref)
+    i = np.arange(n)
+    s = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+    stereo = np.repeat(s[:, None], ch, axis=1)
+    enc = {
+        "pcm16": audio.encode_wav,
+        "pcm24": audio.encode_wav_pcm24,
+        "float32": audio.encode_wav_float32,
+        "extensible/pcm16": audio.encode_wav_extensible,
+    }[synth_audio_codec(media_ref)]
+    return enc(stereo, rate)
+
+
+def synth_audio_adpcm_params(media_ref: str) -> tuple[int, int, int, int]:
+    """Deterministic (rate, block_align, n_blocks, amplitude) for an
+    IMA ADPCM clip — md5-derived like synth_audio_params (sharing its
+    rate and amplitude nibbles) so the block arithmetic is statable in
+    DuckDB."""
+    import hashlib
+
+    hx = hashlib.md5(media_ref.encode()).hexdigest()
+    rate = (8000, 16000, 22050, 44100)[int(hx[6:8], 16) % 4]
+    amp = 1000 + int(hx[10:12], 16) * 8
+    block_align = (64, 128, 256)[int(hx[16:18], 16) % 3]
+    n_blocks = 2 + int(hx[18:20], 16) % 5
+    return rate, block_align, n_blocks, amp
+
+
+def synth_wav_adpcm_payload(media_ref: str) -> bytes:
+    """Deterministic REAL IMA ADPCM WAV that decodes EXACTLY: the signal
+    is constant +-amp per block, flipping sign at every block boundary.
+    Each block's stored predictor carries its first sample verbatim and
+    all in-block differences are zero (nibble 0 at step 7 decodes to
+    +0), so the lossy codec reproduces the input bit-for-bit — which
+    pins peak == rms == amp and zero_crossings == n_blocks - 1 in
+    closed form for the oracle."""
+    from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
+
+    rate, block_align, n_blocks, amp = synth_audio_adpcm_params(media_ref)
+    spb = (block_align - 4) * 2 + 1
+    b = np.arange(n_blocks)
+    sig = np.repeat(np.where(b % 2 == 0, amp, -amp).astype(np.int16), spb)
+    return encode_wav_adpcm(sig, rate, block_align=block_align)
+
+
 def synth_frame_count(media_ref: str) -> int:
     """Deterministic per-ref video frame count in [2, 8], md5-derived
     like synth_geometry so the same arithmetic is statable in DuckDB
@@ -750,6 +817,36 @@ def media_audio_features(media_df: DataFrame) -> DataFrame:
     )
 
 
+def media_audio_codec_features(media_df: DataFrame) -> DataFrame:
+    """media_audio_features plus the parsed container facts (codec
+    label including EXTENSIBLE wrapping, samples-per-block geometry) —
+    the operator for MIXED-codec audio corpora, where the byte-level
+    format dispatch itself is part of the checkable surface. Same
+    Arrow-batched decode-and-reduce shape: features out, samples never
+    materialized into the plan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dd_ops_ocr_spark.operators.audio import audio_codec_features
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = [audio_codec_features(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_ref", pdf["media_ref"].to_numpy())
+            ints = [c for c in out.columns if c not in ("media_ref", "codec")]
+            yield out.astype({c: np.int32 for c in ints})
+
+    return media_df.mapInPandas(
+        run,
+        schema=(
+            "media_ref string, codec string, samples_per_block int, "
+            "sample_rate int, n_channels int, n_samples int, "
+            "duration_ms int, peak int, rms int, zero_crossings int"
+        ),
+    )
+
+
 def _media_with_payload(
     spark: SparkSession, sf_dir: str, fmt: str = "bmp"
 ) -> DataFrame:
@@ -780,6 +877,8 @@ def _media_with_payload(
             "png_interlaced": synth_png_interlaced_payload,
             "avi": synth_avi_payload,
             "wav": synth_wav_payload,
+            "wav_multi": synth_wav_codec_payload,
+            "wav_adpcm": synth_wav_adpcm_payload,
             "webp": synth_webp_payload,
         }.get(fmt, synth_bmp_payload)
 
@@ -982,6 +1081,41 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query over a MIXED-codec WAV corpus: each ref's square
+    wave is encoded in its md5-chosen codec (16/24-bit PCM, IEEE
+    float32, EXTENSIBLE-wrapped PCM16 — all exact for int16 sources),
+    decoded through the format-dispatching container parser, and
+    reduced to codec label + features. The oracle restates the codec
+    CASE and the shared closed-form feature arithmetic, so a hash match
+    proves the byte-level dispatch AND every decoder's sample-exactness
+    at once."""
+    out = media_audio_codec_features(
+        _media_with_payload(spark, sf_dir, fmt="wav_multi")
+    )
+    return out.select(
+        "media_ref", "codec", "sample_rate", "n_channels", "n_samples",
+        "duration_ms", "peak", "rms", "zero_crossings",
+    )
+
+
+def q_media_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query over IMA ADPCM clips built to decode EXACTLY (see
+    synth_wav_adpcm_payload): constant +-amp per block, sign flipping at
+    block boundaries. The statable surface covers the compressed
+    format's real arithmetic — samples_per_block from block_align, the
+    fact-chunk sample count, duration, and the exact feature triple
+    (peak == rms == amp, zero_crossings == n_blocks - 1)."""
+    out = media_audio_codec_features(
+        _media_with_payload(spark, sf_dir, fmt="wav_adpcm")
+    )
+    return out.select(
+        "media_ref", "codec", "samples_per_block", "sample_rate",
+        "n_channels", "n_samples", "duration_ms", "peak", "rms",
+        "zero_crossings",
+    )
+
+
 def q_media_metadata_png_interlaced(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1055,6 +1189,8 @@ QUERIES = {
     "media_video_frames": q_media_video_frames,
     "media_video_frames_quarantine": q_media_video_frames_quarantine,
     "media_audio_features": q_media_audio_features,
+    "media_audio_formats": q_media_audio_formats,
+    "media_audio_adpcm": q_media_audio_adpcm,
     "media_audio_quarantine": q_media_audio_quarantine,
     "media_metadata_quarantine": q_media_metadata_quarantine,
 }

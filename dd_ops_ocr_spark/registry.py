@@ -220,6 +220,12 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_audio_features"] = (
         fixtures.media_audio_features_oracle_sql(path)
     )
+    ORACLE_SQL["media_audio_formats"] = (
+        fixtures.media_audio_formats_oracle_sql(path)
+    )
+    ORACLE_SQL["media_audio_adpcm"] = (
+        fixtures.media_audio_adpcm_oracle_sql(path)
+    )
     ORACLE_SQL["media_metadata_quarantine"] = (
         fixtures.media_metadata_quarantine_oracle_sql(path)
     )
@@ -282,6 +288,8 @@ _register(_external)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "media_audio_formats",
+    "media_audio_adpcm",
     "media_upscale",
     "media_debug_draw",
     "engine_dual_extract",

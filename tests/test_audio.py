@@ -86,8 +86,9 @@ def test_wav_error_and_seam_paths():
         wav_info(b"RIFF\x04\x00\x00\x00AVI ")  # not WAVE
     with pytest.raises(ValueError):
         wav_info(_chunk(b"RIFF", b"WAVE"))  # no fmt/data
-    # float PCM (format 3) is the documented injection seam
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    # mu-law (format 7) is the documented injection seam (float PCM
+    # decodes natively since the codec-matrix extension)
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
     payload = _chunk(b"RIFF", b"WAVE" + _chunk(b"fmt ", fmt)
                      + _chunk(b"data", b"\x00" * 8))
     with pytest.raises(NotImplementedError):
@@ -223,3 +224,173 @@ def test_media_audio_quarantine_all_corrupt_batch_still_quarantines(spark):
     ).coalesce(1)
     rows = media_audio_features_quarantined(one).collect()
     assert len(rows) == 1 and rows[0]["error"] is not None
+
+
+# ---------------------------------------------------- extended codec matrix
+
+def test_wav_codec_matrix_roundtrip_exact():
+    """pcm24 / float32 / EXTENSIBLE-pcm16 all recover int16 sources
+    bit-exactly, and the parsed codec label reports the dispatch."""
+    from dd_ops_ocr_spark.operators.audio import (
+        _parse,
+        encode_wav_extensible,
+        encode_wav_float32,
+        encode_wav_pcm24,
+    )
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, (513, 2)).astype(np.int16)
+    for enc, label in [
+        (encode_wav_pcm24, "pcm24"),
+        (encode_wav_float32, "float32"),
+        (encode_wav_extensible, "extensible/pcm16"),
+    ]:
+        p = enc(s, 22050)
+        assert _parse(p).codec_label == label
+        assert wav_info(p) == (22050, 2, 513)
+        out, rate = decode_wav(p)
+        assert rate == 22050 and (out == s).all(), label
+
+
+def test_wav_float64_decode():
+    """float64 streams decode through the same rint(x*32767) map (no
+    float64 encoder in the module — build the container by hand)."""
+    from dd_ops_ocr_spark.operators.audio import _chunk as chunk
+    import struct
+
+    s = np.array([0, 100, -32768, 32767], np.int16)
+    data = (s.astype(np.float64) / 32767.0).astype("<f8").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 8, 8, 64)
+    payload = chunk(
+        b"RIFF", b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    )
+    out, rate = decode_wav(payload)
+    # -32768/32767 stores slightly below -1.0; the clip keeps it exact
+    assert rate == 8000 and (out[:, 0] == s).all()
+
+
+def test_wav_extensible_unknown_subformat():
+    from dd_ops_ocr_spark.operators.audio import encode_wav_extensible
+
+    p = bytearray(encode_wav_extensible(np.zeros(4, np.int16), 8000))
+    # corrupt one byte of the subformat GUID tail (fmt body starts at 20)
+    p[20 + 30] ^= 0xFF
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(p))
+
+
+def _adpcm_decode_scalar(payload: bytes):
+    """Independent scalar IMA ADPCM referee (textbook per-sample loop)
+    the vectorized decoder must match bit-for-bit."""
+    from dd_ops_ocr_spark.operators.audio import _INDEX_ADJ, _STEP, _parse
+
+    hdr = _parse(payload)
+    d0, d1 = hdr.data_span
+    ba, spb = hdr.block_align, hdr.samples_per_block
+    out = []
+    for b0 in range(d0, d1, ba):
+        pred = int(np.frombuffer(payload[b0:b0 + 2], "<i2")[0])
+        idx = payload[b0 + 2]
+        out.append(pred)
+        nibs = []
+        for byte in payload[b0 + 4: b0 + ba]:
+            nibs += [byte & 0xF, byte >> 4]
+        for nv in nibs:
+            step = int(_STEP[idx])
+            delta = nv & 7
+            diff = step >> 3
+            if delta & 4:
+                diff += step
+            if delta & 2:
+                diff += step >> 1
+            if delta & 1:
+                diff += step >> 2
+            pred = pred - diff if nv & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_INDEX_ADJ[delta])))
+            out.append(pred)
+    return np.array(out[: hdr.n_samples], np.int16)
+
+
+def test_adpcm_vectorized_matches_scalar_referee():
+    from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
+
+    rng = np.random.default_rng(5)
+    for n, ba in [(1, 64), (120, 64), (505, 256), (1300, 128)]:
+        sig = rng.integers(-12000, 12000, n).astype(np.int16)
+        p = encode_wav_adpcm(sig, 16000, block_align=ba)
+        vec, rate = decode_wav(p)
+        assert rate == 16000 and vec.shape == (n, 1)
+        assert (vec[:, 0] == _adpcm_decode_scalar(p)).all(), (n, ba)
+
+
+def test_adpcm_block_constant_signal_exact():
+    """The oracle-bearing construction: constant +-amp per block decodes
+    bit-exactly (predictor carries the first sample, zero diffs at the
+    block's chosen step stay zero)."""
+    from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
+
+    for ba in (64, 128, 256):
+        spb = (ba - 4) * 2 + 1
+        blocks = np.array([2200, -2200, 2200, -2200], np.int16)
+        sig = np.repeat(blocks, spb)
+        out, _ = decode_wav(encode_wav_adpcm(sig, 8000, block_align=ba))
+        assert (out[:, 0] == sig).all()
+        f = audio_features(encode_wav_adpcm(sig, 8000, block_align=ba))
+        assert f["peak"] == f["rms"] == 2200
+        assert f["zero_crossings"] == 3
+
+
+def test_adpcm_reconstruction_bound_on_sine():
+    """Lossy but adaptive: a smooth signal reconstructs within a small
+    multiple of the working step size (the per-block start-index
+    heuristic keeps block seams from spiking)."""
+    from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
+
+    t = np.arange(4000)
+    sig = (9000 * np.sin(t / 30)).astype(np.int16)
+    out, _ = decode_wav(encode_wav_adpcm(sig, 16000))
+    err = np.abs(out[:, 0].astype(int) - sig.astype(int))
+    assert err.max() < 200 and err.mean() < 40
+
+
+def test_adpcm_fact_truncation_partial_final_block():
+    """n not a multiple of samples_per_block: the final block is padded
+    on encode and the fact chunk trims decode back to exactly n."""
+    from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
+
+    sig = np.arange(-300, 400, 7, dtype=np.int16)  # n=100, spb=121
+    p = encode_wav_adpcm(sig, 8000, block_align=64)
+    assert wav_info(p) == (8000, 1, 100)
+    out, _ = decode_wav(p)
+    assert out.shape == (100, 1)
+
+
+def test_adpcm_error_contract():
+    from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
+
+    with pytest.raises(NotImplementedError):  # stereo stays a seam
+        encode_wav_adpcm(np.zeros((8, 2), np.int16), 8000)
+    p = bytearray(encode_wav_adpcm(np.zeros(200, np.int16), 8000,
+                                   block_align=64))
+    # corrupt the first block's stored step index past the ladder
+    data_off = p.rindex(b"data") + 8
+    p[data_off + 2] = 99
+    with pytest.raises(ValueError):
+        decode_wav(bytes(p))
+
+
+def test_audio_codec_features_surface():
+    from dd_ops_ocr_spark.operators.audio import (
+        audio_codec_features,
+        encode_wav_adpcm,
+        encode_wav_pcm24,
+    )
+
+    s = np.repeat(np.array([900, -900], np.int16), 121)
+    f = audio_codec_features(encode_wav_adpcm(s, 8000, block_align=64))
+    assert f["codec"] == "ima-adpcm" and f["samples_per_block"] == 121
+    assert f["peak"] == f["rms"] == 900 and f["zero_crossings"] == 1
+    f2 = audio_codec_features(encode_wav_pcm24(s, 8000))
+    assert f2["codec"] == "pcm24" and f2["samples_per_block"] == 1
+    assert f2["peak"] == 900
