@@ -464,6 +464,38 @@ FROM s, UNNEST(range(0, kk)) AS t(i)
 """
 
 
+def media_video_delta_frames_oracle_sql(
+    path: str, n_frames: int = 3, kf_interval: int = 3
+) -> str:
+    """DuckDB twin of q_media_video_delta_frames: the media_video_frames
+    surface plus the keyframe index the idx1-flag seek must land on —
+    with keyframes written every kf_interval frames, the governing
+    keyframe of src is src - src % kf_interval. The Spark side derives
+    it from the container's AVIIF_KEYFRAME flags, so a hash match proves
+    the index parsing and the seek, not just the sampling."""
+    return _media_cte(path) + f"""
+, v AS (
+  SELECT media_ref, width, height,
+         CAST(2 + CAST(('0x' || substr(md5(media_ref), 5, 2)) AS INT) % 7
+              AS INT) AS n_src
+  FROM g
+),
+s AS (SELECT *, LEAST({n_frames}, n_src) AS kk FROM v),
+e AS (
+  SELECT media_ref, n_src, width, height,
+         CAST(t.i AS INT) AS frame_idx,
+         CAST(CASE WHEN kk <= 1 THEN 0
+                   ELSE (2 * t.i * (n_src - 1) + (kk - 1)) // (2 * (kk - 1))
+              END AS INT) AS src_idx
+  FROM s, UNNEST(range(0, kk)) AS t(i)
+)
+SELECT media_ref, frame_idx, src_idx,
+       CAST(src_idx - src_idx % {kf_interval} AS INT) AS key_idx,
+       n_src AS n_src_frames, width, height
+FROM e
+"""
+
+
 def _audio_params_cte(where: str = "") -> str:
     """The md5-derived audio synthesis parameters
     (multimodal.synth_audio_params restated in SQL), shared by the

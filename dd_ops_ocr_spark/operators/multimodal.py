@@ -364,6 +364,25 @@ def synth_wav_adpcm_payload(media_ref: str) -> bytes:
     return encode_wav_adpcm(sig, rate, block_align=block_align)
 
 
+DELTA_KF_INTERVAL = 3
+
+
+def synth_avi_delta_payload(media_ref: str) -> bytes:
+    """Deterministic inter-frame-coded AVI: the same cyclically
+    row-shifted synth frames as synth_avi_payload, but keyframes only
+    every DELTA_KF_INTERVAL frames and mod-256 PNG deltas between —
+    lossless end to end, so decode must reproduce the shifted pixels
+    bit-exactly (pytest) while the keyframe-seek arithmetic is statable
+    in DuckDB."""
+    from dd_ops_ocr_spark.operators.video import encode_avi_png_delta
+
+    px = _synth_pixels(media_ref)
+    frames = [
+        np.roll(px, i, axis=0) for i in range(synth_frame_count(media_ref))
+    ]
+    return encode_avi_png_delta(frames, kf_interval=DELTA_KF_INTERVAL)
+
+
 def synth_frame_count(media_ref: str) -> int:
     """Deterministic per-ref video frame count in [2, 8], md5-derived
     like synth_geometry so the same arithmetic is statable in DuckDB
@@ -817,6 +836,60 @@ def media_audio_features(media_df: DataFrame) -> DataFrame:
     )
 
 
+def media_video_delta_frames(
+    media_df: DataFrame, n_frames: int = 3
+) -> DataFrame:
+    """Frame sampling over INTER-FRAME-coded AVI (PNG keyframes +
+    mod-256 PNG deltas): resolve each sampled frame to its governing
+    keyframe through the idx1 AVIIF_KEYFRAME flags, decode the keyframe,
+    and accumulate deltas forward. The scale property this buys: work
+    per sampled frame is bounded by the keyframe interval, never by the
+    sample's position in the stream — the same reason seeking a 2-hour
+    H.264 file is O(GOP), not O(file). Emits the keyframe index actually
+    used, so the oracle hash-checks the seek logic itself."""
+    from dd_ops_ocr_spark.operators.video import (
+        avi_geometry,
+        decode_sampled_delta_frames,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            refs, fidx, sidx, kidx, nsrc, ws, hs = [], [], [], [], [], [], []
+            for r, p in zip(pdf["media_ref"], pdf["payload"]):
+                _w, _h, n = avi_geometry(p)
+                for i, (src, key, px) in enumerate(
+                    decode_sampled_delta_frames(p, n_frames)
+                ):
+                    refs.append(r)
+                    fidx.append(i)
+                    sidx.append(src)
+                    kidx.append(key)
+                    nsrc.append(n)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_ref": np.asarray(refs, dtype=object),
+                    "frame_idx": np.asarray(fidx, dtype=np.int32),
+                    "src_idx": np.asarray(sidx, dtype=np.int32),
+                    "key_idx": np.asarray(kidx, dtype=np.int32),
+                    "n_src_frames": np.asarray(nsrc, dtype=np.int32),
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                }
+            )
+
+    return media_df.mapInPandas(
+        run,
+        schema=(
+            "media_ref string, frame_idx int, src_idx int, key_idx int, "
+            "n_src_frames int, width int, height int"
+        ),
+    )
+
+
 def media_audio_codec_features(media_df: DataFrame) -> DataFrame:
     """media_audio_features plus the parsed container facts (codec
     label including EXTENSIBLE wrapping, samples-per-block geometry) —
@@ -876,6 +949,7 @@ def _media_with_payload(
             "png": synth_png_payload,
             "png_interlaced": synth_png_interlaced_payload,
             "avi": synth_avi_payload,
+            "avi_delta": synth_avi_delta_payload,
             "wav": synth_wav_payload,
             "wav_multi": synth_wav_codec_payload,
             "wav_adpcm": synth_wav_adpcm_payload,
@@ -1081,6 +1155,24 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_video_delta_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query over inter-frame-coded AVIs (PNG keyframes every
+    DELTA_KF_INTERVAL, mod-256 PNG deltas between): sample 3 frames,
+    seek each to its governing keyframe via the idx1 flags, accumulate
+    deltas. SQL-statable surface: the sampling arithmetic (shared with
+    media_video_frames), the keyframe index the seek must land on
+    (src_idx - src_idx % interval), and the decoded dimensions. The
+    reconstructed pixels are bit-exact vs the shifted synth frames —
+    pytest-verified (test_video.py)."""
+    out = media_video_delta_frames(
+        _media_with_payload(spark, sf_dir, fmt="avi_delta")
+    )
+    return out.select(
+        "media_ref", "frame_idx", "src_idx", "key_idx", "n_src_frames",
+        "width", "height",
+    )
+
+
 def q_media_audio_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query over a MIXED-codec WAV corpus: each ref's square
     wave is encoded in its md5-chosen codec (16/24-bit PCM, IEEE
@@ -1187,6 +1279,7 @@ QUERIES = {
     "media_resize_native_scaled": q_media_resize_native_scaled,
     "media_frame_sample": q_media_frame_sample,
     "media_video_frames": q_media_video_frames,
+    "media_video_delta_frames": q_media_video_delta_frames,
     "media_video_frames_quarantine": q_media_video_frames_quarantine,
     "media_audio_features": q_media_audio_features,
     "media_audio_formats": q_media_audio_formats,

@@ -31,6 +31,7 @@ from dd_ops_ocr_spark.operators.riff import chunk as _chunk
 from dd_ops_ocr_spark.operators.riff import container_end, iter_chunks
 
 _AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
 
 
 def _list(kind: bytes, body: bytes) -> bytes:
@@ -41,10 +42,29 @@ def encode_avi_mjpeg(
     frames: list[bytes], width: int, height: int, fps: int = 10
 ) -> bytes:
     """JPEG frame payloads -> MJPEG AVI bytes (one 'vids'/'MJPG' stream,
-    frame chunks '00dc', idx1 index)."""
+    frame chunks '00dc', idx1 index). Every MJPEG frame is
+    self-contained, so every idx1 entry carries AVIIF_KEYFRAME."""
+    return encode_avi(frames, width, height, b"MJPG",
+                      [True] * len(frames), fps)
+
+
+def encode_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fourcc: bytes,
+    keyframe: list[bool],
+    fps: int = 10,
+) -> bytes:
+    """Codec-agnostic AVI writer: frame payloads + per-frame keyframe
+    flags -> one 'vids' stream with an idx1 index whose AVIIF_KEYFRAME
+    bits record which frames are independently decodable — the flag an
+    inter-frame decoder seeks by."""
     n = len(frames)
     if n == 0:
         raise ValueError("AVI needs at least one frame")
+    if len(keyframe) != n:
+        raise ValueError("one keyframe flag per frame")
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,  # dwMicroSecPerFrame
@@ -61,7 +81,7 @@ def encode_avi_mjpeg(
     )
     strh = (
         b"vids"
-        + b"MJPG"
+        + fourcc
         + struct.pack(
             "<IHHIIIIIIII4H",
             0,  # dwFlags
@@ -78,7 +98,7 @@ def encode_avi_mjpeg(
     )
     strf = struct.pack(
         "<IiiHH4sIiiII",
-        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+        40, width, height, 1, 24, fourcc, width * height * 3, 0, 0, 0, 0,
     )
     hdrl = _list(
         b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
@@ -89,9 +109,12 @@ def encode_avi_mjpeg(
     # LIST's data start (the conventional AVI 1.0 base)
     idx_entries = []
     off = 4  # past the 'movi' kind fourcc
-    for f, item in zip(frames, movi_items):
+    for f, item, key in zip(frames, movi_items, keyframe):
         idx_entries.append(
-            struct.pack("<4sIII", b"00dc", 0x10, off, len(f))  # AVIIF_KEYFRAME
+            struct.pack(
+                "<4sIII", b"00dc",
+                _AVIIF_KEYFRAME if key else 0, off, len(f),
+            )
         )
         off += len(item)
     idx1 = _chunk(b"idx1", b"".join(idx_entries))
@@ -156,6 +179,120 @@ def avi_geometry(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("AVI without avih header")
     vals = struct.unpack_from("<14I", payload, hit[0])
     return vals[8], vals[9], vals[4]
+
+
+def avi_frame_index(payload: bytes) -> list[tuple[int, int, bool]]:
+    """Parse the idx1 index chunk: (body_start, body_end, is_keyframe)
+    per frame chunk, in stream order. This is the random-access surface
+    an inter-frame decoder needs — seek to the governing keyframe
+    WITHOUT scanning the stream. Offsets are resolved against the movi
+    LIST (the AVI 1.0 convention), falling back to absolute file offsets
+    (the other convention in the wild) when the chunk tag check fails.
+    Raises ValueError when the container carries no idx1."""
+    if not is_avi(payload):
+        raise ValueError("not an AVI payload")
+    movi_start = None
+    idx_span = None
+    for tag, body_start, body_end in iter_chunks(
+        payload, 12, container_end(payload)
+    ):
+        if tag == b"LIST" and payload[body_start: body_start + 4] == b"movi":
+            movi_start = body_start
+        elif tag == b"idx1":
+            idx_span = (body_start, body_end)
+    if movi_start is None or idx_span is None:
+        raise ValueError("AVI without movi/idx1")
+    out: list[tuple[int, int, bool]] = []
+    i0, i1 = idx_span
+    for pos in range(i0, i1 - 15, 16):
+        tag, flags, off, size = struct.unpack_from("<4sIII", payload, pos)
+        if tag[2:4] not in (b"dc", b"db"):
+            continue
+        start = movi_start + off
+        if payload[start: start + 4] != tag:
+            start = off  # absolute-offset convention
+            if payload[start: start + 4] != tag:
+                raise ValueError("idx1 offset resolves to no chunk")
+        body = start + 8
+        if body + size > len(payload):
+            raise ValueError("idx1 entry overruns payload")
+        out.append((body, body + size, bool(flags & _AVIIF_KEYFRAME)))
+    return out
+
+
+def encode_avi_png_delta(
+    frames_px: list, kf_interval: int, fps: int = 10
+) -> bytes:
+    """Pixel frames -> inter-frame-coded AVI: every kf_interval-th frame
+    is a keyframe (PNG of the frame itself, AVIIF_KEYFRAME set), the
+    rest are delta frames (PNG of the mod-256 pixel difference vs the
+    previous frame). Wraparound subtraction is exactly invertible and
+    PNG is lossless, so decode is bit-exact — a real temporal-prediction
+    codec without the entropy-model weight of H.264. Deltas of similar
+    frames are near-constant images, which PNG's filters compress hard:
+    the same reason real video codecs predict temporally."""
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.png import encode_png
+
+    if kf_interval < 1:
+        raise ValueError("kf_interval must be >= 1")
+    if not frames_px:
+        raise ValueError("AVI needs at least one frame")
+    h, w, _ = frames_px[0].shape
+    payloads, keys = [], []
+    for i, px in enumerate(frames_px):
+        if px.shape != (h, w, 3):
+            raise ValueError("all frames must share one geometry")
+        key = i % kf_interval == 0
+        img = px if key else (
+            px.astype(np.uint8) - frames_px[i - 1].astype(np.uint8)
+        )
+        payloads.append(encode_png(img.astype(np.uint8)))
+        keys.append(key)
+    return encode_avi(payloads, w, h, b"MPNG", keys, fps)
+
+
+def decode_sampled_delta_frames(
+    payload: bytes, k: int
+) -> list[tuple[int, int, "object"]]:
+    """Sample k frames evenly from an inter-frame-coded AVI and decode
+    ONLY what each sample needs: seek to the governing keyframe via the
+    idx1 flags, then accumulate mod-256 deltas forward. Work per sampled
+    frame is bounded by the keyframe interval — independent of where in
+    a long stream the sample lands — and consecutive samples reuse the
+    running reconstruction when their chains overlap. Returns
+    (src_idx, key_idx, pixels) triples."""
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.png import decode_png
+
+    _w, _h, n = avi_geometry(payload)
+    index = avi_frame_index(payload)
+    if len(index) != n:
+        raise ValueError("idx1 frame count disagrees with avih")
+    picks = sample_indices(n, k)
+    out: list[tuple[int, int, object]] = []
+    cache_pos = -1
+    cache_px: object = None
+    for i in picks:
+        key = next(
+            (j for j in range(i, -1, -1) if index[j][2]), None
+        )
+        if key is None:
+            raise ValueError("no keyframe at or before sampled frame")
+        if key <= cache_pos <= i:
+            start, px = cache_pos + 1, cache_px
+        else:
+            b0, b1, _ = index[key]
+            px = decode_png(payload[b0:b1])
+            start = key + 1
+        for j in range(start, i + 1):
+            b0, b1, _ = index[j]
+            px = (px + decode_png(payload[b0:b1])).astype(np.uint8)
+        cache_pos, cache_px = i, px
+        out.append((i, key, px))
+    return out
 
 
 def sample_indices(n_src: int, k: int) -> list[int]:

@@ -217,6 +217,9 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_debug_draw"] = fixtures.media_debug_draw_oracle_sql(path)
     ORACLE_SQL["media_frame_sample"] = fixtures.media_frame_sample_oracle_sql(path)
     ORACLE_SQL["media_video_frames"] = fixtures.media_video_frames_oracle_sql(path)
+    ORACLE_SQL["media_video_delta_frames"] = (
+        fixtures.media_video_delta_frames_oracle_sql(path)
+    )
     ORACLE_SQL["media_audio_features"] = (
         fixtures.media_audio_features_oracle_sql(path)
     )
@@ -289,6 +292,7 @@ _register(_external)
 _ROSTER_HEAD = [
     # new this round — never stamped
     "media_audio_formats",
+    "media_video_delta_frames",
     "media_audio_adpcm",
     "media_upscale",
     "media_debug_draw",

@@ -335,3 +335,155 @@ def test_media_video_quarantine_all_corrupt_batch_still_quarantines(spark):
         media_video_frames_quarantined(
             good, decoder=broken_frame_decoder
         ).collect()
+
+
+# ------------------------------------------------- inter-frame delta codec
+
+def _shifted_frames(n: int, seed: int = 3, shape=(24, 16)):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+    return [np.roll(base, i, axis=0) for i in range(n)]
+
+
+def test_delta_avi_bit_exact_all_frames():
+    """Every reconstruction path — keyframe hit, forward delta chain,
+    cache reuse between consecutive samples — reproduces the source
+    pixels bit-for-bit (mod-256 deltas + lossless PNG)."""
+    from dd_ops_ocr_spark.operators.video import (
+        avi_frame_index,
+        decode_sampled_delta_frames,
+        encode_avi_png_delta,
+    )
+
+    frames = _shifted_frames(8)
+    p = encode_avi_png_delta(frames, kf_interval=4)
+    assert [k for _, _, k in avi_frame_index(p)] == [
+        True, False, False, False, True, False, False, False
+    ]
+    for i, key, px in decode_sampled_delta_frames(p, 5):
+        assert key == i - i % 4
+        assert (px == frames[i]).all(), i
+    # k >= n decodes every frame
+    got = decode_sampled_delta_frames(p, 99)
+    assert [i for i, _, _ in got] == list(range(8))
+    for i, _, px in got:
+        assert (px == frames[i]).all()
+
+
+def test_delta_avi_kf_interval_one_is_all_keyframes():
+    from dd_ops_ocr_spark.operators.video import (
+        avi_frame_index,
+        decode_sampled_delta_frames,
+        encode_avi_png_delta,
+    )
+
+    frames = _shifted_frames(3)
+    p = encode_avi_png_delta(frames, kf_interval=1)
+    assert all(k for _, _, k in avi_frame_index(p))
+    for i, key, px in decode_sampled_delta_frames(p, 3):
+        assert key == i and (px == frames[i]).all()
+
+
+def test_delta_avi_compresses_smooth_content():
+    """The reason inter-frame coding exists: deltas of similar frames
+    are near-constant images PNG filters crush — the delta container
+    must be materially smaller than all-keyframes on smooth motion."""
+    from dd_ops_ocr_spark.operators.video import encode_avi_png_delta
+
+    y, x = np.mgrid[0:64, 0:48]
+    sm = ((y * 3 + x) % 256).astype(np.uint8)
+    frames = [
+        np.roll(np.repeat(sm[:, :, None], 3, 2), i, axis=0) for i in range(8)
+    ]
+    delta = encode_avi_png_delta(frames, kf_interval=4)
+    allkey = encode_avi_png_delta(frames, kf_interval=1)
+    assert len(delta) < 0.6 * len(allkey)
+
+
+def test_delta_avi_error_contract():
+    from dd_ops_ocr_spark.operators.video import (
+        avi_frame_index,
+        decode_sampled_delta_frames,
+        encode_avi_png_delta,
+    )
+
+    frames = _shifted_frames(4)
+    p = encode_avi_png_delta(frames, kf_interval=2)
+    # strip idx1 -> the seek surface is gone and the decoder must say so
+    idx_at = p.rindex(b"idx1")
+    stripped = bytearray(p[:idx_at])
+    import struct
+
+    struct.pack_into("<I", stripped, 4, len(stripped) - 8)
+    with pytest.raises(ValueError):
+        avi_frame_index(bytes(stripped))
+    with pytest.raises(ValueError):
+        decode_sampled_delta_frames(bytes(stripped), 2)
+    with pytest.raises(ValueError):
+        encode_avi_png_delta(frames, kf_interval=0)
+    with pytest.raises(ValueError):
+        encode_avi_png_delta([], kf_interval=2)
+    # no keyframe at/before a sampled frame: flip frame 0's key flag off
+    broken = bytearray(p)
+    entry0 = broken.rindex(b"idx1") + 8
+    struct.pack_into("<I", broken, entry0 + 4, 0)
+    with pytest.raises(ValueError):
+        decode_sampled_delta_frames(bytes(broken), 1)
+
+
+def test_delta_avi_absolute_offset_index_fallback():
+    """Some muxers write idx1 offsets from the file start instead of the
+    movi base; the reader resolves either convention."""
+    import struct
+
+    from dd_ops_ocr_spark.operators.video import (
+        avi_frame_index,
+        encode_avi_png_delta,
+    )
+
+    frames = _shifted_frames(3)
+    p = bytearray(encode_avi_png_delta(frames, kf_interval=2))
+    rel = avi_frame_index(bytes(p))
+    # rewrite offsets as absolute (entry offset points at chunk header)
+    idx_at = p.rindex(b"idx1") + 8
+    for k in range(3):
+        pos = idx_at + 16 * k
+        (off,) = struct.unpack_from("<I", p, pos + 8)
+        body_start = rel[k][0]
+        struct.pack_into("<I", p, pos + 8, body_start - 8)
+    assert avi_frame_index(bytes(p)) == rel
+
+
+def test_media_video_delta_frames_end_to_end(spark):
+    """Spark operator over synthesized delta containers: sampled frames
+    reconstruct the shifted synth pixels exactly and the emitted
+    key_idx matches the writer's cadence."""
+    import pandas as pd
+
+    from dd_ops_ocr_spark.operators.multimodal import (
+        DELTA_KF_INTERVAL,
+        media_video_delta_frames,
+        synth_avi_delta_payload,
+        synth_frame_count,
+    )
+
+    refs = [f"dv{i}" for i in range(4)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": refs,
+                "payload": [synth_avi_delta_payload(r) for r in refs],
+            }
+        )
+    ).coalesce(1)
+    rows = media_video_delta_frames(df).collect()
+    by_ref: dict[str, list] = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref in refs:
+        n = synth_frame_count(ref)
+        got = sorted(by_ref[ref], key=lambda r: r["frame_idx"])
+        assert len(got) == min(3, n)
+        for r in got:
+            assert r["n_src_frames"] == n
+            assert r["key_idx"] == r["src_idx"] - r["src_idx"] % DELTA_KF_INTERVAL
