@@ -650,7 +650,147 @@ FROM votes
 """
 
 
+# --------------------------------------------- cross-doc line-level dedup
+
+# RefinedWeb/CCNet-style boilerplate removal: a LINE that occurs in many
+# distinct documents (nav menus, cookie banners, copyright footers) is
+# template noise, not content — strip it corpus-wide. Distinct from
+# repeated_span_strip, which removes repetition WITHIN one document.
+BOILER_HEAD = "SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES"
+BOILER_TAIL = "(c) example.com - all rights reserved"
+LINE_DEDUP_MIN_DOCS = 4
+
+
+def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic boilerplate lines injected IN SPARK
+    SQL (md5-derived membership, like the quarantine corruption rule) so
+    the oracle can restate exactly which docs carry which planted
+    lines."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hx = F.md5(F.col("doc_id").cast("string"))
+    head = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % 3 == 0
+    tail = F.conv(F.substring(hx, 3, 2), 16, 10).cast("int") % 4 == 0
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.when(head, F.lit(BOILER_HEAD + "\n")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(tail, F.lit("\n" + BOILER_TAIL)).otherwise(F.lit("")),
+        ),
+    )
+
+
+_SQL_DOCS_WITH_BOILERPLATE = f"""
+  SELECT doc_id,
+         (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INT) % 3 = 0
+               THEN '{BOILER_HEAD}' || chr(10) ELSE '' END)
+         || text
+         || (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))
+                       AS INT) % 4 = 0
+                  THEN chr(10) || '{BOILER_TAIL}' ELSE '' END) AS text
+  FROM documents
+"""
+
+
+def strip_common_lines(
+    docs: DataFrame, min_docs: int = LINE_DEDUP_MIN_DOCS
+) -> DataFrame:
+    """Remove every line whose trimmed form occurs in >= min_docs
+    DISTINCT documents; blank lines are never counted or dropped.
+    Returns (doc_id, text, n_lines, n_kept, n_dropped) with surviving
+    lines rejoined in original order.
+
+    Scale shape: the frequent-line set is computed with one
+    countDistinct agg over the exploded lines (partial aggregation
+    map-side), then removed with an UNHINTED anti-join — by
+    construction lines crossing the min_docs threshold are a sliver of
+    all distinct lines, so AQE broadcasts the small side when it truly
+    is small and falls back to a shuffle join when a pathological
+    corpus makes it big (same policy as decontaminate: never hard-wire
+    a broadcast of a data-dependent set at 100 TB). The rebuild is one
+    groupBy(doc_id) with an in-agg array_sort, not a window."""
+    lines = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), "\n", -1)).alias("n_lines"),
+        F.posexplode(F.split(F.col("text"), "\n", -1)).alias("pos", "line"),
+    )
+    key = F.trim(F.col("line"))
+    freq = (
+        lines.filter(key != "")
+        .groupBy(key.alias("k"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    kept = lines.join(freq, key == F.col("k"), "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    # docs whose every line was boilerplate drop out of the rebuild —
+    # re-anchor on the input set so they surface as emptied, not absent
+    base = docs.select("doc_id", F.size(
+        F.split(F.col("text"), "\n", -1)).alias("n_lines_in"))
+    out = base.join(rebuilt, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.col("n_lines_in").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        (F.col("n_lines_in") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int").alias("n_dropped"),
+    )
+
+
+def q_line_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_boilerplate(spark, sf_dir)
+    return strip_common_lines(d)
+
+
+SQL_LINE_DEDUP_GLOBAL = f"""
+WITH d AS ({_SQL_DOCS_WITH_BOILERPLATE}),
+l AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         str_split(text, chr(10))[t.i + 1] AS line,
+         len(str_split(text, chr(10))) AS n_lines
+  FROM d, UNNEST(range(0, len(str_split(text, chr(10))))) AS t(i)
+),
+freq AS (
+  SELECT trim(line) AS k
+  FROM l WHERE trim(line) <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {LINE_DEDUP_MIN_DOCS}
+),
+kept AS (
+  SELECT l.* FROM l ANTI JOIN freq ON trim(l.line) = freq.k
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.text, '') AS text,
+       CAST(len(str_split(d.text, chr(10))) AS INT) AS n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+       CAST(len(str_split(d.text, chr(10))) - COALESCE(r.n_kept, 0) AS INT)
+         AS n_dropped
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
+    "line_dedup_global": q_line_dedup_global,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
     "dedup_exact": q_dedup_exact,
@@ -662,6 +802,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "line_dedup_global": SQL_LINE_DEDUP_GLOBAL,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -293,6 +293,7 @@ _ROSTER_HEAD = [
     # new this round — never stamped
     "media_audio_formats",
     "media_video_delta_frames",
+    "line_dedup_global",
     "media_audio_adpcm",
     "media_upscale",
     "media_debug_draw",

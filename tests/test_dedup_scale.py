@@ -131,3 +131,45 @@ def test_repeated_span_strip_planted(spark, tmp_path):
     assert (got[5]["n_words"], got[5]["n_hot_spans"]) == (2, 0)
     assert got[6]["cleaned_text"] == ""
     assert (got[6]["n_hot_spans"], got[6]["n_removed"]) == (2, 8)
+
+
+def test_strip_common_lines_planted_boilerplate(spark):
+    """Cross-doc line dedup: lines in >= min_docs distinct docs vanish,
+    organic lines survive in order, blank lines never count, a doc made
+    entirely of boilerplate surfaces as emptied (not absent), and
+    within-doc repetition alone never crosses the threshold."""
+    import pandas as pd
+
+    from dd_ops_ocr_spark.operators.dedup import strip_common_lines
+
+    boiler = "SUBSCRIBE NOW"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(7)),
+            "text": [
+                f"{boiler}\nalpha one\n\nalpha two",   # boiler + blanks kept
+                f"beta line\n  {boiler}  ",            # trimmed form matches
+                f"{boiler}\ngamma",
+                f"{boiler}",                           # all-boilerplate doc
+                "delta solo",                          # untouched
+                f"{boiler}\n{boiler}\nepsilon",        # repeat inside one doc
+                "same-doc\nsame-doc\nsame-doc\nzeta",  # within-doc only: kept
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_common_lines(
+            spark.createDataFrame(docs), min_docs=4
+        ).collect()
+    }
+    assert out[0]["text"] == "alpha one\n\nalpha two"
+    assert out[0]["n_lines"] == 4 and out[0]["n_kept"] == 3
+    assert out[1]["text"] == "beta line"
+    assert out[2]["text"] == "gamma"
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_dropped"] == 1
+    assert out[4]["text"] == "delta solo" and out[4]["n_dropped"] == 0
+    assert out[5]["text"] == "epsilon" and out[5]["n_dropped"] == 2
+    # 3 repeats inside ONE doc count as 1 distinct doc < min_docs
+    assert out[6]["text"] == "same-doc\nsame-doc\nsame-doc\nzeta"
