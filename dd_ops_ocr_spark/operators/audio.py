@@ -97,9 +97,20 @@ def _wav_container(fmt_body: bytes, data: bytes, n_samples: int | None) -> bytes
     )
 
 
-def _fmt_base(tag: int, ch: int, rate: int, block_align: int, bits: int) -> bytes:
+def _fmt_base(
+    tag: int,
+    ch: int,
+    rate: int,
+    block_align: int,
+    bits: int,
+    avg_bytes: int | None = None,
+) -> bytes:
+    # avg_bytes defaults to the PCM formula (block_align == bytes per
+    # sample frame); compressed formats must pass their true byte rate.
+    if avg_bytes is None:
+        avg_bytes = rate * block_align
     return struct.pack(
-        "<HHIIHH", tag, ch, rate, rate * block_align, block_align, bits
+        "<HHIIHH", tag, ch, rate, avg_bytes, block_align, bits
     )
 
 
@@ -227,7 +238,12 @@ def encode_wav_adpcm(
     blk[:, :2] = padded[:, 0].astype("<i2").view(np.uint8).reshape(nb, 2)
     blk[:, 2] = idx0  # initial step index; byte 3 (reserved) stays 0
     blk[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)  # low nibble first
-    fmt = _fmt_base(_FMT_IMA_ADPCM, 1, rate, block_align, 4) + struct.pack(
+    # True byte rate for the compressed stream: one block_align-byte
+    # block carries spb decoded samples (round-half-up, per common
+    # IMA-in-WAV practice; decoders that trust the header use it only
+    # for duration/bitrate estimates).
+    avg = (rate * block_align + spb // 2) // spb
+    fmt = _fmt_base(_FMT_IMA_ADPCM, 1, rate, block_align, 4, avg) + struct.pack(
         "<HH", 2, spb
     )
     return _wav_container(fmt, blk.tobytes(), n)
@@ -380,9 +396,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     nominal [-1, 1] range through round(x * 32767) with clipping, and
     IMA ADPCM runs the block-vectorized predictor."""
     hdr = _parse(payload)
+    return _decode_parsed(payload, hdr), hdr.rate
+
+
+def _decode_parsed(payload: bytes, hdr: "WavHeader") -> np.ndarray:
     (d0, d1), ch, n = hdr.data_span, hdr.channels, hdr.n_samples
     if hdr.codec == "ima-adpcm":
-        return _adpcm_decode(payload, hdr), hdr.rate
+        return _adpcm_decode(payload, hdr)
     if hdr.codec == "pcm8":
         raw = np.frombuffer(payload, np.uint8, count=n * ch, offset=d0)
         samples = ((raw.astype(np.int16) - 128) << 8).reshape(n, ch)
@@ -401,7 +421,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         samples = np.clip(
             np.rint(raw.astype(np.float64) * 32767.0), -32768, 32767
         ).astype(np.int16).reshape(n, ch)
-    return samples, hdr.rate
+    return samples
 
 
 def _features_from_samples(
@@ -441,9 +461,8 @@ def audio_codec_features(payload: bytes) -> dict[str, object]:
     format dispatch landed where the synthesis arithmetic says it
     must."""
     hdr = _parse(payload)
-    samples, rate = decode_wav(payload)
     return {
         "codec": hdr.codec_label,
         "samples_per_block": hdr.samples_per_block,
-        **_features_from_samples(samples, rate),
+        **_features_from_samples(_decode_parsed(payload, hdr), hdr.rate),
     }

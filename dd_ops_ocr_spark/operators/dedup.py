@@ -714,7 +714,6 @@ def strip_common_lines(
     groupBy(doc_id) with an in-agg array_sort, not a window."""
     lines = docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), "\n", -1)).alias("n_lines"),
         F.posexplode(F.split(F.col("text"), "\n", -1)).alias("pos", "line"),
     )
     key = F.trim(F.col("line"))

@@ -858,9 +858,10 @@ def media_video_delta_frames(
                 continue
             refs, fidx, sidx, kidx, nsrc, ws, hs = [], [], [], [], [], [], []
             for r, p in zip(pdf["media_ref"], pdf["payload"]):
-                _w, _h, n = avi_geometry(p)
+                geo = avi_geometry(p)
+                n = geo[2]
                 for i, (src, key, px) in enumerate(
-                    decode_sampled_delta_frames(p, n_frames)
+                    decode_sampled_delta_frames(p, n_frames, geometry=geo)
                 ):
                     refs.append(r)
                     fidx.append(i)

@@ -254,7 +254,8 @@ def encode_avi_png_delta(
 
 
 def decode_sampled_delta_frames(
-    payload: bytes, k: int
+    payload: bytes, k: int,
+    geometry: tuple[int, int, int] | None = None,
 ) -> list[tuple[int, int, "object"]]:
     """Sample k frames evenly from an inter-frame-coded AVI and decode
     ONLY what each sample needs: seek to the governing keyframe via the
@@ -262,12 +263,13 @@ def decode_sampled_delta_frames(
     frame is bounded by the keyframe interval — independent of where in
     a long stream the sample lands — and consecutive samples reuse the
     running reconstruction when their chains overlap. Returns
-    (src_idx, key_idx, pixels) triples."""
+    (src_idx, key_idx, pixels) triples. Pass ``geometry`` (a prior
+    avi_geometry result) to skip re-walking the container."""
     import numpy as np
 
     from dd_ops_ocr_spark.operators.png import decode_png
 
-    _w, _h, n = avi_geometry(payload)
+    _w, _h, n = geometry if geometry is not None else avi_geometry(payload)
     index = avi_frame_index(payload)
     if len(index) != n:
         raise ValueError("idx1 frame count disagrees with avih")

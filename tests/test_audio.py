@@ -380,6 +380,24 @@ def test_adpcm_error_contract():
         decode_wav(bytes(p))
 
 
+def test_adpcm_header_byte_rate_is_compressed_rate():
+    """nAvgBytesPerSec must carry the COMPRESSED byte rate
+    (rate * block_align / samples_per_block, round-half-up), not the
+    PCM formula — external tools trust this field for duration and
+    bitrate estimates."""
+    import struct
+
+    from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
+
+    p = encode_wav_adpcm(np.zeros(1000, np.int16), 8000, block_align=256)
+    fmt_off = p.index(b"fmt ") + 8
+    tag, ch, rate, avg, ba, bits = struct.unpack_from("<HHIIHH", p, fmt_off)
+    spb = struct.unpack_from("<H", p, fmt_off + 18)[0]
+    assert (tag, ch, rate, ba, bits) == (0x11, 1, 8000, 256, 4)
+    assert spb == 2 * (256 - 4) + 1  # 505 samples per 256-byte block
+    assert avg == (8000 * 256 + spb // 2) // spb  # ~4055, not 2,048,000
+
+
 def test_audio_codec_features_surface():
     from dd_ops_ocr_spark.operators.audio import (
         audio_codec_features,
