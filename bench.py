@@ -551,6 +551,64 @@ def main() -> None:
     else:
         media["webp"]["native"] = {"unavailable": _nwebp.load_error()}
 
+    # audio: the mixed-codec WAV table (pcm16/pcm24/float32/extensible
+    # per-row by md5) through the decode-and-reduce features operator,
+    # plus the IMA ADPCM table — the block-vectorized compressed path.
+    # Payloads landed once, same policy as the JPEG/AVI caches.
+    from dd_ops_ocr_spark.operators.multimodal import (
+        media_audio_codec_features,
+        media_video_delta_frames,
+    )
+
+    audio_path = os.path.join(CACHE, f"media_wavmix_{_sf_name()}.parquet")
+    if not os.path.isdir(audio_path):
+        _media_with_payload(spark, SF_DIR, fmt="wav_multi").write.mode(
+            "overwrite").parquet(audio_path)
+    audio_df = spark.read.parquet(audio_path)
+    n_audio = media_audio_codec_features(audio_df).count()  # warm
+    queries["media_audio_formats"] = timed(
+        lambda: media_audio_codec_features(audio_df).count()
+    )
+    media["audio"] = {
+        "n_payloads": n_audio,
+        "payloads_per_sec": round(
+            n_audio / queries["media_audio_formats"], 1),
+    }
+    adpcm_path = os.path.join(CACHE, f"media_adpcm_{_sf_name()}.parquet")
+    if not os.path.isdir(adpcm_path):
+        _media_with_payload(spark, SF_DIR, fmt="wav_adpcm").write.mode(
+            "overwrite").parquet(adpcm_path)
+    adpcm_df = spark.read.parquet(adpcm_path)
+    media_audio_codec_features(adpcm_df).count()  # warm
+    queries["media_audio_adpcm"] = timed(
+        lambda: media_audio_codec_features(adpcm_df).count()
+    )
+    media["audio"]["adpcm_payloads_per_sec"] = round(
+        n_audio / queries["media_audio_adpcm"], 1)
+    # inter-frame video: PNG keyframes + mod-256 deltas, idx1 keyframe
+    # seek — work per sampled frame bounded by the keyframe interval
+    delta_path = os.path.join(CACHE, f"media_avidelta_{_sf_name()}.parquet")
+    if not os.path.isdir(delta_path):
+        _media_with_payload(spark, SF_DIR, fmt="avi_delta").write.mode(
+            "overwrite").parquet(delta_path)
+    delta_df = spark.read.parquet(delta_path)
+    n_dframes = media_video_delta_frames(delta_df).count()  # warm
+    queries["media_video_delta_frames"] = timed(
+        lambda: media_video_delta_frames(delta_df).count()
+    )
+    media["video"]["delta_frames_per_sec"] = round(
+        n_dframes / queries["media_video_delta_frames"], 1)
+
+    # cross-doc line dedup (RefinedWeb/CCNet boilerplate strip): one
+    # countDistinct agg + anti-join + groupBy rebuild over the documents
+    # table — generation is a cheap column expression, so timing the
+    # registered query is honest (unlike media synthesis)
+    from dd_ops_ocr_spark.operators.dedup import q_line_dedup_global
+
+    queries["line_dedup_global"] = timed(
+        lambda: q_line_dedup_global(spark, SF_DIR).count()
+    )
+
     # catalog data skipping: the flat corpus landed ONCE as a range-
     # clustered snapshot table (32 files, doc_id-sorted => tight footer
     # bounds), then the same selective aggregate timed through a full

@@ -553,6 +553,40 @@ FROM a
 """
 
 
+def media_audio_g711_oracle_sql(path: str) -> str:
+    """DuckDB twin of q_media_audio_g711: the md5 law pick plus the
+    G.711 reconstruction-level arithmetic itself — mu-law
+    ((8m+132) << e) - 132, A-law 16m+8 / (16m+264) << (e-1) — restated
+    as the amplitude (multimodal.synth_audio_g711_params), feeding the
+    shared closed-form square-wave features. A hash match proves the
+    8-bit compander decodes these levels bit-exactly."""
+    return _media_cte(path) + _audio_params_cte() + """
+, g711 AS (
+  SELECT a.*,
+         (CASE WHEN CAST(('0x' || substr(md5(media_ref), 19, 2)) AS INT)
+                    % 2 = 0 THEN 'ulaw' ELSE 'alaw' END) AS law,
+         CAST(('0x' || substr(md5(media_ref), 21, 2)) AS INT) % 8 AS e,
+         1 + CAST(('0x' || substr(md5(media_ref), 23, 2)) AS INT) % 15 AS m
+  FROM a
+),
+lv AS (
+  SELECT *,
+         CAST(CASE WHEN law = 'ulaw'
+                   THEN (8 * m + 132) * (1 << e) - 132
+                   WHEN e = 0 THEN 16 * m + 8
+                   ELSE (16 * m + 264) * (1 << (e - 1)) END
+              AS INT) AS lvl
+  FROM g711
+)
+SELECT media_ref, law AS codec,
+       CAST(sample_rate AS INT) AS sample_rate, n_channels, n_samples,
+       CAST(n_samples * 1000 // sample_rate AS INT) AS duration_ms,
+       lvl AS peak, lvl AS rms,
+       CAST((n_samples - 1) // half AS INT) AS zero_crossings
+FROM lv
+"""
+
+
 def media_audio_adpcm_oracle_sql(path: str) -> str:
     """DuckDB twin of q_media_audio_adpcm: the md5-derived block
     geometry (multimodal.synth_audio_adpcm_params restated — block_align

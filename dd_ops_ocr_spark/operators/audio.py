@@ -17,9 +17,14 @@ codecs:
 - WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) containers wrapping any of the
   above via the KSDATAFORMAT subformat GUID.
 
-Remaining formats (A-law/mu-law, MPEG-in-WAV, stereo ADPCM's per-channel
-4-byte interleave) raise NotImplementedError — the injection seam for a
-real soundfile/ffmpeg deployment, exactly like exotic image codecs.
+- G.711 mu-law (tag 0x0007) and A-law (0x0006): 8-bit logarithmic
+  telephony codecs, decoded through 256-entry LUT fancy-indexing and
+  encoded with a segment-table construction that is exact on every
+  reconstruction level (the property the SQL oracles lean on).
+
+Remaining formats (MPEG-in-WAV, stereo ADPCM's per-channel 4-byte
+interleave) raise NotImplementedError — the injection seam for a real
+soundfile/ffmpeg deployment, exactly like exotic image codecs.
 
 The reference pipeline is image-only (its media are PDF page renders);
 audio support follows SURVEY §6's training-data-pipeline mandate: treat
@@ -41,6 +46,8 @@ from dd_ops_ocr_spark.operators.riff import container_end, iter_chunks
 
 _FMT_PCM = 0x0001
 _FMT_IEEE_FLOAT = 0x0003
+_FMT_ALAW = 0x0006
+_FMT_MULAW = 0x0007
 _FMT_IMA_ADPCM = 0x0011
 _FMT_EXTENSIBLE = 0xFFFE
 
@@ -68,7 +75,7 @@ _INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
 class WavHeader(NamedTuple):
     """Validated ``fmt `` contents plus the data-chunk span."""
 
-    codec: str             # 'pcm8'|'pcm16'|'pcm24'|'float32'|'float64'|'ima-adpcm'
+    codec: str  # 'pcm8/16/24'|'float32/64'|'ulaw'|'alaw'|'ima-adpcm'
     extensible: bool       # wrapped in WAVE_FORMAT_EXTENSIBLE
     rate: int
     channels: int
@@ -168,6 +175,76 @@ def encode_wav_extensible(samples: np.ndarray, rate: int) -> bytes:
     fmt = _fmt_base(_FMT_EXTENSIBLE, ch, rate, ch * 2, 16) + ext
     data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
     return _wav_container(fmt, data, n)
+
+
+# ---------------------------------------------------------- G.711 mu/A-law
+# Both laws are 8-bit logarithmic companders over 16-bit magnitudes:
+# a 3-bit segment (exponent) + 4-bit mantissa, mu-law with a +0x84 bias
+# and full-byte inversion, A-law with even-bit XOR 0x55 and an inverted
+# sign convention (0x80 = positive). The decode tables below ARE the
+# codec definition; the encoders are built so that every one of the 256
+# reconstruction levels encodes back to its own code (exactness the
+# synthetic-corpus oracles rely on) and arbitrary int16 quantizes to
+# the level whose cell contains it.
+
+# bit_length(i) - 1 for i >= 1 (floor log2); index 0 unused by callers
+_MSB_LUT = np.array(
+    [0] + [(i).bit_length() - 1 for i in range(1, 256)], np.int32
+)
+
+
+def _build_g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    codes = np.arange(256, dtype=np.int32)
+    u = ~codes & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    ulaw = np.where(u & 0x80, -mag, mag).astype(np.int16)
+    a = codes ^ 0x55
+    seg = (a >> 4) & 7
+    mant = a & 0x0F
+    mag_a = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    alaw = np.where(a & 0x80, mag_a, -mag_a).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_DEC, _ALAW_DEC = _build_g711_tables()
+
+
+def _ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = _MSB_LUT[mag >> 7]  # mag >= 0x84 so mag>>7 >= 1
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _alaw_encode(samples: np.ndarray) -> np.ndarray:
+    x = samples.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0)  # A-law: 0x80 marks POSITIVE
+    mag = np.minimum(np.abs(x), 32767)
+    seg = np.where(mag >> 8, _MSB_LUT[mag >> 8] + 1, 0)
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def encode_wav_ulaw(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples -> G.711 mu-law WAV (8 bits/sample, tag 0x0007)."""
+    samples = _as_2d_int16(samples)
+    n, ch = samples.shape
+    fmt = _fmt_base(_FMT_MULAW, ch, rate, ch, 8)
+    return _wav_container(fmt, _ulaw_encode(samples).tobytes(), n)
+
+
+def encode_wav_alaw(samples: np.ndarray, rate: int) -> bytes:
+    """int16 samples -> G.711 A-law WAV (8 bits/sample, tag 0x0006)."""
+    samples = _as_2d_int16(samples)
+    n, ch = samples.shape
+    fmt = _fmt_base(_FMT_ALAW, ch, rate, ch, 8)
+    return _wav_container(fmt, _alaw_encode(samples).tobytes(), n)
 
 
 def encode_wav_adpcm(
@@ -271,7 +348,7 @@ def _walk_chunks(payload: bytes) -> dict[bytes, tuple[int, int]]:
 
 def _parse(payload: bytes) -> WavHeader:
     """Validated WavHeader. Malformed containers raise ValueError;
-    format gaps (mu-law, stereo ADPCM, exotic depths) raise
+    format gaps (MPEG-in-WAV, stereo ADPCM, exotic depths) raise
     NotImplementedError — the module's whole error contract, kept
     narrow so Spark-task callers can classify failures."""
     if not is_wav(payload):
@@ -314,6 +391,16 @@ def _parse(payload: bytes) -> WavHeader:
             raise ValueError("WAV fmt header inconsistent")
         n = (d1 - d0) // block_align
         return WavHeader(f"{kind}{bits}", extensible, rate, ch, bits,
+                         block_align, (d0, d1), n, 1)
+
+    if tag == _FMT_MULAW or tag == _FMT_ALAW:
+        law = "ulaw" if tag == _FMT_MULAW else "alaw"
+        if bits != 8:
+            raise NotImplementedError(f"G.711 {law} bit depth {bits}")
+        if block_align != ch:
+            raise ValueError("WAV fmt header inconsistent")
+        n = (d1 - d0) // block_align
+        return WavHeader(law, extensible, rate, ch, bits,
                          block_align, (d0, d1), n, 1)
 
     if tag == _FMT_IMA_ADPCM:
@@ -403,6 +490,10 @@ def _decode_parsed(payload: bytes, hdr: "WavHeader") -> np.ndarray:
     (d0, d1), ch, n = hdr.data_span, hdr.channels, hdr.n_samples
     if hdr.codec == "ima-adpcm":
         return _adpcm_decode(payload, hdr)
+    if hdr.codec in ("ulaw", "alaw"):
+        lut = _ULAW_DEC if hdr.codec == "ulaw" else _ALAW_DEC
+        raw = np.frombuffer(payload, np.uint8, count=n * ch, offset=d0)
+        return lut[raw].reshape(n, ch)
     if hdr.codec == "pcm8":
         raw = np.frombuffer(payload, np.uint8, count=n * ch, offset=d0)
         samples = ((raw.astype(np.int16) - 128) << 8).reshape(n, ch)

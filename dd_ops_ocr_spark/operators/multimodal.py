@@ -332,6 +332,42 @@ def synth_wav_codec_payload(media_ref: str) -> bytes:
     return enc(stereo, rate)
 
 
+def synth_audio_g711_params(media_ref: str) -> tuple[str, int, int, int]:
+    """Deterministic (law, exponent, mantissa, amplitude) for a G.711
+    clip. The amplitude is constructed as an EXACT reconstruction level
+    of the md5-chosen law — mu-law ((8m+132) << e) - 132, A-law
+    16m+8 / (16m+264) << (e-1) — so the lossy 8-bit codec decodes the
+    square wave bit-exactly and the closed-form feature arithmetic
+    survives companding. m is kept in 1..15: m=0 at e=0 would be a
+    zero-amplitude mu-law wave with no sign flips, breaking the shared
+    zero-crossing formula."""
+    import hashlib
+
+    hx = hashlib.md5(media_ref.encode()).hexdigest()
+    law = ("ulaw", "alaw")[int(hx[18:20], 16) % 2]
+    e = int(hx[20:22], 16) % 8
+    m = 1 + int(hx[22:24], 16) % 15
+    if law == "ulaw":
+        amp = ((8 * m + 132) << e) - 132
+    else:
+        amp = (16 * m + 8) if e == 0 else ((16 * m + 264) << (e - 1))
+    return law, e, m, amp
+
+
+def synth_wav_g711_payload(media_ref: str) -> bytes:
+    """The square wave of synth_audio_params at a G.711-exact amplitude
+    (synth_audio_g711_params), companded through the md5-chosen law."""
+    from dd_ops_ocr_spark.operators import audio
+
+    rate, n, _amp, half, ch = synth_audio_params(media_ref)
+    law, _e, _m, amp = synth_audio_g711_params(media_ref)
+    i = np.arange(n)
+    s = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+    stereo = np.repeat(s[:, None], ch, axis=1)
+    enc = audio.encode_wav_ulaw if law == "ulaw" else audio.encode_wav_alaw
+    return enc(stereo, rate)
+
+
 def synth_audio_adpcm_params(media_ref: str) -> tuple[int, int, int, int]:
     """Deterministic (rate, block_align, n_blocks, amplitude) for an
     IMA ADPCM clip — md5-derived like synth_audio_params (sharing its
@@ -954,6 +990,7 @@ def _media_with_payload(
             "wav": synth_wav_payload,
             "wav_multi": synth_wav_codec_payload,
             "wav_adpcm": synth_wav_adpcm_payload,
+            "wav_g711": synth_wav_g711_payload,
             "webp": synth_webp_payload,
         }.get(fmt, synth_bmp_payload)
 
@@ -1209,6 +1246,24 @@ def q_media_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query over G.711 telephony clips: each ref's square wave
+    rides at an amplitude that IS a reconstruction level of its
+    md5-chosen law (synth_audio_g711_params), so the 8-bit logarithmic
+    codec — mu-law's biased inverted byte, A-law's XOR-0x55 segments —
+    decodes it bit-exactly and the closed-form features survive the
+    compander. The oracle restates the level arithmetic itself, so a
+    hash match proves the segment/mantissa construction in BOTH
+    directions, not just the container plumbing."""
+    out = media_audio_codec_features(
+        _media_with_payload(spark, sf_dir, fmt="wav_g711")
+    )
+    return out.select(
+        "media_ref", "codec", "sample_rate", "n_channels", "n_samples",
+        "duration_ms", "peak", "rms", "zero_crossings",
+    )
+
+
 def q_media_metadata_png_interlaced(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1285,6 +1340,7 @@ QUERIES = {
     "media_audio_features": q_media_audio_features,
     "media_audio_formats": q_media_audio_formats,
     "media_audio_adpcm": q_media_audio_adpcm,
+    "media_audio_g711": q_media_audio_g711,
     "media_audio_quarantine": q_media_audio_quarantine,
     "media_metadata_quarantine": q_media_metadata_quarantine,
 }

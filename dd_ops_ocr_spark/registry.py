@@ -229,6 +229,9 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     ORACLE_SQL["media_audio_adpcm"] = (
         fixtures.media_audio_adpcm_oracle_sql(path)
     )
+    ORACLE_SQL["media_audio_g711"] = (
+        fixtures.media_audio_g711_oracle_sql(path)
+    )
     ORACLE_SQL["media_metadata_quarantine"] = (
         fixtures.media_metadata_quarantine_oracle_sql(path)
     )
@@ -291,6 +294,7 @@ _register(_external)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "media_audio_g711",
     "media_audio_formats",
     "media_video_delta_frames",
     "line_dedup_global",
@@ -341,7 +345,9 @@ _ROSTER_HEAD = [
     "engine_zip",
     "dim_enrich_join",
     "flagship_extract_pandas",
-    "flagship_extract_exploded",
+    # flagship_extract_exploded displaced to keep the head at the
+    # driver's 50-query sampling cap — its bounded sibling is in-sample
+    # and the local oracle gate still checks it every pytest run
 ]
 # r04-stamped flagship path twins: freshest stamps, safe at the very tail
 _ROSTER_TAIL = ["flagship_extract_salted", "flagship_extract_sql"]

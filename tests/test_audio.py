@@ -86,9 +86,9 @@ def test_wav_error_and_seam_paths():
         wav_info(b"RIFF\x04\x00\x00\x00AVI ")  # not WAVE
     with pytest.raises(ValueError):
         wav_info(_chunk(b"RIFF", b"WAVE"))  # no fmt/data
-    # mu-law (format 7) is the documented injection seam (float PCM
-    # decodes natively since the codec-matrix extension)
-    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    # MPEG-in-WAV (format 0x50) is the documented injection seam
+    # (G.711 mu/A-law decode natively since the companding extension)
+    fmt = struct.pack("<HHIIHH", 0x50, 1, 8000, 8000, 1, 0)
     payload = _chunk(b"RIFF", b"WAVE" + _chunk(b"fmt ", fmt)
                      + _chunk(b"data", b"\x00" * 8))
     with pytest.raises(NotImplementedError):
@@ -378,6 +378,74 @@ def test_adpcm_error_contract():
     p[data_off + 2] = 99
     with pytest.raises(ValueError):
         decode_wav(bytes(p))
+
+
+def test_g711_involution_and_level_exactness():
+    """encode(decode(code)) == code for all 256 codes of both laws —
+    mu-law excepting 0x7F, whose negative zero canonicalizes to 0xFF —
+    and every reconstruction level survives a decode->encode->decode
+    round trip bit-exactly (the property the SQL oracle leans on)."""
+    from dd_ops_ocr_spark.operators.audio import (
+        _ALAW_DEC,
+        _ULAW_DEC,
+        _alaw_encode,
+        _ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    ue = _ulaw_encode(_ULAW_DEC[codes])
+    assert all(ue[c] == c for c in range(256) if c != 0x7F)
+    assert ue[0x7F] == 0xFF  # negative zero -> canonical positive zero
+    assert (_alaw_encode(_ALAW_DEC[codes]) == codes).all()
+    for dec, enc in ((_ULAW_DEC, _ulaw_encode), (_ALAW_DEC, _alaw_encode)):
+        levels = dec[codes]
+        assert (dec[enc(levels)] == levels).all()
+
+
+def test_g711_quantization_bound_and_monotonic():
+    """Arbitrary int16 reconstructs within half the widest segment step
+    (512), and decode(encode(x)) is monotone non-decreasing in x."""
+    from dd_ops_ocr_spark.operators.audio import (
+        _ALAW_DEC,
+        _ULAW_DEC,
+        _alaw_encode,
+        _ulaw_encode,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    for dec, enc, clip in (
+        (_ULAW_DEC, _ulaw_encode, 32635),
+        (_ALAW_DEC, _alaw_encode, 32767),
+    ):
+        r = dec[enc(x)].astype(np.int32)
+        err = np.abs(r - np.clip(x, -clip, clip).astype(np.int32))
+        assert err.max() <= 512
+        assert (np.diff(r) >= 0).all()
+
+
+def test_g711_wav_roundtrip_and_info():
+    from dd_ops_ocr_spark.operators.audio import (
+        _ALAW_DEC,
+        _ULAW_DEC,
+        encode_wav_alaw,
+        encode_wav_ulaw,
+        wav_info,
+    )
+
+    from dd_ops_ocr_spark.operators.audio import _alaw_encode, _ulaw_encode
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32000, 32000, (311, 2)).astype(np.int16)
+    for encf, rawf, dec in (
+        (encode_wav_ulaw, _ulaw_encode, _ULAW_DEC),
+        (encode_wav_alaw, _alaw_encode, _ALAW_DEC),
+    ):
+        p = encf(x, 22050)
+        assert wav_info(p) == (22050, 2, 311)
+        got, rate = decode_wav(p)
+        assert rate == 22050 and got.shape == (311, 2)
+        # container decode equals the raw-law quantization of the input
+        assert (got == dec[rawf(x)]).all()
 
 
 def test_adpcm_header_byte_rate_is_compressed_rate():
