@@ -604,14 +604,16 @@ def media_audio_adpcm_oracle_sql(path: str) -> str:
          (CASE CAST(('0x' || substr(md5(media_ref), 17, 2)) AS INT) % 3
                WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END) AS block_align,
          CAST(2 + CAST(('0x' || substr(md5(media_ref), 19, 2)) AS INT) % 5
-              AS INT) AS n_blocks
+              AS INT) AS n_blocks,
+         CAST(1 + CAST(('0x' || substr(md5(media_ref), 25, 2)) AS INT) % 2
+              AS INT) AS ch
   FROM g
 ),
 q AS (
-  SELECT *, CAST((block_align - 4) * 2 + 1 AS INT) AS spb FROM p
+  SELECT *, CAST((block_align // ch - 4) * 2 + 1 AS INT) AS spb FROM p
 )
 SELECT media_ref, 'ima-adpcm' AS codec, spb AS samples_per_block,
-       CAST(sample_rate AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(sample_rate AS INT) AS sample_rate, ch AS n_channels,
        CAST(n_blocks * spb AS INT) AS n_samples,
        CAST(n_blocks * spb * 1000 // sample_rate AS INT) AS duration_ms,
        amp AS peak, amp AS rms,

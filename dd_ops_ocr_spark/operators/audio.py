@@ -8,22 +8,23 @@ codecs:
 
 - integer PCM at 8 / 16 / 24 bits (WAVE_FORMAT_PCM, tag 1),
 - IEEE float at 32 / 64 bits (WAVE_FORMAT_IEEE_FLOAT, tag 3),
-- mono IMA/DVI ADPCM (WAVE_FORMAT_IMA_ADPCM, tag 0x11), block-coded
-  4-bit differential PCM whose per-block headers make every block
-  independently decodable — the audio analog of a video keyframe, and
-  the reason both directions vectorize ACROSS blocks in numpy (the
-  sequential predictor recurrence runs over the ~hundreds of in-block
-  sample positions while numpy sweeps all blocks of the batch at once),
-- WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) containers wrapping any of the
-  above via the KSDATAFORMAT subformat GUID.
-
+- IMA/DVI ADPCM (WAVE_FORMAT_IMA_ADPCM, tag 0x11), block-coded 4-bit
+  differential PCM whose per-block, per-channel headers make every
+  block independently decodable — the audio analog of a video
+  keyframe, and the reason both directions vectorize ACROSS blocks in
+  numpy (the sequential predictor recurrence runs over the ~hundreds
+  of in-block sample positions while numpy sweeps every block-channel
+  stream of the batch at once); multi-channel blocks interleave 4-byte
+  headers per channel then 4-byte nibble groups cycling the channels,
 - G.711 mu-law (tag 0x0007) and A-law (0x0006): 8-bit logarithmic
   telephony codecs, decoded through 256-entry LUT fancy-indexing and
   encoded with a segment-table construction that is exact on every
-  reconstruction level (the property the SQL oracles lean on).
+  reconstruction level (the property the SQL oracles lean on),
+- WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) containers wrapping any of the
+  above via the KSDATAFORMAT subformat GUID.
 
-Remaining formats (MPEG-in-WAV, stereo ADPCM's per-channel 4-byte
-interleave) raise NotImplementedError — the injection seam for a real
+Remaining formats (MPEG-in-WAV, mu-law-in-EXTENSIBLE's exotic GUIDs)
+raise NotImplementedError — the injection seam for a real
 soundfile/ffmpeg deployment, exactly like exotic image codecs.
 
 The reference pipeline is image-only (its media are PDF page renders);
@@ -247,29 +248,16 @@ def encode_wav_alaw(samples: np.ndarray, rate: int) -> bytes:
     return _wav_container(fmt, _alaw_encode(samples).tobytes(), n)
 
 
-def encode_wav_adpcm(
-    samples: np.ndarray, rate: int, block_align: int = 256
-) -> bytes:
-    """Mono int16 samples -> IMA ADPCM WAV. Every block stores its own
-    (predictor, step-index) header, the index chosen per block from the
-    block's mean first difference — blocks are independently decodable
-    (random access / parallel decode), which
-    is also what lets this encoder run vectorized across blocks: the
-    predictor recurrence loops over the samples_per_block positions
-    while numpy processes every block at once. The final partial block
-    is edge-padded to full length; the ``fact`` chunk carries the true
-    sample count for decode-side truncation."""
-    samples = _as_2d_int16(samples)
-    n, ch = samples.shape
-    if ch != 1:
-        raise NotImplementedError("IMA ADPCM encoder is mono-only")
-    if n == 0:
-        raise ValueError("ADPCM needs at least one sample")
-    if block_align < 8 or block_align % 4:
-        raise ValueError("IMA ADPCM block_align must be a multiple of 4 >= 8")
-    spb = (block_align - 4) * 2 + 1
+def _adpcm_encode_channel(
+    flat: np.ndarray, ba_ch: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One channel's IMA ADPCM compression against a per-channel block
+    budget of ba_ch bytes (4-byte header + nibble data). Returns the
+    per-block 4-byte headers (nb, 4) and data bytes (nb, ba_ch - 4) —
+    the caller interleaves channels per the container layout."""
+    n = len(flat)
+    spb = (ba_ch - 4) * 2 + 1
     nb = -(-n // spb)
-    flat = samples[:, 0]
     padded = np.concatenate(
         [flat, np.full(nb * spb - n, flat[-1], np.int16)]
     ).reshape(nb, spb)
@@ -311,18 +299,54 @@ def encode_wav_adpcm(
         idx = np.clip(idx + _INDEX_ADJ[delta], 0, 88)
         nibs[:, j] = delta + sign * 8
 
+    hdrs = np.zeros((nb, 4), np.uint8)
+    hdrs[:, :2] = padded[:, 0].astype("<i2").view(np.uint8).reshape(nb, 2)
+    hdrs[:, 2] = idx0  # initial step index; byte 3 (reserved) stays 0
+    data = nibs[:, 0::2] | (nibs[:, 1::2] << 4)  # low nibble first
+    return hdrs, data
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, rate: int, block_align: int = 256
+) -> bytes:
+    """int16 samples of shape (n[, channels]) -> IMA ADPCM WAV. Every
+    block stores a per-channel (predictor, step-index) header, the
+    index chosen per block from the channel's mean first difference —
+    blocks are independently decodable (random access / parallel
+    decode), which is also what lets this encoder run vectorized across
+    blocks: the predictor recurrence loops over the samples-per-block
+    positions while numpy processes every block at once. Multi-channel
+    blocks follow the container's interleave — 4-byte headers per
+    channel, then 4-byte nibble groups cycling through the channels.
+    The final partial block is edge-padded; the ``fact`` chunk carries
+    the true frame count for decode-side truncation."""
+    samples = _as_2d_int16(samples)
+    n, ch = samples.shape
+    if n == 0:
+        raise ValueError("ADPCM needs at least one sample")
+    ba_ch, rem = divmod(block_align, ch)
+    if rem or ba_ch < 8 or ba_ch % 4:
+        raise ValueError(
+            "IMA ADPCM block_align must give each channel a multiple "
+            "of 4 bytes >= 8"
+        )
+    spb = (ba_ch - 4) * 2 + 1
+    parts = [_adpcm_encode_channel(samples[:, c], ba_ch) for c in range(ch)]
+    nb = parts[0][0].shape[0]
     blk = np.zeros((nb, block_align), np.uint8)
-    blk[:, :2] = padded[:, 0].astype("<i2").view(np.uint8).reshape(nb, 2)
-    blk[:, 2] = idx0  # initial step index; byte 3 (reserved) stays 0
-    blk[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)  # low nibble first
+    for c, (hdrs, _data) in enumerate(parts):
+        blk[:, 4 * c: 4 * c + 4] = hdrs
+    region = blk[:, 4 * ch:].reshape(nb, -1, 4)
+    for c, (_hdrs, data) in enumerate(parts):
+        region[:, c::ch, :] = data.reshape(nb, -1, 4)
     # True byte rate for the compressed stream: one block_align-byte
-    # block carries spb decoded samples (round-half-up, per common
+    # block carries spb decoded frames (round-half-up, per common
     # IMA-in-WAV practice; decoders that trust the header use it only
     # for duration/bitrate estimates).
     avg = (rate * block_align + spb // 2) // spb
-    fmt = _fmt_base(_FMT_IMA_ADPCM, 1, rate, block_align, 4, avg) + struct.pack(
-        "<HH", 2, spb
-    )
+    fmt = _fmt_base(
+        _FMT_IMA_ADPCM, ch, rate, block_align, 4, avg
+    ) + struct.pack("<HH", 2, spb)
     return _wav_container(fmt, blk.tobytes(), n)
 
 
@@ -404,13 +428,12 @@ def _parse(payload: bytes) -> WavHeader:
                          block_align, (d0, d1), n, 1)
 
     if tag == _FMT_IMA_ADPCM:
-        if ch != 1:
-            raise NotImplementedError("IMA ADPCM decode is mono-only")
         if bits != 4:
             raise NotImplementedError(f"IMA ADPCM bit depth {bits}")
-        if block_align < 8 or block_align % 4:
+        ba_ch, rem = divmod(block_align, ch)
+        if rem or ba_ch < 8 or ba_ch % 4:
             raise ValueError("IMA ADPCM block_align invalid")
-        spb = (block_align - 4) * 2 + 1
+        spb = (ba_ch - 4) * 2 + 1
         if f1 - f0 >= 20:
             (stored_spb,) = struct.unpack_from("<H", payload, f0 + 18)
             if stored_spb != spb:
@@ -439,24 +462,37 @@ def wav_info(payload: bytes) -> tuple[int, int, int]:
 
 def _adpcm_decode(payload: bytes, hdr: WavHeader) -> np.ndarray:
     """Block-vectorized IMA ADPCM decode: the per-sample predictor
-    recurrence is inherently sequential, but blocks are independent
-    (each carries its own predictor + step index), so the loop runs
-    over the samples_per_block positions while numpy advances every
-    block of the payload simultaneously."""
+    recurrence is inherently sequential, but (block, channel) streams
+    are independent — each carries its own predictor + step index — so
+    the loop runs over the samples-per-block positions while numpy
+    advances every block-channel of the payload simultaneously.
+    Multi-channel blocks de-interleave per the container layout:
+    4-byte headers per channel, then 4-byte nibble groups cycling
+    through the channels."""
     d0, d1 = hdr.data_span
-    ba, spb = hdr.block_align, hdr.samples_per_block
+    ba, spb, ch = hdr.block_align, hdr.samples_per_block, hdr.channels
     data = np.frombuffer(payload, np.uint8, count=d1 - d0, offset=d0)
     nb = len(data) // ba
     blocks = data.reshape(nb, ba)
-    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
-    idx = blocks[:, 2].astype(np.int32)
+    hdrs = blocks[:, : 4 * ch].reshape(nb, ch, 4)
+    # batch dimension = (block, channel) streams, C-order flatten
+    pred = (
+        np.ascontiguousarray(hdrs[:, :, :2]).view("<i2")[:, :, 0]
+        .astype(np.int32).reshape(nb * ch)
+    )
+    idx = hdrs[:, :, 2].astype(np.int32).reshape(nb * ch)
     if (idx > 88).any():
         raise ValueError("IMA ADPCM step index out of range")
-    nib_bytes = blocks[:, 4:]
-    nibs = np.empty((nb, (ba - 4) * 2), np.uint8)
+    groups = blocks[:, 4 * ch:].reshape(nb, -1, 4)
+    per_ch = (ba - 4 * ch) // ch
+    nib_bytes = np.empty((nb, ch, per_ch), np.uint8)
+    for c in range(ch):
+        nib_bytes[:, c, :] = groups[:, c::ch, :].reshape(nb, per_ch)
+    nib_bytes = nib_bytes.reshape(nb * ch, per_ch)
+    nibs = np.empty((nb * ch, per_ch * 2), np.uint8)
     nibs[:, 0::2] = nib_bytes & 0xF
     nibs[:, 1::2] = nib_bytes >> 4
-    out = np.empty((nb, spb), np.int16)
+    out = np.empty((nb * ch, spb), np.int16)
     out[:, 0] = pred
     for j in range(spb - 1):
         nv = nibs[:, j].astype(np.int32)
@@ -472,7 +508,9 @@ def _adpcm_decode(payload: bytes, hdr: WavHeader) -> np.ndarray:
                        -32768, 32767)
         idx = np.clip(idx + _INDEX_ADJ[delta], 0, 88)
         out[:, j + 1] = pred
-    return out.reshape(-1)[: hdr.n_samples][:, None]
+    # (nb, ch, spb) -> frame-major interleave -> (frames, ch)
+    frames = out.reshape(nb, ch, spb).transpose(0, 2, 1).reshape(-1, ch)
+    return np.ascontiguousarray(frames[: hdr.n_samples])
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

@@ -368,11 +368,14 @@ def synth_wav_g711_payload(media_ref: str) -> bytes:
     return enc(stereo, rate)
 
 
-def synth_audio_adpcm_params(media_ref: str) -> tuple[int, int, int, int]:
-    """Deterministic (rate, block_align, n_blocks, amplitude) for an
-    IMA ADPCM clip — md5-derived like synth_audio_params (sharing its
-    rate and amplitude nibbles) so the block arithmetic is statable in
-    DuckDB."""
+def synth_audio_adpcm_params(
+    media_ref: str,
+) -> tuple[int, int, int, int, int]:
+    """Deterministic (rate, block_align, n_blocks, amplitude, channels)
+    for an IMA ADPCM clip — md5-derived like synth_audio_params
+    (sharing its rate and amplitude nibbles) so the block arithmetic —
+    including the per-channel budget block_align/ch that sets
+    samples_per_block — is statable in DuckDB."""
     import hashlib
 
     hx = hashlib.md5(media_ref.encode()).hexdigest()
@@ -380,7 +383,8 @@ def synth_audio_adpcm_params(media_ref: str) -> tuple[int, int, int, int]:
     amp = 1000 + int(hx[10:12], 16) * 8
     block_align = (64, 128, 256)[int(hx[16:18], 16) % 3]
     n_blocks = 2 + int(hx[18:20], 16) % 5
-    return rate, block_align, n_blocks, amp
+    channels = 1 + int(hx[24:26], 16) % 2
+    return rate, block_align, n_blocks, amp, channels
 
 
 def synth_wav_adpcm_payload(media_ref: str) -> bytes:
@@ -390,14 +394,19 @@ def synth_wav_adpcm_payload(media_ref: str) -> bytes:
     all in-block differences are zero (nibble 0 at step 7 decodes to
     +0), so the lossy codec reproduces the input bit-for-bit — which
     pins peak == rms == amp and zero_crossings == n_blocks - 1 in
-    closed form for the oracle."""
+    closed form for the oracle. Stereo clips replicate the wave across
+    channels, exercising the 4-byte channel interleave."""
     from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
 
-    rate, block_align, n_blocks, amp = synth_audio_adpcm_params(media_ref)
-    spb = (block_align - 4) * 2 + 1
+    rate, block_align, n_blocks, amp, ch = synth_audio_adpcm_params(
+        media_ref
+    )
+    spb = (block_align // ch - 4) * 2 + 1
     b = np.arange(n_blocks)
     sig = np.repeat(np.where(b % 2 == 0, amp, -amp).astype(np.int16), spb)
-    return encode_wav_adpcm(sig, rate, block_align=block_align)
+    return encode_wav_adpcm(
+        np.repeat(sig[:, None], ch, axis=1), rate, block_align=block_align
+    )
 
 
 DELTA_KF_INTERVAL = 3

@@ -369,8 +369,8 @@ def test_adpcm_fact_truncation_partial_final_block():
 def test_adpcm_error_contract():
     from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
 
-    with pytest.raises(NotImplementedError):  # stereo stays a seam
-        encode_wav_adpcm(np.zeros((8, 2), np.int16), 8000)
+    with pytest.raises(ValueError):  # per-channel budget must be 4k >= 8
+        encode_wav_adpcm(np.zeros((8, 2), np.int16), 8000, block_align=12)
     p = bytearray(encode_wav_adpcm(np.zeros(200, np.int16), 8000,
                                    block_align=64))
     # corrupt the first block's stored step index past the ladder
@@ -378,6 +378,26 @@ def test_adpcm_error_contract():
     p[data_off + 2] = 99
     with pytest.raises(ValueError):
         decode_wav(bytes(p))
+
+
+def test_adpcm_stereo_matches_per_channel_mono():
+    """Stereo blocks are the per-channel mono encodings interleaved
+    (4-byte headers per channel, 4-byte nibble groups cycling the
+    channels): decoding channel c of a stereo encode at block_align=2k
+    must be BIT-IDENTICAL to decoding a mono encode of that channel at
+    block_align=k — the same blocks, routed through the interleave."""
+    from dd_ops_ocr_spark.operators.audio import encode_wav_adpcm
+
+    rng = np.random.default_rng(7)
+    for n, ba in [(120, 128), (505, 512), (1300, 64)]:
+        st = rng.integers(-20000, 20000, (n, 2)).astype(np.int16)
+        got, rate = decode_wav(encode_wav_adpcm(st, 16000, block_align=ba))
+        assert rate == 16000 and got.shape == (n, 2)
+        for c in range(2):
+            mono, _ = decode_wav(
+                encode_wav_adpcm(st[:, c], 16000, block_align=ba // 2)
+            )
+            assert (got[:, c] == mono[:, 0]).all(), (n, ba, c)
 
 
 def test_g711_involution_and_level_exactness():
