@@ -50,6 +50,9 @@ SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 # scale the corpus so the measurement isn't fixed-cost noise.
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
 CACHE = os.path.join(REPO, ".bench_cache")
+# payload-synthesis version: bump when any synth_* payload function
+# changes semantics, so landed media caches can never go stale silently
+MEDIA_SYNTH_V = 2
 
 # ---------------------------------------------------------- host health gate
 # The sandbox VM shows minutes-scale background degradation (BENCH.md
@@ -396,7 +399,7 @@ def main() -> None:
     # land the JPEG payloads once (input generation is encoder-bound and
     # must not pollute the decode measurement)
     media_path = os.path.join(
-        CACHE, f"media_jpeg_{_sf_name()}.parquet"
+        CACHE, f"media_jpeg_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet"
     )
     if not os.path.isdir(media_path):
         _media_with_payload(spark, SF_DIR, fmt="jpeg").write.mode(
@@ -452,7 +455,7 @@ def main() -> None:
     # of the seam when the shim exists.
     from dd_ops_ocr_spark.operators.multimodal import media_video_frames
 
-    video_path = os.path.join(CACHE, f"media_avi_{_sf_name()}.parquet")
+    video_path = os.path.join(CACHE, f"media_avi_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
     if not os.path.isdir(video_path):
         _media_with_payload(spark, SF_DIR, fmt="avi").write.mode(
             "overwrite").parquet(video_path)
@@ -519,7 +522,7 @@ def main() -> None:
     # page collapses to ~160 bytes and would flatter the native rate).
     from dd_ops_ocr_spark.native import webp as _nwebp
 
-    webp_path = os.path.join(CACHE, f"media_webp_{_sf_name()}.parquet")
+    webp_path = os.path.join(CACHE, f"media_webp_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
     if not os.path.isdir(webp_path):
         _media_with_payload(spark, SF_DIR, fmt="webp").write.mode(
             "overwrite").parquet(webp_path)
@@ -560,7 +563,7 @@ def main() -> None:
         media_video_delta_frames,
     )
 
-    audio_path = os.path.join(CACHE, f"media_wavmix_{_sf_name()}.parquet")
+    audio_path = os.path.join(CACHE, f"media_wavmix_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
     if not os.path.isdir(audio_path):
         _media_with_payload(spark, SF_DIR, fmt="wav_multi").write.mode(
             "overwrite").parquet(audio_path)
@@ -574,7 +577,7 @@ def main() -> None:
         "payloads_per_sec": round(
             n_audio / queries["media_audio_formats"], 1),
     }
-    adpcm_path = os.path.join(CACHE, f"media_adpcm_{_sf_name()}.parquet")
+    adpcm_path = os.path.join(CACHE, f"media_adpcm_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
     if not os.path.isdir(adpcm_path):
         _media_with_payload(spark, SF_DIR, fmt="wav_adpcm").write.mode(
             "overwrite").parquet(adpcm_path)
@@ -587,7 +590,7 @@ def main() -> None:
         n_audio / queries["media_audio_adpcm"], 1)
     # inter-frame video: PNG keyframes + mod-256 deltas, idx1 keyframe
     # seek — work per sampled frame bounded by the keyframe interval
-    delta_path = os.path.join(CACHE, f"media_avidelta_{_sf_name()}.parquet")
+    delta_path = os.path.join(CACHE, f"media_avidelta_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
     if not os.path.isdir(delta_path):
         _media_with_payload(spark, SF_DIR, fmt="avi_delta").write.mode(
             "overwrite").parquet(delta_path)

@@ -465,15 +465,30 @@ def _adpcm_decode(payload: bytes, hdr: WavHeader) -> np.ndarray:
     recurrence is inherently sequential, but (block, channel) streams
     are independent — each carries its own predictor + step index — so
     the loop runs over the samples-per-block positions while numpy
-    advances every block-channel of the payload simultaneously.
-    Multi-channel blocks de-interleave per the container layout:
-    4-byte headers per channel, then 4-byte nibble groups cycling
-    through the channels."""
+    advances every block-channel simultaneously. Blocks of MANY
+    payloads can ride the same pass (audio_codec_features_batch pools
+    them), which is what keeps a 100 TB mixed-audio scan out of
+    per-clip Python-loop territory."""
     d0, d1 = hdr.data_span
     ba, spb, ch = hdr.block_align, hdr.samples_per_block, hdr.channels
     data = np.frombuffer(payload, np.uint8, count=d1 - d0, offset=d0)
     nb = len(data) // ba
-    blocks = data.reshape(nb, ba)
+    frames = _adpcm_decode_blocks(data.reshape(nb, ba), ch, spb)
+    return np.ascontiguousarray(
+        frames.reshape(-1, ch)[: hdr.n_samples]
+    )
+
+
+def _adpcm_decode_blocks(
+    blocks: np.ndarray, ch: int, spb: int
+) -> np.ndarray:
+    """The decode core over an arbitrary stack of independent
+    block_align-byte blocks (possibly pooled from many payloads):
+    (NB, ba) uint8 in, frame-major (NB, spb, ch) int16 out.
+    Multi-channel blocks de-interleave per the container layout:
+    4-byte headers per channel, then 4-byte nibble groups cycling
+    through the channels."""
+    nb, ba = blocks.shape
     hdrs = blocks[:, : 4 * ch].reshape(nb, ch, 4)
     # batch dimension = (block, channel) streams, C-order flatten
     pred = (
@@ -508,9 +523,8 @@ def _adpcm_decode(payload: bytes, hdr: WavHeader) -> np.ndarray:
                        -32768, 32767)
         idx = np.clip(idx + _INDEX_ADJ[delta], 0, 88)
         out[:, j + 1] = pred
-    # (nb, ch, spb) -> frame-major interleave -> (frames, ch)
-    frames = out.reshape(nb, ch, spb).transpose(0, 2, 1).reshape(-1, ch)
-    return np.ascontiguousarray(frames[: hdr.n_samples])
+    # (nb, ch, spb) -> frame-major interleave within each block
+    return out.reshape(nb, ch, spb).transpose(0, 2, 1)
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -595,3 +609,49 @@ def audio_codec_features(payload: bytes) -> dict[str, object]:
         "samples_per_block": hdr.samples_per_block,
         **_features_from_samples(_decode_parsed(payload, hdr), hdr.rate),
     }
+
+
+def audio_codec_features_batch(payloads) -> list[dict[str, object]]:
+    """audio_codec_features over a whole Arrow batch, with the ADPCM
+    payloads of the batch POOLED into one predictor pass per
+    (block_align, channels) geometry. The sample-aligned codecs decode
+    in one numpy call each, but ADPCM's sequential recurrence costs
+    ~samples_per_block tiny numpy ops per call — per-clip that loop
+    dominates (measured ~13x slower than PCM per payload at sf0.01);
+    pooling amortizes it across every clip in the batch, because blocks
+    are independent regardless of which payload they came from."""
+    hdrs = [_parse(p) for p in payloads]
+    out: list[dict[str, object] | None] = [None] * len(payloads)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (p, h) in enumerate(zip(payloads, hdrs)):
+        if h.codec == "ima-adpcm":
+            groups.setdefault((h.block_align, h.channels), []).append(i)
+        else:
+            out[i] = {
+                "codec": h.codec_label,
+                "samples_per_block": h.samples_per_block,
+                **_features_from_samples(_decode_parsed(p, h), h.rate),
+            }
+    for (ba, ch), idxs in groups.items():
+        spb = (ba // ch - 4) * 2 + 1
+        stacks, counts = [], []
+        for i in idxs:
+            d0, d1 = hdrs[i].data_span
+            arr = np.frombuffer(
+                payloads[i], np.uint8, count=d1 - d0, offset=d0
+            )
+            nb = len(arr) // ba
+            stacks.append(arr.reshape(nb, ba))
+            counts.append(nb)
+        frames = _adpcm_decode_blocks(np.vstack(stacks), ch, spb)
+        off = 0
+        for i, nb in zip(idxs, counts):
+            h = hdrs[i]
+            f = frames[off: off + nb].reshape(-1, ch)[: h.n_samples]
+            off += nb
+            out[i] = {
+                "codec": h.codec_label,
+                "samples_per_block": h.samples_per_block,
+                **_features_from_samples(f, h.rate),
+            }
+    return out

@@ -945,12 +945,14 @@ def media_audio_codec_features(media_df: DataFrame) -> DataFrame:
     materialized into the plan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from dd_ops_ocr_spark.operators.audio import audio_codec_features
+        from dd_ops_ocr_spark.operators.audio import (
+            audio_codec_features_batch,
+        )
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [audio_codec_features(p) for p in pdf["payload"]]
+            feats = audio_codec_features_batch(list(pdf["payload"]))
             out = pd.DataFrame(feats)
             out.insert(0, "media_ref", pdf["media_ref"].to_numpy())
             ints = [c for c in out.columns if c not in ("media_ref", "codec")]
