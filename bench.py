@@ -582,12 +582,13 @@ def main() -> None:
         _media_with_payload(spark, SF_DIR, fmt="wav_adpcm").write.mode(
             "overwrite").parquet(adpcm_path)
     adpcm_df = spark.read.parquet(adpcm_path)
-    media_audio_codec_features(adpcm_df).count()  # warm
+    n_adpcm = media_audio_codec_features(adpcm_df).count()  # warm
     queries["media_audio_adpcm"] = timed(
         lambda: media_audio_codec_features(adpcm_df).count()
     )
+    media["audio"]["adpcm_n_payloads"] = n_adpcm
     media["audio"]["adpcm_payloads_per_sec"] = round(
-        n_audio / queries["media_audio_adpcm"], 1)
+        n_adpcm / queries["media_audio_adpcm"], 1)
     # inter-frame video: PNG keyframes + mod-256 deltas, idx1 keyframe
     # seek — work per sampled frame bounded by the keyframe interval
     delta_path = os.path.join(CACHE, f"media_avidelta_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")

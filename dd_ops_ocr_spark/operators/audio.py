@@ -233,18 +233,21 @@ def _alaw_encode(samples: np.ndarray) -> np.ndarray:
 
 
 def encode_wav_ulaw(samples: np.ndarray, rate: int) -> bytes:
-    """int16 samples -> G.711 mu-law WAV (8 bits/sample, tag 0x0007)."""
+    """int16 samples -> G.711 mu-law WAV (8 bits/sample, tag 0x0007).
+    WAVEFORMATEX requires cbSize (here 0) for every non-PCM tag —
+    strict consumers (ACM, libsndfile) reject a bare 16-byte fmt."""
     samples = _as_2d_int16(samples)
     n, ch = samples.shape
-    fmt = _fmt_base(_FMT_MULAW, ch, rate, ch, 8)
+    fmt = _fmt_base(_FMT_MULAW, ch, rate, ch, 8) + struct.pack("<H", 0)
     return _wav_container(fmt, _ulaw_encode(samples).tobytes(), n)
 
 
 def encode_wav_alaw(samples: np.ndarray, rate: int) -> bytes:
-    """int16 samples -> G.711 A-law WAV (8 bits/sample, tag 0x0006)."""
+    """int16 samples -> G.711 A-law WAV (8 bits/sample, tag 0x0006).
+    cbSize=0 appended per WAVEFORMATEX, as for mu-law."""
     samples = _as_2d_int16(samples)
     n, ch = samples.shape
-    fmt = _fmt_base(_FMT_ALAW, ch, rate, ch, 8)
+    fmt = _fmt_base(_FMT_ALAW, ch, rate, ch, 8) + struct.pack("<H", 0)
     return _wav_container(fmt, _alaw_encode(samples).tobytes(), n)
 
 
@@ -372,7 +375,7 @@ def _walk_chunks(payload: bytes) -> dict[bytes, tuple[int, int]]:
 
 def _parse(payload: bytes) -> WavHeader:
     """Validated WavHeader. Malformed containers raise ValueError;
-    format gaps (MPEG-in-WAV, stereo ADPCM, exotic depths) raise
+    format gaps (MPEG-in-WAV, exotic depths) raise
     NotImplementedError — the module's whole error contract, kept
     narrow so Spark-task callers can classify failures."""
     if not is_wav(payload):
