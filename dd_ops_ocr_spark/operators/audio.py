@@ -23,9 +23,11 @@ codecs:
 - WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) containers wrapping any of the
   above via the KSDATAFORMAT subformat GUID.
 
-Remaining formats (MPEG-in-WAV, mu-law-in-EXTENSIBLE's exotic GUIDs)
-raise NotImplementedError — the injection seam for a real
-soundfile/ffmpeg deployment, exactly like exotic image codecs.
+Remaining formats (MPEG-in-WAV, EXTENSIBLE subformats outside the
+KSDATAFORMAT GUID family) raise NotImplementedError — the injection
+seam for a real soundfile/ffmpeg deployment, exactly like exotic image
+codecs. EXTENSIBLE-wrapped G.711 decodes natively (the GUID carries
+the tag, same dispatch as wrapped PCM).
 
 The reference pipeline is image-only (its media are PDF page renders);
 audio support follows SURVEY §6's training-data-pipeline mandate: treat

@@ -468,6 +468,36 @@ def test_g711_wav_roundtrip_and_info():
         assert (got == dec[rawf(x)]).all()
 
 
+def test_g711_extensible_wrapping_decodes():
+    """WAVE_FORMAT_EXTENSIBLE with a KSDATAFORMAT mu-law subformat GUID
+    dispatches through the same tag extraction as wrapped PCM — the
+    G.711 rows needed no extra plumbing, and the codec label records
+    the wrapping."""
+    import struct
+
+    from dd_ops_ocr_spark.operators.audio import (
+        _KS_GUID_TAIL,
+        _ULAW_DEC,
+        _ulaw_encode,
+        audio_codec_features,
+        wav_info,
+    )
+    from dd_ops_ocr_spark.operators.riff import chunk as _chunk
+
+    x = np.arange(-300, 300, 7, dtype=np.int16)[:, None]
+    data = _ulaw_encode(x).tobytes()
+    ext = struct.pack("<HHI", 22, 8, 1) + struct.pack("<H", 7) + _KS_GUID_TAIL
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8) + ext
+    p = _chunk(b"RIFF", b"WAVE" + _chunk(b"fmt ", fmt)
+               + _chunk(b"fact", struct.pack("<I", len(x)))
+               + _chunk(b"data", data))
+    assert wav_info(p) == (8000, 1, len(x))
+    got, rate = decode_wav(p)
+    assert rate == 8000
+    assert (got == _ULAW_DEC[np.frombuffer(data, np.uint8)][:, None]).all()
+    assert audio_codec_features(p)["codec"] == "extensible/ulaw"
+
+
 def test_adpcm_header_byte_rate_is_compressed_rate():
     """nAvgBytesPerSec must carry the COMPRESSED byte rate
     (rate * block_align / samples_per_block, round-half-up), not the
