@@ -18,6 +18,8 @@ runs the normal shuffle-free extraction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dd_ops_ocr_spark import catalog
@@ -82,3 +84,105 @@ def extract_incremental(
         "docs_processed": n_docs,
         "snapshot_id": sid,
     }
+
+
+# ------------------------------------------------- X9: result-dir probing
+# The reference probes up to five candidate result directories for
+# already-produced outputs and cleans its result/ scratch between runs
+# (src/api/main.py:785-853). The snapshot roster above is the
+# production-grade replacement (it survives zero-output docs); the two
+# operators below are the literal compatibility shape for resuming from
+# a FOREIGN output tree — one produced by another engine or an earlier
+# deployment, where no roster or ledger exists to consult.
+
+
+def probe_result_dirs(spark: SparkSession, candidate_dirs) -> DataFrame:
+    """Derive the processed-doc set from result directories ALONE:
+    each readable candidate contributes its distinct output doc_ids,
+    earlier-listed directories win ties (the reference's probe order is
+    a precedence list). Unreadable / absent candidates are skipped —
+    warn-and-continue, X1 — not errored. Returns (doc_id, source_dir).
+
+    Caveat, by design: a doc whose extraction legitimately emitted zero
+    rows is invisible to any output-only probe and will be reprocessed;
+    that is exactly why extract_incremental keeps an explicit roster.
+    Scale shape: per-dir distinct is a map-side-combined agg on the
+    pruned doc_id column; precedence is one hash shuffle of (doc_id,
+    priority) pairs, no collect."""
+    from dd_ops_ocr_spark import ledger
+    from pyspark.sql import Window
+
+    frames = []
+    for pri, d in enumerate(candidate_dirs):
+        for root in (f"{d}/data", d):
+            if ledger._parquet_nonempty(root):
+                frames.append(
+                    spark.read.parquet(root)
+                    .select("doc_id").distinct()
+                    .withColumn("source_dir", F.lit(d))
+                    .withColumn("_pri", F.lit(pri))
+                )
+                break
+    if not frames:
+        return spark.createDataFrame(
+            [], "doc_id string, source_dir string"
+        )
+    allp = frames[0]
+    for f in frames[1:]:
+        allp = allp.unionByName(f)
+    w = Window.partitionBy("doc_id").orderBy("_pri")
+    return (
+        allp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source_dir")
+    )
+
+
+def resume_delta_from_dirs(
+    spark: SparkSession, spans_df: DataFrame, candidate_dirs
+) -> DataFrame:
+    """The resume half of X9: the spans still to process, given only
+    candidate output directories — anti-join against the probed roster
+    (UNhinted: the seen set scales with the corpus, AQE picks the join
+    strategy). Compose with ledger.run_one_pass to land the delta."""
+    seen = probe_result_dirs(spark, candidate_dirs).select("doc_id")
+    return spans_df.join(seen, "doc_id", "left_anti")
+
+
+def clean_stale_results(
+    spark: SparkSession, out_dir: str, dry_run: bool = False
+) -> dict:
+    """The cleanup half of X9: delete ``data/bucket=N`` directories that
+    have NO ledger commit marker — the orphans a crash leaves between
+    data-write and marker-write. Resume logic already overwrites such
+    buckets idempotently, so this is hygiene (reclaim space, keep
+    foreign probes of the tree from reading uncommitted rows), never
+    correctness. Local filesystems only, loudly: a URI-scheme out_dir
+    needs the Hadoop FS API and raises rather than silently no-opping
+    (the _parquet_nonempty lesson)."""
+    import shutil
+
+    from dd_ops_ocr_spark import ledger
+
+    if "://" in out_dir:
+        raise NotImplementedError(
+            "clean_stale_results walks the local filesystem; route "
+            "URI-scheme paths through the Hadoop FS API"
+        )
+    done = ledger.committed_buckets(spark, out_dir)
+    data = os.path.join(out_dir, "data")
+    removed: list[int] = []
+    kept = 0
+    if os.path.isdir(data):
+        for name in sorted(os.listdir(data)):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if b in done:
+                kept += 1
+            else:
+                removed.append(b)
+                if not dry_run:
+                    shutil.rmtree(os.path.join(data, name))
+    return {"removed_buckets": removed, "kept_buckets": kept,
+            "dry_run": dry_run}
