@@ -500,6 +500,238 @@ LIMIT {_TOPK_K}
 """
 
 
+# ------------------------------------------- within-doc repetition stats
+
+# Gopher-inspired admission thresholds (Rae et al. 2021 table A1 family):
+# docs above any of these are repetition-pathological (scraped menus,
+# keyword stuffing, decode loops) and poison pretraining mixes.
+_REP_DUP_LINE_FRAC = 0.30
+_REP_DUP_LINE_CHAR_FRAC = 0.20
+_REP_TOP2_CHAR_FRAC = 0.20
+_REP_DUP5_CHAR_FRAC = 0.15
+
+# The synthetic documents table has no natural within-doc repetition, so
+# the query plants some IN SPARK SQL (md5-derived membership, the same
+# idiom as the line-dedup boilerplate and quarantine corruption rules):
+# ~1/4 of docs get two identical appended lines of a repeated word — a
+# worst-case block that moves every one of the four signals at once.
+_REP_TAIL_LINE = "buy now " * 7 + "buy now"  # 8x 2-word unit, one line
+_REP_TAIL = "\n" + _REP_TAIL_LINE + "\n" + _REP_TAIL_LINE
+
+
+def _docs_with_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    hx = F.md5(F.col("doc_id").cast("string"))
+    hit = F.conv(F.substring(hx, 5, 2), 16, 10).cast("int") % 4 == 0
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(hit, F.lit(_REP_TAIL)).otherwise(F.lit("")),
+        ),
+    )
+
+
+_SQL_DOCS_WITH_REPETITION = """
+  SELECT doc_id,
+         text
+         || (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            5, 2)) AS INT) % 4 = 0
+                  THEN {tail} ELSE '' END) AS text
+  FROM documents
+""".format(
+    tail="chr(10) || '{l}' || chr(10) || '{l}'".format(l=_REP_TAIL_LINE)
+)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-doc repetition signals (Gopher-style): duplicate-line
+    fraction, duplicate-line character fraction, characters covered by
+    the single most frequent word 2-gram, and characters in duplicate
+    5-gram occurrences — the complement of the CROSS-doc family
+    (repeated_span_strip / line dedup). Duplicate-char fractions count
+    occurrences beyond the first of each distinct item (not
+    overlap-adjusted; the 5-gram ratio is clamped to 1), stated
+    identically in the oracle.
+
+    Scale shape: the entire query is doc-local higher-order-function
+    math over split arrays — sort, walk-adjacent, run-length — so the
+    plan has ZERO exchanges: scan -> project -> done. At 100 TB this is
+    the cheapest possible filter pass, and it composes in front of any
+    shuffle-bearing stage for free. Ties for the top 2-gram break by
+    the LARGEST gram string under Spark's struct max, mirrored by
+    ORDER BY cnt DESC, gram DESC in DuckDB (binary collation both
+    sides)."""
+    d = _docs_with_repetition(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("t"))
+    d = d.withColumn(
+        "lines",
+        F.expr("filter(split(t, '\n', -1), x -> trim(x) != '')"),
+    ).withColumn("ws", F.split("t", " ", -1))
+    # sorted-adjacent walk: chars in occurrences beyond the first of
+    # each distinct item == sum of length(s[i]) where s[i] == s[i-1]
+    dup_chars = (
+        "CASE WHEN size({s}) < 2 THEN 0L ELSE aggregate("
+        " sequence(1, size({s}) - 1), 0L,"
+        " (a, i) -> a + IF({s}[i] = {s}[i - 1],"
+        "                  CAST(length({s}[i]) AS LONG), 0L)) END"
+    )
+    d = (
+        d.withColumn("sl", F.expr("array_sort(lines)"))
+        .withColumn("n_lines", F.expr("size(lines)"))
+        .withColumn(
+            "line_chars",
+            F.expr("aggregate(lines, 0L,"
+                   " (a, x) -> a + CAST(length(x) AS LONG))"),
+        )
+        .withColumn("dup_line_chars", F.expr(dup_chars.format(s="sl")))
+        .withColumn("n_distinct_lines", F.expr("size(array_distinct(lines))"))
+        .withColumn(
+            "s5",
+            F.expr("CASE WHEN size(ws) < 5 THEN array()"
+                   " ELSE array_sort(transform(sequence(0, size(ws) - 5),"
+                   "  i -> array_join(slice(ws, i + 1, 5), ' '))) END"),
+        )
+        .withColumn("dup5_chars", F.expr(dup_chars.format(s="s5")))
+        .withColumn(
+            "s2",
+            F.expr("CASE WHEN size(ws) < 2 THEN array()"
+                   " ELSE array_sort(transform(sequence(0, size(ws) - 2),"
+                   "  i -> array_join(slice(ws, i + 1, 2), ' '))) END"),
+        )
+        # run-length collapse (same machinery as topk_ngrams, kept as an
+        # array) -> struct(occ, gram) max = most frequent, gram-desc ties
+        .withColumn(
+            "starts",
+            F.expr("CASE WHEN size(s2) = 0 THEN CAST(array() AS array<int>)"
+                   " WHEN size(s2) = 1 THEN array(0)"
+                   " ELSE concat(array(0), filter(sequence(1, size(s2) - 1),"
+                   "                              i -> s2[i] != s2[i - 1]))"
+                   " END"),
+        )
+        .withColumn(
+            "top2",
+            F.expr("CASE WHEN size(starts) = 0 THEN NULL ELSE array_max("
+                   " zip_with(starts,"
+                   "  concat(slice(starts, 2, size(starts)),"
+                   "         array(size(s2))),"
+                   "  (a, b) -> struct(b - a AS occ, s2[a] AS gram))) END"),
+        )
+        .withColumn(
+            "top2_chars",
+            F.expr("COALESCE(CAST(top2.occ AS LONG)"
+                   " * CAST(length(top2.gram) AS LONG), 0L)"),
+        )
+    )
+    n_chars = F.length("t").cast("long")
+    frac = (
+        lambda num, den: F.when(den > 0, num.cast("double") / den.cast(
+            "double")).otherwise(F.lit(0.0))
+    )
+    dup_line_frac = frac(
+        F.col("n_lines") - F.col("n_distinct_lines"), F.col("n_lines"))
+    dup_line_char_frac = frac(F.col("dup_line_chars"), F.col("line_chars"))
+    top2_frac = frac(F.col("top2_chars"), n_chars)
+    # overlapping duplicate 5-grams each count full length, so the raw
+    # ratio can exceed 1 on pathological docs — clamp to keep it a
+    # fraction (the 0.15 admission threshold is unaffected)
+    dup5_frac = F.least(F.lit(1.0), frac(F.col("dup5_chars"), n_chars))
+    return d.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top2_frac.alias("top_2gram_char_frac"),
+        dup5_frac.alias("dup_5gram_char_frac"),
+        (
+            (dup_line_frac < _REP_DUP_LINE_FRAC)
+            & (dup_line_char_frac < _REP_DUP_LINE_CHAR_FRAC)
+            & (top2_frac < _REP_TOP2_CHAR_FRAC)
+            & (dup5_frac < _REP_DUP5_CHAR_FRAC)
+        ).cast("int").alias("passes_repetition"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH d AS (
+  SELECT doc_id, text AS t FROM ({{docs_rep}}) AS docs_rep
+), l AS (
+  SELECT doc_id, u.line
+  FROM d, UNNEST(list_filter(string_split(t, chr(10)),
+                             x -> trim(x) <> '')) AS u(line)
+), lg AS (
+  SELECT doc_id, line, COUNT(*) AS cnt FROM l GROUP BY doc_id, line
+), lstats AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_lines,
+         COUNT(*) AS n_distinct_lines,
+         SUM(cnt * length(line)) AS line_chars,
+         SUM((cnt - 1) * length(line)) AS dup_line_chars
+  FROM lg GROUP BY doc_id
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS ws FROM d
+), g5 AS (
+  SELECT doc_id,
+         array_to_string(ws[CAST(u.i AS INT):CAST(u.i AS INT) + 4],
+                         ' ') AS gram
+  FROM w, UNNEST(range(1, GREATEST(len(ws) - 4, 0) + 1)) AS u(i)
+), g5stats AS (
+  SELECT doc_id, SUM((cnt - 1) * length(gram)) AS dup5_chars
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5
+        GROUP BY doc_id, gram)
+  GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id,
+         array_to_string(ws[CAST(u.i AS INT):CAST(u.i AS INT) + 1],
+                         ' ') AS gram
+  FROM w, UNNEST(range(1, GREATEST(len(ws) - 1, 0) + 1)) AS u(i)
+), g2top AS (
+  SELECT doc_id, cnt * length(gram) AS top2_chars
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, gram DESC) AS rn
+        FROM g2 GROUP BY doc_id, gram)
+  WHERE rn = 1
+), j AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+         COALESCE(ls.n_distinct_lines, 0) AS n_distinct_lines,
+         COALESCE(ls.line_chars, 0) AS line_chars,
+         COALESCE(ls.dup_line_chars, 0) AS dup_line_chars,
+         COALESCE(g5stats.dup5_chars, 0) AS dup5_chars,
+         COALESCE(g2top.top2_chars, 0) AS top2_chars,
+         length(d.t) AS n_chars
+  FROM d
+  LEFT JOIN lstats ls USING (doc_id)
+  LEFT JOIN g5stats USING (doc_id)
+  LEFT JOIN g2top USING (doc_id)
+), r AS (
+  SELECT doc_id, n_lines,
+         CASE WHEN n_lines > 0 THEN CAST(n_lines - n_distinct_lines AS
+              DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END
+           AS dup_line_frac,
+         CASE WHEN line_chars > 0 THEN CAST(dup_line_chars AS DOUBLE)
+              / CAST(line_chars AS DOUBLE) ELSE 0.0 END
+           AS dup_line_char_frac,
+         CASE WHEN n_chars > 0 THEN CAST(top2_chars AS DOUBLE)
+              / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+           AS top_2gram_char_frac,
+         CASE WHEN n_chars > 0 THEN LEAST(1.0, CAST(dup5_chars AS DOUBLE)
+              / CAST(n_chars AS DOUBLE)) ELSE 0.0 END
+           AS dup_5gram_char_frac
+  FROM j
+)
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       top_2gram_char_frac, dup_5gram_char_frac,
+       CAST(dup_line_frac < {_REP_DUP_LINE_FRAC}
+            AND dup_line_char_frac < {_REP_DUP_LINE_CHAR_FRAC}
+            AND top_2gram_char_frac < {_REP_TOP2_CHAR_FRAC}
+            AND dup_5gram_char_frac < {_REP_DUP5_CHAR_FRAC}
+            AS INT) AS passes_repetition
+FROM r
+"""
+
+
 # ------------------------------------------------ deterministic sampling
 
 _SAMPLE_CAP = 220        # target docs kept per language stratum
@@ -721,6 +953,7 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "repeated_span_strip": q_repeated_span_strip,
+    "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "sequence_pack": q_sequence_pack,
@@ -734,6 +967,9 @@ ORACLE_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repeated_span_strip": SQL_REPEATED_SPAN_STRIP,
+    "repetition_stats": SQL_REPETITION_STATS.format(
+        docs_rep=_SQL_DOCS_WITH_REPETITION
+    ),
     "decontaminate": SQL_DECONTAMINATE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_pack": SQL_SEQUENCE_PACK,

@@ -194,3 +194,78 @@ def test_bounded_engine_calls_failure_fails_task(spark, tmp_path):
     df = spark.read.parquet(f"{_write_docs(tmp_path, rows)}/documents.parquet")
     with pytest.raises(Exception, match="engine down"):
         bounded_engine_calls(df, engine=failing_engine).collect()
+
+
+def _rep_referee(doc_id, text):
+    """Pure-Python restatement of q_repetition_stats' spec, including
+    the md5 tail injection — an independent referee for the doc-local
+    array math."""
+    import hashlib
+    from collections import Counter
+
+    from dd_ops_ocr_spark.operators.textstats import (
+        _REP_DUP5_CHAR_FRAC,
+        _REP_DUP_LINE_CHAR_FRAC,
+        _REP_DUP_LINE_FRAC,
+        _REP_TAIL,
+        _REP_TOP2_CHAR_FRAC,
+    )
+
+    hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+    if int(hx[4:6], 16) % 4 == 0:
+        text = text + _REP_TAIL
+    lines = [x for x in text.split("\n") if x.strip() != ""]
+    lc = Counter(lines)
+    n_lines, n_distinct = len(lines), len(lc)
+    line_chars = sum(len(x) for x in lines)
+    dup_line_chars = sum((c - 1) * len(x) for x, c in lc.items())
+    ws = text.split(" ")
+    g5 = Counter(" ".join(ws[i:i + 5]) for i in range(len(ws) - 4))
+    g2 = Counter(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    dup5 = sum((c - 1) * len(g) for g, c in g5.items())
+    top2 = 0
+    if g2:
+        occ, gram = max((c, g) for g, c in g2.items())
+        top2 = occ * len(gram)
+    n = len(text)
+    f = lambda a, b: a / b if b > 0 else 0.0  # noqa: E731
+    out = {
+        "n_lines": n_lines,
+        "dup_line_frac": f(n_lines - n_distinct, n_lines),
+        "dup_line_char_frac": f(dup_line_chars, line_chars),
+        "top_2gram_char_frac": f(top2, n),
+        "dup_5gram_char_frac": min(1.0, f(dup5, n)),
+    }
+    out["passes_repetition"] = int(
+        out["dup_line_frac"] < _REP_DUP_LINE_FRAC
+        and out["dup_line_char_frac"] < _REP_DUP_LINE_CHAR_FRAC
+        and out["top_2gram_char_frac"] < _REP_TOP2_CHAR_FRAC
+        and out["dup_5gram_char_frac"] < _REP_DUP5_CHAR_FRAC
+    )
+    return out
+
+
+def test_repetition_stats_vs_referee(spark, tmp_path):
+    from dd_ops_ocr_spark.operators.textstats import q_repetition_stats
+
+    rows = [
+        (1, "alpha beta gamma\ndelta epsilon zeta", "en"),
+        (2, "same line\nsame line\nsame line\nother", "en"),     # dup lines
+        (3, "spam ham " * 40 + "end", "en"),                     # dup 5-grams
+        (4, "one", "en"),                                        # no grams
+        (5, "a  b   c\n\n \nd e", "en"),                         # empty tokens/lines
+        (6, "buy now buy now buy now buy now unique tail here", "en"),
+        (7, "x y " * 3 + "\n" + "x y " * 3, "en"),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in q_repetition_stats(spark, _write_docs(tmp_path, rows))
+        .collect()
+    }
+    assert set(got) == {str(r[0]) for r in rows} or set(got) == {
+        r[0] for r in rows}
+    for doc_id, text, _lang in rows:
+        want = _rep_referee(doc_id, text)
+        g = got[doc_id] if doc_id in got else got[str(doc_id)]
+        for k, v in want.items():
+            assert g[k] == v, (doc_id, k, g[k], v)  # exact, incl doubles

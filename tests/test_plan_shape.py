@@ -255,3 +255,15 @@ def test_corpus_curriculum_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     win_line = next(l for l in plan.splitlines() if "Window" in l)
     assert "bucket" in win_line, win_line
+
+
+def test_repetition_stats_zero_exchange(spark):
+    """The within-doc repetition pass is pure doc-local array math:
+    scan -> project, NO exchange of any kind. This is the whole point
+    of the operator at corpus scale — it must stay free to compose in
+    front of shuffle-bearing stages."""
+    from dd_ops_ocr_spark.operators.textstats import q_repetition_stats
+
+    plan = _plan(q_repetition_stats(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
