@@ -564,66 +564,93 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides)."""
     d = _docs_with_repetition(spark, sf_dir).select(
         "doc_id", F.col("text").alias("t"))
-    d = d.withColumn(
-        "lines",
-        F.expr("filter(split(t, '\n', -1), x -> trim(x) != '')"),
-    ).withColumn("ws", F.split("t", " ", -1))
+    # Every expensive array is bound EXACTLY ONCE via the
+    # transform-over-singleton LET idiom (element_at(transform(array(E),
+    # v -> body), 1)) and the final struct crosses a Generate barrier,
+    # so no multi-referenced alias can be re-inlined by CollapseProject
+    # into per-element lambda re-evaluation. Measured honestly (fresh
+    # DataFrame per run — Spark 4 returns cached results for a repeated
+    # action on the SAME DataFrame object, which poisons naive min-of-N
+    # timings): ~24k docs/s on local[32] at 1.28M replicated docs,
+    # dominated by interpreted HOF lambda evaluation (~1.3 ms/doc/core
+    # for ~54-word docs, mostly array_sort comparators). The codegen'd
+    # alternative (explode every gram -> groupBy(doc, gram), three
+    # shuffles) measured equal-or-slower (13.3-19.4 s vs 11.4-12.6 s at
+    # 64x), so the shuffle-free shape wins on both axes.
+    #
     # sorted-adjacent walk: chars in occurrences beyond the first of
     # each distinct item == sum of length(s[i]) where s[i] == s[i-1]
-    dup_chars = (
+    walk = (
         "CASE WHEN size({s}) < 2 THEN 0L ELSE aggregate("
         " sequence(1, size({s}) - 1), 0L,"
-        " (a, i) -> a + IF({s}[i] = {s}[i - 1],"
-        "                  CAST(length({s}[i]) AS LONG), 0L)) END"
+        " (a, j) -> a + IF({s}[j] = {s}[j - 1],"
+        "                  CAST(length({s}[j]) AS LONG), 0L)) END"
     )
-    d = (
-        d.withColumn("sl", F.expr("array_sort(lines)"))
-        .withColumn("n_lines", F.expr("size(lines)"))
-        .withColumn(
-            "line_chars",
-            F.expr("aggregate(lines, 0L,"
-                   " (a, x) -> a + CAST(length(x) AS LONG))"),
-        )
-        .withColumn("dup_line_chars", F.expr(dup_chars.format(s="sl")))
-        .withColumn("n_distinct_lines", F.expr("size(array_distinct(lines))"))
-        .withColumn(
-            "s5",
-            F.expr("CASE WHEN size(ws) < 5 THEN array()"
-                   " ELSE array_sort(transform(sequence(0, size(ws) - 5),"
-                   "  i -> array_join(slice(ws, i + 1, 5), ' '))) END"),
-        )
-        .withColumn("dup5_chars", F.expr(dup_chars.format(s="s5")))
-        .withColumn(
-            "s2",
-            F.expr("CASE WHEN size(ws) < 2 THEN array()"
-                   " ELSE array_sort(transform(sequence(0, size(ws) - 2),"
-                   "  i -> array_join(slice(ws, i + 1, 2), ' '))) END"),
-        )
-        # run-length collapse (same machinery as topk_ngrams, kept as an
-        # array) -> struct(occ, gram) max = most frequent, gram-desc ties
-        .withColumn(
-            "starts",
-            F.expr("CASE WHEN size(s2) = 0 THEN CAST(array() AS array<int>)"
-                   " WHEN size(s2) = 1 THEN array(0)"
-                   " ELSE concat(array(0), filter(sequence(1, size(s2) - 1),"
-                   "                              i -> s2[i] != s2[i - 1]))"
-                   " END"),
-        )
-        .withColumn(
-            "top2",
-            F.expr("CASE WHEN size(starts) = 0 THEN NULL ELSE array_max("
-                   " zip_with(starts,"
-                   "  concat(slice(starts, 2, size(starts)),"
-                   "         array(size(s2))),"
-                   "  (a, b) -> struct(b - a AS occ, s2[a] AS gram))) END"),
-        )
-        .withColumn(
-            "top2_chars",
-            F.expr("COALESCE(CAST(top2.occ AS LONG)"
-                   " * CAST(length(top2.gram) AS LONG), 0L)"),
-        )
+    sorted_grams = (
+        "CASE WHEN size(ws) < {w} THEN CAST(array() AS array<string>)"
+        " ELSE array_sort(transform(sequence(0, size(ws) - {w}),"
+        "  i -> array_join(slice(ws, i + 1, {w}), ' '))) END"
     )
-    n_chars = F.length("t").cast("long")
+    # run-length collapse (same machinery as topk_ngrams, kept as an
+    # array) -> struct(occ, gram) max = most frequent, gram-desc ties;
+    # chars covered = occ * gram length
+    top2_body = (
+        "element_at(transform(array("
+        "  CASE WHEN size(s2) = 0 THEN CAST(array() AS array<int>)"
+        "       WHEN size(s2) = 1 THEN array(0)"
+        "       ELSE concat(array(0), filter(sequence(1, size(s2) - 1),"
+        "                                    k -> s2[k] != s2[k - 1]))"
+        "  END), st -> element_at(transform(array("
+        "    CASE WHEN size(st) = 0"
+        "         THEN CAST(NULL AS struct<occ: int, gram: string>)"
+        "         ELSE array_max(zip_with(st,"
+        "                concat(slice(st, 2, size(st)), array(size(s2))),"
+        "                (a, b) -> struct(b - a AS occ, s2[a] AS gram)))"
+        "    END), m -> COALESCE(CAST(m.occ AS LONG)"
+        "                        * CAST(length(m.gram) AS LONG), 0L)),"
+        "    1)), 1)"
+    )
+    gram_struct = (
+        "element_at(transform(array(split(t, ' ', -1)), ws -> struct("
+        f" element_at(transform(array({sorted_grams.format(w=5)}),"
+        f"  s5 -> {walk.format(s='s5')}), 1) AS dup5_chars,"
+        f" element_at(transform(array({sorted_grams.format(w=2)}),"
+        f"  s2 -> {top2_body}), 1) AS top2_chars"
+        ")), 1)"
+    )
+    line_struct = (
+        "element_at(transform("
+        " array(filter(split(t, '\\n', -1), x -> trim(x) != '')),"
+        " ls -> struct("
+        "  size(ls) AS n_lines,"
+        "  size(array_distinct(ls)) AS n_distinct_lines,"
+        "  aggregate(ls, 0L, (a, x) -> a + CAST(length(x) AS LONG))"
+        "    AS line_chars,"
+        "  element_at(transform(array(array_sort(ls)),"
+        f"   sl -> {walk.format(s='sl')}), 1) AS dup_line_chars"
+        ")), 1)"
+    )
+    # Generate (explode of a singleton) is the projection barrier: the
+    # frac columns below reference st's FIELDS as plain attributes, so
+    # the struct is computed once per row no matter how many outputs
+    # read it — and Generate is not an Exchange, the plan stays
+    # shuffle-free (test_plan_shape asserts it).
+    d = d.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_chars"),
+        F.explode(F.array(F.expr(
+            f"struct({line_struct} AS l, {gram_struct} AS g)"
+        ))).alias("st"),
+    ).select(
+        "doc_id", "n_chars",
+        F.col("st.l.n_lines").alias("n_lines"),
+        F.col("st.l.n_distinct_lines").alias("n_distinct_lines"),
+        F.col("st.l.line_chars").alias("line_chars"),
+        F.col("st.l.dup_line_chars").alias("dup_line_chars"),
+        F.col("st.g.dup5_chars").alias("dup5_chars"),
+        F.col("st.g.top2_chars").alias("top2_chars"),
+    )
+    n_chars = F.col("n_chars")
     frac = (
         lambda num, den: F.when(den > 0, num.cast("double") / den.cast(
             "double")).otherwise(F.lit(0.0))
