@@ -612,6 +612,16 @@ def main() -> None:
     queries["line_dedup_global"] = timed(
         lambda: q_line_dedup_global(spark, SF_DIR).count()
     )
+    # within-doc repetition filters: zero-exchange doc-local pass; time
+    # with a result-consuming agg (a bare count() lets Catalyst prune)
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.operators.textstats import q_repetition_stats
+
+    queries["repetition_stats"] = timed(
+        lambda: q_repetition_stats(spark, SF_DIR).agg(
+            F.sum("passes_repetition")).collect()
+    )
 
     # catalog data skipping: the flat corpus landed ONCE as a range-
     # clustered snapshot table (32 files, doc_id-sorted => tight footer
