@@ -316,6 +316,8 @@ def run_extract(spark, spans_path: str, repeats: int = 3) -> tuple[float, int, i
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from dd_ops_ocr_spark import pipeline  # noqa: F401  (import check)
     from dd_ops_ocr_spark.operators.dedup import q_minhash_signature
     from dd_ops_ocr_spark.operators.merges import q_judgment_merge
@@ -614,8 +616,6 @@ def main() -> None:
     )
     # within-doc repetition filters: zero-exchange doc-local pass; time
     # with a result-consuming agg (a bare count() lets Catalyst prune)
-    from pyspark.sql import functions as F
-
     from dd_ops_ocr_spark.operators.textstats import q_repetition_stats
 
     queries["repetition_stats"] = timed(
@@ -629,8 +629,6 @@ def main() -> None:
     # manifest scan vs plan_scan file pruning. At 100 TB this ratio is
     # the point of the catalog: a selective query reads the files its
     # predicate touches, not the corpus.
-    from pyspark.sql import functions as F
-
     from dd_ops_ocr_spark import catalog as _catalog
     from dd_ops_ocr_spark import corpus as _corpus
     from dd_ops_ocr_spark.fixture_cache import cached_fixture

@@ -109,20 +109,36 @@ def probe_result_dirs(spark: SparkSession, candidate_dirs) -> DataFrame:
     Scale shape: per-dir distinct is a map-side-combined agg on the
     pruned doc_id column; precedence is one hash shuffle of (doc_id,
     priority) pairs, no collect."""
+    import warnings
+
     from dd_ops_ocr_spark import ledger
     from pyspark.sql import Window
 
     frames = []
     for pri, d in enumerate(candidate_dirs):
         for root in (f"{d}/data", d):
-            if ledger._parquet_nonempty(root):
-                frames.append(
-                    spark.read.parquet(root)
-                    .select("doc_id").distinct()
-                    .withColumn("source_dir", F.lit(d))
-                    .withColumn("_pri", F.lit(pri))
-                )
-                break
+            if not ledger._parquet_nonempty(root):
+                continue
+            # Eagerly validate the candidate (foreign trees may lack a
+            # doc_id column, or carry truncated footers): a metadata-only
+            # count touches every footer without reading row data, and
+            # the select resolves the column. Candidate lists are short
+            # precedence lists (the reference probes <=5 dirs), so one
+            # tiny job per dir is bounded.
+            try:
+                probe = spark.read.parquet(root).select("doc_id")
+                probe.count()
+            except Exception as exc:  # warn-and-continue (X1)
+                warnings.warn(
+                    f"probe_result_dirs: skipping unreadable candidate "
+                    f"{root!r}: {exc}", stacklevel=2)
+                continue
+            frames.append(
+                probe.distinct()
+                .withColumn("source_dir", F.lit(d))
+                .withColumn("_pri", F.lit(pri))
+            )
+            break
     if not frames:
         return spark.createDataFrame(
             [], "doc_id string, source_dir string"
@@ -172,17 +188,26 @@ def clean_stale_results(
     done = ledger.committed_buckets(spark, out_dir)
     data = os.path.join(out_dir, "data")
     removed: list[int] = []
+    skipped: list[str] = []
     kept = 0
+    # Scan fully before deleting anything: a parse surprise mid-walk
+    # must not leave the cleanup half-applied.
     if os.path.isdir(data):
         for name in sorted(os.listdir(data)):
             if not name.startswith("bucket="):
                 continue
-            b = int(name.split("=", 1)[1])
+            try:
+                # foreign writers emit e.g. bucket=__HIVE_DEFAULT_PARTITION__
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                skipped.append(name)
+                continue
             if b in done:
                 kept += 1
             else:
                 removed.append(b)
-                if not dry_run:
-                    shutil.rmtree(os.path.join(data, name))
+        if not dry_run:
+            for b in removed:
+                shutil.rmtree(os.path.join(data, f"bucket={b}"))
     return {"removed_buckets": removed, "kept_buckets": kept,
-            "dry_run": dry_run}
+            "skipped_dirs": skipped, "dry_run": dry_run}

@@ -214,7 +214,9 @@ def _rep_referee(doc_id, text):
     hx = hashlib.md5(str(doc_id).encode()).hexdigest()
     if int(hx[4:6], 16) % 4 == 0:
         text = text + _REP_TAIL
-    lines = [x for x in text.split("\n") if x.strip() != ""]
+    # strip SPACES only: Spark/DuckDB trim() removes ' ' — Python's
+    # bare .strip() (all whitespace) diverges on tab/CR-only lines
+    lines = [x for x in text.split("\n") if x.strip(" ") != ""]
     lc = Counter(lines)
     n_lines, n_distinct = len(lines), len(lc)
     line_chars = sum(len(x) for x in lines)

@@ -55,6 +55,47 @@ def test_probe_precedence_and_skip(spark, spans):
             assert by_doc[d] == dir_b
 
 
+def test_probe_skips_unreadable_candidates(spark, spans):
+    """Foreign trees that exist but can't serve doc_ids (no doc_id
+    column, or a corrupt parquet footer) are warned about and skipped —
+    the docstring's warn-and-continue promise, not an abort."""
+    first_half, _ = _split_docs(spans)
+    with tempfile.TemporaryDirectory() as tmp:
+        good = os.path.join(tmp, "good")
+        ledger.run_one_pass(
+            spark, spans.filter(F.col("doc_id").isin(list(first_half))),
+            good, "run_a", n_buckets=N_BUCKETS)
+        # candidate 1: parquet without a doc_id column
+        no_col = os.path.join(tmp, "no_col")
+        spark.range(5).toDF("other").write.parquet(no_col)
+        # candidate 2: a file that only pretends to be parquet
+        corrupt = os.path.join(tmp, "corrupt")
+        os.makedirs(corrupt)
+        with open(os.path.join(corrupt, "part-0.parquet"), "wb") as fh:
+            fh.write(b"PAR1 this is not a real footer")
+        with pytest.warns(UserWarning, match="skipping unreadable"):
+            probed = incremental.probe_result_dirs(
+                spark, [no_col, corrupt, good]).collect()
+        assert {r["doc_id"] for r in probed} == first_half
+        assert all(r["source_dir"] == good for r in probed)
+
+
+def test_clean_stale_skips_foreign_partition_dirs(spark, spans):
+    """A non-numeric bucket dir (e.g. a null-partition dir from another
+    writer) is reported as skipped, never parsed or deleted."""
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir = os.path.join(tmp, "out")
+        ledger.run_one_pass(spark, spans, out_dir, "run_a",
+                            n_buckets=N_BUCKETS)
+        foreign = os.path.join(
+            out_dir, "data", "bucket=__HIVE_DEFAULT_PARTITION__")
+        os.makedirs(foreign)
+        res = incremental.clean_stale_results(spark, out_dir)
+        assert res["skipped_dirs"] == ["bucket=__HIVE_DEFAULT_PARTITION__"]
+        assert res["removed_buckets"] == []
+        assert os.path.isdir(foreign)  # untouched
+
+
 def test_probe_nothing_readable(spark):
     with tempfile.TemporaryDirectory() as tmp:
         out = incremental.probe_result_dirs(
@@ -95,21 +136,22 @@ def test_clean_stale_results(spark, spans):
             ledger.run_one_pass(spark, spans, out_dir, "run_a",
                                 n_buckets=N_BUCKETS, fail_after=3)
         data = os.path.join(out_dir, "data")
-        on_disk = {int(n.split("=", 1)[1]) for n in os.listdir(data)}
+        on_disk = {int(n.split("=", 1)[1]) for n in os.listdir(data)
+                   if n.startswith("bucket=")}
         committed = ledger.committed_buckets(spark, out_dir)
         orphans = on_disk - committed
         assert orphans  # the crash left data without markers
 
         dry = incremental.clean_stale_results(spark, out_dir, dry_run=True)
         assert set(dry["removed_buckets"]) == orphans
-        assert {int(n.split("=", 1)[1])
-                for n in os.listdir(data)} == on_disk  # untouched
+        assert {int(n.split("=", 1)[1]) for n in os.listdir(data)
+                if n.startswith("bucket=")} == on_disk  # untouched
 
         res = incremental.clean_stale_results(spark, out_dir)
         assert set(res["removed_buckets"]) == orphans
         assert res["kept_buckets"] == len(committed)
-        assert {int(n.split("=", 1)[1])
-                for n in os.listdir(data)} == committed
+        assert {int(n.split("=", 1)[1]) for n in os.listdir(data)
+                if n.startswith("bucket=")} == committed
         # cleanup is hygiene, never correctness: resume still completes
         s = ledger.run_with_ledger(spark, spans, out_dir, "run_b",
                                    n_buckets=N_BUCKETS)
