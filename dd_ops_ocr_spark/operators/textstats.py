@@ -8,6 +8,8 @@ summation-order hazards: every ratio is a single division of integers).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf string type hints
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # marker -> language, probed by substring-occurrence counting.
@@ -410,6 +412,147 @@ SELECT d.doc_id,
 FROM d LEFT JOIN hits h USING (doc_id)
 WHERE NOT d.is_eval
 """
+
+
+# ----------------------------------- bloom-prefiltered decontamination
+
+_BLOOM_M = 1 << 20  # bloom bits (tests shrink this to force false positives)
+_BLOOM_K = 4        # hash functions (double hashing over the md5 halves)
+
+
+def _bloom_pos_expr(m: int, k: int):
+    """k bloom bit positions for a shingle hash ``gh`` (md5 hex), as ONE
+    JVM-side array<long> column — Kirsch-Mitzenmacher double hashing
+    pos_i = (h1 + i*h2) mod m with h1/h2 drawn from the two md5 halves
+    (15 hex digits each = 60 bits, safely inside a signed long; h2 is
+    forced odd so the stride cycles the full table when m is a power of
+    two). Staying in Column expressions keeps position derivation inside
+    whole-stage codegen; only the bitmap probe itself needs Python."""
+    h1 = F.pmod(F.conv(F.substring("gh", 1, 15), 16, 10).cast("long"),
+                F.lit(m))
+    h2 = F.pmod(F.conv(F.substring("gh", 16, 15), 16, 10).cast("long"),
+                F.lit(m)).bitwiseOR(F.lit(1))
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+
+
+def build_bloom_bitmap(pos_df: DataFrame, m: int) -> "np.ndarray":
+    """Distributed bloom-bitmap build: each partition folds its position
+    arrays into a LOCAL m-bit bitmap (numpy, vectorized bitwise_or.at),
+    the driver ORs the per-partition bitmaps together. The collect is
+    bounded by #partitions * m/8 bytes — independent of row count — so
+    a billion-gram eval set still ships only a few fixed-size bitmaps,
+    unlike collecting positions (which grows with the data).
+    ``pos_df`` must have a single ``pos: array<long>`` column."""
+    import numpy as np
+    import pandas as pd
+
+    nbytes = m // 8
+
+    def _bitmaps(it):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            any_rows = True
+            p = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["pos"]]
+            )
+            np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in pos_df.mapInPandas(_bitmaps, "bm binary").collect():
+        out |= np.frombuffer(row.bm, dtype=np.uint8)
+    return out
+
+
+def _bloom_hit_udf(bm_bytes_bc):
+    """pandas_udf(boolean): all k positions set in the broadcast bitmap.
+    Pure vectorized numpy over the Arrow batch — the only Python in the
+    bloom path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def hit(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series(np.zeros(0, dtype=bool))
+        bm = np.frombuffer(bm_bytes_bc.value, dtype=np.uint8)
+        p = np.vstack([np.asarray(a, dtype=np.int64) for a in pos])
+        bits = (bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    return hit
+
+
+def q_decontaminate_bloom(
+    spark: SparkSession, sf_dir: str,
+    m: int = _BLOOM_M, k: int = _BLOOM_K,
+) -> DataFrame:
+    """Decontamination with a bloom prefilter — SAME output as
+    ``decontaminate`` (the oracle is shared), different 100 TB shape:
+    the exact formulation shuffles the ENTIRE train-side shingle stream
+    through the eval join; here that stream never reaches an exchange.
+
+    Plan: (1) eval shingles fold into a fixed-size bloom bitmap
+    (per-partition numpy bitmaps OR'd on the driver — a bounded,
+    data-independent collect, same policy as the IVF training sample);
+    (2) the train side probes the broadcast bitmap MAP-SIDE and only
+    bloom-candidate shingles (true hits + the bounded false-positive
+    trickle) enter the exact verification join, whose result is exact
+    because blooms have no false negatives; (3) per-doc shingle totals
+    come from doc-local length arithmetic, not from aggregating the
+    exploded stream. Two jobs by construction (bitmap build, then the
+    probe) — inherent to bloom builds, both bounded.
+
+    tests/test_pipeline_ops.py forces m=256 so false positives flood the
+    candidate set and asserts the output still hash-matches the exact
+    path."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.split("text", " ", -1).alias("ws"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+         == _EVAL_NIBBLE).alias("is_eval"),
+    )
+    sh = d.select(
+        "doc_id",
+        "is_eval",
+        F.expr(_shingle_expr(_DECON_W)).alias("gh"),
+    )
+    eval_sh = sh.filter("is_eval")
+    bitmap = build_bloom_bitmap(
+        eval_sh.select(_bloom_pos_expr(m, k).alias("pos")), m
+    )
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+    cand = (
+        sh.filter(~F.col("is_eval"))
+        .withColumn("pos", _bloom_pos_expr(m, k))
+        .filter(_bloom_hit_udf(bc)(F.col("pos")))
+        .select("doc_id", "gh")
+    )
+    hits = (
+        cand.join(eval_sh.select("gh").distinct(), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        d.filter(~F.col("is_eval"))
+        .select(
+            "doc_id",
+            F.greatest(F.size("ws") - F.lit(_DECON_W - 1), F.lit(0))
+             .cast("long").alias("n_shingles"),
+        )
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long")
+             .alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
 
 
 # ------------------------------------------------- corpus heavy hitters
@@ -982,6 +1125,7 @@ QUERIES = {
     "repeated_span_strip": q_repeated_span_strip,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "sample_stratified": q_sample_stratified,
     "sequence_pack": q_sequence_pack,
     "topk_ngrams": q_topk_ngrams,
@@ -998,6 +1142,10 @@ ORACLE_SQL = {
         docs_rep=_SQL_DOCS_WITH_REPETITION
     ),
     "decontaminate": SQL_DECONTAMINATE,
+    # same semantics, different physical shape: the bloom prefilter is
+    # exact end-to-end (no false negatives + exact verify join), so the
+    # oracle SQL is shared verbatim
+    "decontaminate_bloom": SQL_DECONTAMINATE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "topk_ngrams": SQL_TOPK_NGRAMS,

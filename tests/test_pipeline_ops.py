@@ -56,6 +56,58 @@ def test_decontaminate_planted_overlap(spark, tmp_path):
                       "contaminated": False}
 
 
+def test_decontaminate_bloom_exact_under_fp_flood(spark, tmp_path):
+    """The bloom prefilter must be invisible in the OUTPUT no matter how
+    bad the filter is: with m=256 bits / k=2 the candidate set floods
+    with false positives, and with the default sizing it barely admits
+    any — both must hash-match the exact path row for row (blooms have
+    no false negatives; the verify join removes every false positive)."""
+    from dd_ops_ocr_spark.operators.textstats import q_decontaminate_bloom
+
+    rows = [
+        (3, "alpha beta gamma delta epsilon zeta", "en"),
+        (5, "totally different benchmark words here", "en"),
+        (0, "intro alpha beta gamma delta epsilon zeta outro", "en"),
+        (1, "one two three four five six seven", "en"),
+        (2, "tiny doc", "en"),
+    ]
+    src = _write_docs(tmp_path, rows)
+    exact = sorted(map(tuple, q_decontaminate(spark, src).collect()))
+    for m, k in [(256, 2), (1 << 20, 4)]:
+        got = sorted(
+            map(tuple, q_decontaminate_bloom(spark, src, m=m, k=k).collect())
+        )
+        assert got == exact, (m, k)
+
+
+def test_bloom_bitmap_build_is_bounded(spark):
+    """build_bloom_bitmap ships per-partition bitmaps, not positions:
+    the bitmap is exactly m/8 bytes regardless of row count, and every
+    inserted key probes positive (no false negatives by construction)."""
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.textstats import (
+        _bloom_pos_expr, build_bloom_bitmap,
+    )
+    from pyspark.sql import functions as F
+
+    m, k = 4096, 3
+    df = (
+        spark.range(500).repartition(7)
+        .select(F.md5(F.col("id").cast("string")).alias("gh"))
+    )
+    bm = build_bloom_bitmap(df.select(_bloom_pos_expr(m, k).alias("pos")), m)
+    assert bm.shape == (m // 8,)
+    pos = df.select(_bloom_pos_expr(m, k).alias("pos")).collect()
+    flat = np.array([p for r in pos for p in r.pos])
+    assert ((bm[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1).all()
+    # empty input -> all-zero bitmap (and no mapInPandas rows at all)
+    empty = build_bloom_bitmap(
+        df.filter("gh = ''").select(_bloom_pos_expr(m, k).alias("pos")), m
+    )
+    assert not empty.any()
+
+
 def test_sample_stratified_small_and_large_strata(spark, tmp_path):
     """Strata at/below the cap are kept whole; a stratum far above it
     downsamples to ~CAP (binomial), deterministically."""

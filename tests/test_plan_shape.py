@@ -212,6 +212,20 @@ def test_pipeline_ops_plan_shapes(spark):
     assert "CartesianProduct" not in dec
     assert "BroadcastNestedLoopJoin" not in dec
 
+    from dd_ops_ocr_spark.operators.textstats import q_decontaminate_bloom
+
+    blm = _plan(q_decontaminate_bloom(spark, SF_SMOKE))
+    assert "CartesianProduct" not in blm
+    # the bloom probe (ArrowEvalPython + Filter pythonUDF) must consume
+    # the exploded gram stream DIRECTLY — no Exchange between the probe
+    # and the Generate below it — so the full train shingle stream never
+    # shuffles; only bloom candidates reach the verify join
+    lines = blm.splitlines()
+    probe = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
+    gen = next(i for i, l in enumerate(lines)
+               if i > probe and "Generate explode" in l)
+    assert not any("Exchange" in l for l in lines[probe:gen]), blm[:2000]
+
     from dd_ops_ocr_spark.operators.textstats import q_topk_ngrams
 
     topk = _plan(q_topk_ngrams(spark, SF_SMOKE))
