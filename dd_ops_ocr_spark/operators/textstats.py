@@ -414,6 +414,119 @@ WHERE NOT d.is_eval
 """
 
 
+# ----------------------------------------------------- PII redaction
+
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b,
+# \d (ASCII in both), no lookaround (RE2 has none), no backrefs.
+# Applied in list order — earlier redactions cannot create later
+# matches because every replacement token is letters-only.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{3,4}(-\d{1,4})?"),
+    ("idnum", r"\b\d{9,}\b"),
+]
+_EVEN_NIBBLES = ["0", "2", "4", "6", "8", "a", "c", "e"]
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every shareable training
+    corpus needs (emails, IPs, phone numbers, long account numbers →
+    typed placeholder tokens), with per-category match counts for the
+    compliance audit trail.
+
+    The synthetic corpus carries no PII, so the query PLANTS it
+    deterministically (md5-nibble-gated per category, value arithmetic
+    from doc_id) and the oracle restates the same construction — the
+    hash check then pins both the planting and the redaction semantics.
+    Counts are taken stage-wise on the text each pattern actually sees,
+    so sequential-application semantics are part of the contract.
+
+    Scale shape: pure per-row column expressions (regexp_count /
+    regexp_replace are JVM codegen) — zero exchanges, composes in front
+    of any shuffle-bearing stage like the repetition filters."""
+    d = _docs(spark, sf_dir)
+    md = F.md5(F.col("doc_id").cast("string"))
+
+    def gated(i: int, piece):
+        return F.when(
+            F.substring(md, i, 1).isin(_EVEN_NIBBLES), piece
+        ).otherwise(F.lit(""))
+
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.substring("text", 1, 120),
+        gated(1, F.concat(F.lit(" reach user"), did.cast("string"),
+                          F.lit("@corp.example.org"))),
+        gated(2, F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                          F.lit("."), ((did * 7) % 256).cast("string"))),
+        gated(3, F.concat(F.lit(" call +1-555-"),
+                          F.lpad((did % 10000).cast("string"), 4, "0"))),
+        gated(4, F.concat(F.lit(" acct 9"),
+                          F.lpad((did % 100000000).cast("string"), 8, "0"))),
+    )
+    out = d.select("doc_id", planted.alias("t"))
+    for name, pat in _PII_PATTERNS:
+        out = out.select(
+            "doc_id",
+            *[c for c in out.columns if c.startswith("n_")],
+            F.regexp_count("t", F.lit(pat)).cast("long").alias(f"n_{name}"),
+            F.regexp_replace("t", pat, f"<{name.upper()}>").alias("t"),
+        )
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _ in _PII_PATTERNS],
+        F.col("t").alias("redacted_text"),
+    )
+
+
+def _sql_pii_tail() -> str:
+    """Stage CTEs mirroring the sequential count-then-replace."""
+    prev, parts, n_cols = "p", [], []
+    for j, (name, pat) in enumerate(_PII_PATTERNS):
+        cur = f"s{j}"
+        carried = ", ".join(n_cols + [f"len(regexp_extract_all(t, '{pat}'))"
+                                      f"::BIGINT AS n_{name}"])
+        parts.append(
+            f"{cur} AS (SELECT doc_id, {carried},"
+            f" regexp_replace(t, '{pat}', '<{name.upper()}>', 'g') AS t"
+            f" FROM {prev})"
+        )
+        n_cols.append(f"n_{name}")
+        prev = cur
+    return ", ".join(parts) + (
+        f" SELECT doc_id, {', '.join(n_cols)}, t AS redacted_text FROM {prev}"
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH p AS (
+  SELECT doc_id,
+    substring(text, 1, 120)
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+              IN ({", ".join(repr(n) for n in _EVEN_NIBBLES)})
+        THEN ' reach user' || doc_id::VARCHAR || '@corp.example.org'
+        ELSE '' END
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 2, 1)
+              IN ({", ".join(repr(n) for n in _EVEN_NIBBLES)})
+        THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+             || ((doc_id * 7) % 256)::VARCHAR
+        ELSE '' END
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 3, 1)
+              IN ({", ".join(repr(n) for n in _EVEN_NIBBLES)})
+        THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        ELSE '' END
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 4, 1)
+              IN ({", ".join(repr(n) for n in _EVEN_NIBBLES)})
+        THEN ' acct 9' || lpad((doc_id % 100000000)::VARCHAR, 8, '0')
+        ELSE '' END
+    AS t
+  FROM documents
+), {_sql_pii_tail()}
+"""
+
+
 # ----------------------------------- bloom-prefiltered decontamination
 
 _BLOOM_M = 1 << 20  # bloom bits (tests shrink this to force false positives)
@@ -1126,6 +1239,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "pii_redact": q_pii_redact,
     "sample_stratified": q_sample_stratified,
     "sequence_pack": q_sequence_pack,
     "topk_ngrams": q_topk_ngrams,
@@ -1146,6 +1260,7 @@ ORACLE_SQL = {
     # exact end-to-end (no false negatives + exact verify join), so the
     # oracle SQL is shared verbatim
     "decontaminate_bloom": SQL_DECONTAMINATE,
+    "pii_redact": SQL_PII_REDACT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "topk_ngrams": SQL_TOPK_NGRAMS,

@@ -295,6 +295,7 @@ _register(_external)
 _ROSTER_HEAD = [
     # new this round — never stamped
     "decontaminate_bloom",
+    "pii_redact",
     "repetition_stats",
     "media_audio_g711",
     "media_audio_formats",
@@ -343,13 +344,12 @@ _ROSTER_HEAD = [
     "media_metadata_jpeg",
     "media_metadata_png",
     "media_resize",
-    "media_frame_sample",
-    "engine_zip",
     # flagship_extract_pandas, flagship_extract_exploded and (since the
-    # session-6 additions) dim_enrich_join displaced to keep the head at
-    # the driver's 50-query sampling cap — never-stamped new queries
-    # outrank two-round-stale stamps, and the local oracle gate still
-    # checks every query on every pytest run; displaced names lead r06
+    # session-6 additions) media_frame_sample, engine_zip and
+    # dim_enrich_join displaced to keep the head at the driver's
+    # 50-query sampling cap — never-stamped new queries outrank
+    # two-round-stale stamps, and the local oracle gate still checks
+    # every query on every pytest run; displaced names lead r06
 ]
 # r04-stamped flagship path twins: freshest stamps, safe at the very tail
 _ROSTER_TAIL = ["flagship_extract_salted", "flagship_extract_sql"]

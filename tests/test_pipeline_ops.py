@@ -56,6 +56,51 @@ def test_decontaminate_planted_overlap(spark, tmp_path):
                       "contaminated": False}
 
 
+def test_pii_redact_vs_python_re_referee(spark, tmp_path):
+    """Third-engine referee: replicate the planting + sequential
+    count-then-replace with Python's re module and require equality —
+    including a doc whose ORIGINAL text already carries PII (an email
+    with >=9 digits inside must be consumed by the earlier EMAIL stage,
+    never double-counted by IDNUM; a bare 9-digit run must become
+    IDNUM)."""
+    import hashlib
+    import re
+
+    from dd_ops_ocr_spark.operators.textstats import (
+        _EVEN_NIBBLES, _PII_PATTERNS, q_pii_redact,
+    )
+
+    rows = [
+        (0, "contact admin123456789@site.io or 123456789 right now", "en"),
+        (1, "plain text with no sensitive content at all", "en"),
+        (7, "server 172.16.254.1 answered +44-207-946-0958 twice", "en"),
+    ]
+    got = {r["doc_id"]: r.asDict()
+           for r in q_pii_redact(spark, _write_docs(tmp_path, rows)).collect()}
+
+    for doc_id, text, _ in rows:
+        md = hashlib.md5(str(doc_id).encode()).hexdigest()
+        t = text[:120]
+        if md[0] in _EVEN_NIBBLES:
+            t += f" reach user{doc_id}@corp.example.org"
+        if md[1] in _EVEN_NIBBLES:
+            t += f" from 10.0.{doc_id % 256}.{doc_id * 7 % 256}"
+        if md[2] in _EVEN_NIBBLES:
+            t += f" call +1-555-{doc_id % 10000:04d}"
+        if md[3] in _EVEN_NIBBLES:
+            t += f" acct 9{doc_id % 100000000:08d}"
+        want = {"doc_id": doc_id}
+        for name, pat in _PII_PATTERNS:
+            want[f"n_{name}"] = len(re.findall(pat, t))
+            t = re.sub(pat, f"<{name.upper()}>", t)
+        want["redacted_text"] = t
+        assert got[doc_id] == want, doc_id
+    # the planted referee cases actually exercised what they claim
+    assert got[0]["n_email"] >= 1 and got[0]["n_idnum"] >= 1
+    assert got[7]["n_ip"] >= 1 and got[7]["n_phone"] >= 1
+    assert "123456789" not in got[0]["redacted_text"]
+
+
 def test_decontaminate_bloom_exact_under_fp_flood(spark, tmp_path):
     """The bloom prefilter must be invisible in the OUTPUT no matter how
     bad the filter is: with m=256 bits / k=2 the candidate set floods

@@ -226,6 +226,12 @@ def test_pipeline_ops_plan_shapes(spark):
                if i > probe and "Generate explode" in l)
     assert not any("Exchange" in l for l in lines[probe:gen]), blm[:2000]
 
+    from dd_ops_ocr_spark.operators.textstats import q_pii_redact
+
+    # PII redaction is pure per-row column math: zero exchanges
+    pii = _plan(q_pii_redact(spark, SF_SMOKE))
+    assert "Exchange" not in pii, pii[:2000]
+
     from dd_ops_ocr_spark.operators.textstats import q_topk_ngrams
 
     topk = _plan(q_topk_ngrams(spark, SF_SMOKE))
