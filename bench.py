@@ -622,6 +622,22 @@ def main() -> None:
         lambda: q_repetition_stats(spark, SF_DIR).agg(
             F.sum("passes_repetition")).collect()
     )
+    # PII redaction: zero-exchange regexp pass; consume both the counts
+    # and the rewritten text so no stage can be pruned away
+    from dd_ops_ocr_spark.operators.textstats import q_pii_redact
+
+    queries["pii_redact"] = timed(
+        lambda: q_pii_redact(spark, SF_DIR).agg(
+            F.sum("n_email"), F.sum("n_ip"), F.sum("n_phone"),
+            F.sum("n_idnum"), F.sum(F.length("redacted_text"))).collect()
+    )
+    # URL blocklist + salted per-domain cap: count() is honest here —
+    # the final filter consumes both window ranks, nothing prunable
+    from dd_ops_ocr_spark.operators.urlops import q_url_domain_cap
+
+    queries["url_domain_cap"] = timed(
+        lambda: q_url_domain_cap(spark, SF_DIR).count()
+    )
 
     # catalog data skipping: the flat corpus landed ONCE as a range-
     # clustered snapshot table (32 files, doc_id-sorted => tight footer

@@ -1,0 +1,150 @@
+"""URL filtering + per-domain capping — the provenance-hygiene stage of a
+web-scale training pipeline (reference analogue: the filename/object-name
+provenance parsing of `src/modules/step0/01_pre_check.py`, generalized to
+the URL form a crawl corpus carries).
+
+Three classic sub-steps, composed in one pass:
+
+1. **Parse**: host / registered domain / TLD out of the URL string with
+   regexes whose semantics are identical in Java regex (Spark) and RE2
+   (DuckDB) — no lookaround, no backrefs.
+2. **Blocklist**: drop documents whose registered domain is on an exact
+   blocklist (tiny list → a broadcast-free `isin`; a big production list
+   would become a broadcast anti-join, same plan shape as
+   ``decontaminate``'s verify join).
+3. **Per-domain cap**: keep at most ``_DOMAIN_CAP`` documents per
+   registered domain, choosing the cap-smallest ``md5(doc_id)`` values
+   (a deterministic, engine-independent order with no ties).
+
+Scale shape — the cap is the interesting part. A naive
+``row_number() OVER (PARTITION BY domain)`` puts every document of a
+mega-domain (CommonCrawl: a single host can be 1e8 pages) in ONE task.
+Instead the cap runs as salted two-phase top-k:
+
+  stage 1: rank within (domain, salt) where salt = pmod(xxhash, 16) —
+           every partition bounded at ~1/16 of the domain; keep rank<=CAP
+  stage 2: exact rank over the <=16*CAP survivors per domain
+
+Because stage 1 keeps the CAP smallest order-keys of every salt bucket,
+its union provably contains the true CAP smallest per domain, so stage 2
+reproduces the naive window's output exactly — the salt never leaks into
+the result, and the oracle is the plain single-window SQL. Two bounded
+exchanges instead of one unbounded one.
+
+The synthetic corpus has no URL column, so the query PLANTS one
+deterministically (domain/TLD/subdomain/query-string gated on md5
+nibbles of doc_id) and the oracle restates the same construction — the
+hash check pins planting, parsing, blocklist, and cap semantics at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_N_DOMAINS = 40
+_DOMAIN_CAP = 8
+_CAP_SALTS = 16
+_BLOCKLIST = ["d3.com", "d17.org", "d29.com"]
+_EVEN_NIBBLES = ["0", "2", "4", "6", "8", "a", "c", "e"]
+_HEX = "0123456789abcdef"
+
+_HOST_RE = "^https?://([^/]+)"
+_DOMAIN_RE = "^(www\\.)?(.*)$"
+_TLD_RE = "\\.([a-z]+)$"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md = F.md5(F.col("doc_id").cast("string"))
+
+    def nib(i: int):
+        # hex nibble -> 0..15 via strpos (identical in Spark and DuckDB;
+        # Spark's conv() has no DuckDB twin and CAST('0x..') differs)
+        return F.instr(F.lit(_HEX), F.substring(md, i, 1)) - F.lit(1)
+
+    host_id = (nib(1) * 16 + nib(2)) % _N_DOMAINS
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.substring(md, 4, 1).isin(_EVEN_NIBBLES), F.lit("www."))
+         .otherwise(F.lit("")),
+        F.lit("d"), host_id.cast("string"),
+        F.when(F.substring(md, 3, 1).isin(_EVEN_NIBBLES), F.lit(".com"))
+         .otherwise(F.lit(".org")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.when(F.substring(md, 5, 1).isin(_EVEN_NIBBLES),
+               F.lit("?utm_source=feed")).otherwise(F.lit("")),
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), md.alias("ord")
+    )
+    host = F.regexp_extract("url", _HOST_RE, 1)
+    parsed = d.select(
+        "doc_id", "url", "ord",
+        host.alias("host"),
+        F.regexp_extract(host, _DOMAIN_RE, 2).alias("domain"),
+    ).withColumn("tld", F.regexp_extract("domain", _TLD_RE, 1))
+    kept = parsed.where(~F.col("domain").isin(_BLOCKLIST))
+
+    salted = kept.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS))
+    )
+    w1 = Window.partitionBy("domain", "salt").orderBy("ord")
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= _DOMAIN_CAP)
+    )
+    w2 = Window.partitionBy("domain").orderBy("ord")
+    return (
+        survivors.withColumn("domain_rank",
+                             F.row_number().over(w2).cast("long"))
+        .where(F.col("domain_rank") <= _DOMAIN_CAP)
+        .select("doc_id", "url", "host", "domain", "tld", "domain_rank")
+    )
+
+
+_NIB_SQL = {
+    i: f"(strpos('{_HEX}', substring(md5(doc_id::VARCHAR), {i}, 1)) - 1)"
+    for i in (1, 2)
+}
+_EVEN_IN = ", ".join(repr(n) for n in _EVEN_NIBBLES)
+
+SQL_URL_DOMAIN_CAP = f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://'
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 4, 1) IN ({_EVEN_IN})
+        THEN 'www.' ELSE '' END
+    || 'd' || (({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})::VARCHAR
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 3, 1) IN ({_EVEN_IN})
+        THEN '.com' ELSE '.org' END
+    || '/p/' || doc_id::VARCHAR
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 5, 1) IN ({_EVEN_IN})
+        THEN '?utm_source=feed' ELSE '' END
+    AS url,
+    md5(doc_id::VARCHAR) AS ord
+  FROM documents
+), p AS (
+  SELECT doc_id, url, ord,
+    regexp_extract(url, '{_HOST_RE}', 1) AS host,
+    regexp_extract(regexp_extract(url, '{_HOST_RE}', 1),
+                   '{_DOMAIN_RE}', 2) AS domain
+  FROM u
+), ranked AS (
+  SELECT doc_id, url, host, domain,
+    regexp_extract(domain, '{_TLD_RE}', 1) AS tld,
+    row_number() OVER (PARTITION BY domain ORDER BY ord)::BIGINT
+      AS domain_rank
+  FROM p
+  WHERE domain NOT IN ({", ".join(repr(b) for b in _BLOCKLIST)})
+)
+SELECT doc_id, url, host, domain, tld, domain_rank
+FROM ranked WHERE domain_rank <= {_DOMAIN_CAP}
+"""
+
+
+QUERIES = {"url_domain_cap": q_url_domain_cap}
+ORACLE_SQL = {"url_domain_cap": SQL_URL_DOMAIN_CAP}

@@ -263,6 +263,7 @@ from dd_ops_ocr_spark.operators import similarity as _similarity  # noqa: E402
 from dd_ops_ocr_spark.operators import textops as _textops  # noqa: E402
 from dd_ops_ocr_spark.operators import textstats as _textstats  # noqa: E402
 from dd_ops_ocr_spark.operators import typeutils as _typeutils  # noqa: E402
+from dd_ops_ocr_spark.operators import urlops as _urlops  # noqa: E402
 from dd_ops_ocr_spark.operators import vision as _vision  # noqa: E402
 from dd_ops_ocr_spark import sources as _sources  # noqa: E402
 
@@ -280,6 +281,7 @@ _register(_heuristics)
 _register(_integrate)
 _register(_jsonops)
 _register(_typeutils)
+_register(_urlops)
 _register(_vision)
 _register(_catalogops)
 _register(_external)
@@ -296,6 +298,7 @@ _ROSTER_HEAD = [
     # new this round — never stamped
     "decontaminate_bloom",
     "pii_redact",
+    "url_domain_cap",
     "repetition_stats",
     "media_audio_g711",
     "media_audio_formats",

@@ -368,3 +368,86 @@ def test_repetition_stats_vs_referee(spark, tmp_path):
         g = got[doc_id] if doc_id in got else got[str(doc_id)]
         for k, v in want.items():
             assert g[k] == v, (doc_id, k, g[k], v)  # exact, incl doubles
+
+
+def test_url_domain_cap_salt_invariant_and_python_referee(spark, tmp_path):
+    """Two referees for the URL stage:
+
+    1. Salt invariance — the salted two-phase cap must emit EXACTLY the
+       naive single-window result (the salt is a partitioning detail,
+       never a semantic one), checked on a corpus dense enough that
+       every domain overflows the cap.
+    2. Pure-Python replication of planting + parsing + blocklist + cap
+       on a small slice, so the semantics don't rest on two SQL engines
+       sharing a quirk."""
+    import hashlib
+    import re
+
+    from pyspark.sql import Window, functions as F
+
+    from dd_ops_ocr_spark.operators import urlops as U
+
+    rows = [(i, f"doc body {i}", "en") for i in range(1500)]
+    path = _write_docs(tmp_path, rows)
+    got = sorted(tuple(r) for r in U.q_url_domain_cap(spark, path).collect())
+
+    # referee 1: naive unsalted window over the same parsed/filtered set
+    md = F.md5(F.col("doc_id").cast("string"))
+    nib = lambda i: F.instr(F.lit(U._HEX), F.substring(md, i, 1)) - F.lit(1)
+    host_id = (nib(1) * 16 + nib(2)) % U._N_DOMAINS
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.substring(md, 4, 1).isin(U._EVEN_NIBBLES),
+               F.lit("www.")).otherwise(F.lit("")),
+        F.lit("d"), host_id.cast("string"),
+        F.when(F.substring(md, 3, 1).isin(U._EVEN_NIBBLES),
+               F.lit(".com")).otherwise(F.lit(".org")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.when(F.substring(md, 5, 1).isin(U._EVEN_NIBBLES),
+               F.lit("?utm_source=feed")).otherwise(F.lit("")),
+    )
+    d = spark.read.parquet(f"{path}/documents.parquet").select(
+        "doc_id", url.alias("url"), md.alias("ord"))
+    host = F.regexp_extract("url", U._HOST_RE, 1)
+    naive = (
+        d.select("doc_id", "url", "ord", host.alias("host"),
+                 F.regexp_extract(host, U._DOMAIN_RE, 2).alias("domain"))
+        .withColumn("tld", F.regexp_extract("domain", U._TLD_RE, 1))
+        .where(~F.col("domain").isin(U._BLOCKLIST))
+        .withColumn("domain_rank", F.row_number().over(
+            Window.partitionBy("domain").orderBy("ord")).cast("long"))
+        .where(F.col("domain_rank") <= U._DOMAIN_CAP)
+        .select("doc_id", "url", "host", "domain", "tld", "domain_rank")
+    )
+    assert got == sorted(tuple(r) for r in naive.collect())
+    # every surviving domain is saturated at the cap -> stage 1 really
+    # had to merge survivors from multiple salt buckets
+    by_domain = {}
+    for _, _, _, dom, _, rank in got:
+        by_domain[dom] = max(by_domain.get(dom, 0), rank)
+    assert by_domain and all(v == U._DOMAIN_CAP for v in by_domain.values())
+
+    # referee 2: pure Python on the full corpus
+    def py_expect():
+        per = {}
+        for doc_id, _, _ in rows:
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            hid = (U._HEX.index(h[0]) * 16 + U._HEX.index(h[1])) % U._N_DOMAINS
+            u = ("https://" + ("www." if h[3] in U._EVEN_NIBBLES else "")
+                 + f"d{hid}" + (".com" if h[2] in U._EVEN_NIBBLES else ".org")
+                 + f"/p/{doc_id}"
+                 + ("?utm_source=feed" if h[4] in U._EVEN_NIBBLES else ""))
+            hst = re.search(U._HOST_RE, u).group(1)
+            dom = re.search(U._DOMAIN_RE, hst).group(2)
+            if dom in U._BLOCKLIST:
+                continue
+            per.setdefault(dom, []).append(
+                (h, doc_id, u, hst, re.search(U._TLD_RE, dom).group(1)))
+        out = []
+        for dom, lst in per.items():
+            for rank, (h, doc_id, u, hst, tld) in enumerate(
+                    sorted(lst)[:U._DOMAIN_CAP], start=1):
+                out.append((doc_id, u, hst, dom, tld, rank))
+        return sorted(out)
+
+    assert got == py_expect()

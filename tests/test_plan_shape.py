@@ -232,6 +232,16 @@ def test_pipeline_ops_plan_shapes(spark):
     pii = _plan(q_pii_redact(spark, SF_SMOKE))
     assert "Exchange" not in pii, pii[:2000]
 
+    from dd_ops_ocr_spark.operators.urlops import q_url_domain_cap
+
+    url = _plan(q_url_domain_cap(spark, SF_SMOKE))
+    # salted two-phase cap: exactly two bounded exchanges — (domain,
+    # salt) then domain-over-survivors — and the first window's
+    # partition spec must carry the salt (the mega-domain bound)
+    assert url.count("Exchange") == 2, url[:2000]
+    assert "salt" in url, url[:2000]
+    assert "CartesianProduct" not in url
+
     from dd_ops_ocr_spark.operators.textstats import q_topk_ngrams
 
     topk = _plan(q_topk_ngrams(spark, SF_SMOKE))
