@@ -631,6 +631,14 @@ def main() -> None:
             F.sum("n_email"), F.sum("n_ip"), F.sum("n_phone"),
             F.sum("n_idnum"), F.sum(F.length("redacted_text"))).collect()
     )
+    # trigram-LM familiarity scoring (CCNet-style perplexity filter):
+    # consume the score columns so the model join + both aggs execute
+    from dd_ops_ocr_spark.operators.textstats import q_lm_familiarity
+
+    queries["lm_familiarity"] = timed(
+        lambda: q_lm_familiarity(spark, SF_DIR).agg(
+            F.sum("sum_bits"), F.sum("familiarity_x1000")).collect()
+    )
     # URL blocklist + salted per-domain cap: count() is honest here —
     # the final filter consumes both window ranks, nothing prunable
     from dd_ops_ocr_spark.operators.urlops import q_url_domain_cap

@@ -1230,6 +1230,118 @@ WITH q AS (
 """ + _SQL_PACK_TAIL.format(src="d")
 
 
+_LM_NIBBLE = "a"  # md5(doc_id) first nibble selecting the LM reference split
+
+
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: train a character
+    trigram LM on a reference split (the md5-selected 1/16 of the corpus
+    stands in for the Wikipedia-style reference CCNet uses), then score
+    EVERY doc by its mean quantized log-frequency under that model —
+    low-familiarity docs are the gibberish/boilerplate a perplexity
+    filter drops.
+
+    All-integer math so the DuckDB oracle is bit-exact (no float log /
+    float-summation-order hazards): text is normalized to the bounded
+    alphabet [a-z _] (everything else -> '_'), each trigram's score is
+    the quantized log2 of its reference count — ``length(bin(c))`` =
+    floor(log2(c)) + 1, an exact integer in both engines — and the doc
+    score is the integer ratio ``sum_bits * 1000 DIV n_grams``.
+
+    Scale shape: the model vocabulary is BOUNDED BY CONSTRUCTION at
+    28^3 = 21,952 grams regardless of corpus size (unlike the
+    decontaminate eval split, which grows with the input), so the
+    scoring join is a legitimate always-small broadcast at 100 TB and
+    is hinted as one. The gram stream itself never reaches an exchange:
+    ``explode_outer`` keeps zero-gram docs alive as a NULL-gram row (a
+    NULL key matches nothing in the left join, exactly like an unseen
+    gram), so no doc-sized backfill join is needed and the per-doc agg
+    partials the stream down to ~1 row per doc before its shuffle."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z ]", "_").alias("norm"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+         == _LM_NIBBLE).alias("is_ref"),
+    )
+    g = d.select(
+        "doc_id",
+        "is_ref",
+        F.explode_outer(
+            F.expr(
+                "CASE WHEN length(norm) >= 3"
+                " THEN transform(sequence(1, length(norm) - 2),"
+                "                i -> substring(norm, i, 3))"
+                " ELSE array() END"
+            )
+        ).alias("gr"),
+    )
+    model = (
+        g.filter("is_ref AND gr IS NOT NULL")
+        .groupBy("gr")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        g.join(F.broadcast(model), "gr", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gr").alias("n_grams"),
+            F.count("c").alias("n_seen"),
+            F.coalesce(
+                F.sum(F.length(F.bin("c"))).cast("long"), F.lit(0).cast("long")
+            ).alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen",
+            "sum_bits",
+            F.expr(
+                "CAST(CASE WHEN n_grams = 0 THEN 0"
+                " ELSE sum_bits * 1000 DIV n_grams END AS BIGINT)"
+            ).alias("familiarity_x1000"),
+            F.expr(
+                "CAST(CASE WHEN n_grams = 0 THEN 0"
+                " ELSE n_seen * 1000 DIV n_grams END AS BIGINT)"
+            ).alias("coverage_x1000"),
+        )
+    )
+
+
+SQL_LM_FAMILIARITY = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^a-z ]', '_', 'g') AS norm,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{_LM_NIBBLE}'
+           AS is_ref
+  FROM documents
+), g AS (
+  SELECT doc_id, is_ref, substring(norm, CAST(t.i AS INT), 3) AS gr
+  FROM d, UNNEST(range(1, LENGTH(norm) - 1)) AS t(i)
+  WHERE LENGTH(norm) >= 3
+), m AS (
+  SELECT gr, COUNT(*) AS c FROM g WHERE is_ref GROUP BY gr
+), s AS (
+  SELECT doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(m.c) AS n_seen,
+         COALESCE(SUM(LENGTH(BIN(m.c))), 0) AS sum_bits
+  FROM g LEFT JOIN m USING (gr)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.n_seen, 0) AS BIGINT) AS n_seen,
+       CAST(COALESCE(s.sum_bits, 0) AS BIGINT) AS sum_bits,
+       CAST(CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0
+            ELSE (s.sum_bits * 1000) // s.n_grams END AS BIGINT)
+         AS familiarity_x1000,
+       CAST(CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0
+            ELSE (s.n_seen * 1000) // s.n_grams END AS BIGINT)
+         AS coverage_x1000
+FROM d LEFT JOIN s USING (doc_id)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1244,6 +1356,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "topk_ngrams": q_topk_ngrams,
     "corpus_curriculum": q_corpus_curriculum,
+    "lm_familiarity": q_lm_familiarity,
 }
 
 ORACLE_SQL = {
@@ -1264,6 +1377,7 @@ ORACLE_SQL = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "topk_ngrams": SQL_TOPK_NGRAMS,
+    "lm_familiarity": SQL_LM_FAMILIARITY,
     "corpus_curriculum": SQL_CORPUS_CURRICULUM.format(
         quality=SQL_QUALITY_SCORE,
         decon=SQL_DECONTAMINATE,

@@ -296,6 +296,7 @@ _register(_external)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "lm_familiarity",
     "decontaminate_bloom",
     "pii_redact",
     "url_domain_cap",
@@ -348,11 +349,12 @@ _ROSTER_HEAD = [
     "media_metadata_png",
     "media_resize",
     # flagship_extract_pandas, flagship_extract_exploded and (since the
-    # session-6 additions) media_frame_sample, engine_zip and
-    # dim_enrich_join displaced to keep the head at the driver's
-    # 50-query sampling cap — never-stamped new queries outrank
-    # two-round-stale stamps, and the local oracle gate still checks
-    # every query on every pytest run; displaced names lead r06
+    # session-6 additions) media_frame_sample, engine_zip,
+    # dim_enrich_join and media_resize (now #51, past the driver's
+    # 50-prefix) displaced to keep the sample at the driver's 50-query
+    # cap — never-stamped new queries outrank two-round-stale stamps,
+    # and the local oracle gate still checks every query on every
+    # pytest run; displaced names lead r06
 ]
 # r04-stamped flagship path twins: freshest stamps, safe at the very tail
 _ROSTER_TAIL = ["flagship_extract_salted", "flagship_extract_sql"]

@@ -451,3 +451,88 @@ def test_url_domain_cap_salt_invariant_and_python_referee(spark, tmp_path):
         return sorted(out)
 
     assert got == py_expect()
+
+
+def test_lm_familiarity_planted_model(spark, tmp_path):
+    """doc_id 4 is the md5-nibble 'a' reference split. Its trigrams
+    (abc x3, bca x2, cab x2) ARE the model; quantized bits per gram =
+    length(bin(count)). Seen/unseen/short/normalized docs score exactly
+    as the integer arithmetic says."""
+    from dd_ops_ocr_spark.operators.textstats import q_lm_familiarity
+
+    rows = [
+        (4, "abcabcabc", "en"),   # ref: model = {abc:3, bca:2, cab:2}
+        (0, "abc", "en"),         # 1 gram, seen (bin(3)->2 bits)
+        (1, "xyz", "en"),         # 1 gram, unseen
+        (2, "AB", "en"),          # norm 'ab', too short: zero grams
+        (3, "A1c", "en"),         # norm 'a_c', unseen
+    ]
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_seen"], r["sum_bits"],
+            r["familiarity_x1000"], r["coverage_x1000"],
+        )
+        for r in q_lm_familiarity(spark, _write_docs(tmp_path, rows)).collect()
+    }
+    assert got[4] == (7, 7, 14, 2000, 1000)
+    assert got[0] == (1, 1, 2, 2000, 1000)
+    assert got[1] == (1, 0, 0, 0, 0)
+    assert got[2] == (0, 0, 0, 0, 0)
+    assert got[3] == (1, 0, 0, 0, 0)
+
+
+def test_lm_familiarity_python_referee(spark, tmp_path):
+    """Independent Python trigram LM over a mixed corpus (uppercase,
+    punctuation, digits, a ref doc scoring itself) reproduces every
+    output column bit-exactly."""
+    import hashlib
+    import re as _re
+
+    from dd_ops_ocr_spark.operators.textstats import (
+        _LM_NIBBLE,
+        q_lm_familiarity,
+    )
+
+    texts = [
+        "The quick brown fox; jumps over 12 lazy dogs!",
+        "the the the the the and and and or",
+        "Zzyzx qwq xjqz vvv",
+        "lorem ipsum dolor sit amet, consectetur adipiscing elit",
+        "THE QUICK BROWN FOX AGAIN (upper-cased this time)",
+        "a b",
+    ]
+    rows = [(i, texts[i % len(texts)] + f" tail {i}", "en") for i in range(40)]
+
+    def norm(t):
+        return _re.sub(r"[^a-z ]", "_", t.lower())
+
+    def grams(t):
+        n = norm(t)
+        return [n[i:i + 3] for i in range(len(n) - 2)] if len(n) >= 3 else []
+
+    model = {}
+    for doc_id, text, _ in rows:
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[0] == _LM_NIBBLE:
+            for g in grams(text):
+                model[g] = model.get(g, 0) + 1
+    assert model, "planted corpus must include a ref doc"
+
+    def score(text):
+        gs = grams(text)
+        bits = sum(model[g].bit_length() for g in gs if g in model)
+        seen = sum(1 for g in gs if g in model)
+        n = len(gs)
+        return (
+            n, seen, bits,
+            bits * 1000 // n if n else 0,
+            seen * 1000 // n if n else 0,
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_seen"], r["sum_bits"],
+            r["familiarity_x1000"], r["coverage_x1000"],
+        )
+        for r in q_lm_familiarity(spark, _write_docs(tmp_path, rows)).collect()
+    }
+    assert got == {doc_id: score(text) for doc_id, text, _ in rows}

@@ -244,6 +244,19 @@ def test_pipeline_ops_plan_shapes(spark):
 
     from dd_ops_ocr_spark.operators.textstats import q_topk_ngrams
 
+    from dd_ops_ocr_spark.operators.textstats import q_lm_familiarity
+
+    lm = _plan(q_lm_familiarity(spark, SF_SMOKE))
+    # the raw trigram stream must NEVER reach an exchange: its only
+    # join is a broadcast (model vocab is bounded at 28^3 by
+    # construction; explode_outer makes a doc-sized backfill join
+    # unnecessary) and the only two shuffles carry aggregated rows —
+    # (gram, count) for the model, one row per doc for the scores
+    assert lm.count("Exchange hashpartitioning") == 2, lm[:2000]
+    assert lm.count("BroadcastHashJoin") == 1, lm[:2000]
+    assert "SortMergeJoin" not in lm and "CartesianProduct" not in lm
+    assert "partial_count" in lm  # map-side partials on both aggs
+
     topk = _plan(q_topk_ngrams(spark, SF_SMOKE))
     # doc-local run-length counting means ONE exchange (the per-gram
     # hash-agg with map-side partials) and a TakeOrdered top-k — a
