@@ -639,12 +639,15 @@ def main() -> None:
         lambda: q_lm_familiarity(spark, SF_DIR).agg(
             F.sum("sum_bits"), F.sum("familiarity_x1000")).collect()
     )
-    # URL blocklist + salted per-domain cap: count() is honest here —
-    # the final filter consumes both window ranks, nothing prunable
+    # URL blocklist + salted per-domain cap: aggregate every output
+    # column family — the rank filter alone would let count() prune the
+    # tld regexp_extract, under-measuring the parse stage
     from dd_ops_ocr_spark.operators.urlops import q_url_domain_cap
 
     queries["url_domain_cap"] = timed(
-        lambda: q_url_domain_cap(spark, SF_DIR).count()
+        lambda: q_url_domain_cap(spark, SF_DIR).agg(
+            F.sum(F.length("tld")), F.sum("domain_rank"),
+            F.count("*")).collect()
     )
 
     # catalog data skipping: the flat corpus landed ONCE as a range-

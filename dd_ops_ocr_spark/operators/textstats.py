@@ -420,13 +420,23 @@ WHERE NOT d.is_eval
 # (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b,
 # \d (ASCII in both), no lookaround (RE2 has none), no backrefs.
 # Applied in list order — earlier redactions cannot create later
-# matches because every replacement token is letters-only.
+# matches because every replacement token is LETTERS-ONLY: a token
+# contributes none of the characters later patterns require (\d, '@',
+# '+') and, being all word chars, manufactures no \b against adjacent
+# digits (an angle-bracketed token like '<EMAIL>' would: its '>' turns
+# 'user@bar.com123456789' into '<EMAIL>123456789' and mints an IDNUM
+# match the ORIGINAL text never had, over-reporting the audit counts).
 _PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
     ("phone", r"\+\d{1,2}-\d{3}-\d{3,4}(-\d{1,4})?"),
     ("idnum", r"\b\d{9,}\b"),
 ]
+
+
+def _pii_token(name: str) -> str:
+    """Letters-only replacement token — see the invariant note above."""
+    return name.upper() + "TOKEN"
 _EVEN_NIBBLES = ["0", "2", "4", "6", "8", "a", "c", "e"]
 
 
@@ -472,7 +482,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             *[c for c in out.columns if c.startswith("n_")],
             F.regexp_count("t", F.lit(pat)).cast("long").alias(f"n_{name}"),
-            F.regexp_replace("t", pat, f"<{name.upper()}>").alias("t"),
+            F.regexp_replace("t", pat, _pii_token(name)).alias("t"),
         )
     return out.select(
         "doc_id",
@@ -490,7 +500,7 @@ def _sql_pii_tail() -> str:
                                       f"::BIGINT AS n_{name}"])
         parts.append(
             f"{cur} AS (SELECT doc_id, {carried},"
-            f" regexp_replace(t, '{pat}', '<{name.upper()}>', 'g') AS t"
+            f" regexp_replace(t, '{pat}', '{_pii_token(name)}', 'g') AS t"
             f" FROM {prev})"
         )
         n_cols.append(f"n_{name}")

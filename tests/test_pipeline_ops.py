@@ -67,12 +67,16 @@ def test_pii_redact_vs_python_re_referee(spark, tmp_path):
     import re
 
     from dd_ops_ocr_spark.operators.textstats import (
-        _EVEN_NIBBLES, _PII_PATTERNS, q_pii_redact,
+        _EVEN_NIBBLES, _PII_PATTERNS, _pii_token, q_pii_redact,
     )
 
     rows = [
         (0, "contact admin123456789@site.io or 123456789 right now", "en"),
         (1, "plain text with no sensitive content at all", "en"),
+        # boundary-manufacture regression: the ORIGINAL has zero IDNUM
+        # matches ('m' precedes the digits, no \b); a letters-only email
+        # token must keep it that way, where '<EMAIL>'s '>' minted one
+        (2, "contact user@bar.com123456789 now", "en"),
         (7, "server 172.16.254.1 answered +44-207-946-0958 twice", "en"),
     ]
     got = {r["doc_id"]: r.asDict()
@@ -92,13 +96,17 @@ def test_pii_redact_vs_python_re_referee(spark, tmp_path):
         want = {"doc_id": doc_id}
         for name, pat in _PII_PATTERNS:
             want[f"n_{name}"] = len(re.findall(pat, t))
-            t = re.sub(pat, f"<{name.upper()}>", t)
+            t = re.sub(pat, _pii_token(name), t)
         want["redacted_text"] = t
         assert got[doc_id] == want, doc_id
     # the planted referee cases actually exercised what they claim
     assert got[0]["n_email"] >= 1 and got[0]["n_idnum"] >= 1
     assert got[7]["n_ip"] >= 1 and got[7]["n_phone"] >= 1
     assert "123456789" not in got[0]["redacted_text"]
+    # doc 2: only the md5-planted acct counts as IDNUM — the digits the
+    # email replacement strands ('EMAILTOKEN123456789') must NOT
+    assert got[2]["n_idnum"] == 1
+    assert "EMAILTOKEN123456789" in got[2]["redacted_text"]
 
 
 def test_decontaminate_bloom_exact_under_fp_flood(spark, tmp_path):
