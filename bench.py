@@ -639,6 +639,19 @@ def main() -> None:
         lambda: q_lm_familiarity(spark, SF_DIR).agg(
             F.sum("sum_bits"), F.sum("familiarity_x1000")).collect()
     )
+    # BPE vocabulary: train = wordcount + top-V + driver merge loop
+    # (collect of 8 rows IS the result); tokenize = zero-exchange
+    # scoring pass — aggregate every output column so nothing prunes
+    from dd_ops_ocr_spark.operators.bpe import q_bpe_tokenize, q_bpe_train
+
+    queries["bpe_train"] = timed(
+        lambda: q_bpe_train(spark, SF_DIR).collect()
+    )
+    queries["bpe_tokenize"] = timed(
+        lambda: q_bpe_tokenize(spark, SF_DIR).agg(
+            F.sum("n_words"), F.sum("n_chars"), F.sum("n_tokens"),
+            F.sum("compression_x1000")).collect()
+    )
     # URL blocklist + salted per-domain cap: aggregate every output
     # column family — the rank filter alone would let count() prune the
     # tld regexp_extract, under-measuring the parse stage

@@ -248,6 +248,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
 
     ORACLE_SQL["ann_ivf_topk"] = ann_ivf_oracle_sql(sf_dir)
 
+from dd_ops_ocr_spark.operators import bpe as _bpe  # noqa: E402
 from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
@@ -285,6 +286,7 @@ _register(_urlops)
 _register(_vision)
 _register(_catalogops)
 _register(_external)
+_register(_bpe)
 
 
 # ---------------------------------------------------------------- roster order
@@ -296,6 +298,8 @@ _register(_external)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "bpe_train",
+    "bpe_tokenize",
     "lm_familiarity",
     "decontaminate_bloom",
     "pii_redact",
@@ -346,15 +350,15 @@ _ROSTER_HEAD = [
     "embedding_stats",
     "media_metadata",
     "media_metadata_jpeg",
+    # flagship_extract_pandas, flagship_extract_exploded and (since the
+    # session-6+ additions) media_frame_sample, engine_zip,
+    # dim_enrich_join, media_resize and media_metadata_png (now #51-52,
+    # past the driver's 50-prefix) displaced to keep the sample at the
+    # driver's 50-query cap — never-stamped new queries outrank
+    # two-round-stale stamps, and the local oracle gate still checks
+    # every query on every pytest run; displaced names lead r06
     "media_metadata_png",
     "media_resize",
-    # flagship_extract_pandas, flagship_extract_exploded and (since the
-    # session-6 additions) media_frame_sample, engine_zip,
-    # dim_enrich_join and media_resize (now #51, past the driver's
-    # 50-prefix) displaced to keep the sample at the driver's 50-query
-    # cap — never-stamped new queries outrank two-round-stale stamps,
-    # and the local oracle gate still checks every query on every
-    # pytest run; displaced names lead r06
 ]
 # r04-stamped flagship path twins: freshest stamps, safe at the very tail
 _ROSTER_TAIL = ["flagship_extract_salted", "flagship_extract_sql"]

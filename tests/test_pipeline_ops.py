@@ -544,3 +544,98 @@ def test_lm_familiarity_python_referee(spark, tmp_path):
         for r in q_lm_familiarity(spark, _write_docs(tmp_path, rows)).collect()
     }
     assert got == {doc_id: score(text) for doc_id, text, _ in rows}
+
+
+def test_learn_bpe_known_answer_and_tiebreak():
+    """Hand-computed merges on a 3-word vocab, plus the deterministic
+    tie-break (equal counts -> lexicographically smallest (lhs, rhs))
+    and early stop when every word fuses to one symbol."""
+    from dd_ops_ocr_spark.operators.bpe import learn_bpe
+
+    # pairs: (t,h)=7, (h,e)=10, (e,m)=2 -> merge1 (h,e); then
+    # (t,he)=7 beats (he,m)=2 -> merge2 (t,he); then (the,m)=2...
+    got = learn_bpe([("the", 5), ("them", 2), ("he", 3)], k=3)
+    assert got == [
+        (1, "h", "e", "he", 10),
+        (2, "t", "he", "the", 7),
+        (3, "the", "m", "them", 2),
+    ]
+    # tie at count 1: ('a','b') < ('c','d')
+    assert learn_bpe([("ab", 1), ("cd", 1)], k=1)[0] == (
+        1, "a", "b", "ab", 1)
+    # early stop: 2 single-char words fuse after 2 merges, k=5 asks more
+    assert len(learn_bpe([("ab", 1)], k=5)) == 1
+    # overlapping pair merges left-to-right: 'aaa' -> ['aa','a']
+    m = learn_bpe([("aaa", 1)], k=2)
+    assert m[0] == (1, "a", "a", "aa", 2)
+    assert m[1] == (2, "aa", "a", "aaa", 1)
+
+
+def test_bpe_train_and_tokenize_python_referee(spark, tmp_path):
+    """Third-engine referee: word counting (with the top-V cap and its
+    (cnt DESC, word ASC) tie-break), merge learning, and tokenization
+    replicated in pure Python must match both Spark outputs exactly —
+    including a zero-word doc and uppercase/punct normalization."""
+    import re
+    from collections import Counter
+
+    from dd_ops_ocr_spark.operators.bpe import (
+        learn_bpe, q_bpe_tokenize, q_bpe_train,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "The Theme Of Them: the theater!",
+        "a b c 123 --- 456",
+        "",
+        "zzz zzz zzz yyy",
+        "concatenation of the nation's information",
+    ]
+    rows = [(i, texts[i % len(texts)], "en") for i in range(24)]
+    path = _write_docs(tmp_path, rows)
+
+    words = Counter()
+    for _, text, _ in rows:
+        words.update(re.findall("[a-z]+", text.lower()))
+    # cap to top-5 with the exact (cnt DESC, word ASC) order Spark uses
+    capped = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    merges = learn_bpe(capped, k=8)
+
+    import dd_ops_ocr_spark.operators.bpe as bpe_mod
+    orig_v = bpe_mod._BPE_V
+    bpe_mod._BPE_V = 5
+    try:
+        got_train = [tuple(r) for r in q_bpe_train(spark, path).collect()]
+        got_tok = {
+            r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"],
+                          r["compression_x1000"])
+            for r in q_bpe_tokenize(spark, path).collect()
+        }
+    finally:
+        bpe_mod._BPE_V = orig_v
+    assert got_train == merges
+
+    def tokens(word):
+        syms = list(word)
+        for _, lhs, rhs, merged, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs \
+                        and syms[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for doc_id, text, _ in rows:
+        ws = re.findall("[a-z]+", text.lower())
+        n_words, n_chars = len(ws), sum(len(w) for w in ws)
+        n_tokens = sum(tokens(w) for w in ws)
+        comp = n_chars * 1000 // n_tokens if n_tokens else 0
+        assert got_tok[doc_id] == (n_words, n_chars, n_tokens, comp), doc_id
+    # the planted corpus exercised what it claims
+    assert any(t[4] > 1 for t in merges)  # a real multi-occurrence merge
+    assert got_tok[3] == (0, 0, 0, 0)     # zero-word doc survives

@@ -266,6 +266,23 @@ def test_pipeline_ops_plan_shapes(spark):
     assert "partial_sum" in topk
     assert "TakeOrderedAndProject" in topk
 
+    from dd_ops_ocr_spark.operators.bpe import (
+        q_bpe_tokenize, word_counts,
+    )
+
+    # the learn-side corpus stage: one exchange (wordcount hash-agg
+    # with map-side partials) + TakeOrdered for the top-V cap — the
+    # driver receives V rows, never the word stream
+    wc = _plan(word_counts(spark, SF_SMOKE))
+    assert wc.count("Exchange") == 1, wc[:2000]
+    assert "partial_count" in wc and "TakeOrderedAndProject" in wc
+
+    # the scoring pass: learned merges are plan LITERALS — a pure
+    # projection with zero exchanges, zero joins, zero broadcasts
+    tok = _plan(q_bpe_tokenize(spark, SF_SMOKE))
+    assert "Exchange" not in tok, tok[:2000]
+    assert "Join" not in tok and "Broadcast" not in tok
+
 
 def test_engine_dual_plan_aggregates_before_join(spark):
     """K12: both engine sides reduce to per-doc rows BEFORE the
