@@ -1,0 +1,297 @@
+"""HTML main-content extraction — boilerplate strip via DOM heuristics.
+
+The reference pipeline's extraction stage works on PDF page text
+(`src/modules/step2/06_ocr_processor.py` consumes rendered pages); a
+web-scale corpus carries the same problem in HTML form: a page is
+chrome (nav / sidebar / footer / script / style) wrapped around the
+main content, and the training corpus wants ONLY the main content.
+This module is the HTML twin of the flagship boilerplate-strip stage
+(`pipeline.py` K15): same intent, DOM-block granularity.
+
+Method — the classic text-vs-link-density block classifier
+(Boilerpipe, Kohlschütter et al., WSDM 2010; jusText, Pomikálek 2011 —
+public algorithms reimplemented from their papers' descriptions):
+
+1. **Sanitize**: drop ``<head>``/``<script>``/``<style>`` elements
+   wholesale (their text is metadata/code, never content).
+2. **Segment**: split the page into blocks at closing tags of the
+   leaf block elements (``nav aside h1 p footer``); the first opening
+   block tag inside a segment names its DOM class.
+3. **Score** each block with two integer features: visible text chars
+   and chars contributed by anchor (``<a>``) text.
+4. **Classify**: a block is boilerplate when its DOM class is chrome
+   (``nav``/``aside``/``footer``) or anchor text dominates
+   (``2*link_chars > text_chars`` — the jusText link-density gate with
+   integer math so Spark and DuckDB agree bit-for-bit).
+5. **Assemble**: surviving blocks, in document order, joined with
+   "\\n\\n" — mirroring the flagship's A13 intra-doc fold.
+
+Everything is JVM column math (regexp over Java regex / RE2 — the
+subset used here is semantics-identical in both): zero Python in the
+hot path, zero shuffles for the block classifier (scan → project →
+posexplode → project, all narrow), one partial-agg shuffle for the
+per-doc assembly.
+
+The synthetic corpus has no HTML column, so queries PLANT one
+deterministically around each document's text (nav + optional aside +
+article(h1, two <p>s with an inline link) + script + footer, variants
+gated on md5 nibbles of doc_id) and the oracle restates the same
+construction — the hash check pins planting, sanitizing, segmentation,
+scoring, classification, and assembly at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Leaf block elements that delimit segments; chrome classes among them.
+_BLOCK_SPLIT_RE = "</(?:nav|aside|h1|p|footer)>"
+_BLOCK_TAG_RE = "<(nav|aside|h1|p|footer)[ >]"
+_CHROME = ["nav", "aside", "footer"]
+# <head> is metadata (title/meta/style) — stripped wholesale, like
+# script/style elements; `(?:\\s[^>]*)?` keeps <header> from matching.
+_SANITIZE_RE = ("(?s)<head(?:\\s[^>]*)?>.*?</head>"
+                "|(?s)<(?:script|style)[^>]*>.*?</(?:script|style)>")
+_ANCHOR_RE = "(?s)<a[^>]*>.*?</a>"
+_TAG_RE = "<[^>]*>"
+_EVEN_NIBBLES = ["0", "2", "4", "6", "8", "a", "c", "e"]
+# Entity decode order matters only for &amp; (last, so planted "&amp;"
+# never re-decodes); ASCII replacements keep the hash locale-proof.
+_ENTITIES = [("&copy;", "(c)"), ("&middot;", "-"), ("&nbsp;", " "),
+             ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]
+
+
+# ------------------------------------------------------------ plant
+
+def plant_html(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, html): deterministic page chrome around
+    the document text. Gates: md5 nibble 6 even -> an <aside> link box
+    exists; the second <p> always carries one inline content link."""
+    md = F.md5(F.col("doc_id").cast("string"))
+    half = F.floor(F.length("text") / 2).cast("int")
+    part1 = F.substring(F.col("text"), F.lit(1), half)
+    part2 = F.substring(F.col("text"), half + F.lit(1), F.length("text"))
+    aside = F.when(
+        F.substring(md, 6, 1).isin(_EVEN_NIBBLES),
+        F.lit('<aside><a href="/r/1">related one</a> '
+              '<a href="/r/2">related two</a> '
+              '<a href="/r/3">related three</a></aside>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><style>body{font:10px}</style></head><body>"),
+        F.lit('<nav><a href="/">Home</a> <a href="/about">About</a> '
+              '<a href="/tags">Tags</a></nav>'),
+        aside,
+        F.lit("<article><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit(" title</h1><p>"), part1,
+        F.lit("</p><p>"), part2,
+        F.lit(' see <a href="/ref">reference docs</a> for details</p>'
+              "</article>"
+              "<script>var x = 1 &amp;&amp; 2;</script>"
+              "<footer>&copy; 2026 corp &amp; partners &middot; "
+              "contact</footer></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+# ------------------------------------------------------------ core
+
+def _visible(col):
+    """Strip tags, decode entities, collapse whitespace."""
+    out = F.regexp_replace(col, _TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, "\\s+", " "))
+
+
+def classify_blocks(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) -> one row per non-empty block:
+    (doc_id, block_idx, tag, block_text, text_chars, link_chars,
+    is_boilerplate). Narrow plan — no exchange."""
+    clean = F.regexp_replace("html", _SANITIZE_RE, " ")
+    segs = pages.select(
+        "doc_id",
+        F.posexplode(F.split(clean, _BLOCK_SPLIT_RE)).alias("pos", "seg"),
+    )
+    text = _visible(F.col("seg"))
+    nolink = _visible(F.regexp_replace("seg", _ANCHOR_RE, " "))
+    scored = segs.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("block_idx"),
+        F.regexp_extract("seg", _BLOCK_TAG_RE, 1).alias("tag"),
+        text.alias("block_text"),
+        F.length(text).cast("long").alias("text_chars"),
+        (F.length(text) - F.length(nolink)).cast("long").alias("link_chars"),
+    ).where(F.col("text_chars") > 0)
+    return scored.withColumn(
+        "is_boilerplate",
+        F.col("tag").isin(_CHROME)
+        | (F.col("link_chars") * 2 > F.col("text_chars")),
+    )
+
+
+def main_content(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) -> (doc_id, main_text, n_blocks_kept,
+    n_blocks_total, kept_chars): per-doc assembly of content blocks in
+    document order ("\\n\\n" fold, = flagship A13). One shuffle, partial
+    aggs map-side."""
+    blocks = classify_blocks(pages)
+    kept_txt = F.when(~F.col("is_boilerplate"), F.col("block_text"))
+    return blocks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boilerplate"),
+                            F.struct(
+                                F.col("block_idx").alias("i"),
+                                F.col("block_text").alias("t"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            "\n\n",
+        ).alias("main_text"),
+        F.count(kept_txt).cast("long").alias("n_blocks_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks_total"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_boilerplate"), F.col("text_chars"))),
+            F.lit(0),
+        ).cast("long").alias("kept_chars"),
+    )
+
+
+# ------------------------------------------------------------ queries
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def q_html_block_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classify_blocks(plant_html(_docs(spark, sf_dir)))
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return main_content(plant_html(_docs(spark, sf_dir)))
+
+
+def q_html_strip_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive whole-page strip — the baseline main_content beats; kept as
+    a query so the contamination delta (nav/footer text in the output)
+    is itself driver-checked."""
+    pages = plant_html(_docs(spark, sf_dir))
+    clean = F.regexp_replace("html", _SANITIZE_RE, " ")
+    txt = _visible(clean)
+    return pages.select(
+        "doc_id",
+        txt.alias("stripped_text"),
+        F.length(txt).cast("long").alias("n_chars"),
+    )
+
+
+# ------------------------------------------------------------ oracles
+
+_SQL_PLANT = f"""
+SELECT doc_id,
+  '<html><head><title>Doc ' || doc_id::VARCHAR
+  || '</title><style>body{{font:10px}}</style></head><body>'
+  || '<nav><a href="/">Home</a> <a href="/about">About</a> '
+  || '<a href="/tags">Tags</a></nav>'
+  || CASE WHEN substring(md5(doc_id::VARCHAR), 6, 1) IN
+       ({", ".join(repr(n) for n in _EVEN_NIBBLES)})
+     THEN '<aside><a href="/r/1">related one</a> '
+       || '<a href="/r/2">related two</a> '
+       || '<a href="/r/3">related three</a></aside>'
+     ELSE '' END
+  || '<article><h1>Doc ' || doc_id::VARCHAR || ' title</h1><p>'
+  || substring(text, 1, CAST(floor(length(text)/2) AS INT))
+  || '</p><p>'
+  || substring(text, CAST(floor(length(text)/2) AS INT) + 1,
+               length(text))
+  || ' see <a href="/ref">reference docs</a> for details</p></article>'
+  || '<script>var x = 1 &amp;&amp; 2;</script>'
+  || '<footer>&copy; 2026 corp &amp; partners &middot; contact</footer>'
+  || '</body></html>' AS html
+FROM documents
+"""
+
+
+def _sql_visible(expr: str) -> str:
+    chain = f"regexp_replace({expr}, '{_TAG_RE}', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        chain = f"replace({chain}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({chain}, '\\s+', ' ', 'g'))"
+
+
+_SQL_BLOCKS = f"""
+WITH pages AS ({_SQL_PLANT}),
+segs AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(l)))::BIGINT AS block_idx,
+    unnest(l) AS seg
+  FROM (
+    SELECT doc_id,
+      string_split_regex(
+        regexp_replace(html, '{_SANITIZE_RE}', ' ', 'g'),
+        '{_BLOCK_SPLIT_RE}') AS l
+    FROM pages)
+), scored AS (
+  SELECT doc_id, block_idx,
+    regexp_extract(seg, '{_BLOCK_TAG_RE}', 1) AS tag,
+    {_sql_visible("seg")} AS block_text,
+    length({_sql_visible("seg")})::BIGINT AS text_chars,
+    (length({_sql_visible("seg")})
+     - length({_sql_visible(
+         f"regexp_replace(seg, '{_ANCHOR_RE}', ' ', 'g')")}))::BIGINT
+      AS link_chars
+  FROM segs
+)
+SELECT doc_id, block_idx, tag, block_text, text_chars, link_chars,
+  (tag IN ({", ".join(repr(c) for c in _CHROME)})
+   OR link_chars * 2 > text_chars) AS is_boilerplate
+FROM scored WHERE text_chars > 0
+"""
+
+SQL_HTML_BLOCK_CLASSIFY = _SQL_BLOCKS
+
+SQL_HTML_MAIN_CONTENT = f"""
+WITH blocks AS ({_SQL_BLOCKS})
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN NOT is_boilerplate THEN block_text END,
+                      e'\\n\\n' ORDER BY block_idx), '') AS main_text,
+  count(CASE WHEN NOT is_boilerplate THEN 1 END)::BIGINT
+    AS n_blocks_kept,
+  count(*)::BIGINT AS n_blocks_total,
+  coalesce(sum(CASE WHEN NOT is_boilerplate THEN text_chars END),
+           0)::BIGINT AS kept_chars
+FROM blocks GROUP BY doc_id
+"""
+
+SQL_HTML_STRIP_TAGS = f"""
+WITH pages AS ({_SQL_PLANT})
+SELECT doc_id,
+  {_sql_visible(f"regexp_replace(html, '{_SANITIZE_RE}', ' ', 'g')")}
+    AS stripped_text,
+  length({_sql_visible(
+      f"regexp_replace(html, '{_SANITIZE_RE}', ' ', 'g')")})::BIGINT
+    AS n_chars
+FROM pages
+"""
+
+
+QUERIES = {
+    "html_main_content": q_html_main_content,
+    "html_block_classify": q_html_block_classify,
+    "html_strip_tags": q_html_strip_tags,
+}
+ORACLE_SQL = {
+    "html_main_content": SQL_HTML_MAIN_CONTENT,
+    "html_block_classify": SQL_HTML_BLOCK_CLASSIFY,
+    "html_strip_tags": SQL_HTML_STRIP_TAGS,
+}

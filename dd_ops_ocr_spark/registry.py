@@ -253,6 +253,7 @@ from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
+from dd_ops_ocr_spark.operators import htmlops as _htmlops  # noqa: E402
 from dd_ops_ocr_spark.operators import integrate as _integrate  # noqa: E402
 from dd_ops_ocr_spark.operators import joins as _joins  # noqa: E402
 from dd_ops_ocr_spark.operators import jsonops as _jsonops  # noqa: E402
@@ -283,6 +284,7 @@ _register(_integrate)
 _register(_jsonops)
 _register(_typeutils)
 _register(_urlops)
+_register(_htmlops)
 _register(_vision)
 _register(_catalogops)
 _register(_external)
@@ -298,6 +300,9 @@ _register(_bpe)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "html_main_content",
+    "html_block_classify",
+    "html_strip_tags",
     "bpe_train",
     "bpe_tokenize",
     "lm_familiarity",
@@ -352,11 +357,13 @@ _ROSTER_HEAD = [
     "media_metadata_jpeg",
     # flagship_extract_pandas, flagship_extract_exploded and (since the
     # session-6+ additions) media_frame_sample, engine_zip,
-    # dim_enrich_join, media_resize and media_metadata_png (now #51-52,
-    # past the driver's 50-prefix) displaced to keep the sample at the
-    # driver's 50-query cap — never-stamped new queries outrank
-    # two-round-stale stamps, and the local oracle gate still checks
-    # every query on every pytest run; displaced names lead r06
+    # dim_enrich_join, media_resize, media_metadata_png — and with the
+    # html_* trio at the head also ann_lsh_topk, embedding_stats,
+    # media_metadata/_jpeg (now past the driver's 50-prefix) — displaced
+    # to keep the sample at the driver's 50-query cap: never-stamped new
+    # queries outrank two-round-stale stamps, and the local oracle gate
+    # still checks every query on every pytest run; displaced names
+    # would lead r06
     "media_metadata_png",
     "media_resize",
 ]

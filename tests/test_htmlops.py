@@ -1,0 +1,125 @@
+"""HTML main-content extraction: handcrafted-page semantics + plan shape.
+
+Complements the driver/oracle hash gate (which pins the planted-corpus
+path) with pages the planting can't produce: mismatched chrome, empty
+blocks, link-stuffed paragraphs, entity edge cases.
+"""
+
+from __future__ import annotations
+
+from dd_ops_ocr_spark.operators.htmlops import (
+    classify_blocks,
+    main_content,
+    plant_html,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+PAGE = (
+    "<html><head><title>T</title><style>p{color:red}</style></head><body>"
+    '<nav><a href="/">Home</a> <a href="/x">Docs</a></nav>'
+    "<h1>Heading one</h1>"
+    "<p>real content paragraph with enough words "
+    'and one inline <a href="/ref">link</a> kept</p>'
+    '<aside><a href="/1">rel a</a> <a href="/2">rel b</a></aside>'
+    "<script>var hidden = 1;</script>"
+    "<p>&lt;tag&gt; &amp; entity &copy; test paragraph content</p>"
+    "<footer>contact &middot; legal</footer>"
+    "</body></html>"
+)
+
+
+def test_block_classification(spark):
+    out = classify_blocks(_pages(spark, [(1, PAGE)])).collect()
+    by_tag = {r.tag: r for r in out}
+    # chrome classes are boilerplate regardless of density
+    assert by_tag["nav"].is_boilerplate
+    assert by_tag["aside"].is_boilerplate
+    assert by_tag["footer"].is_boilerplate
+    # content blocks survive, inline link does not tip the density gate
+    assert not by_tag["h1"].is_boilerplate
+    ps = sorted((r for r in out if r.tag == "p"), key=lambda r: r.block_idx)
+    assert [p.is_boilerplate for p in ps] == [False, False]
+    # script/style text never appears in any block
+    joined = " ".join(r.block_text for r in out)
+    assert "hidden" not in joined and "color:red" not in joined
+    # entities decoded, ASCII-safe
+    assert "<tag> & entity (c) test" in ps[1].block_text
+    # anchor chars counted: nav is all links
+    assert by_tag["nav"].link_chars == by_tag["nav"].text_chars
+
+
+def test_link_density_gate(spark):
+    # a <p> that is mostly links is boilerplate even without a chrome tag
+    html = ('<p><a href="/a">one link</a> <a href="/b">two link</a> '
+            "tail</p><p>plain words only here</p>")
+    out = {r.block_idx: r for r in
+           classify_blocks(_pages(spark, [(7, html)])).collect()}
+    assert out[1].is_boilerplate and out[1].tag == "p"
+    assert not out[2].is_boilerplate
+
+
+def test_main_content_assembly(spark):
+    row = main_content(_pages(spark, [(1, PAGE)])).collect()[0]
+    assert row.main_text.split("\n\n") == [
+        "Heading one",
+        "real content paragraph with enough words and one inline link kept",
+        "<tag> & entity (c) test paragraph content",
+    ]
+    assert row.n_blocks_kept == 3
+    assert row.n_blocks_total == 6
+    assert row.kept_chars == sum(len(s) for s in row.main_text.split("\n\n"))
+
+
+def test_all_boilerplate_page_yields_empty(spark):
+    html = '<nav><a href="/">x</a></nav><footer>y</footer>'
+    row = main_content(_pages(spark, [(2, html)])).collect()[0]
+    assert row.main_text == "" and row.n_blocks_kept == 0
+    assert row.n_blocks_total == 2
+
+
+def test_planted_page_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(11, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    row = main_content(plant_html(docs)).collect()[0]
+    # h1 + both halves of the text, chrome gone, inline link text kept
+    assert row.main_text == (
+        "Doc 11 title\n\nalpha beta\n\n"
+        "gamma delta see reference docs for details"
+    )
+    strip = classify_blocks(plant_html(docs)).collect()
+    assert all("(c) 2026" not in r.block_text or r.is_boilerplate
+               for r in strip)
+
+
+def test_classify_plan_is_narrow(spark):
+    df = classify_blocks(plant_html(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    ))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, f"block classifier grew a shuffle:\n{plan[:2000]}"
+    assert "BatchScan" in plan or "Scan parquet" in plan
+
+
+def test_main_content_single_exchange(spark):
+    df = main_content(plant_html(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    ))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 1, (
+        f"per-doc assembly should be one partial-agg shuffle, saw {n}:"
+        f"\n{plan[:3000]}"
+    )
