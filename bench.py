@@ -662,6 +662,16 @@ def main() -> None:
             F.sum(F.length("tld")), F.sum("domain_rank"),
             F.count("*")).collect()
     )
+    # HTML main-content extraction: plant -> sanitize -> segment ->
+    # classify -> per-doc assemble; consume the assembled text length so
+    # the ordered fold (the expensive agg) cannot be pruned
+    from dd_ops_ocr_spark.operators.htmlops import q_html_main_content
+
+    queries["html_main_content"] = timed(
+        lambda: q_html_main_content(spark, SF_DIR).agg(
+            F.sum(F.length("main_text")), F.sum("n_blocks_kept"),
+            F.sum("kept_chars")).collect()
+    )
 
     # catalog data skipping: the flat corpus landed ONCE as a range-
     # clustered snapshot table (32 files, doc_id-sorted => tight footer
