@@ -45,14 +45,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # Leaf block elements that delimit segments; chrome classes among them.
-_BLOCK_SPLIT_RE = "</(?:nav|aside|h1|p|footer)>"
-_BLOCK_TAG_RE = "<(nav|aside|h1|p|footer)[ >]"
+# Tag names are case-insensitive in HTML ((?i) — same syntax and
+# semantics in Java regex and RE2); the extracted class is lowercased
+# before the chrome comparison.
+_BLOCK_SPLIT_RE = "(?i)</(?:nav|aside|h1|p|footer)>"
+_BLOCK_TAG_RE = "(?i)<(nav|aside|h1|p|footer)[ >]"
 _CHROME = ["nav", "aside", "footer"]
 # <head> is metadata (title/meta/style) — stripped wholesale, like
 # script/style elements; `(?:\\s[^>]*)?` keeps <header> from matching.
-_SANITIZE_RE = ("(?s)<head(?:\\s[^>]*)?>.*?</head>"
-                "|(?s)<(?:script|style)[^>]*>.*?</(?:script|style)>")
-_ANCHOR_RE = "(?s)<a[^>]*>.*?</a>"
+_SANITIZE_RE = ("(?is)<head(?:\\s[^>]*)?>.*?</head>"
+                "|(?is)<(?:script|style)[^>]*>.*?</(?:script|style)>")
+# `(?:\\s[^>]*)?` bounds the tag name: <abbr>/<address>/<audio> must
+# not count as anchors (same guard as the <head> pattern above).
+_ANCHOR_RE = "(?is)<a(?:\\s[^>]*)?>.*?</a>"
 _TAG_RE = "<[^>]*>"
 _EVEN_NIBBLES = ["0", "2", "4", "6", "8", "a", "c", "e"]
 # Entity decode order matters only for &amp; (last, so planted "&amp;"
@@ -119,7 +124,7 @@ def classify_blocks(pages: DataFrame) -> DataFrame:
     scored = segs.select(
         "doc_id",
         (F.col("pos") + 1).cast("long").alias("block_idx"),
-        F.regexp_extract("seg", _BLOCK_TAG_RE, 1).alias("tag"),
+        F.lower(F.regexp_extract("seg", _BLOCK_TAG_RE, 1)).alias("tag"),
         text.alias("block_text"),
         F.length(text).cast("long").alias("text_chars"),
         (F.length(text) - F.length(nolink)).cast("long").alias("link_chars"),
@@ -243,7 +248,7 @@ segs AS (
     FROM pages)
 ), scored AS (
   SELECT doc_id, block_idx,
-    regexp_extract(seg, '{_BLOCK_TAG_RE}', 1) AS tag,
+    lower(regexp_extract(seg, '{_BLOCK_TAG_RE}', 1)) AS tag,
     {_sql_visible("seg")} AS block_text,
     length({_sql_visible("seg")})::BIGINT AS text_chars,
     (length({_sql_visible("seg")})

@@ -52,6 +52,20 @@ def test_block_classification(spark):
     assert by_tag["nav"].link_chars == by_tag["nav"].text_chars
 
 
+def test_non_anchor_a_tags_not_counted(spark):
+    # <abbr>/<address>/etc. must not be treated as anchors: a content
+    # paragraph with an inline <ABBR> followed by a real link must keep
+    # only the link's chars in link_chars
+    html = ('<p>See the <ABBR title="x">HTML</ABBR> specification and '
+            'follow the <a href="/s">link</a> for details of it</p>')
+    row = classify_blocks(_pages(spark, [(9, html)])).collect()[0]
+    # "link" plus the one space the whitespace collapse absorbs when the
+    # anchor is removed ("the  for" -> "the for")
+    assert row.link_chars == len("link") + 1
+    assert not row.is_boilerplate
+    assert "HTML specification" in row.block_text
+
+
 def test_link_density_gate(spark):
     # a <p> that is mostly links is boilerplate even without a chrome tag
     html = ('<p><a href="/a">one link</a> <a href="/b">two link</a> '
@@ -72,6 +86,20 @@ def test_main_content_assembly(spark):
     assert row.n_blocks_kept == 3
     assert row.n_blocks_total == 6
     assert row.kept_chars == sum(len(s) for s in row.main_text.split("\n\n"))
+
+
+def test_uppercase_tags(spark):
+    # HTML tag names are case-insensitive; classification must not be
+    # case-sensitive (chrome detection, sanitize, and tag naming)
+    html = ('<NAV><A HREF="/">x</A></NAV><P>Real content paragraph '
+            "with plain words</P><FOOTER>legal</FOOTER>"
+            "<SCRIPT>var S = 1;</SCRIPT>")
+    out = {r.tag: r for r in
+           classify_blocks(_pages(spark, [(3, html)])).collect()}
+    assert set(out) == {"nav", "p", "footer"}
+    assert out["nav"].is_boilerplate and out["footer"].is_boilerplate
+    assert not out["p"].is_boilerplate
+    assert "var S" not in " ".join(r.block_text for r in out.values())
 
 
 def test_all_boilerplate_page_yields_empty(spark):
