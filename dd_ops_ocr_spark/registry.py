@@ -259,6 +259,7 @@ from dd_ops_ocr_spark.operators import joins as _joins  # noqa: E402
 from dd_ops_ocr_spark.operators import jsonops as _jsonops  # noqa: E402
 from dd_ops_ocr_spark.operators import multimodal as _multimodal  # noqa: E402
 from dd_ops_ocr_spark.operators import overlap as _overlap  # noqa: E402
+from dd_ops_ocr_spark.operators import pdf as _pdf  # noqa: E402
 from dd_ops_ocr_spark.operators import geometry as _geometry  # noqa: E402
 from dd_ops_ocr_spark.operators import merges as _merges  # noqa: E402
 from dd_ops_ocr_spark.operators import similarity as _similarity  # noqa: E402
@@ -285,6 +286,7 @@ _register(_jsonops)
 _register(_typeutils)
 _register(_urlops)
 _register(_htmlops)
+_register(_pdf)
 _register(_vision)
 _register(_catalogops)
 _register(_external)
@@ -300,6 +302,8 @@ _register(_bpe)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "pdf_text_spans",
+    "pdf_doc_audit",
     "html_main_content",
     "html_block_classify",
     "html_strip_tags",
@@ -358,7 +362,8 @@ _ROSTER_HEAD = [
     # flagship_extract_pandas, flagship_extract_exploded and (since the
     # session-6+ additions) media_frame_sample, engine_zip,
     # dim_enrich_join, media_resize, media_metadata_png — and with the
-    # html_* trio at the head also ann_lsh_topk, embedding_stats,
+    # pdf_* pair + html_* trio at the head also ann_ivf_topk,
+    # dedup_embedding_cosine, ann_lsh_topk, embedding_stats,
     # media_metadata/_jpeg (now past the driver's 50-prefix) — displaced
     # to keep the sample at the driver's 50-query cap: never-stamped new
     # queries outrank two-round-stale stamps, and the local oracle gate
