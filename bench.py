@@ -672,6 +672,15 @@ def main() -> None:
             F.sum(F.length("main_text")), F.sum("n_blocks_kept"),
             F.sum("kept_chars")).collect()
     )
+    # byte-real PDF round trip (encode -> xref/flate parse -> text ops)
+    # + the reading-order window; consume text and geometry
+    from dd_ops_ocr_spark.operators.pdf import q_pdf_text_spans
+
+    queries["pdf_text_spans"] = timed(
+        lambda: q_pdf_text_spans(spark, SF_DIR).agg(
+            F.sum(F.length("text")), F.sum("reading_order"),
+            F.sum("y")).collect()
+    )
 
     # catalog data skipping: the flat corpus landed ONCE as a range-
     # clustered snapshot table (32 files, doc_id-sorted => tight footer
