@@ -258,12 +258,16 @@ def _xref_offsets(data: bytes) -> tuple[dict[int, int], dict]:
         raise ValueError("decode_pdf: startxref/%%EOF not found")
     xref_at = int(m.group(1))
     if data[xref_at:xref_at + 4] != b"xref":
-        raise ValueError("decode_pdf: cross-reference streams (PDF 1.5+) "
-                         "not supported (documented seam)")
+        # honest triage: an object header at the target IS the PDF 1.5+
+        # cross-reference-stream layout; anything else is plain damage
+        if re.match(rb"\d+\s+\d+\s+obj", data[xref_at:xref_at + 24]):
+            raise ValueError("decode_pdf: cross-reference streams "
+                             "(PDF 1.5+) not supported (documented seam)")
+        raise ValueError("decode_pdf: startxref does not point at an "
+                         "xref table (corrupt offset)")
     lx = _Lexer(data, xref_at + 4)
     offsets: dict[int, int] = {}
     while True:
-        save = lx.p
         kind, tok = lx.next_token()
         if kind == "kw" and tok == "trailer":
             break
@@ -279,11 +283,19 @@ def _xref_offsets(data: bytes) -> tuple[dict[int, int], dict]:
             if entry[17:18] == b"n":
                 offsets[start + i] = int(entry[:10])
             lx.p += 20
-        del save
     trailer = lx.value()
     if not isinstance(trailer, dict) or "Root" not in trailer:
         raise ValueError("decode_pdf: trailer /Root missing")
     return offsets, trailer
+
+
+def _require(obj, key: str, what: str):
+    """Structural access that keeps the corrupt-input contract: missing
+    keys or non-dict nodes raise ValueError, never KeyError/
+    AttributeError, so the quarantine path can classify them."""
+    if not isinstance(obj, dict) or key not in obj:
+        raise ValueError(f"decode_pdf: {what} has no /{key}")
+    return obj[key]
 
 
 def _load_obj(data: bytes, offsets: dict[int, int], num: int):
@@ -314,9 +326,13 @@ def _load_obj(data: bytes, offsets: dict[int, int], num: int):
         raw = data[p:p + length]
         if len(raw) < length:
             raise EOFError("decode_pdf: truncated stream")
-        filt = val.get("Filter")
+        filt = val.get("Filter") if isinstance(val, dict) else None
         if filt == "FlateDecode":
-            raw = zlib.decompress(raw)
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(
+                    f"decode_pdf: corrupt flate stream ({e})") from e
         elif filt is not None:
             raise ValueError(f"decode_pdf: filter {filt!r} not supported")
         return val, raw
@@ -387,12 +403,13 @@ def decode_pdf(data: bytes) -> list:
         raise ValueError("decode_pdf: missing %PDF header")
     offsets, trailer = _xref_offsets(data)
     root = _deref(data, offsets, trailer["Root"])
-    pages_node = _deref(data, offsets, root["Pages"])
-    kids = pages_node.get("Kids", [])
+    pages_node = _deref(data, offsets,
+                        _require(root, "Pages", "catalog"))
+    kids = _require(pages_node, "Kids", "page tree")
     out = []
     for i, kid in enumerate(kids):
         page_obj = _deref(data, offsets, kid)
-        if page_obj.get("Type") != "Page":
+        if not isinstance(page_obj, dict) or page_obj.get("Type") != "Page":
             raise ValueError("decode_pdf: nested page trees not supported "
                              "(documented seam)")
         contents = page_obj.get("Contents")
@@ -412,8 +429,9 @@ def page_count(data: bytes) -> int:
     """The reference's page_count surface (01_pdf_reader.py:62-66)."""
     offsets, trailer = _xref_offsets(data)
     root = _deref(data, offsets, trailer["Root"])
-    pages_node = _deref(data, offsets, root["Pages"])
-    n = pages_node.get("Count")
+    pages_node = _deref(data, offsets,
+                        _require(root, "Pages", "catalog"))
+    n = _require(pages_node, "Count", "page tree")
     if not isinstance(n, int):
         raise ValueError("decode_pdf: /Count missing on page tree")
     return n

@@ -88,10 +88,21 @@ def test_uncompressed_stream_supported():
 
 def test_unsupported_features_are_loud():
     b = encode_pdf(PAGES)
-    with pytest.raises(ValueError, match="cross-reference streams"):
+    # a damaged xref keyword is triaged as corruption, not as a feature
+    with pytest.raises(ValueError, match="corrupt offset"):
         decode_pdf(b.replace(b"xref\n", b"xrEf\n", 1))
+    # startxref pointing at an object header IS the 1.5+ layout
+    xref_at = int(b.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    stream15 = b.replace(
+        f"startxref\n{xref_at}".encode(), b"startxref\n9", 1
+    )  # offset 9 = "1 0 obj" right after the %PDF-1.4 header line
+    with pytest.raises(ValueError, match="cross-reference streams"):
+        decode_pdf(stream15)
     with pytest.raises(ValueError, match="%PDF header"):
         decode_pdf(b"not a pdf at all")
+    # structural damage inside objects stays in the ValueError contract
+    with pytest.raises(ValueError, match="catalog has no /Pages"):
+        decode_pdf(b.replace(b"/Pages 2 0 R", b"/Pager 2 0 R", 1))
 
 
 def _nibs(spark, rows):
