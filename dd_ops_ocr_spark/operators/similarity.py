@@ -538,12 +538,157 @@ FROM pairs WHERE sim >= 0.99
 """
 
 
+# --------------------------------------------------------------- SemDeDup
+
+SEMDEDUP_TAU = 0.99       # within-cluster cosine above this = semantic dup
+SEMDEDUP_SAMPLE = 512     # bounded driver-side k-means training sample
+
+
+def train_semdedup_centroids_local(sf_dir: str) -> np.ndarray:
+    """pyarrow twin of q_semdedup's bounded training sample: the SAME
+    base corpus (vec_id%10 originals + vec_id%50 planted copies at
+    +COPY_OFF), sorted by vec_id, first SEMDEDUP_SAMPLE rows — so the
+    DuckDB oracle can bake bit-identical centroid literals (float32 ->
+    float64 widening is exact in both readers)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    base = t[t["vec_id"] % 10 == 0][["vec_id", "embedding"]]
+    copies = base[base["vec_id"] % 50 == 0].copy()
+    copies["vec_id"] = copies["vec_id"] + COPY_OFF
+    allv = (
+        pd.concat([base, copies]).sort_values("vec_id").head(SEMDEDUP_SAMPLE)
+    )
+    return _ivf_centroids(
+        np.stack(allv["embedding"].to_numpy()).astype(np.float64)
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means cluster the embeddings, then compare pairs
+    ONLY within a cluster and drop every vector that has a lower-id
+    within-cluster neighbor at cosine >= SEMDEDUP_TAU. The cluster step
+    is what makes semantic dedup tractable at corpus scale: the pair
+    join is per-cell (the paper's O(n^2/k) bound), never corpus-wide.
+
+    Spark shape: the deterministic k-means (same _ivf_centroids as the
+    IVF index: id-ordered seeds, fixed iterations, no RNG) trains on a
+    BOUNDED driver-side sample; the trained centroids enter the plan as
+    LITERALS, so cell assignment is a pure map-side JVM expression (the
+    IVF trick — score_j = ||c_j||^2 - 2<v,c_j>, in-order float64 fold,
+    (score, cell) tie-break). One shuffle on cell for the within-cell
+    self-join, then exact cosine on cell-local pairs. Exact copies are
+    bit-identical vectors -> identical score arrays -> the SAME cell, so
+    the planted duplicates are guaranteed to collide. At 100 TB, k
+    scales with n to cap cell populations (the paper uses ~100k
+    clusters); a hot cell splits by a secondary hash band exactly like
+    dedup_embedding_cosine's banding.
+
+    Keep rule: lowest vec_id in each near-dup neighborhood survives —
+    deterministic, no RNG (the paper keeps a random exemplar; lowest-id
+    is the reproducible equivalent).
+
+    Reference analogue: the reference dedups delivered pages by session
+    key (api/main.py:496-501); this is the corpus-scale semantic
+    generalization a training-data pipeline needs."""
+    allv = _dedup_candidates_base(spark, sf_dir)
+    sample = allv.orderBy("vec_id").limit(SEMDEDUP_SAMPLE).collect()
+    vecs = np.array([r["v"] for r in sample], dtype=np.float64)
+    centroids = _ivf_centroids(vecs)
+
+    structs = []
+    for j, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        score = F.lit(_seq_sq_norm(c)) - F.lit(2.0) * _dot(F.col("v"), cv)
+        structs.append(F.struct(score.alias("s"), F.lit(j).alias("c")))
+    assigned = allv.select(
+        "vec_id",
+        "v",
+        F.array_min(F.array(*structs))["c"].cast("long").alias("cell"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(sim >= F.lit(SEMDEDUP_TAU))
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("dup").isNull(), 1).otherwise(0)
+            .cast("int").alias("is_kept"),
+        )
+    )
+
+
+def semdedup_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of q_semdedup: the same trained centroids as VALUES
+    literals, the same assignment tie-break, the same within-cell pair
+    join and lowest-id keep rule."""
+    cents = train_semdedup_centroids_local(sf_dir)
+    rows = []
+    for j, c in enumerate(cents):
+        lst = ", ".join(repr(float(x)) for x in c)
+        rows.append(f"({j}, {repr(_seq_sq_norm(c))}, [{lst}]::DOUBLE[])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % 10 = 0
+), allv AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + {COPY_OFF} AS vec_id, v FROM e WHERE vec_id % 50 = 0
+),
+cent(cell, c2, cv) AS (VALUES {values}),
+scored AS (
+  SELECT allv.vec_id, allv.v, c.cell,
+         c.c2 - 2.0 * list_dot_product(allv.v, c.cv) AS s
+  FROM allv, cent c
+),
+assign AS (
+  SELECT vec_id, v, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+    FROM scored) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v))
+             * SQRT(list_dot_product(b.v, b.v))) >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
+"""
+
+
 QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_stats": q_embedding_stats,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL = {

@@ -244,9 +244,14 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
     # IVF: the oracle bakes the deterministically-trained centroids as
     # literals (similarity.train_ivf_centroids_local reads the same
     # parquet the query trains on)
-    from dd_ops_ocr_spark.operators.similarity import ann_ivf_oracle_sql
+    from dd_ops_ocr_spark.operators.similarity import (
+        ann_ivf_oracle_sql,
+        semdedup_oracle_sql,
+    )
 
     ORACLE_SQL["ann_ivf_topk"] = ann_ivf_oracle_sql(sf_dir)
+    # SemDeDup: same baked-centroid-literals pattern as the IVF oracle
+    ORACLE_SQL["semdedup"] = semdedup_oracle_sql(sf_dir)
 
 from dd_ops_ocr_spark.operators import bpe as _bpe  # noqa: E402
 from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
@@ -302,6 +307,7 @@ _register(_bpe)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "semdedup",
     "pdf_text_spans",
     "pdf_doc_audit",
     "html_main_content",

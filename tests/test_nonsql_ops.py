@@ -183,6 +183,33 @@ def test_dedup_embedding_bucketed_equals_brute(spark):
     assert sims.max() < 0.9, f"non-copy pair at {sims.max():.3f} erodes margin"
 
 
+def test_semdedup_drops_exactly_planted_copies(spark):
+    """SemDeDup's within-cluster pruning must drop EXACTLY the planted
+    bit-identical copies (keeping the lower-id original), because (a)
+    identical vectors score identically against every centroid and land
+    in the same cell, and (b) the nearest non-copy pair sits far below
+    SEMDEDUP_TAU (margin asserted in the dedup test above). Also asserts
+    the pair join is cell-local (no CartesianProduct in the plan)."""
+    from dd_ops_ocr_spark.operators.similarity import COPY_OFF, q_semdedup
+
+    df = q_semdedup(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "CartesianProduct" not in plan
+    got = df.toPandas()
+    dropped = set(got[got["is_kept"] == 0]["vec_id"])
+    copies = set(got[got["vec_id"] >= COPY_OFF]["vec_id"])
+    assert len(copies) > 0
+    assert dropped == copies, (
+        f"dropped {len(dropped)} != planted {len(copies)}"
+    )
+    # every copy shares its original's cell (same-cell guarantee)
+    cell = dict(zip(got["vec_id"], got["cell"]))
+    for c in copies:
+        assert cell[c] == cell[c - COPY_OFF]
+
+
 def test_ivf_recall_vs_brute(spark):
     """IVF at the production probe count must reach recall@3 >= 0.9 vs
     the exact brute top-3 — on clusterless synthetic embeddings, the
