@@ -1352,6 +1352,130 @@ FROM d LEFT JOIN s USING (doc_id)
 """
 
 
+# ------------------------------------------- DSIR importance weighting
+
+_DSIR_BUCKETS = 64  # hashed n-gram feature dimension (the paper uses 10k)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much its hashed n-gram feature profile
+    looks like a TARGET distribution versus the RAW corpus — the
+    importance weight log(p_target(x)/p_raw(x)) under a bag-of-hashed-
+    n-grams model. Here the target split is the English documents (the
+    stand-in for the paper's Wikipedia/books target) and features are
+    unigrams + bigrams hashed into _DSIR_BUCKETS buckets.
+
+    Integer-exact cross-engine math, same trick as lm_familiarity: each
+    bucket's log-probability is quantized to ``length(bin(count))`` =
+    floor(log2)+1 (0 for unseen-in-target), so a doc's weight is the
+    INTEGER sum of per-gram (bits_target - bits_raw) — no float logs, no
+    summation-order hazard. The hash is arithmetic (length*31 + first
+    code point, mod buckets), identical in both engines.
+
+    Scale shape: the bucket distribution is BOUNDED AT 64 ROWS by
+    construction regardless of corpus size, so (a) the fit pass's
+    groupBy partial-aggregates the gram stream down to <=64 rows per
+    task before its shuffle, and (b) the apply pass's scoring join is a
+    broadcast. The gram stream itself is never shuffled at doc
+    granularity: the only doc-keyed exchange carries one partially-
+    aggregated row per doc. Two passes over the grams (fit, then apply)
+    is the paper's own structure."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        (F.col("lang") == "en").alias("is_target"),
+        F.filter(
+            F.split(F.lower("text"), " ", -1), lambda w: w != ""
+        ).alias("ws"),
+    )
+    grams = d.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.concat(
+                F.col("ws"),
+                # sequence(1, 0) is DESCENDING in Spark ([1, 0]); the
+                # CASE guard keeps <2-word docs at an empty bigram list
+                F.expr(
+                    "CASE WHEN size(ws) >= 2"
+                    " THEN transform(sequence(1, size(ws) - 1),"
+                    "      i -> concat(element_at(ws, i), ' ',"
+                    "                  element_at(ws, i + 1)))"
+                    " ELSE array() END"
+                ),
+            )
+        ).alias("g"),
+    )
+    b = (
+        (F.length("g") * 31 + F.ascii(F.substring("g", 1, 1)))
+        % _DSIR_BUCKETS
+    ).cast("int").alias("bucket")
+    gb = grams.select("doc_id", "is_target", b)
+    bits = lambda c: F.when(c == 0, 0).otherwise(F.length(F.bin(c)))  # noqa: E731
+    dist = gb.groupBy("bucket").agg(
+        bits(F.count("*")).cast("long").alias("bits_raw"),
+        bits(F.sum(F.col("is_target").cast("long"))).cast("long")
+        .alias("bits_target"),
+    )
+    scored = (
+        gb.join(F.broadcast(dist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("bits_target") - F.col("bits_raw")).alias("w"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("w", F.lit(0)).cast("long").alias("dsir_bits"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH d AS (
+  SELECT doc_id, lang, lang = 'en' AS is_target,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_target, t.g
+  FROM d, UNNEST(list_concat(
+      ws,
+      list_transform(range(1, len(ws)),
+                     i -> ws[CAST(i AS INT)] || ' '
+                          || ws[CAST(i AS INT) + 1]))) AS t(g)
+), gb AS (
+  SELECT doc_id, is_target,
+         CAST((LENGTH(g) * 31 + ASCII(SUBSTRING(g, 1, 1)))
+              % {_DSIR_BUCKETS} AS INT) AS bucket
+  FROM grams
+), dist AS (
+  SELECT bucket,
+         CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bits_raw,
+         CAST(CASE WHEN SUM(CASE WHEN is_target THEN 1 ELSE 0 END) = 0
+              THEN 0
+              ELSE LENGTH(bin(SUM(CASE WHEN is_target THEN 1 ELSE 0 END)))
+              END AS BIGINT) AS bits_target
+  FROM gb GROUP BY bucket
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(bits_target - bits_raw) AS w
+  FROM gb JOIN dist USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.w, 0) AS BIGINT) AS dsir_bits
+FROM d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1367,6 +1491,7 @@ QUERIES = {
     "topk_ngrams": q_topk_ngrams,
     "corpus_curriculum": q_corpus_curriculum,
     "lm_familiarity": q_lm_familiarity,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLE_SQL = {
@@ -1393,4 +1518,5 @@ ORACLE_SQL = {
         decon=SQL_DECONTAMINATE,
         sample=SQL_SAMPLE_STRATIFIED,
     ),
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }

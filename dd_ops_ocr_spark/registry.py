@@ -308,6 +308,7 @@ _register(_bpe)
 _ROSTER_HEAD = [
     # new this round — never stamped
     "semdedup",
+    "dsir_weights",
     "pdf_text_spans",
     "pdf_doc_audit",
     "html_main_content",

@@ -546,6 +546,57 @@ def test_lm_familiarity_python_referee(spark, tmp_path):
     assert got == {doc_id: score(text) for doc_id, text, _ in rows}
 
 
+def test_dsir_weights_python_referee(spark, tmp_path):
+    """Independent Python reimplementation of the hashed-n-gram DSIR
+    weight (unigrams+bigrams, length*31+codepoint bucket, quantized-log2
+    bucket bits, target = lang 'en') reproduces dsir_bits bit-exactly —
+    and target-language docs score strictly higher on average than
+    off-target docs (the selection signal the weight exists for)."""
+    from dd_ops_ocr_spark.operators.textstats import (
+        _DSIR_BUCKETS,
+        q_dsir_weights,
+    )
+
+    en = ["the quick brown fox jumps", "the lazy dog sleeps the day",
+          "a fox and a dog", ""]
+    de = ["der schnelle braune fuchs", "der faule hund schlaeft",
+          "ein fuchs und ein hund"]
+    rows = [(i, t, "en") for i, t in enumerate(en)]
+    rows += [(100 + i, t, "de") for i, t in enumerate(de)]
+
+    def grams(t):
+        ws = [w for w in t.lower().split(" ") if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return (len(g) * 31 + ord(g[0])) % _DSIR_BUCKETS
+
+    raw, tgt = {}, {}
+    for _i, t, lang in rows:
+        for g in grams(t):
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+
+    def weight(t):
+        gs = grams(t)
+        return (
+            len(gs),
+            sum(tgt.get(bucket(g), 0).bit_length()
+                - raw[bucket(g)].bit_length() for g in gs),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_bits"])
+        for r in q_dsir_weights(spark, _write_docs(tmp_path, rows)).collect()
+    }
+    assert got == {doc_id: weight(t) for doc_id, t, _ in rows}
+    en_scores = [got[i][1] / max(got[i][0], 1) for i in range(3)]
+    de_scores = [got[100 + i][1] / got[100 + i][0] for i in range(3)]
+    assert min(en_scores) > max(de_scores), (en_scores, de_scores)
+
+
 def test_learn_bpe_known_answer_and_tiebreak():
     """Hand-computed merges on a 3-word vocab, plus the deterministic
     tie-break (equal counts -> lexicographically smallest (lhs, rhs))
