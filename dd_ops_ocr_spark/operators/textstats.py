@@ -1476,6 +1476,102 @@ FROM d LEFT JOIN scored s USING (doc_id)
 """
 
 
+# -------------------------------------- CCNet head/middle/tail buckets
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): split each language's documents into head /
+    middle / tail terciles by LM score (here the integer-exact
+    lm_familiarity score; CCNet uses KenLM perplexity) — the standard
+    pretraining recipe trains mostly on head+middle.
+
+    Scale-correct cutoffs: NOT ntile() over a per-language window — that
+    would sort an entire language's documents in single window
+    partitions (one task per language at 100 TB). Instead the tercile
+    cut VALUES come from the score histogram: groupBy(lang, score) is
+    partial-agg-friendly and BOUNDED (score domain is [0, ~16000] by
+    construction), the cumulative window runs over that tiny table, and
+    bucketing is a map-side comparison against the broadcast per-lang
+    cutoffs. Ties at a cutoff bucket by VALUE (all equal scores share a
+    bucket), which keeps the split deterministic without any per-doc
+    total order. This is CCNet's own structure (percentile thresholds
+    computed once, then applied map-side)."""
+    from pyspark.sql import Window
+
+    fam = q_lm_familiarity(spark, sf_dir).select(
+        "doc_id", "familiarity_x1000"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang").join(fam, "doc_id")
+    dist = d.groupBy("lang", "familiarity_x1000").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("familiarity_x1000")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = (
+        Window.partitionBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = dist.select(
+        "lang",
+        "familiarity_x1000",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("tot"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("tot"), F.col("familiarity_x1000"))
+        ).alias("cut_tail"),
+        F.min(
+            F.when(
+                F.col("cum") * 3 >= 2 * F.col("tot"), F.col("familiarity_x1000")
+            )
+        ).alias("cut_mid"),
+    )
+    return d.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "familiarity_x1000",
+        F.when(F.col("familiarity_x1000") <= F.col("cut_tail"), "tail")
+        .when(F.col("familiarity_x1000") <= F.col("cut_mid"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+
+
+def _sql_ccnet(fam_sql: str) -> str:
+    return f"""
+WITH fam AS (
+  SELECT doc_id, familiarity_x1000 FROM ({fam_sql})
+), dd AS (
+  SELECT doc.doc_id, doc.lang, f.familiarity_x1000
+  FROM documents doc JOIN fam f ON f.doc_id = doc.doc_id
+), dist AS (
+  SELECT lang, familiarity_x1000, COUNT(*) AS c
+  FROM dd GROUP BY lang, familiarity_x1000
+), cum AS (
+  SELECT lang, familiarity_x1000,
+         SUM(c) OVER (PARTITION BY lang ORDER BY familiarity_x1000) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS tot
+  FROM dist
+), cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN cum * 3 >= tot THEN familiarity_x1000 END)
+           AS cut_tail,
+         MIN(CASE WHEN cum * 3 >= 2 * tot THEN familiarity_x1000 END)
+           AS cut_mid
+  FROM cum GROUP BY lang
+)
+SELECT dd.doc_id, dd.lang, dd.familiarity_x1000,
+       CASE WHEN dd.familiarity_x1000 <= c.cut_tail THEN 'tail'
+            WHEN dd.familiarity_x1000 <= c.cut_mid THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM dd JOIN cuts c USING (lang)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1492,6 +1588,7 @@ QUERIES = {
     "corpus_curriculum": q_corpus_curriculum,
     "lm_familiarity": q_lm_familiarity,
     "dsir_weights": q_dsir_weights,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLE_SQL = {
@@ -1519,4 +1616,5 @@ ORACLE_SQL = {
         sample=SQL_SAMPLE_STRATIFIED,
     ),
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "ccnet_buckets": _sql_ccnet(SQL_LM_FAMILIARITY),
 }

@@ -597,6 +597,35 @@ def test_dsir_weights_python_referee(spark, tmp_path):
     assert min(en_scores) > max(de_scores), (en_scores, de_scores)
 
 
+def test_ccnet_buckets_tercile_invariants(spark):
+    """Value-bucketed terciles: within every language the buckets are
+    score-ordered (max tail < min middle < ... wherever nonempty), the
+    tail holds at least a third of the docs (the cutoff is the first
+    score whose cumulative count crosses N/3), and head+middle+tail
+    partition the language."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.textstats import q_ccnet_buckets
+
+    got = q_ccnet_buckets(spark, SF_SMOKE).toPandas()
+    assert set(got["bucket"]) <= {"head", "middle", "tail"}
+    for lang, g in got.groupby("lang"):
+        n = len(g)
+        sizes = g.groupby("bucket")["doc_id"].count()
+        tail = int(sizes.get("tail", 0))
+        mid = int(sizes.get("middle", 0))
+        assert tail + mid + int(sizes.get("head", 0)) == n
+        assert tail * 3 >= n, (lang, tail, n)
+        assert (tail + mid) * 3 >= 2 * n, (lang, tail, mid, n)
+        by = {
+            b: gg["familiarity_x1000"] for b, gg in g.groupby("bucket")
+        }
+        if "tail" in by and "middle" in by:
+            assert by["tail"].max() < by["middle"].min()
+        if "middle" in by and "head" in by:
+            assert by["middle"].max() < by["head"].min()
+
+
 def test_learn_bpe_known_answer_and_tiebreak():
     """Hand-computed merges on a 3-word vocab, plus the deterministic
     tie-break (equal counts -> lexicographically smallest (lhs, rhs))
