@@ -290,13 +290,118 @@ FROM pages
 """
 
 
+# ------------------------------------------------------- head metadata
+#
+# The complement of main_content: main_content THROWS AWAY <head>
+# wholesale; a provenance-aware corpus also wants the head fields
+# (title, description, canonical URL, language declaration, og: cards)
+# as typed columns — dedup by canonical URL, language routing before
+# the lang-id heuristic, titles for retrieval indexes. Same extraction
+# posture as the reference's filename/object-name parsers (C10/C11,
+# `src/api/main.py` filename plumbing): pull structured fields out of a
+# string with anchored patterns, empty-string on absence.
+#
+# Patterns stay in the Java-regex/RE2-identical subset ((?is), lazy
+# .*?, [^"]* classes); both engines return '' for a non-match.
+
+_TITLE_RE = '(?is)<title[^>]*>(.*?)</title>'
+_LANG_ATTR_RE = '(?is)<html[^>]*\\slang="([^"]*)"'
+_DESC_RE = '(?is)<meta\\s+name="description"\\s+content="([^"]*)"'
+_CANON_RE = '(?is)<link\\s+rel="canonical"\\s+href="([^"]*)"'
+_OG_TITLE_RE = '(?is)<meta\\s+property="og:title"\\s+content="([^"]*)"'
+
+
+def plant_html_meta(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, lang) -> (doc_id, html): a page whose <head>
+    carries the metadata surface — html@lang, <title>, description
+    (first 60 chars of the text, attribute-safe), canonical link, and
+    (md5 nibble 7 even) an og:title card. Body kept minimal; head
+    extraction must not depend on body shape."""
+    md = F.md5(F.col("doc_id").cast("string"))
+    did = F.col("doc_id").cast("string")
+    excerpt = F.regexp_replace(
+        F.substring(F.col("text"), 1, 60), "[^A-Za-z0-9 ]", ""
+    )
+    og = F.when(
+        F.substring(md, 7, 1).isin(_EVEN_NIBBLES),
+        F.concat(F.lit('<meta property="og:title" content="Doc '), did,
+                 F.lit(' OG">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
+        did, F.lit("</title>"),
+        F.lit('<meta name="description" content="'), excerpt, F.lit('">'),
+        F.lit('<link rel="canonical" href="https://corpus.example/doc/'),
+        did, F.lit('">'), og,
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def extract_metadata(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) -> typed head fields. Pure regexp_extract column
+    math over the raw page — narrow plan, zero exchanges; absent fields
+    come back as '' (both engines agree)."""
+    og = F.regexp_extract("html", _OG_TITLE_RE, 1)
+    return pages.select(
+        "doc_id",
+        F.regexp_extract("html", _TITLE_RE, 1).alias("title"),
+        F.regexp_extract("html", _LANG_ATTR_RE, 1).alias("html_lang"),
+        F.regexp_extract("html", _DESC_RE, 1).alias("description"),
+        F.regexp_extract("html", _CANON_RE, 1).alias("canonical_url"),
+        og.alias("og_title"),
+        (og != F.lit("")).alias("has_og"),
+    )
+
+
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    return extract_metadata(plant_html_meta(docs))
+
+
+_SQL_PLANT_META = f"""
+SELECT doc_id,
+  '<html lang="' || lang || '"><head><title>Doc ' || doc_id::VARCHAR
+  || '</title>'
+  || '<meta name="description" content="'
+  || regexp_replace(substring(text, 1, 60), '[^A-Za-z0-9 ]', '', 'g')
+  || '">'
+  || '<link rel="canonical" href="https://corpus.example/doc/'
+  || doc_id::VARCHAR || '">'
+  || CASE WHEN substring(md5(doc_id::VARCHAR), 7, 1) IN
+       ({", ".join(repr(n) for n in _EVEN_NIBBLES)})
+     THEN '<meta property="og:title" content="Doc ' || doc_id::VARCHAR
+       || ' OG">'
+     ELSE '' END
+  || '</head><body><p>' || text || '</p></body></html>' AS html
+FROM documents
+"""
+
+SQL_HTML_METADATA = f"""
+WITH pages AS ({_SQL_PLANT_META})
+SELECT doc_id,
+  regexp_extract(html, '{_TITLE_RE}', 1) AS title,
+  regexp_extract(html, '{_LANG_ATTR_RE}', 1) AS html_lang,
+  regexp_extract(html, '{_DESC_RE}', 1) AS description,
+  regexp_extract(html, '{_CANON_RE}', 1) AS canonical_url,
+  regexp_extract(html, '{_OG_TITLE_RE}', 1) AS og_title,
+  regexp_extract(html, '{_OG_TITLE_RE}', 1) <> '' AS has_og
+FROM pages
+"""
+
+
 QUERIES = {
     "html_main_content": q_html_main_content,
     "html_block_classify": q_html_block_classify,
     "html_strip_tags": q_html_strip_tags,
+    "html_metadata": q_html_metadata,
 }
 ORACLE_SQL = {
     "html_main_content": SQL_HTML_MAIN_CONTENT,
     "html_block_classify": SQL_HTML_BLOCK_CLASSIFY,
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
+    "html_metadata": SQL_HTML_METADATA,
 }

@@ -151,3 +151,54 @@ def test_main_content_single_exchange(spark):
         f"per-doc assembly should be one partial-agg shuffle, saw {n}:"
         f"\n{plan[:3000]}"
     )
+
+
+def test_metadata_planted_roundtrip(spark):
+    from dd_ops_ocr_spark.operators.htmlops import (
+        extract_metadata,
+        plant_html_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(11, "alpha beta, gamma! delta", "de")],
+        "doc_id long, text string, lang string",
+    )
+    row = extract_metadata(plant_html_meta(docs)).collect()[0]
+    assert row.title == "Doc 11"
+    assert row.html_lang == "de"
+    # attribute-safe excerpt: punctuation stripped, words kept
+    assert row.description == "alpha beta gamma delta"
+    assert row.canonical_url == "https://corpus.example/doc/11"
+    # md5('11') nibble 7 decides og presence; has_og must agree with it
+    import hashlib
+
+    expect_og = hashlib.md5(b"11").hexdigest()[6] in "02468ace"
+    assert row.has_og == expect_og
+    assert (row.og_title == "Doc 11 OG") == expect_og
+
+
+def test_metadata_absent_fields_empty(spark):
+    from dd_ops_ocr_spark.operators.htmlops import extract_metadata
+
+    row = extract_metadata(
+        _pages(spark, [(3, "<html><body><p>no head here</p></body></html>")])
+    ).collect()[0]
+    assert row.title == "" and row.html_lang == ""
+    assert row.description == "" and row.canonical_url == ""
+    assert row.og_title == "" and row.has_og is False
+
+
+def test_metadata_plan_is_narrow(spark):
+    from dd_ops_ocr_spark.operators.htmlops import (
+        extract_metadata,
+        plant_html_meta,
+    )
+
+    df = extract_metadata(plant_html_meta(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    ))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, f"metadata extract grew a shuffle:\n{plan[:2000]}"
