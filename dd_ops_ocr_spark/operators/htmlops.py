@@ -393,15 +393,81 @@ FROM pages
 """
 
 
+# ---------------------------------------------------------- outlinks
+#
+# The crawl-graph surface: every <a href> on the page as one
+# (doc_id, link_idx, href, anchor_text) row — the input to link-graph
+# PageRank-style quality signals and to frontier expansion in a
+# web-scale pipeline. One-to-many via two ALIGNED regexp_extract_all
+# calls (same pattern, groups 1 and 2 — identical match sites, so the
+# arrays zip positionally) + posexplode; narrow plan, the fan-out never
+# shuffles.
+
+_LINK_RE = '(?is)<a\\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) -> one row per anchor, in page order. Anchor text
+    is tag-stripped and whitespace-collapsed (entity decode is the
+    main-content path's concern, not the graph's)."""
+    arr = pages.select(
+        "doc_id",
+        F.regexp_extract_all("html", F.lit(_LINK_RE), 1).alias("hs"),
+        F.regexp_extract_all("html", F.lit(_LINK_RE), 2).alias("ts"),
+    )
+    ex = arr.select(
+        "doc_id", "ts", F.posexplode("hs").alias("pos", "href")
+    )
+    raw = F.element_at("ts", F.col("pos") + 1)
+    txt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw, _TAG_RE, " "), "\\s+", " "
+        )
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("link_idx"),
+        "href",
+        txt.alias("anchor_text"),
+    )
+
+
+def q_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_outlinks(plant_html(_docs(spark, sf_dir)))
+
+
+SQL_HTML_OUTLINKS = f"""
+WITH pages AS ({_SQL_PLANT}),
+arr AS (
+  SELECT doc_id,
+    regexp_extract_all(html, '{_LINK_RE}', 1) AS hs,
+    regexp_extract_all(html, '{_LINK_RE}', 2) AS ts
+  FROM pages
+), ex AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(hs)))::BIGINT AS link_idx,
+    unnest(hs) AS href,
+    unnest(ts) AS raw_text
+  FROM arr
+)
+SELECT doc_id, link_idx, href,
+  trim(regexp_replace(regexp_replace(raw_text, '{_TAG_RE}', ' ', 'g'),
+                      '\\s+', ' ', 'g')) AS anchor_text
+FROM ex
+"""
+
+
 QUERIES = {
     "html_main_content": q_html_main_content,
     "html_block_classify": q_html_block_classify,
     "html_strip_tags": q_html_strip_tags,
     "html_metadata": q_html_metadata,
+    "html_outlinks": q_html_outlinks,
 }
 ORACLE_SQL = {
     "html_main_content": SQL_HTML_MAIN_CONTENT,
     "html_block_classify": SQL_HTML_BLOCK_CLASSIFY,
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "html_metadata": SQL_HTML_METADATA,
+    "html_outlinks": SQL_HTML_OUTLINKS,
 }

@@ -202,3 +202,52 @@ def test_metadata_plan_is_narrow(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, f"metadata extract grew a shuffle:\n{plan[:2000]}"
+
+
+def test_outlinks_planted_page(spark):
+    from dd_ops_ocr_spark.operators.htmlops import (
+        extract_outlinks,
+        plant_html,
+    )
+
+    docs = spark.createDataFrame(
+        [(11, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    rows = extract_outlinks(plant_html(docs)).collect()
+    import hashlib
+
+    has_aside = hashlib.md5(b"11").hexdigest()[5] in "02468ace"
+    hrefs = [r.href for r in rows]
+    base = ["/", "/about", "/tags"]
+    rel = ["/r/1", "/r/2", "/r/3"] if has_aside else []
+    assert hrefs == base + rel + ["/ref"]
+    assert [r.link_idx for r in rows] == list(range(1, len(hrefs) + 1))
+    assert rows[0].anchor_text == "Home"
+    assert rows[-1].anchor_text == "reference docs"
+
+
+def test_outlinks_nested_markup_and_none(spark):
+    from dd_ops_ocr_spark.operators.htmlops import extract_outlinks
+
+    rows = extract_outlinks(_pages(spark, [
+        (1, '<p><a href="/x"><b>bold</b>  link</a></p>'),
+        (2, "<p>no links at all</p>"),
+    ])).collect()
+    assert len(rows) == 1  # linkless page fans out to zero rows
+    assert rows[0].href == "/x" and rows[0].anchor_text == "bold link"
+
+
+def test_outlinks_plan_is_narrow(spark):
+    from dd_ops_ocr_spark.operators.htmlops import (
+        extract_outlinks,
+        plant_html,
+    )
+
+    df = extract_outlinks(plant_html(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    ))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, f"outlink fan-out grew a shuffle:\n{plan[:2000]}"
