@@ -146,5 +146,160 @@ FROM ranked WHERE domain_rank <= {_DOMAIN_CAP}
 """
 
 
-QUERIES = {"url_domain_cap": q_url_domain_cap}
-ORACLE_SQL = {"url_domain_cap": SQL_URL_DOMAIN_CAP}
+# ------------------------------------------------------- normalization
+#
+# URL canonicalization (the RFC 3986 §6 normalization subset a crawl
+# pipeline applies BEFORE url-keyed dedup — two spellings of one page
+# must collide): lowercase scheme+host, strip the scheme's default port
+# (:80 / :443), drop the fragment, drop tracking query params
+# (utm_*, fbclid, gclid) while preserving the order of the rest, and
+# give an empty path its canonical '/'. Path case is PRESERVED (paths
+# are case-sensitive per the RFC).
+#
+# Engine-parity constraint that shapes the code: Spark's
+# regexp_replace uses $1 for group backrefs, DuckDB's uses \1 — so
+# replacements here NEVER use backrefs; everything is regexp_extract
+# (group indexing is identical) + concat.
+
+_SCHEME_RE = "^([A-Za-z]+)://"
+_HOSTPORT_RE = "^[A-Za-z]+://([^/?#]*)"
+_REST_RE = "^[A-Za-z]+://[^/?#]*(.*)$"
+_TRACKING_RE = "&(?:utm_[a-z]+|fbclid|gclid)=[^&]*"
+
+
+def normalize_urls(d: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append normalized_url + changed to ``d``. Pure column math,
+    zero exchanges."""
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    host = (
+        F.when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.regexp_extract(hostport, "^(.*):80$", 1),
+        )
+        .when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.regexp_extract(hostport, "^(.*):443$", 1),
+        )
+        .otherwise(hostport)
+    )
+    nofrag = F.regexp_replace(F.regexp_extract(url, _REST_RE, 1),
+                              "#.*$", "")
+    rawpath = F.regexp_extract(nofrag, "^([^?]*)", 1)
+    path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
+    q = F.regexp_extract(nofrag, "\\?(.*)$", 1)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.concat(F.lit("&"), q), _TRACKING_RE, ""),
+        "^&", "",
+    )
+    norm = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(cleaned != "", F.concat(F.lit("?"), cleaned))
+         .otherwise(F.lit("")),
+    )
+    return d.withColumn("normalized_url", norm).withColumn(
+        "changed", F.col("normalized_url") != url
+    )
+
+
+def plant_messy_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, ...) -> (doc_id, url): crawl-grade messy URLs — md5
+    nibbles 8..13 gate uppercase scheme, uppercase host, an explicit
+    :443, tracking-vs-real query params, and a fragment. Nibbles are
+    disjoint from the domain-cap plant's (1..5), so the two messes
+    compose independently."""
+    md = F.md5(F.col("doc_id").cast("string"))
+
+    def even(i: int):
+        return F.substring(md, i, 1).isin(_EVEN_NIBBLES)
+
+    host_id = (
+        (F.instr(F.lit(_HEX), F.substring(md, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(_HEX), F.substring(md, 2, 1)) - 1)
+    ) % _N_DOMAINS
+    lower_host = F.concat(F.lit("www.d"), host_id.cast("string"),
+                          F.lit(".com"))
+    url = F.concat(
+        F.when(even(8), F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(even(9), F.upper(lower_host)).otherwise(lower_host),
+        F.when(even(10), F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.when(even(11), F.lit("?utm_source=feed&ref=home&gclid=XYZ"))
+         .when(even(12), F.lit("?ref=home")).otherwise(F.lit("")),
+        F.when(even(13), F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = plant_messy_urls(_docs(spark, sf_dir).select("doc_id"))
+    return normalize_urls(d).select(
+        "doc_id", "url", "normalized_url", "changed"
+    )
+
+
+SQL_URL_NORMALIZE = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN substring(md5(doc_id::VARCHAR), 8, 1) IN ({_EVEN_IN})
+      THEN 'HTTPS://' ELSE 'https://' END
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 9, 1) IN ({_EVEN_IN})
+      THEN upper('www.d'
+        || (({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})::VARCHAR
+        || '.com')
+      ELSE 'www.d'
+        || (({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})::VARCHAR
+        || '.com' END
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 10, 1) IN ({_EVEN_IN})
+      THEN ':443' ELSE '' END
+    || '/p/' || doc_id::VARCHAR
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 11, 1) IN ({_EVEN_IN})
+      THEN '?utm_source=feed&ref=home&gclid=XYZ'
+      WHEN substring(md5(doc_id::VARCHAR), 12, 1) IN ({_EVEN_IN})
+      THEN '?ref=home' ELSE '' END
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 13, 1) IN ({_EVEN_IN})
+      THEN '#section-2' ELSE '' END
+    AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '{_SCHEME_RE}', 1)) AS scheme,
+    lower(regexp_extract(url, '{_HOSTPORT_RE}', 1)) AS hostport,
+    regexp_replace(regexp_extract(url, '{_REST_RE}', 1),
+                   '#.*$', '') AS nofrag
+  FROM u
+), norm AS (
+  SELECT doc_id, url,
+    scheme || '://'
+    || CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+         THEN regexp_extract(hostport, '^(.*):80$', 1)
+        WHEN scheme = 'https' AND hostport LIKE '%:443'
+         THEN regexp_extract(hostport, '^(.*):443$', 1)
+        ELSE hostport END
+    || CASE WHEN regexp_extract(nofrag, '^([^?]*)', 1) = '' THEN '/'
+        ELSE regexp_extract(nofrag, '^([^?]*)', 1) END
+    || CASE WHEN regexp_replace(regexp_replace(
+           '&' || regexp_extract(nofrag, '\\?(.*)$', 1),
+           '{_TRACKING_RE}', '', 'g'), '^&', '') <> ''
+        THEN '?' || regexp_replace(regexp_replace(
+           '&' || regexp_extract(nofrag, '\\?(.*)$', 1),
+           '{_TRACKING_RE}', '', 'g'), '^&', '')
+        ELSE '' END
+    AS normalized_url
+  FROM parts
+)
+SELECT doc_id, url, normalized_url,
+  normalized_url <> url AS changed
+FROM norm
+"""
+
+
+QUERIES = {
+    "url_domain_cap": q_url_domain_cap,
+    "url_normalize": q_url_normalize,
+}
+ORACLE_SQL = {
+    "url_domain_cap": SQL_URL_DOMAIN_CAP,
+    "url_normalize": SQL_URL_NORMALIZE,
+}

@@ -719,3 +719,61 @@ def test_bpe_train_and_tokenize_python_referee(spark, tmp_path):
     # the planted corpus exercised what it claims
     assert any(t[4] > 1 for t in merges)  # a real multi-occurrence merge
     assert got_tok[3] == (0, 0, 0, 0)     # zero-word doc survives
+
+
+def test_url_normalize_handcrafted_cases(spark):
+    """Known-answer canonicalization table: case, default ports,
+    fragments, tracking params mixed with real ones, empty path,
+    non-default port preserved, path case preserved."""
+    from dd_ops_ocr_spark.operators.urlops import normalize_urls
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/p/1#frag", "https://www.ex.com/p/1"),
+        ("http://ex.com:80", "http://ex.com/"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        ("https://ex.com/a?utm_source=x&ref=home&gclid=1&b=2",
+         "https://ex.com/a?ref=home&b=2"),
+        ("https://ex.com/a?utm_source=x&fbclid=y", "https://ex.com/a"),
+        ("https://ex.com/CaseSensitive/Path",
+         "https://ex.com/CaseSensitive/Path"),
+        ("https://ex.com/p/1?ref=home", "https://ex.com/p/1?ref=home"),
+    ]
+    d = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {r.url: (r.normalized_url, r.changed)
+           for r in normalize_urls(d).collect()}
+    for raw, want in cases:
+        norm, changed = got[raw]
+        assert norm == want, (raw, norm, want)
+        assert changed == (raw != want), raw
+
+
+def test_url_normalize_collapses_planted_spellings(spark):
+    """The point of normalization: messy spellings of one page collide.
+    Distinct normalized URLs must be far fewer than distinct raw URLs,
+    and every normalized URL is in canonical form (idempotent)."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.urlops import (
+        normalize_urls,
+        q_url_normalize,
+    )
+
+    df = q_url_normalize(spark, SF_SMOKE)
+    # every planted mess lands in canonical form (scheme/host lowered,
+    # :443 gone, fragment gone, only the real query param survives)
+    bad = df.where(
+        "normalized_url NOT RLIKE "
+        "'^https://www\\\\.d[0-9]+\\\\.com/p/[0-9]+(\\\\?ref=home)?$'"
+    ).count()
+    assert bad == 0
+    # the md5 gates produce both messy and already-canonical spellings
+    assert df.where("changed").count() > 0
+    assert df.where("NOT changed").count() > 0
+    # idempotence: normalizing the normalized column is a fixpoint
+    again = normalize_urls(
+        df.selectExpr("doc_id", "normalized_url as url")
+    )
+    assert again.where("changed").count() == 0
