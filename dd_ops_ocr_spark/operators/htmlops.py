@@ -457,12 +457,94 @@ FROM ex
 """
 
 
+# --------------------------------------------------------- link graph
+#
+# Capstone composition: outlinks resolved against each page's CANONICAL
+# base URL (url_normalize), aggregated to per-target in-degree — the
+# raw material of link-graph quality signals (PageRank-family) and
+# frontier dedup in a crawler. In production (doc_id, url, html) are
+# columns of ONE row, so the base URL rides through the explode as a
+# carried column — no join anywhere; the only exchange is the final
+# hash-agg on target_url (map-side partials), which at 10^12 pages
+# carries one row per (task, target) — the output, not the corpus.
+
+
+def q_link_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark.operators.urlops import (
+        normalize_urls,
+        plant_messy_urls,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = normalize_urls(plant_messy_urls(docs)).select(
+        "doc_id",
+        F.regexp_extract("normalized_url", "^(https://[^/]+)", 1)
+         .alias("base_host"),
+    )
+    pages = plant_html(docs).join(base, "doc_id")
+    arr = pages.select(
+        "doc_id", "base_host",
+        F.regexp_extract_all("html", F.lit(_LINK_RE), 1).alias("hs"),
+    )
+    ex = arr.select(
+        "doc_id", "base_host", F.explode("hs").alias("href")
+    )
+    target = (
+        F.when(F.col("href").rlike("^https?://"), F.col("href"))
+        .when(F.col("href").startswith("/"),
+              F.concat(F.col("base_host"), F.col("href")))
+        .otherwise(F.concat(F.col("base_host"), F.lit("/"),
+                            F.col("href")))
+    )
+    return (
+        ex.select(target.alias("target_url"), "doc_id")
+        .groupBy("target_url")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("indegree"),
+            F.count("*").cast("long").alias("n_links"),
+        )
+    )
+
+
+def _sql_link_graph() -> str:
+    from dd_ops_ocr_spark.operators.urlops import SQL_URL_NORMALIZE
+
+    return f"""
+WITH norm AS ({SQL_URL_NORMALIZE}),
+base AS (
+  SELECT doc_id,
+    regexp_extract(normalized_url, '^(https://[^/]+)', 1) AS base_host
+  FROM norm
+),
+pages AS ({_SQL_PLANT}),
+ex AS (
+  SELECT p.doc_id, b.base_host,
+    unnest(regexp_extract_all(p.html, '{_LINK_RE}', 1)) AS href
+  FROM pages p JOIN base b ON p.doc_id = b.doc_id
+),
+tgt AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(href, '^https?://') THEN href
+         WHEN href LIKE '/%' THEN base_host || href
+         ELSE base_host || '/' || href END AS target_url
+  FROM ex
+)
+SELECT target_url,
+  count(DISTINCT doc_id)::BIGINT AS indegree,
+  count(*)::BIGINT AS n_links
+FROM tgt GROUP BY target_url
+"""
+
+
 QUERIES = {
     "html_main_content": q_html_main_content,
     "html_block_classify": q_html_block_classify,
     "html_strip_tags": q_html_strip_tags,
     "html_metadata": q_html_metadata,
     "html_outlinks": q_html_outlinks,
+    "link_graph_indegree": q_link_graph_indegree,
 }
 ORACLE_SQL = {
     "html_main_content": SQL_HTML_MAIN_CONTENT,
@@ -470,4 +552,5 @@ ORACLE_SQL = {
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "html_metadata": SQL_HTML_METADATA,
     "html_outlinks": SQL_HTML_OUTLINKS,
+    "link_graph_indegree": _sql_link_graph(),
 }

@@ -251,3 +251,27 @@ def test_outlinks_plan_is_narrow(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, f"outlink fan-out grew a shuffle:\n{plan[:2000]}"
+
+
+def test_link_graph_indegree_planted_structure(spark):
+    """Every planted page links its own host's chrome targets, so each
+    live domain's '/', '/about', '/tags', '/ref' get identical indegree
+    (= that domain's doc count) and '/r/N' targets get the aside-gated
+    subset; n_links == indegree (one link per target per page)."""
+    from dd_ops_ocr_spark.operators.htmlops import q_link_graph_indegree
+
+    rows = q_link_graph_indegree(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "empty link graph"
+    by_host = {}
+    for r in rows:
+        assert r.n_links == r.indegree  # planted pages never repeat a target
+        host, _, path = r.target_url.removeprefix("https://").partition("/")
+        by_host.setdefault(host, {})["/" + path] = r.indegree
+    for host, paths in by_host.items():
+        # chrome targets exist for every doc of the host and agree
+        chrome = [paths.get(p) for p in ("/", "/about", "/tags", "/ref")]
+        assert all(c == chrome[0] and c for c in chrome), (host, paths)
+        # aside targets, when present, agree with each other and are <= chrome
+        rel = [v for p, v in paths.items() if p.startswith("/r/")]
+        if rel:
+            assert len(set(rel)) == 1 and rel[0] <= chrome[0], (host, paths)
