@@ -672,6 +672,21 @@ def main() -> None:
             F.sum(F.length("main_text")), F.sum("n_blocks_kept"),
             F.sum("kept_chars")).collect()
     )
+    # URL canonicalization + link-graph in-degree (round-5 close family);
+    # consume normalized lengths / graph counts so nothing prunes
+    from dd_ops_ocr_spark.operators.htmlops import q_link_graph_indegree
+    from dd_ops_ocr_spark.operators.urlops import q_url_normalize
+
+    queries["url_normalize"] = timed(
+        lambda: q_url_normalize(spark, SF_DIR).agg(
+            F.sum(F.length("normalized_url")),
+            F.sum(F.col("changed").cast("long"))).collect()
+    )
+    queries["link_graph_indegree"] = timed(
+        lambda: q_link_graph_indegree(spark, SF_DIR).agg(
+            F.sum("indegree"), F.sum("n_links"),
+            F.count("*")).collect()
+    )
     # byte-real PDF round trip (encode -> xref/flate parse -> text ops)
     # + the reading-order window; consume text and geometry
     from dd_ops_ocr_spark.operators.pdf import q_pdf_text_spans
