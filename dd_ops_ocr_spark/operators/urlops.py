@@ -229,7 +229,9 @@ def plant_messy_urls(docs: DataFrame) -> DataFrame:
          .when(even(12), F.lit("?ref=home")).otherwise(F.lit("")),
         F.when(even(13), F.lit("#section-2")).otherwise(F.lit("")),
     )
-    return docs.select("doc_id", url.alias("url"))
+    # preserve input columns: callers that carry html (link graph)
+    # stay join-free — the url is pure doc_id column math
+    return docs.select("*", url.alias("url"))
 
 
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
