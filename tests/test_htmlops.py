@@ -275,3 +275,20 @@ def test_link_graph_indegree_planted_structure(spark):
         rel = [v for p, v in paths.items() if p.startswith("/r/")]
         if rel:
             assert len(set(rel)) == 1 and rel[0] <= chrome[0], (host, paths)
+
+
+def test_link_graph_plan_no_join_two_exchanges(spark):
+    """base_host must ride the narrow pipeline (no join); the only
+    exchanges are the countDistinct agg's partial/final pair over
+    already-reduced (target, doc) pairs."""
+    import re
+
+    from dd_ops_ocr_spark.operators.htmlops import q_link_graph_indegree
+
+    df = q_link_graph_indegree(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan, f"link graph grew a join:\n{plan[:2000]}"
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= 2, f"expected the countDistinct exchange pair, saw {n}"
