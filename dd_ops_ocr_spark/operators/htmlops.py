@@ -469,7 +469,12 @@ FROM ex
 # carries one row per (task, target) — the output, not the corpus.
 
 
-def q_link_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _resolved_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, target_url) pairs: each planted page's anchors resolved
+    against its canonical base URL. base_host is pure doc_id column
+    math, so it rides the SAME narrow pipeline as the html plant — no
+    join (measured: the doc_id join alternative shuffles full pages and
+    costs ~2x at 1.28M docs)."""
     from dd_ops_ocr_spark.operators.urlops import (
         normalize_urls,
         plant_messy_urls,
@@ -478,9 +483,6 @@ def q_link_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    # base_host is pure doc_id column math, so it rides the SAME narrow
-    # pipeline as the html plant — no join (measured: the doc_id join
-    # alternative shuffles full pages and costs ~6x at 1.28M docs)
     pages = normalize_urls(plant_messy_urls(plant_html(docs))).select(
         "doc_id", "html",
         F.regexp_extract("normalized_url", "^(https://[^/]+)", 1)
@@ -500,8 +502,12 @@ def q_link_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("base_host"), F.lit("/"),
                             F.col("href")))
     )
+    return ex.select(target.alias("target_url"), "doc_id")
+
+
+def q_link_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        ex.select(target.alias("target_url"), "doc_id")
+        _resolved_targets(spark, sf_dir)
         .groupBy("target_url")
         .agg(
             F.countDistinct("doc_id").cast("long").alias("indegree"),
@@ -510,33 +516,126 @@ def q_link_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_link_graph() -> str:
+def _sql_target_pairs() -> str:
+    """The (doc_id, target_url) pair stream as a standalone subquery —
+    shared by the link-graph and frontier oracles."""
     from dd_ops_ocr_spark.operators.urlops import SQL_URL_NORMALIZE
 
     return f"""
-WITH norm AS ({SQL_URL_NORMALIZE}),
-base AS (
-  SELECT doc_id,
-    regexp_extract(normalized_url, '^(https://[^/]+)', 1) AS base_host
-  FROM norm
-),
-pages AS ({_SQL_PLANT}),
-ex AS (
-  SELECT p.doc_id, b.base_host,
-    unnest(regexp_extract_all(p.html, '{_LINK_RE}', 1)) AS href
-  FROM pages p JOIN base b ON p.doc_id = b.doc_id
-),
-tgt AS (
   SELECT doc_id,
     CASE WHEN regexp_matches(href, '^https?://') THEN href
          WHEN href LIKE '/%' THEN base_host || href
          ELSE base_host || '/' || href END AS target_url
-  FROM ex
+  FROM (
+    SELECT p.doc_id, b.base_host,
+      unnest(regexp_extract_all(p.html, '{_LINK_RE}', 1)) AS href
+    FROM ({_SQL_PLANT}) p
+    JOIN (
+      SELECT doc_id,
+        regexp_extract(normalized_url, '^(https://[^/]+)', 1)
+          AS base_host
+      FROM ({SQL_URL_NORMALIZE})
+    ) b ON p.doc_id = b.doc_id
+  )
+"""
+
+
+def _sql_link_graph() -> str:
+    return f"""
+WITH tgt AS (
+{_sql_target_pairs()}
 )
 SELECT target_url,
   count(DISTINCT doc_id)::BIGINT AS indegree,
   count(*)::BIGINT AS n_links
 FROM tgt GROUP BY target_url
+"""
+
+
+def q_frontier_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier discovery: outlink targets NOT already in the
+    corpus (by canonical URL) — what a crawler enqueues next, with
+    in-degree kept as the crawl-priority signal.
+
+    Each page contributes its chrome/content anchors (via
+    _resolved_targets) PLUS a "next page" nav link to doc_id+1's
+    canonical URL (the planted twin of real prev/next navigation) —
+    so the anti-join genuinely splits: nav targets mostly EXIST in the
+    corpus and drop out, chrome targets and the last doc's dangling nav
+    link survive. The anti-join is deliberately UNHINTED: at real scale
+    both sides are corpus-sized and AQE picks the strategy. The `have`
+    side is built through plant→normalize while the oracle states the
+    canonical CLOSED FORM — the match cross-checks url_normalize
+    against its own spec. Reference analogue: result-dir probing
+    decides what still needs processing (`src/api/main.py` skip
+    logic); this is the web-corpus form of "what's new"."""
+    from dd_ops_ocr_spark.operators.urlops import (
+        normalize_urls,
+        plant_messy_urls,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shifted = docs.select(
+        F.col("doc_id").alias("src_id"),
+        (F.col("doc_id") + F.lit(1)).alias("doc_id"),
+    )
+    nav = normalize_urls(plant_messy_urls(shifted)).select(
+        F.col("normalized_url").alias("target_url"),
+        F.col("src_id").alias("doc_id"),
+    )
+    pairs = _resolved_targets(spark, sf_dir).unionAll(nav)
+    graph = pairs.groupBy("target_url").agg(
+        F.countDistinct("doc_id").cast("long").alias("indegree"),
+        F.count("*").cast("long").alias("n_links"),
+    )
+    have = normalize_urls(
+        plant_messy_urls(docs.select("doc_id"))
+    ).select(F.col("normalized_url").alias("target_url"))
+    return graph.join(have, "target_url", "left_anti").select(
+        "target_url", "indegree", "n_links"
+    )
+
+
+def _sql_canonical(idexpr: str) -> str:
+    """Closed form of normalize(plant_messy_urls(id)) — what the messy
+    plant MUST canonicalize to: lowercase host from md5 nibbles 1-2,
+    /p/<id> path, ?ref=home iff nibble 11 or 12 is even (the plants
+    whose query string carries the real param)."""
+    from dd_ops_ocr_spark.operators.urlops import (
+        _EVEN_NIBBLES as _EV,
+        _HEX as _HX,
+        _N_DOMAINS as _ND,
+    )
+
+    md = f"md5(({idexpr})::VARCHAR)"
+    ev = ", ".join(repr(n) for n in _EV)
+    nib = lambda i: f"(strpos('{_HX}', substring({md}, {i}, 1)) - 1)"
+    return (
+        f"'https://www.d' || (({nib(1)} * 16 + {nib(2)}) % {_ND})::VARCHAR"
+        f" || '.com/p/' || ({idexpr})::VARCHAR"
+        f" || CASE WHEN substring({md}, 11, 1) IN ({ev})"
+        f"      OR substring({md}, 12, 1) IN ({ev})"
+        f"    THEN '?ref=home' ELSE '' END"
+    )
+
+
+def _sql_frontier() -> str:
+    return f"""
+WITH pairs AS (
+{_sql_target_pairs()}
+  UNION ALL
+  SELECT doc_id, {_sql_canonical("doc_id + 1")} AS target_url
+  FROM documents
+), graph AS (
+  SELECT target_url,
+    count(DISTINCT doc_id)::BIGINT AS indegree,
+    count(*)::BIGINT AS n_links
+  FROM pairs GROUP BY target_url
+), have AS (
+  SELECT {_sql_canonical("doc_id")} AS target_url FROM documents
+)
+SELECT g.target_url, g.indegree, g.n_links
+FROM graph g ANTI JOIN have h USING (target_url)
 """
 
 
@@ -547,6 +646,7 @@ QUERIES = {
     "html_metadata": q_html_metadata,
     "html_outlinks": q_html_outlinks,
     "link_graph_indegree": q_link_graph_indegree,
+    "frontier_new_urls": q_frontier_new_urls,
 }
 ORACLE_SQL = {
     "html_main_content": SQL_HTML_MAIN_CONTENT,
@@ -555,4 +655,5 @@ ORACLE_SQL = {
     "html_metadata": SQL_HTML_METADATA,
     "html_outlinks": SQL_HTML_OUTLINKS,
     "link_graph_indegree": _sql_link_graph(),
+    "frontier_new_urls": _sql_frontier(),
 }

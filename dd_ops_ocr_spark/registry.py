@@ -307,6 +307,7 @@ _register(_bpe)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "frontier_new_urls",
     "link_graph_indegree",
     "url_normalize",
     "html_outlinks",

@@ -292,3 +292,17 @@ def test_link_graph_plan_no_join_two_exchanges(spark):
     assert "Join" not in plan, f"link graph grew a join:\n{plan[:2000]}"
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n <= 2, f"expected the countDistinct exchange pair, saw {n}"
+
+
+def test_frontier_splits_nav_vs_chrome(spark):
+    """Nav links to existing docs must anti-join away; chrome targets
+    and exactly the max doc's dangling next-link survive."""
+    from dd_ops_ocr_spark.operators.htmlops import q_frontier_new_urls
+
+    rows = q_frontier_new_urls(spark, "/root/testdata/sf0.001").collect()
+    dangling = [r for r in rows if "/p/" in r.target_url]
+    # corpus is doc_id 0..N-1: only doc N-1's next-link is new
+    assert len(dangling) == 1 and dangling[0].indegree == 1
+    assert dangling[0].target_url.split("/p/")[1].split("?")[0] == "500"
+    chrome = [r for r in rows if "/p/" not in r.target_url]
+    assert chrome and all(r.indegree >= 1 for r in chrome)
