@@ -487,33 +487,44 @@ def _resolved_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "html",
         F.regexp_extract("normalized_url", "^(https://[^/]+)", 1)
          .alias("base_host"),
+        # RFC 3986 base directory: everything through the last '/' of
+        # the path (query excluded) — what bare relative hrefs join to
+        F.regexp_extract("normalized_url", "^([^?]*/)", 1)
+         .alias("base_dir"),
     )
     arr = pages.select(
-        "doc_id", "base_host",
+        "doc_id", "base_host", "base_dir",
         F.regexp_extract_all("html", F.lit(_LINK_RE), 1).alias("hs"),
     )
     ex = arr.select(
-        "doc_id", "base_host", F.explode("hs").alias("href")
+        "doc_id", "base_host", "base_dir", F.explode("hs").alias("href")
     )
     target = (
         F.when(F.col("href").rlike("^https?://"), F.col("href"))
+        # protocol-relative: take the base's scheme, not its host
+        .when(F.col("href").startswith("//"),
+              F.concat(F.regexp_extract("base_host", "^([a-z]+):", 1),
+                       F.lit(":"), F.col("href")))
         .when(F.col("href").startswith("/"),
               F.concat(F.col("base_host"), F.col("href")))
-        .otherwise(F.concat(F.col("base_host"), F.lit("/"),
-                            F.col("href")))
+        # bare relative: resolve against the page's directory
+        .otherwise(F.concat(F.col("base_dir"), F.col("href")))
     )
     return ex.select(target.alias("target_url"), "doc_id")
 
 
-def q_link_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _resolved_targets(spark, sf_dir)
-        .groupBy("target_url")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("indegree"),
-            F.count("*").cast("long").alias("n_links"),
-        )
+def _indegree(pairs: DataFrame) -> DataFrame:
+    """(doc_id, target_url) pairs -> per-target (indegree, n_links).
+    ONE definition shared by the link graph and the frontier so the
+    priority signal can never silently diverge between them."""
+    return pairs.groupBy("target_url").agg(
+        F.countDistinct("doc_id").cast("long").alias("indegree"),
+        F.count("*").cast("long").alias("n_links"),
     )
+
+
+def q_link_graph_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indegree(_resolved_targets(spark, sf_dir))
 
 
 def _sql_target_pairs() -> str:
@@ -524,16 +535,19 @@ def _sql_target_pairs() -> str:
     return f"""
   SELECT doc_id,
     CASE WHEN regexp_matches(href, '^https?://') THEN href
+         WHEN href LIKE '//%' THEN
+           regexp_extract(base_host, '^([a-z]+):', 1) || ':' || href
          WHEN href LIKE '/%' THEN base_host || href
-         ELSE base_host || '/' || href END AS target_url
+         ELSE base_dir || href END AS target_url
   FROM (
-    SELECT p.doc_id, b.base_host,
+    SELECT p.doc_id, b.base_host, b.base_dir,
       unnest(regexp_extract_all(p.html, '{_LINK_RE}', 1)) AS href
     FROM ({_SQL_PLANT}) p
     JOIN (
       SELECT doc_id,
         regexp_extract(normalized_url, '^(https://[^/]+)', 1)
-          AS base_host
+          AS base_host,
+        regexp_extract(normalized_url, '^([^?]*/)', 1) AS base_dir
       FROM ({SQL_URL_NORMALIZE})
     ) b ON p.doc_id = b.doc_id
   )
@@ -584,10 +598,7 @@ def q_frontier_new_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_id").alias("doc_id"),
     )
     pairs = _resolved_targets(spark, sf_dir).unionAll(nav)
-    graph = pairs.groupBy("target_url").agg(
-        F.countDistinct("doc_id").cast("long").alias("indegree"),
-        F.count("*").cast("long").alias("n_links"),
-    )
+    graph = _indegree(pairs)
     have = normalize_urls(
         plant_messy_urls(docs.select("doc_id"))
     ).select(F.col("normalized_url").alias("target_url"))

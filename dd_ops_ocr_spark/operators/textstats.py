@@ -1501,7 +1501,13 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam = q_lm_familiarity(spark, sf_dir).select(
         "doc_id", "familiarity_x1000"
     )
-    d = _docs(spark, sf_dir).select("doc_id", "lang").join(fam, "doc_id")
+    # NULL lang (unidentified language) must still land in a bucket:
+    # a null-rejecting equi-join on lang would silently DROP those docs
+    # (the cutoff row groups fine, the join-back never matches), so the
+    # grouping key is coalesced to a sentinel in both engines
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("lang", F.lit("__und__")).alias("lang")
+    ).join(fam, "doc_id")
     dist = d.groupBy("lang", "familiarity_x1000").agg(
         F.count("*").alias("c")
     )
@@ -1546,7 +1552,8 @@ def _sql_ccnet(fam_sql: str) -> str:
 WITH fam AS (
   SELECT doc_id, familiarity_x1000 FROM ({fam_sql})
 ), dd AS (
-  SELECT doc.doc_id, doc.lang, f.familiarity_x1000
+  SELECT doc.doc_id, coalesce(doc.lang, '__und__') AS lang,
+         f.familiarity_x1000
   FROM documents doc JOIN fam f ON f.doc_id = doc.doc_id
 ), dist AS (
   SELECT lang, familiarity_x1000, COUNT(*) AS c

@@ -169,7 +169,11 @@ _TRACKING_RE = "&(?:utm_[a-z]+|fbclid|gclid)=[^&]*"
 
 def normalize_urls(d: DataFrame, url_col: str = "url") -> DataFrame:
     """Append normalized_url + changed to ``d``. Pure column math,
-    zero exchanges."""
+    zero exchanges. Non-absolute inputs (mailto:, relative paths,
+    protocol-relative //host) pass through UNCHANGED with
+    changed=false — canonicalization is defined only on scheme://
+    URLs, and collapsing the rest to a common mangled key would merge
+    distinct documents in url-keyed dedup."""
     url = F.col(url_col)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
@@ -193,11 +197,14 @@ def normalize_urls(d: DataFrame, url_col: str = "url") -> DataFrame:
         F.regexp_replace(F.concat(F.lit("&"), q), _TRACKING_RE, ""),
         "^&", "",
     )
-    norm = F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(cleaned != "", F.concat(F.lit("?"), cleaned))
-         .otherwise(F.lit("")),
-    )
+    norm = F.when(
+        url.rlike(_SCHEME_RE),
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(cleaned != "", F.concat(F.lit("?"), cleaned))
+             .otherwise(F.lit("")),
+        ),
+    ).otherwise(url)
     return d.withColumn("normalized_url", norm).withColumn(
         "changed", F.col("normalized_url") != url
     )
@@ -273,6 +280,7 @@ WITH u AS (
   FROM u
 ), norm AS (
   SELECT doc_id, url,
+    CASE WHEN NOT regexp_matches(url, '{_SCHEME_RE}') THEN url ELSE
     scheme || '://'
     || CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
          THEN regexp_extract(hostport, '^(.*):80$', 1)
@@ -288,6 +296,7 @@ WITH u AS (
            '&' || regexp_extract(nofrag, '\\?(.*)$', 1),
            '{_TRACKING_RE}', '', 'g'), '^&', '')
         ELSE '' END
+    END
     AS normalized_url
   FROM parts
 )

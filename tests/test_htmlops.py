@@ -306,3 +306,36 @@ def test_frontier_splits_nav_vs_chrome(spark):
     assert dangling[0].target_url.split("/p/")[1].split("?")[0] == "500"
     chrome = [r for r in rows if "/p/" not in r.target_url]
     assert chrome and all(r.indegree >= 1 for r in chrome)
+
+
+def test_resolved_targets_relative_and_protocol_relative(spark):
+    """RFC 3986 resolution branches: absolute kept; //host takes the
+    base scheme; /path takes the base host; bare names join the page's
+    directory (not the host root)."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.operators.htmlops import _LINK_RE
+
+    # mirror _resolved_targets' resolution over a handcrafted frame
+    ex = spark.createDataFrame(
+        [(1, "https://www.d3.com", "https://www.d3.com/p/", h)
+         for h in ["https://ext.example/a", "//cdn.example/x",
+                   "/root/y", "page2.html"]],
+        "doc_id long, base_host string, base_dir string, href string",
+    )
+    target = (
+        F.when(F.col("href").rlike("^https?://"), F.col("href"))
+        .when(F.col("href").startswith("//"),
+              F.concat(F.regexp_extract("base_host", "^([a-z]+):", 1),
+                       F.lit(":"), F.col("href")))
+        .when(F.col("href").startswith("/"),
+              F.concat(F.col("base_host"), F.col("href")))
+        .otherwise(F.concat(F.col("base_dir"), F.col("href")))
+    )
+    got = [r.t for r in ex.select(target.alias("t")).collect()]
+    assert got == [
+        "https://ext.example/a",
+        "https://cdn.example/x",
+        "https://www.d3.com/root/y",
+        "https://www.d3.com/p/page2.html",
+    ]

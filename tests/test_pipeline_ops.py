@@ -777,3 +777,19 @@ def test_url_normalize_collapses_planted_spellings(spark):
         df.selectExpr("doc_id", "normalized_url as url")
     )
     assert again.where("changed").count() == 0
+
+
+def test_url_normalize_non_absolute_passthrough(spark):
+    """Canonicalization is defined only on scheme:// URLs — everything
+    else must pass through unchanged (NOT collapse to a shared mangled
+    key that would merge distinct docs in url-keyed dedup)."""
+    from dd_ops_ocr_spark.operators.urlops import normalize_urls
+
+    raws = ["mailto:a@b.com", "foo/bar.html", "//cdn.example/x",
+            "#frag-only", ""]
+    d = spark.createDataFrame(
+        list(enumerate(raws)), "doc_id long, url string"
+    )
+    for r in normalize_urls(d).collect():
+        assert r.normalized_url == r.url, r
+        assert r.changed is False, r
