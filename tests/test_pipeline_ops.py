@@ -793,3 +793,74 @@ def test_url_normalize_non_absolute_passthrough(spark):
     for r in normalize_urls(d).collect():
         assert r.normalized_url == r.url, r
         assert r.changed is False, r
+
+
+def test_url_normalize_grammar_product_vs_python_referee(spark):
+    """Exhaustive product of the URL grammar's dimensions (scheme case x
+    host case x port x path x query-with-tracking x fragment = 960
+    combos) against a pure-Python referee of the same spec, plus
+    idempotence over every output. One Spark job for the whole grid."""
+    import itertools
+    import re
+
+    from dd_ops_ocr_spark.operators.urlops import normalize_urls
+
+    def ref(u):
+        m = re.match(r"^([A-Za-z]+)://", u)
+        if not m:
+            return u
+        scheme = m.group(1).lower()
+        hostport = re.match(r"^[A-Za-z]+://([^/?#]*)", u).group(1).lower()
+        if scheme == "http" and hostport.endswith(":80"):
+            host = hostport[:-3]
+        elif scheme == "https" and hostport.endswith(":443"):
+            host = hostport[:-4]
+        else:
+            host = hostport
+        rest = re.match(r"^[A-Za-z]+://[^/?#]*(.*)$", u, re.S).group(1)
+        nofrag = re.sub(r"#.*$", "", rest, flags=re.S)
+        path = re.match(r"^([^?]*)", nofrag).group(1) or "/"
+        qm = re.search(r"\?(.*)$", nofrag, re.S)
+        q = qm.group(1) if qm else ""
+        cleaned = re.sub(
+            r"^&", "",
+            re.sub(r"&(?:utm_[a-z]+|fbclid|gclid)=[^&]*", "", "&" + q),
+        )
+        return scheme + "://" + host + path + (
+            "?" + cleaned if cleaned else "")
+
+    urls = [
+        f"{s}://{h}{port}{path}{q}{frag}"
+        for s, h, port, path, q, frag in itertools.product(
+            ["http", "HTTP", "https", "HTTPS"],
+            ["Ex.COM", "www.ex.com"],
+            ["", ":80", ":443", ":8080"],
+            ["", "/a", "/A/b"],
+            ["", "?utm_source=x", "?a=1&utm_x=2&b=3",
+             "?utm_campaign=1&gclid=2", "?ref=h&fbclid=z&x=9"],
+            ["", "#f"],
+        )
+    ]
+    d = spark.createDataFrame(
+        list(enumerate(urls)), "doc_id long, url string"
+    )
+    got = {r.url: r.normalized_url for r in normalize_urls(d).collect()}
+    assert len(got) == len(set(urls))
+    for u in urls:
+        assert got[u] == ref(u), (u, got[u], ref(u))
+    # idempotence over every distinct output
+    outs = sorted(set(got.values()))
+    d2 = spark.createDataFrame(
+        list(enumerate(outs)), "doc_id long, url string"
+    )
+    assert normalize_urls(d2).where("changed").count() == 0
+
+
+def test_url_normalize_plan_is_narrow(spark):
+    from dd_ops_ocr_spark.operators.urlops import q_url_normalize
+
+    df = q_url_normalize(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, f"url_normalize grew a shuffle:\n{plan[:2000]}"
