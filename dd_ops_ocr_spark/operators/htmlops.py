@@ -469,12 +469,16 @@ FROM ex
 # carries one row per (task, target) — the output, not the corpus.
 
 
-def _resolved_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _resolved_targets(
+    spark: SparkSession, sf_dir: str, with_src: bool = False
+) -> DataFrame:
     """(doc_id, target_url) pairs: each planted page's anchors resolved
     against its canonical base URL. base_host is pure doc_id column
     math, so it rides the SAME narrow pipeline as the html plant — no
     join (measured: the doc_id join alternative shuffles full pages and
-    costs ~2x at 1.28M docs)."""
+    costs ~2x at 1.28M docs). with_src=True additionally carries the
+    page's own canonical URL as src_url (the link-graph edge source,
+    used by linkgraph.pagerank)."""
     from dd_ops_ocr_spark.operators.urlops import (
         normalize_urls,
         plant_messy_urls,
@@ -484,7 +488,7 @@ def _resolved_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     pages = normalize_urls(plant_messy_urls(plant_html(docs))).select(
-        "doc_id", "html",
+        "doc_id", "html", F.col("normalized_url").alias("src_url"),
         F.regexp_extract("normalized_url", "^(https://[^/]+)", 1)
          .alias("base_host"),
         # RFC 3986 base directory: everything through the last '/' of
@@ -493,11 +497,12 @@ def _resolved_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("base_dir"),
     )
     arr = pages.select(
-        "doc_id", "base_host", "base_dir",
+        "doc_id", "src_url", "base_host", "base_dir",
         F.regexp_extract_all("html", F.lit(_LINK_RE), 1).alias("hs"),
     )
     ex = arr.select(
-        "doc_id", "base_host", "base_dir", F.explode("hs").alias("href")
+        "doc_id", "src_url", "base_host", "base_dir",
+        F.explode("hs").alias("href"),
     )
     target = (
         F.when(F.col("href").rlike("^https?://"), F.col("href"))
@@ -510,7 +515,10 @@ def _resolved_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bare relative: resolve against the page's directory
         .otherwise(F.concat(F.col("base_dir"), F.col("href")))
     )
-    return ex.select(target.alias("target_url"), "doc_id")
+    cols = [target.alias("target_url"), "doc_id"]
+    if with_src:
+        cols.append("src_url")
+    return ex.select(*cols)
 
 
 def _indegree(pairs: DataFrame) -> DataFrame:

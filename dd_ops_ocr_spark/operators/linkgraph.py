@@ -1,0 +1,157 @@
+"""Link-graph PageRank — the crawl-quality signal over resolved outlinks.
+
+``link_graph_indegree`` (htmlops) builds the raw graph; this module
+computes the classic recursive quality score on it (Page et al. 1999,
+the public PageRank paper): a page is important when important pages
+link to it. Web-scale training pipelines use it (or a domain-level
+variant) as a quality prior for sampling — the web twin of the
+reference's per-document risk scoring joins
+(`src/api/main.py` dimension enrich, J5), where a document's worth
+comes from a graph-shaped signal rather than its own bytes.
+
+**Integer-exact fixed-point variant** so Spark and DuckDB agree
+bit-for-bit (no float summation order hazard):
+
+* ranks are int64 fixed-point, ``SCALE = 10^12`` per unit;
+* damping d = 0.85 = 17/20 stays rational: each edge contributes
+  ``floor(rank_u * 17 / (20 * outdeg_u))`` — ONE floor per edge, an
+  order-independent integer, summed exactly in both engines;
+* ``K`` iterations of ``rank' = floor(0.15*SCALE) + sum(contribs)``
+  (the un-normalized "PageRank with the 1-vector" form; dangling mass
+  is dropped, the standard simplification).
+
+The quantization error vs real-valued PageRank is < K edges' worth of
+single-ULP floors — irrelevant for a quality prior, and in exchange
+the driver hash-check pins all K iterations exactly.
+
+Scale shape: per iteration ONE join (edges×ranks on src_url — both
+sides hash-partitioned on the same key, so AQE reuses the exchange)
+and ONE map-side-combinable sum per target. Mega-hub targets (a URL
+every page links to) concentrate on the AGGREGATION side only, where
+partial aggregation absorbs the skew before the shuffle; source-side
+fan-out is per-edge work, never per-node. At 10^12 pages ranks are
+node-sized rows (url, int64) — the output, not the corpus. int64 holds
+while ``max_indegree * SCALE < 9.2e18 / 17`` (~5e5 pages linking one
+URL at this SCALE); a production run at web scale drops SCALE to 10^9
+(headroom ~5e8) or moves to decimal(38,0) — same plan, noted here so
+the limit is explicit. K is fixed and small (3), so the loop unrolls
+into one Catalyst plan; larger K would localCheckpoint per round like
+``dedup_clusters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SCALE = 10 ** 12
+_DNUM, _DDEN = 17, 20           # damping 0.85 as an exact rational
+_BASE = 3 * SCALE // _DDEN      # (1 - d) * SCALE, exact
+K_ITERS = 3
+
+
+def edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src_url, target_url) edges of the planted corpus:
+    resolved anchors with the page's canonical URL as source. Distinct
+    because PageRank is defined on the graph, not the multigraph."""
+    from dd_ops_ocr_spark.operators.htmlops import _resolved_targets
+
+    return (
+        _resolved_targets(spark, sf_dir, with_src=True)
+        .select("src_url", "target_url")
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = K_ITERS) -> DataFrame:
+    """(src_url, target_url) edges -> (url, pr) for every node (source
+    or target), pr the int64 fixed-point rank after ``iters`` exact
+    integer iterations."""
+    outdeg = edges.groupBy("src_url").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ed = edges.join(outdeg, "src_url")
+    nodes = (
+        edges.select(F.col("src_url").alias("url"))
+        .union(edges.select(F.col("target_url").alias("url")))
+        .distinct()
+    )
+    ranks = nodes.select("url", F.lit(SCALE).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src_url == ranks.url)
+            .select(
+                F.col("target_url").alias("url"),
+                F.expr(f"(pr * {_DNUM}) DIV ({_DDEN} * outdeg)")
+                .alias("c"),
+            )
+            .groupBy("url")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "url", "left").select(
+            "url",
+            (F.lit(_BASE) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long").alias("pr"),
+        )
+    return ranks
+
+
+def q_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(edges_df(spark, sf_dir))
+
+
+# ------------------------------------------------------------ oracle
+#
+# The K iterations restated as chained CTEs. src_url uses the canonical
+# CLOSED FORM (htmlops._sql_canonical), so the hash additionally
+# cross-checks url_normalize against its spec (the frontier-oracle
+# trick). DuckDB's `//` is integer floor division like Spark's DIV
+# (all operands positive here); sums of BIGINT widen to HUGEINT in
+# DuckDB, hence the ::BIGINT on every rank expression.
+
+def _sql() -> str:
+    from dd_ops_ocr_spark.operators.htmlops import (
+        _sql_canonical,
+        _sql_target_pairs,
+    )
+
+    sql = f"""
+WITH pairs AS (
+  SELECT DISTINCT {_sql_canonical("t.doc_id")} AS src_url, t.target_url
+  FROM ({_sql_target_pairs()}) t
+),
+outdeg AS (
+  SELECT src_url, count(*) AS outdeg FROM pairs GROUP BY src_url
+),
+nodes AS (
+  SELECT src_url AS url FROM pairs
+  UNION
+  SELECT target_url FROM pairs
+),
+r0 AS (SELECT url, {SCALE}::BIGINT AS pr FROM nodes)"""
+    prev = "r0"
+    for k in range(1, K_ITERS + 1):
+        sql += f""",
+c{k} AS (
+  SELECT p.target_url AS url,
+    sum((r.pr * {_DNUM}) // ({_DDEN} * o.outdeg)) AS s
+  FROM pairs p
+  JOIN {prev} r ON p.src_url = r.url
+  JOIN outdeg o ON p.src_url = o.src_url
+  GROUP BY p.target_url
+),
+r{k} AS (
+  SELECT n.url, ({_BASE} + coalesce(c.s, 0))::BIGINT AS pr
+  FROM nodes n LEFT JOIN c{k} c ON n.url = c.url
+)"""
+        prev = f"r{k}"
+    return sql + f"\nSELECT url, pr FROM {prev}"
+
+
+SQL_LINK_GRAPH_PAGERANK = _sql()
+
+QUERIES = {
+    "link_graph_pagerank": q_link_graph_pagerank,
+}
+ORACLE_SQL = {
+    "link_graph_pagerank": SQL_LINK_GRAPH_PAGERANK,
+}

@@ -261,6 +261,7 @@ from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
 from dd_ops_ocr_spark.operators import htmlops as _htmlops  # noqa: E402
 from dd_ops_ocr_spark.operators import integrate as _integrate  # noqa: E402
 from dd_ops_ocr_spark.operators import joins as _joins  # noqa: E402
+from dd_ops_ocr_spark.operators import linkgraph as _linkgraph  # noqa: E402
 from dd_ops_ocr_spark.operators import jsonops as _jsonops  # noqa: E402
 from dd_ops_ocr_spark.operators import multimodal as _multimodal  # noqa: E402
 from dd_ops_ocr_spark.operators import overlap as _overlap  # noqa: E402
@@ -273,6 +274,7 @@ from dd_ops_ocr_spark.operators import textstats as _textstats  # noqa: E402
 from dd_ops_ocr_spark.operators import typeutils as _typeutils  # noqa: E402
 from dd_ops_ocr_spark.operators import urlops as _urlops  # noqa: E402
 from dd_ops_ocr_spark.operators import vision as _vision  # noqa: E402
+from dd_ops_ocr_spark.operators import warc as _warc  # noqa: E402
 from dd_ops_ocr_spark import sources as _sources  # noqa: E402
 
 _register(_sources)
@@ -296,6 +298,8 @@ _register(_vision)
 _register(_catalogops)
 _register(_external)
 _register(_bpe)
+_register(_linkgraph)
+_register(_warc)
 
 
 # ---------------------------------------------------------------- roster order
@@ -307,6 +311,9 @@ _register(_bpe)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "warc_records",
+    "warc_quarantine",
+    "link_graph_pagerank",
     "frontier_new_urls",
     "link_graph_indegree",
     "url_normalize",
@@ -372,6 +379,8 @@ _ROSTER_HEAD = [
     "embedding_stats",
     "media_metadata",
     "media_metadata_jpeg",
+    # (the warc pair + link_graph_pagerank at the head displace three
+    # more names past the 50-prefix — same policy, see below)
     # flagship_extract_pandas, flagship_extract_exploded and (since the
     # session-6+ additions) media_frame_sample, engine_zip,
     # dim_enrich_join, media_resize, media_metadata_png — and with the
