@@ -687,6 +687,23 @@ def main() -> None:
             F.sum("indegree"), F.sum("n_links"),
             F.count("*")).collect()
     )
+    # integer-exact PageRank (K=3) over the resolved edges; consume the
+    # rank sum so all three iteration rounds execute
+    from dd_ops_ocr_spark.operators.linkgraph import q_link_graph_pagerank
+
+    queries["link_graph_pagerank"] = timed(
+        lambda: q_link_graph_pagerank(spark, SF_DIR).agg(
+            F.sum("pr"), F.count("*")).collect()
+    )
+    # WARC round trip (write 3 records -> strict parse -> field rows);
+    # consume lengths + md5 prefix so the payload path can't be pruned
+    from dd_ops_ocr_spark.operators.warc import q_warc_records
+
+    queries["warc_records"] = timed(
+        lambda: q_warc_records(spark, SF_DIR).agg(
+            F.sum("content_length"), F.sum("body_len"),
+            F.count("body_md5")).collect()
+    )
     # byte-real PDF round trip (encode -> xref/flate parse -> text ops)
     # + the reading-order window; consume text and geometry
     from dd_ops_ocr_spark.operators.pdf import q_pdf_text_spans
