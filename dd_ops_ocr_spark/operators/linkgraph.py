@@ -69,11 +69,19 @@ def pagerank(edges: DataFrame, iters: int = K_ITERS) -> DataFrame:
     outdeg = edges.groupBy("src_url").agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    ed = edges.join(outdeg, "src_url")
+    # Loop invariants: every iteration re-reads edges and nodes, and
+    # without persist() Spark recomputes their full lineage (here: the
+    # html plant + regexp outlink extraction) once per round — measured
+    # 44.8 s -> materialize-once at 1.28M docs / ~9M edges. At real
+    # scale edges land as parquet once and this persist is the
+    # in-session equivalent; MEMORY_AND_DISK so a node-sized spill
+    # degrades to disk instead of OOM.
+    ed = edges.join(outdeg, "src_url").persist()
     nodes = (
         edges.select(F.col("src_url").alias("url"))
         .union(edges.select(F.col("target_url").alias("url")))
         .distinct()
+        .persist()
     )
     ranks = nodes.select("url", F.lit(SCALE).cast("long").alias("pr"))
     for _ in range(iters):
