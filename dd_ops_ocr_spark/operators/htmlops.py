@@ -470,7 +470,10 @@ FROM ex
 
 
 def _resolved_targets(
-    spark: SparkSession, sf_dir: str, with_src: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_src: bool = False,
+    with_text: bool = False,
 ) -> DataFrame:
     """(doc_id, target_url) pairs: each planted page's anchors resolved
     against its canonical base URL. base_host is pure doc_id column
@@ -478,7 +481,9 @@ def _resolved_targets(
     join (measured: the doc_id join alternative shuffles full pages and
     costs ~2x at 1.28M docs). with_src=True additionally carries the
     page's own canonical URL as src_url (the link-graph edge source,
-    used by linkgraph.pagerank)."""
+    used by linkgraph.pagerank). with_text=True carries the anchor's
+    tag-stripped whitespace-collapsed text (same cleanup as
+    extract_outlinks — aligned posexplode keeps href/text zipped)."""
     from dd_ops_ocr_spark.operators.urlops import (
         normalize_urls,
         plant_messy_urls,
@@ -496,14 +501,26 @@ def _resolved_targets(
         F.regexp_extract("normalized_url", "^([^?]*/)", 1)
          .alias("base_dir"),
     )
-    arr = pages.select(
-        "doc_id", "src_url", "base_host", "base_dir",
+    arr_cols = [
+        F.col("doc_id"), F.col("src_url"), F.col("base_host"),
+        F.col("base_dir"),
         F.regexp_extract_all("html", F.lit(_LINK_RE), 1).alias("hs"),
-    )
-    ex = arr.select(
-        "doc_id", "src_url", "base_host", "base_dir",
-        F.explode("hs").alias("href"),
-    )
+    ]
+    if with_text:
+        arr_cols.append(
+            F.regexp_extract_all("html", F.lit(_LINK_RE), 2).alias("ts")
+        )
+    arr = pages.select(*arr_cols)
+    if with_text:
+        ex = arr.select(
+            "doc_id", "src_url", "base_host", "base_dir", "ts",
+            F.posexplode("hs").alias("pos", "href"),
+        )
+    else:
+        ex = arr.select(
+            "doc_id", "src_url", "base_host", "base_dir",
+            F.explode("hs").alias("href"),
+        )
     target = (
         F.when(F.col("href").rlike("^https?://"), F.col("href"))
         # protocol-relative: take the base's scheme, not its host
@@ -518,6 +535,15 @@ def _resolved_targets(
     cols = [target.alias("target_url"), "doc_id"]
     if with_src:
         cols.append("src_url")
+    if with_text:
+        raw = F.element_at("ts", F.col("pos") + 1)
+        cols.append(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(raw, _TAG_RE, " "), "\\s+", " "
+                )
+            ).alias("anchor_text")
+        )
     return ex.select(*cols)
 
 
@@ -658,6 +684,121 @@ FROM graph g ANTI JOIN have h USING (target_url)
 """
 
 
+# ---------------------------------------------------- anchor signal
+#
+# Per-target anchor-text aggregation — how the web describes a page
+# (the classic retrieval/quality signal: anchor text is an independent
+# summary of the TARGET, written by the linking page's author). The
+# web twin of the reference's comment aggregation A5
+# (`src/api/main.py` ordered comment agg): many writers, one subject,
+# deterministic ordered fold.
+#
+# Scale shape (10^12 pages): three hash operations, ALL keyed on
+# target_url (or its (target, text) refinement), so AQE reuses the
+# partitioning. The mega-hub worry — a URL every page links to, with
+# millions of distinct texts — is bounded at every step: the counting
+# agg is map-side-combinable partials; the (target, text) DISTINCT
+# partially dedupes map-side before the wire; the per-target top-3 is
+# a window over the ALREADY-distinct pairs (a spill-safe sort, never a
+# held-in-memory set — deliberately NOT collect_set, whose per-group
+# state is unbounded on a hub); and the final collect_list holds <= 3
+# rows by construction. The stats<->top join keys on target_url, which
+# both sides are already partitioned by.
+
+
+def anchor_text_agg(pairs: DataFrame, k: int = 3) -> DataFrame:
+    """(target_url, anchor_text) pairs -> per-target
+    (n_anchors, n_texts, top_texts): anchor count, distinct-text count,
+    and the lexicographic top-``k`` distinct texts joined with ' | '
+    (lexicographic, not frequency, so the fold is deterministic and
+    both engines agree bit-for-bit)."""
+    from pyspark.sql import Window
+
+    nz = pairs.filter(F.col("anchor_text") != "")
+    stats = nz.groupBy("target_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.countDistinct("anchor_text").cast("long").alias("n_texts"),
+    )
+    dist = nz.select("target_url", "anchor_text").distinct()
+    w = Window.partitionBy("target_url").orderBy("anchor_text")
+    top = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("target_url")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("anchor_text")), " | "
+            ).alias("top_texts")
+        )
+    )
+    return stats.join(top, "target_url")
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anchor_text_agg(
+        _resolved_targets(spark, sf_dir, with_text=True)
+        .select("target_url", "anchor_text")
+    )
+
+
+def _sql_target_pairs_text() -> str:
+    """(doc_id, target_url, anchor_text) — _sql_target_pairs with the
+    anchor text carried through DuckDB's aligned parallel unnest (both
+    lists come from the same regex, so they zip positionally)."""
+    from dd_ops_ocr_spark.operators.urlops import SQL_URL_NORMALIZE
+
+    return f"""
+  SELECT doc_id,
+    CASE WHEN regexp_matches(href, '^https?://') THEN href
+         WHEN href LIKE '//%' THEN
+           regexp_extract(base_host, '^([a-z]+):', 1) || ':' || href
+         WHEN href LIKE '/%' THEN base_host || href
+         ELSE base_dir || href END AS target_url,
+    trim(regexp_replace(regexp_replace(raw_text, '{_TAG_RE}', ' ', 'g'),
+                        '\\s+', ' ', 'g')) AS anchor_text
+  FROM (
+    SELECT p.doc_id, b.base_host, b.base_dir,
+      unnest(regexp_extract_all(p.html, '{_LINK_RE}', 1)) AS href,
+      unnest(regexp_extract_all(p.html, '{_LINK_RE}', 2)) AS raw_text
+    FROM ({_SQL_PLANT}) p
+    JOIN (
+      SELECT doc_id,
+        regexp_extract(normalized_url, '^(https://[^/]+)', 1)
+          AS base_host,
+        regexp_extract(normalized_url, '^([^?]*/)', 1) AS base_dir
+      FROM ({SQL_URL_NORMALIZE})
+    ) b ON p.doc_id = b.doc_id
+  )
+"""
+
+
+def _sql_anchor_text_agg() -> str:
+    return f"""
+WITH pairs AS (
+{_sql_target_pairs_text()}
+), nz AS (
+  SELECT target_url, anchor_text FROM pairs WHERE anchor_text <> ''
+), stats AS (
+  SELECT target_url, count(*)::BIGINT AS n_anchors,
+    count(DISTINCT anchor_text)::BIGINT AS n_texts
+  FROM nz GROUP BY target_url
+), dist AS (
+  SELECT DISTINCT target_url, anchor_text FROM nz
+), ranked AS (
+  SELECT target_url, anchor_text,
+    row_number() OVER (PARTITION BY target_url ORDER BY anchor_text)
+      AS rn
+  FROM dist
+), top AS (
+  SELECT target_url,
+    string_agg(anchor_text, ' | ' ORDER BY anchor_text) AS top_texts
+  FROM ranked WHERE rn <= 3 GROUP BY target_url
+)
+SELECT target_url, s.n_anchors, s.n_texts, t.top_texts
+FROM stats s JOIN top t USING (target_url)
+"""
+
+
 QUERIES = {
     "html_main_content": q_html_main_content,
     "html_block_classify": q_html_block_classify,
@@ -666,6 +807,7 @@ QUERIES = {
     "html_outlinks": q_html_outlinks,
     "link_graph_indegree": q_link_graph_indegree,
     "frontier_new_urls": q_frontier_new_urls,
+    "anchor_text_agg": q_anchor_text_agg,
 }
 ORACLE_SQL = {
     "html_main_content": SQL_HTML_MAIN_CONTENT,
@@ -675,4 +817,5 @@ ORACLE_SQL = {
     "html_outlinks": SQL_HTML_OUTLINKS,
     "link_graph_indegree": _sql_link_graph(),
     "frontier_new_urls": _sql_frontier(),
+    "anchor_text_agg": _sql_anchor_text_agg(),
 }

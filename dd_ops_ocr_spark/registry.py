@@ -311,6 +311,7 @@ _register(_warc)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "anchor_text_agg",
     "warc_records",
     "warc_quarantine",
     "link_graph_pagerank",

@@ -339,3 +339,46 @@ def test_resolved_targets_relative_and_protocol_relative(spark):
         "https://www.d3.com/root/y",
         "https://www.d3.com/p/page2.html",
     ]
+
+
+def test_anchor_text_agg_semantics(spark):
+    """Dedup, lexicographic top-3 cap, empty-text drop, counts."""
+    from dd_ops_ocr_spark.operators.htmlops import anchor_text_agg
+
+    pairs = spark.createDataFrame(
+        [
+            # hub: 5 anchors, 4 distinct texts -> top-3 lexicographic
+            ("https://t/hub", "delta"),
+            ("https://t/hub", "alpha"),
+            ("https://t/hub", "charlie"),
+            ("https://t/hub", "bravo"),
+            ("https://t/hub", "alpha"),      # duplicate text
+            ("https://t/hub", ""),           # empty: dropped everywhere
+            # singleton target
+            ("https://t/one", "only text"),
+        ],
+        "target_url string, anchor_text string",
+    )
+    out = {r.target_url: r for r in anchor_text_agg(pairs).collect()}
+    hub = out["https://t/hub"]
+    assert (hub.n_anchors, hub.n_texts) == (5, 4)
+    assert hub.top_texts == "alpha | bravo | charlie"  # delta capped off
+    one = out["https://t/one"]
+    assert (one.n_anchors, one.n_texts, one.top_texts) == (
+        1, 1, "only text"
+    )
+
+
+def test_anchor_text_agg_plan_bounded(spark):
+    """No cartesian, no collect_set (unbounded per-group state on a
+    mega-hub): the top-k side must be the distinct->window->rn<=k
+    shape whose collect_list holds <= k rows."""
+    from dd_ops_ocr_spark.operators.htmlops import q_anchor_text_agg
+
+    df = q_anchor_text_agg(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "collect_set" not in plan
+    assert "row_number" in plan
