@@ -695,6 +695,15 @@ def main() -> None:
         lambda: q_link_graph_pagerank(spark, SF_DIR).agg(
             F.sum("pr"), F.count("*")).collect()
     )
+    # anchor-text fold: counts + distinct + windowed top-3 per target;
+    # consume counts and folded-text length so no side prunes
+    from dd_ops_ocr_spark.operators.htmlops import q_anchor_text_agg
+
+    queries["anchor_text_agg"] = timed(
+        lambda: q_anchor_text_agg(spark, SF_DIR).agg(
+            F.sum("n_anchors"), F.sum("n_texts"),
+            F.sum(F.length("top_texts"))).collect()
+    )
     # WARC round trip (write 3 records -> strict parse -> field rows);
     # consume lengths + md5 prefix so the payload path can't be pruned
     from dd_ops_ocr_spark.operators.warc import q_warc_records
