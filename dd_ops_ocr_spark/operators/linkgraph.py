@@ -107,6 +107,61 @@ def q_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges_df(spark, sf_dir))
 
 
+_HOST_RE = "^(https?://[^/]+)"
+
+
+def host_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src_host, target_host) edges — the FULL page-level pair
+    stream (resolved anchors PLUS the frontier's cross-doc nav links,
+    the same union ``q_frontier_new_urls`` aggregates) collapsed to host
+    granularity, intra-host links dropped (at host grain they are
+    self-loops, and a page's links to its own site say nothing about
+    cross-site endorsement; dropping them is the standard domain-rank
+    construction). On the planted corpus every chrome/content anchor is
+    root-relative — all of those provably drop as self-loops — so the
+    surviving graph is exactly the nav edges whose md5-derived domains
+    differ. The collapse happens BEFORE the distinct, so the shuffle
+    dedupes host pairs (output-sized, ~#sites², not page pairs); the
+    nav side is pure doc_id column math (plant→normalize on id and
+    id+1 over the SAME rows), so no join is introduced anywhere."""
+    from dd_ops_ocr_spark.operators.htmlops import _resolved_targets
+    from dd_ops_ocr_spark.operators.urlops import (
+        normalize_urls,
+        plant_messy_urls,
+    )
+
+    anchor = _resolved_targets(spark, sf_dir, with_src=True).select(
+        F.regexp_extract("src_url", _HOST_RE, 1).alias("src_url"),
+        F.regexp_extract("target_url", _HOST_RE, 1).alias("target_url"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    src = normalize_urls(plant_messy_urls(docs)).select(
+        F.regexp_extract("normalized_url", _HOST_RE, 1).alias("src_url"),
+        (F.col("doc_id") + F.lit(1)).alias("doc_id"),
+    )
+    nav = normalize_urls(plant_messy_urls(src)).select(
+        "src_url",
+        F.regexp_extract("normalized_url", _HOST_RE, 1)
+         .alias("target_url"),
+    )
+    return anchor.unionAll(nav).filter(
+        (F.col("src_url") != F.col("target_url"))
+        & (F.col("target_url") != "")
+    ).distinct()
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level PageRank — the quality-prior variant web training
+    pipelines actually sample by (see module docstring): the same
+    integer-exact fixed point over the host-collapsed graph. Hosts are
+    few (output ~ number of sites, not pages), so at 10^12 pages the
+    only corpus-scale work is building the host edges; every iteration
+    runs on site-cardinality rows."""
+    return pagerank(host_edges_df(spark, sf_dir))
+
+
 # ------------------------------------------------------------ oracle
 #
 # The K iterations restated as chained CTEs. src_url uses the canonical
@@ -116,16 +171,12 @@ def q_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (all operands positive here); sums of BIGINT widen to HUGEINT in
 # DuckDB, hence the ::BIGINT on every rank expression.
 
-def _sql() -> str:
-    from dd_ops_ocr_spark.operators.htmlops import (
-        _sql_canonical,
-        _sql_target_pairs,
-    )
-
+def _sql_from_pairs(pairs_sql: str) -> str:
+    """The K fixed-point iterations as chained CTEs over any
+    (src_url, target_url) pair stream."""
     sql = f"""
 WITH pairs AS (
-  SELECT DISTINCT {_sql_canonical("t.doc_id")} AS src_url, t.target_url
-  FROM ({_sql_target_pairs()}) t
+{pairs_sql}
 ),
 outdeg AS (
   SELECT src_url, count(*) AS outdeg FROM pairs GROUP BY src_url
@@ -155,11 +206,56 @@ r{k} AS (
     return sql + f"\nSELECT url, pr FROM {prev}"
 
 
+def _sql() -> str:
+    from dd_ops_ocr_spark.operators.htmlops import (
+        _sql_canonical,
+        _sql_target_pairs,
+    )
+
+    return _sql_from_pairs(f"""
+  SELECT DISTINCT {_sql_canonical("t.doc_id")} AS src_url, t.target_url
+  FROM ({_sql_target_pairs()}) t
+""")
+
+
+def _sql_hosts() -> str:
+    """Host-collapsed pair stream: anchors UNION ALL nav links (the
+    frontier's pair stream), host regexp'd off BOTH endpoints — src and
+    the nav endpoints restated in canonical CLOSED FORM, so the hash
+    cross-checks url_normalize yet again — then self-loops and
+    unresolvable targets dropped, THEN distinct: same order as the
+    Spark side."""
+    from dd_ops_ocr_spark.operators.htmlops import (
+        _sql_canonical,
+        _sql_target_pairs,
+    )
+
+    return _sql_from_pairs(f"""
+  SELECT DISTINCT src_url, target_url FROM (
+    SELECT
+      regexp_extract({_sql_canonical("t.doc_id")}, '{_HOST_RE}', 1)
+        AS src_url,
+      regexp_extract(t.target_url, '{_HOST_RE}', 1) AS target_url
+    FROM ({_sql_target_pairs()}) t
+    UNION ALL
+    SELECT
+      regexp_extract({_sql_canonical("doc_id")}, '{_HOST_RE}', 1)
+        AS src_url,
+      regexp_extract({_sql_canonical("doc_id + 1")}, '{_HOST_RE}', 1)
+        AS target_url
+    FROM documents
+  ) WHERE src_url <> target_url AND target_url <> ''
+""")
+
+
 SQL_LINK_GRAPH_PAGERANK = _sql()
+SQL_HOST_PAGERANK = _sql_hosts()
 
 QUERIES = {
     "link_graph_pagerank": q_link_graph_pagerank,
+    "host_pagerank": q_host_pagerank,
 }
 ORACLE_SQL = {
     "link_graph_pagerank": SQL_LINK_GRAPH_PAGERANK,
+    "host_pagerank": SQL_HOST_PAGERANK,
 }

@@ -312,6 +312,7 @@ _register(_warc)
 _ROSTER_HEAD = [
     # new this round — never stamped
     "anchor_text_agg",
+    "host_pagerank",
     "warc_records",
     "warc_quarantine",
     "link_graph_pagerank",

@@ -67,3 +67,25 @@ def test_plan_shape(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_pagerank_matches_referee(spark):
+    """Host-collapsed graph: self-loops dropped, nodes are hosts, and
+    the same integer recurrence holds (referee on the collapsed edge
+    list)."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.linkgraph import (
+        host_edges_df,
+        q_host_pagerank,
+    )
+
+    edges = [(r.src_url, r.target_url)
+             for r in host_edges_df(spark, SF_SMOKE).collect()]
+    assert edges, "host graph is empty"
+    assert all(s != t for s, t in edges), "self-loop survived collapse"
+    assert all(s.startswith("https://") and "/" not in s[8:]
+               for s, _ in edges), "src is not a bare host"
+    got = {r.url: r.pr
+           for r in q_host_pagerank(spark, SF_SMOKE).collect()}
+    assert got == _python_pagerank(edges)
