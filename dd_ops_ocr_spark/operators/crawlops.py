@@ -1,0 +1,268 @@
+"""Crawl-politeness operators — robots.txt and sitemap parsing, the two
+site-level control surfaces a web-scale ingestion pipeline consults
+before (robots) and while (sitemaps) fetching a host.
+
+Reference analogue: the pre-check gate of
+`src/modules/step0/01_pre_check.py` — an upstream policy decides which
+inputs the pipeline may process at all; here the policy is the public
+Robots Exclusion Protocol (RFC 9309) instead of filename rules.
+
+Both operators parse REAL control-file text (planted deterministically
+per host, the same closed-form md5 gating as the URL plants) and the
+oracles restate the DECISION in closed form — so the DuckDB hash check
+pins plant, parser, and evaluator against the spec at once, the same
+triangulation `url_normalize` and the frontier use.
+
+Scale shape (10^12 pages):
+
+* robots: the rules table is HOST-cardinality (one row per site — tiny
+  next to the corpus), so the join is a broadcast; rule evaluation is
+  pure per-row array math (filter + array_max over struct ordering) —
+  no corpus shuffle anywhere, the verdict rides the scan.
+* sitemaps: control files arrive as ordinary crawl documents; the parse
+  is a narrow per-row fan-out (aligned regexp_extract_all + posexplode,
+  the html_outlinks pattern) — zero exchanges.
+
+RFC 9309 subset implemented: single `User-agent: *` group,
+`Allow`/`Disallow` path-prefix rules, longest-match-wins with Allow
+winning length ties (the published Google/RFC tie rule), empty match
+set = allowed. Seams (documented, not silently wrong): %-encoded rule
+paths, `*`/`$` wildcards, multiple agent groups, `Crawl-delay`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dd_ops_ocr_spark.operators.urlops import (
+    _EVEN_IN,
+    _EVEN_NIBBLES,
+    _HEX,
+    _N_DOMAINS,
+    _NIB_SQL,
+)
+
+# robots gates key on md5(host_id) nibbles 3-4 — a DIFFERENT keyspace
+# (md5 of the 0..39 host id, not of doc_id), so they are independent of
+# every doc-level plant by construction.
+_DIS_NIB, _ALW_NIB = 3, 4
+
+_RULE_RE = "(?m)^(Allow|Disallow): (\\S+)$"
+
+_HOST_ONLY_RE = "^https?://([^/]+)"
+_PATH_RE = "^https?://[^/]+(.*)$"
+
+
+def _host_nib_even(md, i: int):
+    return F.substring(md, i, 1).isin(_EVEN_NIBBLES)
+
+
+def robots_df(spark: SparkSession) -> DataFrame:
+    """(host, robots_txt, rules) for every planted host: the literal
+    robots.txt text plus its parsed rule list. Every host disallows
+    /admin/; md5(host_id) nibble 3 even additionally disallows /p/;
+    nibble 4 even carves back Allow: /p/2 (the longest-match override).
+    rules is array<struct<allow:boolean,path:string>> via two ALIGNED
+    regexp_extract_all calls zipped positionally (the html_outlinks
+    alignment trick)."""
+    hosts = spark.range(_N_DOMAINS)
+    md = F.md5(F.col("id").cast("string"))
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /admin/\n"),
+        F.when(_host_nib_even(md, _DIS_NIB), F.lit("Disallow: /p/\n"))
+         .otherwise(F.lit("")),
+        F.when(_host_nib_even(md, _ALW_NIB), F.lit("Allow: /p/2\n"))
+         .otherwise(F.lit("")),
+    )
+    parsed = hosts.select(
+        F.concat(F.lit("www.d"), F.col("id").cast("string"),
+                 F.lit(".com")).alias("host"),
+        txt.alias("robots_txt"),
+    ).withColumn(
+        "rules",
+        F.zip_with(
+            F.regexp_extract_all("robots_txt", F.lit(_RULE_RE), 1),
+            F.regexp_extract_all("robots_txt", F.lit(_RULE_RE), 2),
+            lambda d, p: F.struct(
+                (d == "Allow").alias("allow"), p.alias("path")
+            ),
+        ),
+    )
+    return parsed
+
+
+def robots_verdicts(pages: DataFrame, robots: DataFrame) -> DataFrame:
+    """(doc_id, host, path) x (host, rules) -> + allowed. RFC 9309
+    longest-match: among rules whose path is a prefix of the URL path,
+    take max (length, allow) — struct ordering makes Allow win length
+    ties; an empty match set is allowed. Broadcast the host-sized rules
+    side; the verdict itself is per-row array math, no shuffle."""
+    joined = pages.join(F.broadcast(robots.select("host", "rules")),
+                        "host", "left")
+    matched = F.filter(
+        "rules", lambda r: F.col("path").startswith(r["path"])
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["path"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id", "host", "path",
+        F.coalesce(best["a"] == 1, F.lit(True)).alias("allowed"),
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document robots verdict over the canonical URLs: plant the
+    messy URL, normalize it (cross-checks url_normalize yet again),
+    split host/path, evaluate the host's parsed robots rules."""
+    from dd_ops_ocr_spark.operators.urlops import (
+        normalize_urls,
+        plant_messy_urls,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    pages = normalize_urls(plant_messy_urls(docs)).select(
+        "doc_id",
+        F.regexp_extract("normalized_url", _HOST_ONLY_RE, 1)
+         .alias("host"),
+        F.regexp_extract("normalized_url", _PATH_RE, 1).alias("path"),
+    )
+    return robots_verdicts(pages, robots_df(spark))
+
+
+# The oracle states the DECISION in closed form: the only rule that can
+# match a planted path (/p/<id>[?ref=home]) is the gated Disallow: /p/,
+# overridden by the gated Allow: /p/2 on ids whose decimal form starts
+# with 2; Disallow: /admin/ provably never fires. A parser or evaluator
+# bug that e.g. let /admin/ match, inverted the tie rule, or lost a rule
+# line would hash-mismatch.
+
+def _sql_robots() -> str:
+    k = f"(({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})"
+    hnib = lambda i: f"substring(md5({k}::VARCHAR), {i}, 1)"
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    'www.d' || {k}::VARCHAR || '.com' AS host,
+    '/p/' || doc_id::VARCHAR
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 11, 1) IN ({_EVEN_IN})
+         OR substring(md5(doc_id::VARCHAR), 12, 1) IN ({_EVEN_IN})
+       THEN '?ref=home' ELSE '' END AS path,
+    {hnib(_DIS_NIB)} IN ({_EVEN_IN}) AS dis_p,
+    {hnib(_ALW_NIB)} IN ({_EVEN_IN}) AS alw_p2
+  FROM documents
+)
+SELECT doc_id, host, path,
+  NOT (dis_p AND path LIKE '/p/%'
+       AND NOT (alw_p2 AND path LIKE '/p/2%')) AS allowed
+FROM u
+"""
+
+
+# --------------------------------------------------------------- sitemap
+#
+# Per-host sitemap.xml: plant the literal XML (1 + host_id % 4 entries,
+# lastmod/priority derived from host arithmetic — no md5 needed), parse
+# it back with aligned extracts + posexplode. Both directions of the
+# round trip are pinned by the closed-form oracle, the warc_records
+# pattern.
+
+def sitemap_df(spark: SparkSession) -> DataFrame:
+    """(host, sitemap_xml) for every planted host: 1 + (host_id % 4)
+    <url> entries pointing at /s/<j> section pages, lastmod a host-
+    derived month, priority the textbook descending decimal."""
+    hosts = spark.range(_N_DOMAINS)
+    hid = F.col("id")
+    entry = lambda j: F.when(
+        F.lit(j) <= hid % 4 + 1,
+        F.concat(
+            F.lit("<url><loc>https://www.d"), hid.cast("string"),
+            F.lit(f".com/s/{j}</loc>"),
+            F.lit("<lastmod>2026-0"), (hid % 9 + 1).cast("string"),
+            F.lit("-01</lastmod>"),
+            F.lit(f"<priority>0.{10 - j}</priority></url>"),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        *[entry(j) for j in range(1, 5)],
+        F.lit("</urlset>"),
+    )
+    return hosts.select(
+        F.concat(F.lit("www.d"), hid.cast("string"),
+                 F.lit(".com")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+
+
+_LOC_RE = "<url><loc>([^<]*)</loc>"
+_LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
+_PRIO_RE = "<priority>([^<]*)</priority>"
+
+
+def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """(host, sitemap_xml) -> one row per <url> entry: (host, seq, loc,
+    lastmod, priority). Three ALIGNED regexp_extract_all arrays (every
+    entry carries all three tags, so positions line up) + ONE
+    posexplode — narrow plan, zero exchanges."""
+    arr = sitemaps.select(
+        "host",
+        F.regexp_extract_all("sitemap_xml", F.lit(_LOC_RE), 1)
+         .alias("locs"),
+        F.regexp_extract_all("sitemap_xml", F.lit(_LASTMOD_RE), 1)
+         .alias("mods"),
+        F.regexp_extract_all("sitemap_xml", F.lit(_PRIO_RE), 1)
+         .alias("prios"),
+    )
+    ex = arr.select(
+        "host", "mods", "prios",
+        F.posexplode("locs").alias("pos", "loc"),
+    )
+    return ex.select(
+        "host",
+        (F.col("pos") + 1).cast("long").alias("seq"),
+        "loc",
+        F.element_at("mods", F.col("pos") + 1).alias("lastmod"),
+        F.element_at("prios", F.col("pos") + 1).alias("priority"),
+    )
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf_dir unused: sitemaps are host-cardinality control files, not
+    # corpus rows — kept in the (spark, sf_dir) signature the driver
+    # calls with.
+    return parse_sitemaps(sitemap_df(spark))
+
+
+def _sql_sitemap() -> str:
+    return f"""
+SELECT
+  'www.d' || k::VARCHAR || '.com' AS host,
+  j::BIGINT AS seq,
+  'https://www.d' || k::VARCHAR || '.com/s/' || j::VARCHAR AS loc,
+  '2026-0' || ((k % 9) + 1)::VARCHAR || '-01' AS lastmod,
+  '0.' || (10 - j)::VARCHAR AS priority
+FROM generate_series(0, {_N_DOMAINS - 1}) AS t(k),
+     LATERAL unnest(generate_series(1, (k % 4) + 1)) AS u(j)
+"""
+
+
+SQL_ROBOTS_FILTER = _sql_robots()
+SQL_SITEMAP_URLS = _sql_sitemap()
+
+QUERIES = {
+    "robots_filter": q_robots_filter,
+    "sitemap_urls": q_sitemap_urls,
+}
+ORACLE_SQL = {
+    "robots_filter": SQL_ROBOTS_FILTER,
+    "sitemap_urls": SQL_SITEMAP_URLS,
+}

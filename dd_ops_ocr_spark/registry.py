@@ -255,6 +255,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
 
 from dd_ops_ocr_spark.operators import bpe as _bpe  # noqa: E402
 from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
+from dd_ops_ocr_spark.operators import crawlops as _crawlops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
 from dd_ops_ocr_spark.operators import heuristics as _heuristics  # noqa: E402
@@ -300,6 +301,7 @@ _register(_external)
 _register(_bpe)
 _register(_linkgraph)
 _register(_warc)
+_register(_crawlops)
 
 
 # ---------------------------------------------------------------- roster order
@@ -313,6 +315,8 @@ _ROSTER_HEAD = [
     # new this round — never stamped
     "anchor_text_agg",
     "host_pagerank",
+    "robots_filter",
+    "sitemap_urls",
     "warc_records",
     "warc_quarantine",
     "link_graph_pagerank",

@@ -1,0 +1,93 @@
+"""crawlops referees: robots.txt verdicts vs an independent pure-Python
+RFC 9309 longest-match evaluator, sitemap round-trip vs a re-based
+parse, and the scale-critical plan shapes (robots = broadcast join,
+sitemap = zero exchanges)."""
+
+import re
+
+from tests.conftest import SF_SMOKE
+
+
+def _referee_allowed(rules, path):
+    """RFC 9309: longest matching prefix wins; Allow wins length ties;
+    no match = allowed. Independent of the Spark array-math order."""
+    matched = [(len(p), allow) for allow, p in rules
+               if path.startswith(p)]
+    if not matched:
+        return True
+    return max(matched)[1]
+
+
+def test_robots_verdicts_match_referee(spark):
+    from dd_ops_ocr_spark.operators.crawlops import (
+        q_robots_filter,
+        robots_df,
+    )
+
+    rules_by_host = {
+        r.host: [(x["allow"], x["path"]) for x in r.rules]
+        for r in robots_df(spark).collect()
+    }
+    # every host carries the unconditional /admin/ disallow; gated rows
+    # must parse in file order
+    assert len(rules_by_host) == 40
+    for rules in rules_by_host.values():
+        assert (False, "/admin/") == rules[0]
+
+    rows = q_robots_filter(spark, SF_SMOKE).collect()
+    assert rows
+    seen_blocked = seen_allowed_override = False
+    for r in rows:
+        want = _referee_allowed(rules_by_host[r.host], r.path)
+        assert r.allowed == want, (r.host, r.path, r.allowed, want)
+        if not r.allowed:
+            seen_blocked = True
+        if r.allowed and (False, "/p/") in rules_by_host[r.host] \
+                and r.path.startswith("/p/2"):
+            seen_allowed_override = True
+    # the plant must exercise both interesting branches
+    assert seen_blocked, "no host blocked anything"
+    assert seen_allowed_override, "Allow override never fired"
+
+
+def test_robots_plan_is_broadcast(spark):
+    from dd_ops_ocr_spark.operators.crawlops import q_robots_filter
+
+    plan = q_robots_filter(spark, SF_SMOKE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sitemap_round_trip(spark):
+    from dd_ops_ocr_spark.operators.crawlops import (
+        parse_sitemaps,
+        q_sitemap_urls,
+        sitemap_df,
+    )
+
+    xml_by_host = {r.host: r.sitemap_xml
+                   for r in sitemap_df(spark).collect()}
+    got = {}
+    for r in q_sitemap_urls(spark, SF_SMOKE).collect():
+        got.setdefault(r.host, []).append(
+            (r.seq, r.loc, r.lastmod, r.priority)
+        )
+    assert set(got) == set(xml_by_host)
+    ent_re = re.compile(
+        r"<url><loc>([^<]*)</loc><lastmod>([^<]*)</lastmod>"
+        r"<priority>([^<]*)</priority></url>"
+    )
+    for host, xml in xml_by_host.items():
+        want = [(i + 1, loc, mod, pri)
+                for i, (loc, mod, pri) in enumerate(ent_re.findall(xml))]
+        assert sorted(got[host]) == want, host
+        # host_id % 4 + 1 entries
+        k = int(host[len("www.d"):-len(".com")])
+        assert len(want) == k % 4 + 1
+
+    # parse is exchange-free: control files fan out in place
+    plan = parse_sitemaps(sitemap_df(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
