@@ -704,6 +704,23 @@ def main() -> None:
             F.sum("n_anchors"), F.sum("n_texts"),
             F.sum(F.length("top_texts"))).collect()
     )
+    # domain-level PageRank: anchors + nav collapsed to host pairs,
+    # then the K=3 fixed point on site-cardinality rows
+    from dd_ops_ocr_spark.operators.linkgraph import q_host_pagerank
+
+    queries["host_pagerank"] = timed(
+        lambda: q_host_pagerank(spark, SF_DIR).agg(
+            F.sum("pr"), F.count("*")).collect()
+    )
+    # robots verdicts: parse host rules, broadcast, per-row longest
+    # match; consume both verdict classes so the filter can't prune
+    from dd_ops_ocr_spark.operators.crawlops import q_robots_filter
+
+    queries["robots_filter"] = timed(
+        lambda: q_robots_filter(spark, SF_DIR).agg(
+            F.sum(F.col("allowed").cast("long")),
+            F.count("*")).collect()
+    )
     # WARC round trip (write 3 records -> strict parse -> field rows);
     # consume lengths + md5 prefix so the payload path can't be pruned
     from dd_ops_ocr_spark.operators.warc import q_warc_records

@@ -267,6 +267,7 @@ from dd_ops_ocr_spark.operators import jsonops as _jsonops  # noqa: E402
 from dd_ops_ocr_spark.operators import multimodal as _multimodal  # noqa: E402
 from dd_ops_ocr_spark.operators import overlap as _overlap  # noqa: E402
 from dd_ops_ocr_spark.operators import pdf as _pdf  # noqa: E402
+from dd_ops_ocr_spark.operators import recrawl as _recrawl  # noqa: E402
 from dd_ops_ocr_spark.operators import geometry as _geometry  # noqa: E402
 from dd_ops_ocr_spark.operators import merges as _merges  # noqa: E402
 from dd_ops_ocr_spark.operators import similarity as _similarity  # noqa: E402
@@ -302,6 +303,7 @@ _register(_bpe)
 _register(_linkgraph)
 _register(_warc)
 _register(_crawlops)
+_register(_recrawl)
 
 
 # ---------------------------------------------------------------- roster order
@@ -317,6 +319,7 @@ _ROSTER_HEAD = [
     "host_pagerank",
     "robots_filter",
     "sitemap_urls",
+    "recrawl_delta",
     "warc_records",
     "warc_quarantine",
     "link_graph_pagerank",
