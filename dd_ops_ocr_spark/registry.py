@@ -255,6 +255,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
 
 from dd_ops_ocr_spark.operators import bpe as _bpe  # noqa: E402
 from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
+from dd_ops_ocr_spark.operators import charset as _charset  # noqa: E402
 from dd_ops_ocr_spark.operators import crawlops as _crawlops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
@@ -304,6 +305,7 @@ _register(_linkgraph)
 _register(_warc)
 _register(_crawlops)
 _register(_recrawl)
+_register(_charset)
 
 
 # ---------------------------------------------------------------- roster order
@@ -320,6 +322,7 @@ _ROSTER_HEAD = [
     "robots_filter",
     "sitemap_urls",
     "recrawl_delta",
+    "charset_transcode",
     "warc_records",
     "warc_quarantine",
     "link_graph_pagerank",
