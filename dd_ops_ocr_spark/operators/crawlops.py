@@ -255,14 +255,114 @@ FROM generate_series(0, {_N_DOMAINS - 1}) AS t(k),
 """
 
 
+# -------------------------------------------------------------- redirects
+#
+# HTTP redirect-chain resolution — before URL-keyed dedup, every alias
+# must collapse to its final target or the same page survives once per
+# 301 hop. Planted chains: doc_id % 8 in {0,1,2} redirects to doc_id+1,
+# so consecutive ids form chains of length 3/2/1 ending at the first
+# id with id % 8 == 3 (or at the corpus edge — the last ids' dangling
+# targets are not sources, so their chains stop early, and the oracle's
+# closed form says exactly where).
+#
+# Scale shape: K bounded LEFT hash joins of the corpus against the
+# redirect map (crawl policy caps hops — browsers ~20, pipelines ~5),
+# each join keyed on the current URL so AQE reuses the partitioning;
+# rows already resolved carry NULL join keys and pass through. Chains
+# longer than K would switch to pointer doubling (follow the RESOLVED
+# map instead of the raw map each round — log2 steps), noted here so
+# the bound is explicit.
+
+_HOP_MOD = 8
+_HOP_SRC = 3          # residues 0..2 are redirect sources
+K_HOPS = 3
+
+
+def _canon_url(docs: DataFrame, out: str) -> DataFrame:
+    """Append the canonical URL of the ``doc_id`` column as ``out``
+    (plant->normalize; pure doc_id column math, no join)."""
+    from dd_ops_ocr_spark.operators.urlops import (
+        normalize_urls,
+        plant_messy_urls,
+    )
+
+    return (
+        normalize_urls(plant_messy_urls(docs))
+        .drop("url", "changed")
+        .withColumnRenamed("normalized_url", out)
+    )
+
+
+def redirect_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) canonical-URL redirect pairs for the planted 301s."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    srcs = _canon_url(
+        docs.filter(F.col("doc_id") % _HOP_MOD < _HOP_SRC), "src"
+    )
+    return _canon_url(
+        srcs.select("src", (F.col("doc_id") + 1).alias("doc_id")), "dst"
+    ).select("src", "dst")
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, final_url, n_hops) for every corpus URL after following
+    at most K_HOPS redirects."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    edges = redirect_edges_df(spark, sf_dir)
+    cur = _canon_url(docs, "url").select(
+        "url",
+        F.col("url").alias("final_url"),
+        F.lit(0).cast("long").alias("n_hops"),
+    )
+    for _ in range(K_HOPS):
+        cur = cur.join(
+            edges, cur.final_url == edges.src, "left"
+        ).select(
+            "url",
+            F.coalesce("dst", "final_url").alias("final_url"),
+            (F.col("n_hops")
+             + F.col("dst").isNotNull().cast("long")).alias("n_hops"),
+        )
+    return cur
+
+
+def _sql_redirects() -> str:
+    """Closed form: a source at residue r walks 3-r hops unless the
+    corpus edge cuts the chain (sources beyond max(doc_id) don't
+    exist), so n_hops = least(3 - r, max_id - doc_id + 1)."""
+    from dd_ops_ocr_spark.operators.htmlops import _sql_canonical
+
+    return f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+SELECT {_sql_canonical("doc_id")} AS url,
+  {_sql_canonical("doc_id + h")} AS final_url,
+  h::BIGINT AS n_hops
+FROM (
+  SELECT doc_id,
+    CASE WHEN doc_id % {_HOP_MOD} < {_HOP_SRC}
+      THEN least({_HOP_SRC} - doc_id % {_HOP_MOD},
+                 (SELECT m FROM mx) - doc_id + 1)
+      ELSE 0 END AS h
+  FROM documents
+)
+"""
+
+
 SQL_ROBOTS_FILTER = _sql_robots()
 SQL_SITEMAP_URLS = _sql_sitemap()
+SQL_REDIRECT_RESOLVE = _sql_redirects()
 
 QUERIES = {
     "robots_filter": q_robots_filter,
     "sitemap_urls": q_sitemap_urls,
+    "redirect_resolve": q_redirect_resolve,
 }
 ORACLE_SQL = {
     "robots_filter": SQL_ROBOTS_FILTER,
     "sitemap_urls": SQL_SITEMAP_URLS,
+    "redirect_resolve": SQL_REDIRECT_RESOLVE,
 }

@@ -323,6 +323,7 @@ _ROSTER_HEAD = [
     "sitemap_urls",
     "recrawl_delta",
     "charset_transcode",
+    "redirect_resolve",
     "warc_records",
     "warc_quarantine",
     "link_graph_pagerank",

@@ -91,3 +91,41 @@ def test_sitemap_round_trip(spark):
     plan = parse_sitemaps(sitemap_df(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redirect_resolution_matches_walk(spark):
+    """Independent referee: walk the collected redirect map in Python;
+    chains must terminate, residues drive hop counts, and the corpus
+    edge cuts the tail chains."""
+    from dd_ops_ocr_spark.operators.crawlops import (
+        K_HOPS,
+        q_redirect_resolve,
+        redirect_edges_df,
+    )
+
+    edges = {r.src: r.dst
+             for r in redirect_edges_df(spark, SF_SMOKE).collect()}
+    rows = q_redirect_resolve(spark, SF_SMOKE).collect()
+    assert rows
+    max_hops = 0
+    for r in rows:
+        cur, hops = r.url, 0
+        while cur in edges and hops < K_HOPS:
+            cur = edges[cur]
+            hops += 1
+        assert (r.final_url, r.n_hops) == (cur, hops), r.url
+        max_hops = max(max_hops, hops)
+    assert max_hops == K_HOPS, "no full-length chain exercised"
+    # resolved targets are never themselves redirect sources (chains
+    # really terminate inside the hop budget on this plant)
+    for r in rows:
+        assert r.final_url not in edges
+
+
+def test_redirect_plan_shape(spark):
+    from dd_ops_ocr_spark.operators.crawlops import q_redirect_resolve
+
+    plan = q_redirect_resolve(spark, SF_SMOKE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
