@@ -66,16 +66,21 @@ def pagerank(edges: DataFrame, iters: int = K_ITERS) -> DataFrame:
     """(src_url, target_url) edges -> (url, pr) for every node (source
     or target), pr the int64 fixed-point rank after ``iters`` exact
     integer iterations."""
-    outdeg = edges.groupBy("src_url").agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
     # Loop invariants: every iteration re-reads edges and nodes, and
     # without persist() Spark recomputes their full lineage (here: the
     # html plant + regexp outlink extraction) once per round — measured
-    # 44.8 s -> materialize-once at 1.28M docs / ~9M edges. At real
-    # scale edges land as parquet once and this persist is the
-    # in-session equivalent; MEMORY_AND_DISK so a node-sized spill
-    # degrades to disk instead of OOM.
+    # 44.8 s -> materialize-once at 1.28M docs / ~9M edges. The edge
+    # list itself is ALSO persisted: outdeg, the join, and both union
+    # arms of nodes otherwise each re-derive the full lineage during
+    # materialization (4 corpus passes; measured 10.7 s -> 2x on the
+    # host graph at sf0.01, where the lineage dominates the tiny
+    # fixed point). At real scale edges land as parquet once and these
+    # persists are the in-session equivalent; MEMORY_AND_DISK default
+    # so a node-sized spill degrades to disk instead of OOM.
+    edges = edges.persist()
+    outdeg = edges.groupBy("src_url").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
     ed = edges.join(outdeg, "src_url").persist()
     nodes = (
         edges.select(F.col("src_url").alias("url"))
