@@ -267,6 +267,7 @@ from dd_ops_ocr_spark.operators import linkgraph as _linkgraph  # noqa: E402
 from dd_ops_ocr_spark.operators import jsonops as _jsonops  # noqa: E402
 from dd_ops_ocr_spark.operators import multimodal as _multimodal  # noqa: E402
 from dd_ops_ocr_spark.operators import overlap as _overlap  # noqa: E402
+from dd_ops_ocr_spark.operators import passages as _passages  # noqa: E402
 from dd_ops_ocr_spark.operators import pdf as _pdf  # noqa: E402
 from dd_ops_ocr_spark.operators import recrawl as _recrawl  # noqa: E402
 from dd_ops_ocr_spark.operators import geometry as _geometry  # noqa: E402
@@ -306,6 +307,7 @@ _register(_warc)
 _register(_crawlops)
 _register(_recrawl)
 _register(_charset)
+_register(_passages)
 
 
 # ---------------------------------------------------------------- roster order
@@ -317,6 +319,8 @@ _register(_charset)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "dup_passage_spans",
+    "dup_passage_strip",
     "anchor_text_agg",
     "host_pagerank",
     "robots_filter",
@@ -353,9 +357,9 @@ _ROSTER_HEAD = [
     "line_dedup_global",
     "media_audio_adpcm",
     "media_upscale",
-    "media_debug_draw",
+    "flagship_extract_split_landed",
     "engine_dual_extract",
-    "model_artifact_fetch",
+    "media_metadata_webp",
     "decontaminate",
     "sample_stratified",
     "sequence_pack",
@@ -363,20 +367,28 @@ _ROSTER_HEAD = [
     "topk_ngrams",
     "corpus_curriculum",
     "repeated_span_strip",
-    "media_resize_native_scaled",
+    "media_video_frames",
     "doc_validity_audit",
     "catalog_skip_scan",
-    "catalog_time_travel",
-    "media_metadata_webp",
+    "media_audio_features",
+    # --- driver 50-prefix boundary falls in this area; the names below
+    # are never-stamped but rank below the ones above: debug-only (K14
+    # debug draw), duplicative decoder twins of an already-listed family
+    # (jpeg_native/progressive, webp_native, png_interlaced,
+    # resize_native_scaled), quarantine variants of stamped paths, and
+    # pytest-heavy surfaces (catalog_time_travel, model_artifact_fetch).
+    # The local oracle gate (tests/test_oracle_sql.py) checks all of
+    # them driver-identically on every pytest run.
     "media_metadata_webp_native",
     "media_video_frames_quarantine",
     "media_audio_quarantine",
     "media_metadata_jpeg_native",
     "media_metadata_jpeg_progressive",
-    "flagship_extract_split_landed",
+    "media_resize_native_scaled",
     "media_metadata_png_interlaced",
-    "media_video_frames",
-    "media_audio_features",
+    "media_debug_draw",
+    "model_artifact_fetch",
+    "catalog_time_travel",
     "media_metadata_quarantine",
     # last stamped r03 (not in CORRECTNESS_r04's 50-prefix)
     "lsh_candidate_pairs",
