@@ -390,6 +390,15 @@ def main() -> None:
     queries["repeated_span_strip"] = timed(
         lambda: q_repeated_span_strip(spark, SF_DIR).count()
     )
+    # exact-substring passage dedup (stride-1 k-gram spans); the 500-5k
+    # doc table makes this session-overhead-dominated — the real per-doc
+    # rate is the 256x stress block in BENCH.md (1.87M tokens/s)
+    from dd_ops_ocr_spark.operators.passages import q_dup_passage_strip
+
+    queries["dup_passage_strip"] = timed(
+        lambda: q_dup_passage_strip(spark, SF_DIR)
+        .agg(F.sum("n_kept"), F.sum("n_dropped")).collect()
+    )
     # media decode path: REAL baseline-JPEG payloads through the
     # mapInPandas metadata operator (the bulk-media cost the judge asked
     # to see as a number, not a caveat)

@@ -256,6 +256,7 @@ def register_flagship_oracles(sf_dir: str = _SF_CORRECT) -> None:
 from dd_ops_ocr_spark.operators import bpe as _bpe  # noqa: E402
 from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
 from dd_ops_ocr_spark.operators import charset as _charset  # noqa: E402
+from dd_ops_ocr_spark.operators import classify as _classify  # noqa: E402
 from dd_ops_ocr_spark.operators import crawlops as _crawlops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
@@ -308,6 +309,7 @@ _register(_crawlops)
 _register(_recrawl)
 _register(_charset)
 _register(_passages)
+_register(_classify)
 
 
 # ---------------------------------------------------------------- roster order
@@ -321,6 +323,8 @@ _ROSTER_HEAD = [
     # new this round — never stamped
     "dup_passage_spans",
     "dup_passage_strip",
+    "quality_nb_train",
+    "quality_nb_score",
     "anchor_text_agg",
     "host_pagerank",
     "robots_filter",
