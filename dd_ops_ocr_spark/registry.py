@@ -257,6 +257,7 @@ from dd_ops_ocr_spark.operators import bpe as _bpe  # noqa: E402
 from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
 from dd_ops_ocr_spark.operators import charset as _charset  # noqa: E402
 from dd_ops_ocr_spark.operators import classify as _classify  # noqa: E402
+from dd_ops_ocr_spark.operators import indexing as _indexing  # noqa: E402
 from dd_ops_ocr_spark.operators import crawlops as _crawlops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
@@ -310,6 +311,7 @@ _register(_recrawl)
 _register(_charset)
 _register(_passages)
 _register(_classify)
+_register(_indexing)
 
 
 # ---------------------------------------------------------------- roster order
@@ -325,6 +327,8 @@ _ROSTER_HEAD = [
     "dup_passage_strip",
     "quality_nb_train",
     "quality_nb_score",
+    "tfidf_topk",
+    "inverted_index",
     "anchor_text_agg",
     "host_pagerank",
     "robots_filter",

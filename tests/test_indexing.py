@@ -1,0 +1,81 @@
+"""tf-idf keywords + chunked inverted index (operators/indexing.py)."""
+
+from __future__ import annotations
+
+from dd_ops_ocr_spark.operators.indexing import inverted_index, tfidf_topk
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_known_answer(spark):
+    # 4 docs; "common" in all (idf_bits 3-3=1... bits(4)=3, bits(4)=3 -> 0),
+    # "pair" in two (bits(4)-bits(2)=3-2=1), "solo" in one (3-1=2)
+    rows = [
+        (1, "common pair solo solo"),
+        (2, "common pair"),
+        (3, "common"),
+        (4, "common"),
+    ]
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["score"])
+        for r in tfidf_topk(_df(spark, rows), k=2).collect()
+    }
+    # doc 1: solo tf=2 score 4; pair tf=1 score 1; common score 0
+    assert got[(1, 1)] == ("solo", 4)
+    assert got[(1, 2)] == ("pair", 1)
+    # doc 2: pair 1; common 0
+    assert got[(2, 1)] == ("pair", 1)
+    assert got[(2, 2)] == ("common", 0)
+    # docs 3/4 have only the zero-scoring token but still surface
+    assert got[(3, 1)] == ("common", 0)
+    assert got[(4, 1)] == ("common", 0)
+
+
+def test_tfidf_tiebreak_alphabetical(spark):
+    rows = [(1, "zeta alpha"), (2, "zeta alpha"), (3, "zeta alpha")]
+    got = [
+        r["token"]
+        for r in tfidf_topk(_df(spark, rows), k=2)
+        .filter("doc_id = 1")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == ["alpha", "zeta"]  # equal scores -> token asc
+
+
+def test_inverted_index_chunking_bounded_and_ordered(spark):
+    # "hot" in 20 docs with chunk=8 -> chunks of 8/8/4; doc ranges must
+    # be ascending within AND across chunks, df constant on every row
+    rows = [(i, f"hot only{i}") for i in range(20)]
+    out = (
+        inverted_index(_df(spark, rows), chunk=8)
+        .filter("token = 'hot'")
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [r["n_chunk"] for r in out] == [8, 8, 4]
+    assert all(r["df"] == 20 for r in out)
+    all_postings = " ".join(r["postings"] for r in out).split()
+    docs = [int(p.split(":")[0]) for p in all_postings]
+    assert docs == sorted(docs) == list(range(20))
+    assert all(p.endswith(":1") for p in all_postings)
+
+
+def test_inverted_index_tf_and_reconstruction(spark):
+    rows = [(7, "w w w x"), (9, "w x x")]
+    out = {
+        (r["token"], r["chunk_id"]): r
+        for r in inverted_index(_df(spark, rows), chunk=8).collect()
+    }
+    assert out[("w", 0)]["postings"] == "7:3 9:1"
+    assert out[("x", 0)]["postings"] == "7:1 9:2"
+    assert out[("w", 0)]["df"] == 2 and out[("w", 0)]["n_chunk"] == 2
+
+
+def test_inverted_index_single_chunk_tail(spark):
+    # a token in exactly one doc: one chunk, chunk_id 0
+    rows = [(1, "rare"), (2, "other")]
+    out = inverted_index(_df(spark, rows), chunk=8).filter("token='rare'").collect()
+    assert len(out) == 1 and out[0]["chunk_id"] == 0 and out[0]["postings"] == "1:1"
