@@ -258,6 +258,7 @@ from dd_ops_ocr_spark.operators import catalogops as _catalogops  # noqa: E402
 from dd_ops_ocr_spark.operators import charset as _charset  # noqa: E402
 from dd_ops_ocr_spark.operators import classify as _classify  # noqa: E402
 from dd_ops_ocr_spark.operators import indexing as _indexing  # noqa: E402
+from dd_ops_ocr_spark.operators import nonequi as _nonequi  # noqa: E402
 from dd_ops_ocr_spark.operators import crawlops as _crawlops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
@@ -312,6 +313,7 @@ _register(_charset)
 _register(_passages)
 _register(_classify)
 _register(_indexing)
+_register(_nonequi)
 
 
 # ---------------------------------------------------------------- roster order
@@ -329,6 +331,8 @@ _ROSTER_HEAD = [
     "quality_nb_score",
     "tfidf_topk",
     "inverted_index",
+    "asof_join",
+    "interval_join",
     "anchor_text_agg",
     "host_pagerank",
     "robots_filter",
