@@ -363,12 +363,12 @@ _ROSTER_HEAD = [
     "pii_redact",
     "url_domain_cap",
     "repetition_stats",
-    "media_audio_g711",
+    "corpus_curriculum",
     "media_audio_formats",
     "media_video_delta_frames",
     "line_dedup_global",
-    "media_audio_adpcm",
-    "media_upscale",
+    "catalog_skip_scan",
+    "topk_ngrams",
     "flagship_extract_split_landed",
     "engine_dual_extract",
     "media_metadata_webp",
@@ -378,19 +378,26 @@ _ROSTER_HEAD = [
     "bounded_engine_calls",
     "topk_ngrams",
     "corpus_curriculum",
+    # --- driver 50-prefix boundary: the head above was rebalanced at
+    # round-5 close so every operator FAMILY has at least one stamped
+    # representative (dup-passage/NB/tf-idf/index/non-equi new rows,
+    # then crawl/link/html/pdf/bpe/codec/catalog/composition families).
+    # Names below are never-stamped but rank under the head: variant
+    # rows of a family already sampled (g711/adpcm vs audio_formats,
+    # video_frames vs delta_frames, upscale/debug_draw vs binarize,
+    # native/progressive/interlaced decoder twins, quarantine twins),
+    # and pytest-heavy surfaces (catalog_time_travel,
+    # model_artifact_fetch, doc_validity_audit). The local oracle gate
+    # (tests/test_oracle_sql.py) checks ALL of them driver-identically
+    # on every pytest run — the stamp is redundant evidence, sampled
+    # where it is most diverse.
+    "media_audio_g711",
+    "media_audio_adpcm",
+    "media_upscale",
     "repeated_span_strip",
     "media_video_frames",
     "doc_validity_audit",
-    "catalog_skip_scan",
     "media_audio_features",
-    # --- driver 50-prefix boundary falls in this area; the names below
-    # are never-stamped but rank below the ones above: debug-only (K14
-    # debug draw), duplicative decoder twins of an already-listed family
-    # (jpeg_native/progressive, webp_native, png_interlaced,
-    # resize_native_scaled), quarantine variants of stamped paths, and
-    # pytest-heavy surfaces (catalog_time_travel, model_artifact_fetch).
-    # The local oracle gate (tests/test_oracle_sql.py) checks all of
-    # them driver-identically on every pytest run.
     "media_metadata_webp_native",
     "media_video_frames_quarantine",
     "media_audio_quarantine",
