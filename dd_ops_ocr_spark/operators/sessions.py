@@ -1,0 +1,261 @@
+"""Batch sessionization + PMI collocations over the events/documents
+tables.
+
+* ``sessionize``: gap-based sessions per user (a new session starts
+  when the time since the previous event exceeds ``gap``) — the BATCH
+  twin of the streaming `F.session_window` job (streaming/jobs.py:329),
+  so the two surfaces can be parity-checked offline. Classic
+  gaps-and-islands: lag per (user, ts), boundary flag, running sum —
+  one user shuffle, two co-partitioned window passes, one groupBy.
+  Session ids are deterministic (user_id, session_idx).
+* ``collocations``: corpus-level PMI-ranked adjacent word pairs
+  (collocation extraction — multi-word-expression mining for tokenizer
+  vocab curation). PMI = log P(xy) / (P(x)P(y)) restated in the repo's
+  integer-exact quantized form via the cross-product trick proven in
+  classify.py: pmi_bits = bits(c_xy * N) - bits(c_x * c_y) with
+  bits(c) = length(bin(c)) — exactly 0 for independence, positive for
+  attraction, engine-exact. One bigram agg + two unigram joins
+  (unhinted, vocabulary-sized sides), deterministic top-K order.
+  int64 products hold to c * N < 2^63; beyond, lift to
+  decimal(38,0)/HUGEINT (sample_stratified precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+GAP_MINUTES = 30
+COLLOC_TOP_K = 20
+COLLOC_MIN_COUNT = 5
+
+
+def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """(user_id, session_idx, n_events, session_start, session_end,
+    duration_sec) — session_idx is 0-based per user in time order."""
+    # microsecond-exact integer arithmetic on BOTH engines
+    # (unix_timestamp floors to seconds BEFORE subtracting while
+    # DuckDB's epoch() keeps fractions and its double->int cast ROUNDS —
+    # a measured ±1s duration mismatch and a latent session-split
+    # boundary hazard; unix_micros/epoch_us are exact int64 in both)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
+    prev = F.lag("ts").over(w)
+    # unix_micros rejects TIMESTAMP_NTZ (the parquet type); the session
+    # timeZone is pinned UTC (session.py:34) so the cast is
+    # epoch-identical to DuckDB's naive epoch_us
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    flagged = events.withColumn(
+        "new_session",
+        (
+            prev.isNull() | (us(F.col("ts")) - us(prev) > gap_us)
+        ).cast("int"),
+    )
+    flagged = flagged.withColumn(
+        "session_idx",
+        (
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - 1
+        ).cast("int"),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr(
+            "(unix_micros(cast(max(ts) as timestamp))"
+            " - unix_micros(cast(min(ts) as timestamp))) div 1000000"
+        )
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+def _tokens(col):
+    return F.filter(F.split(col, "[ \n\t]+"), lambda x: x != F.lit(""))
+
+
+def _bits(c):
+    return F.when(c == 0, F.lit(0)).otherwise(F.length(F.bin(c))).cast("long")
+
+
+def collocations(
+    docs: DataFrame, top_k: int = COLLOC_TOP_K, min_count: int = COLLOC_MIN_COUNT
+) -> DataFrame:
+    """Top-k adjacent word pairs by quantized PMI:
+    (w1, w2, n_pair, n_w1, n_w2, pmi_bits), ordered deterministically
+    (pmi_bits desc, n_pair desc, w1 asc, w2 asc) and cut at top_k.
+    Pairs rarer than min_count are dropped first (PMI's classic
+    low-count instability)."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    n_total = toks.select(
+        F.sum(F.size("ws")).cast("long").alias("n_total")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2"
+                " THEN transform(sequence(1, size(ws) - 1),"
+                "      i -> struct(element_at(ws, i) AS w1,"
+                "                  element_at(ws, i + 1) AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    scored = (
+        pc.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            (
+                _bits(F.col("n_pair") * F.col("n_total"))
+                - _bits(F.col("n_w1") * F.col("n_w2"))
+            ).alias("pmi_bits"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("pmi_bits"), F.desc("n_pair"), F.asc("w1"), F.asc("w2")
+    )
+    # single-partition window over the ALREADY-AGGREGATED pair table
+    # (vocabulary-sized, not corpus-sized) — same bounded-state shape as
+    # topk_ngrams' deterministic cut
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "w1", "w2", "n_pair", "n_w1", "n_w2", "pmi_bits")
+    )
+
+
+# ------------------------------------------------------------- oracled corpus
+# Events sessionize as-is (10k events / 150 users, ~4 min mean gap, so
+# 30-min sessions split realistically). Collocations get a PLANTED
+# multi-word expression: docs with doc_id % 4 == 1 append
+# "new york" (attraction: "york" only ever follows "new"), and the raw
+# ~30-word vocabulary supplies the independent-pair background.
+
+MWE = "new york"
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    return sessionize(e)
+
+
+def _docs_with_mwe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 1,
+            F.concat(F.col("text"), F.lit(" " + MWE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collocations(_docs_with_mwe(spark, sf_dir))
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {GAP_MINUTES * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+idx AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS INT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+FROM idx GROUP BY user_id, session_idx
+"""
+
+_SQL_BITS = (
+    "CASE WHEN {c} = 0 THEN 0"
+    " ELSE CAST(length(bin(CAST({c} AS BIGINT))) AS BIGINT) END"
+)
+
+SQL_COLLOCATIONS = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1 THEN text || ' {MWE}' ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \n\t]+'),
+                     x -> x <> '') AS ws
+  FROM d
+),
+uni AS (
+  SELECT u.w, COUNT(*) AS n_w
+  FROM t, UNNEST(ws) AS u(w) GROUP BY u.w
+),
+tot AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_total FROM t),
+pairs AS (
+  SELECT ws[g.i + 1] AS w1, ws[g.i + 2] AS w2
+  FROM t, UNNEST(range(0, len(ws) - 1)) AS g(i)
+),
+pc AS (
+  SELECT w1, w2, COUNT(*) AS n_pair
+  FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+),
+scored AS (
+  SELECT pc.w1, pc.w2,
+         CAST(pc.n_pair AS BIGINT) AS n_pair,
+         CAST(u1.n_w AS BIGINT) AS n_w1,
+         CAST(u2.n_w AS BIGINT) AS n_w2,
+         ({_SQL_BITS.format(c="pc.n_pair * tot.n_total")})
+         - ({_SQL_BITS.format(c="u1.n_w * u2.n_w")}) AS pmi_bits
+  FROM pc
+  JOIN uni u1 ON pc.w1 = u1.w
+  JOIN uni u2 ON pc.w2 = u2.w
+  CROSS JOIN tot
+)
+SELECT CAST(rank AS INT) AS rank, w1, w2, n_pair, n_w1, n_w2, pmi_bits
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_bits DESC, n_pair DESC,
+                               w1 ASC, w2 ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {COLLOC_TOP_K}
+"""
+
+QUERIES = {
+    "session_stats": q_sessionize,
+    "collocations": q_collocations,
+}
+
+ORACLE_SQL = {
+    "session_stats": SQL_SESSIONIZE,
+    "collocations": SQL_COLLOCATIONS,
+}

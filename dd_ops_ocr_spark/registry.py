@@ -259,6 +259,7 @@ from dd_ops_ocr_spark.operators import charset as _charset  # noqa: E402
 from dd_ops_ocr_spark.operators import classify as _classify  # noqa: E402
 from dd_ops_ocr_spark.operators import indexing as _indexing  # noqa: E402
 from dd_ops_ocr_spark.operators import nonequi as _nonequi  # noqa: E402
+from dd_ops_ocr_spark.operators import sessions as _sessions  # noqa: E402
 from dd_ops_ocr_spark.operators import crawlops as _crawlops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
@@ -314,6 +315,7 @@ _register(_passages)
 _register(_classify)
 _register(_indexing)
 _register(_nonequi)
+_register(_sessions)
 
 
 # ---------------------------------------------------------------- roster order
@@ -333,6 +335,8 @@ _ROSTER_HEAD = [
     "inverted_index",
     "asof_join",
     "interval_join",
+    "session_stats",
+    "collocations",
     "anchor_text_agg",
     "host_pagerank",
     "robots_filter",

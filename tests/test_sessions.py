@@ -1,0 +1,80 @@
+"""Batch sessionization + PMI collocations (operators/sessions.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from dd_ops_ocr_spark.operators.sessions import collocations, sessionize
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def test_sessionize_gap_split(spark):
+    rows = [
+        (1, T0),
+        (1, T0 + timedelta(minutes=10)),
+        (1, T0 + timedelta(minutes=20)),          # session 0: 3 events
+        (1, T0 + timedelta(minutes=55)),          # 35-min gap -> session 1
+        (1, T0 + timedelta(minutes=60)),
+        (2, T0),                                  # other user isolated
+    ]
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(_events(spark, rows), gap_minutes=30).collect()
+    }
+    assert out[(1, 0)]["n_events"] == 3
+    assert out[(1, 0)]["duration_sec"] == 20 * 60
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 1)]["duration_sec"] == 5 * 60
+    assert out[(2, 0)]["n_events"] == 1 and out[(2, 0)]["duration_sec"] == 0
+    assert len(out) == 3
+
+
+def test_sessionize_gap_boundary_exact(spark):
+    # gap strictly-greater: an EXACTLY 30-min gap stays one session,
+    # 30 min + 1 microsecond splits
+    rows = [
+        (1, T0),
+        (1, T0 + timedelta(minutes=30)),
+        (2, T0),
+        (2, T0 + timedelta(minutes=30, microseconds=1)),
+    ]
+    out = sessionize(_events(spark, rows), gap_minutes=30).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 1 and per_user[1][0]["n_events"] == 2
+    assert len(per_user[2]) == 2
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_collocations_planted_mwe_ranks_first(spark):
+    # "san francisco" always adjacent; filler words independent
+    base = "alpha beta gamma delta"
+    rows = [(i, base + " san francisco " + base) for i in range(6)]
+    out = collocations(_docs(spark, rows), top_k=3, min_count=3).collect()
+    assert (out[0]["w1"], out[0]["w2"]) == ("san", "francisco")
+    assert out[0]["rank"] == 1 and out[0]["pmi_bits"] > 0
+
+
+def test_collocations_independent_pair_nonpositive(spark):
+    # "x y" and "y x" equally often -> P(xy) ~ P(x)P(y): pmi_bits <= 1
+    rows = [(i, "x y " * 10 + "y x " * 10) for i in range(3)]
+    out = {
+        (r["w1"], r["w2"]): r["pmi_bits"]
+        for r in collocations(_docs(spark, rows), top_k=10, min_count=3).collect()
+    }
+    assert out[("x", "y")] <= 1 and out[("y", "x")] <= 1
+
+
+def test_collocations_min_count_filter(spark):
+    rows = [(1, "rare pair common common common common common common")]
+    out = collocations(_docs(spark, rows), top_k=10, min_count=5).collect()
+    assert all((r["w1"], r["w2"]) != ("rare", "pair") for r in out)
