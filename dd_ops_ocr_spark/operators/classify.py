@@ -95,12 +95,22 @@ def nb_train(labeled: DataFrame) -> DataFrame:
 def nb_score(docs: DataFrame, weights: DataFrame, prior: int) -> DataFrame:
     """Score every doc: integer sum of token-occurrence weights plus the
     class-prior term. Tokens unseen in training contribute 0 (left
-    join). The weights side is vocabulary-sized — AQE broadcasts it when
-    it is genuinely small, the honest default at 100 TB (same unhinted
-    policy as decontaminate/line_dedup)."""
+    join).
+
+    The weights join is EXPLICITLY broadcast, deliberately breaking the
+    repo's unhinted-join default: unhinted, Catalyst plans SortMergeJoin
+    (the weights side hangs off an aggregate, so its size estimate is
+    conservative) and AQE cannot help — both SMJ sides must materialize
+    their shuffles before AQE re-plans, so the corpus-sized occurrence
+    stream gets shuffle-WRITTEN by token either way (measured: 241 s for
+    the join+agg at 5.12M docs / 345M occurrences on 8 cores; broadcast
+    removes that shuffle entirely). The unhinted policy is right when
+    the small side is data-dependent (decontaminate's eval set); here
+    the small side is the MODEL, bounded by design — a weight table too
+    big to broadcast is a different operator."""
     occ = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     scored = (
-        occ.join(weights.select("token", "weight"), "token", "left")
+        occ.join(F.broadcast(weights.select("token", "weight")), "token", "left")
         .groupBy("doc_id")
         .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("w_sum"))
     )

@@ -54,8 +54,13 @@ def tfidf_topk(docs: DataFrame, k: int = TOP_K) -> DataFrame:
     tf = _doc_token_tf(docs)
     df_tok = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # df_tok is vocabulary-sized and joins against the corpus-sized tf
+    # stream: broadcast explicitly — unhinted, Catalyst's conservative
+    # post-aggregate size estimate plans a SortMergeJoin and the tf side
+    # gets shuffle-written by token before AQE can re-plan (the nb_score
+    # pathology, classify.py)
     scored = (
-        tf.join(df_tok, "token")
+        tf.join(F.broadcast(df_tok), "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -96,7 +101,8 @@ def inverted_index(docs: DataFrame, chunk: int = CHUNK) -> DataFrame:
         ).alias("postings"),
     )
     df_tok = tf.groupBy("token").agg(F.count("*").alias("df"))
-    return per_chunk.join(df_tok, "token").select(
+    # same explicit-broadcast rationale as tfidf_topk's df join
+    return per_chunk.join(F.broadcast(df_tok), "token").select(
         "token",
         "chunk_id",
         F.col("df").cast("long").alias("df"),

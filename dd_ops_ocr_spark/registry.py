@@ -260,6 +260,7 @@ from dd_ops_ocr_spark.operators import classify as _classify  # noqa: E402
 from dd_ops_ocr_spark.operators import indexing as _indexing  # noqa: E402
 from dd_ops_ocr_spark.operators import nonequi as _nonequi  # noqa: E402
 from dd_ops_ocr_spark.operators import sessions as _sessions  # noqa: E402
+from dd_ops_ocr_spark.operators import stats as _stats  # noqa: E402
 from dd_ops_ocr_spark.operators import crawlops as _crawlops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
 from dd_ops_ocr_spark.operators import dedup as _dedup  # noqa: E402
@@ -316,6 +317,7 @@ _register(_classify)
 _register(_indexing)
 _register(_nonequi)
 _register(_sessions)
+_register(_stats)
 
 
 # ---------------------------------------------------------------- roster order
@@ -337,6 +339,7 @@ _ROSTER_HEAD = [
     "interval_join",
     "session_stats",
     "collocations",
+    "event_value_quantiles",
     "anchor_text_agg",
     "host_pagerank",
     "robots_filter",
