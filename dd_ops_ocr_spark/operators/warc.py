@@ -20,9 +20,13 @@ Codec scope (the subset a crawler emits for every page):
   ``\\r\\n\\r\\n``), terminator required; any deviation raises
   ``ValueError`` for the quarantine path.
 
-Out of scope (documented injection seams, like progressive JPEG on the
-media side): per-record gzip members (``.warc.gz``) — the framing layer
-below this parser — and ``revisit``/``continuation`` record types.
+Per-record gzip members (``.warc.gz``) are implemented below
+(`encode_warc_gz` / `split_gzip_members`): the WARC spec's Annex-D
+record-at-time compression, one independent gzip member per record so
+a reader can seek to a member offset and decompress exactly one record
+without touching the rest of the file — the property that makes
+petabyte crawl archives randomly accessible. Still out of scope:
+``revisit``/``continuation`` record types (documented seam).
 
 Scale shape: one ``mapInPandas`` over (doc_id, uri, html) — writer and
 reader run back-to-back per row inside one Arrow batch, so the full
@@ -44,6 +48,8 @@ UTF-8 bytes and stays correct for non-ASCII bodies.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -75,8 +81,8 @@ def _record(warc_type: str, headers: list, payload: bytes) -> bytes:
     return b"".join(out)
 
 
-def encode_warc(doc_id: int, uri: str, html: str) -> bytes:
-    """Serialize one crawled page as a 3-record WARC file:
+def warc_record_set(doc_id: int, uri: str, html: str) -> list:
+    """The 3 records for one crawled page as separate byte strings:
     warcinfo, response (HTTP/1.1 message around the page), metadata.
     Record IDs are deterministic (md5 of doc_id + record index) — no
     wall-clock anywhere, same bytes on every run."""
@@ -105,7 +111,12 @@ def encode_warc(doc_id: int, uri: str, html: str) -> bytes:
         common + [("WARC-Record-ID", rid(3)), ("WARC-Target-URI", uri)],
         f"docId: {doc_id}\r\nvia: crawler\r\n".encode("ascii"),
     )
-    return info + resp + meta
+    return [info, resp, meta]
+
+
+def encode_warc(doc_id: int, uri: str, html: str) -> bytes:
+    """One crawled page as an uncompressed 3-record WARC file."""
+    return b"".join(warc_record_set(doc_id, uri, html))
 
 
 # ------------------------------------------------------------ reader
@@ -166,6 +177,77 @@ def _http_split(payload: bytes) -> tuple[int, bytes]:
         raise ValueError("malformed HTTP response payload")
     status = int(payload[9:payload.find(b" ", 9)])
     return status, payload[sep + 4:]
+
+
+# ---------------------------------------------- gzip members (.warc.gz)
+#
+# WARC Annex D record-at-time compression: each record is its own gzip
+# MEMBER and members are concatenated, so (a) the file is still a valid
+# single gzip stream to naive tools, and (b) a reader holding a member
+# offset can decompress exactly one record — the random-access property
+# a 100 TB archive on object storage depends on (range-GET one member,
+# never the file). The member header is fixed (MTIME=0, XFL=0, OS=255)
+# so encoding stays byte-deterministic across runs and hosts.
+
+_GZ_HEADER = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+
+
+def gzip_member(raw: bytes) -> bytes:
+    """One deterministic gzip member: fixed 10-byte header, raw-deflate
+    body, CRC32 + ISIZE trailer (RFC 1952)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(raw) + co.flush()
+    return _GZ_HEADER + body + struct.pack(
+        "<II", zlib.crc32(raw) & 0xFFFFFFFF, len(raw) & 0xFFFFFFFF
+    )
+
+
+def encode_warc_gz(doc_id: int, uri: str, html: str) -> bytes:
+    """One crawled page as a .warc.gz file: one gzip member per record."""
+    return b"".join(
+        gzip_member(r) for r in warc_record_set(doc_id, uri, html)
+    )
+
+
+def split_gzip_members(data: bytes) -> list:
+    """[(offset, comp_len, raw_bytes)] for each gzip member in ``data``.
+
+    Sequential boundary discovery: inflate with wbits=31 stops at the
+    first member's end and reports the remainder via ``unused_data``;
+    zlib verifies each member's CRC32 and ISIZE trailer itself, so a
+    corrupted member surfaces as ``zlib.error`` — same quarantine
+    contract as the framing ``ValueError``s above. Raises on a
+    truncated member (``eof`` never reached) or non-gzip trailing
+    bytes. Per-file memory is one member's tail slice — fine at the
+    records-per-file counts a crawler emits; a whole-archive reader
+    would feed chunks instead."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(31)
+        raw = d.decompress(data[pos:])
+        raw += d.flush()
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at byte {pos}")
+        comp_len = n - pos - len(d.unused_data)
+        out.append((pos, comp_len, raw))
+        pos += comp_len
+    if not out:
+        raise ValueError("empty warc.gz file")
+    return out
+
+
+def read_member_at(data: bytes, offset: int) -> bytes:
+    """Random access: decompress exactly the member starting at
+    ``offset`` (as found by `split_gzip_members`), ignoring everything
+    after it — the seek path a record index enables."""
+    d = zlib.decompressobj(31)
+    raw = d.decompress(data[offset:])
+    raw += d.flush()
+    if not d.eof:
+        raise ValueError(f"truncated gzip member at byte {offset}")
+    return raw
 
 
 # ------------------------------------------------------------ queries
@@ -272,8 +354,112 @@ def warc_quarantine(pages: DataFrame) -> DataFrame:
     )
 
 
+def warc_records_gz(pages: DataFrame) -> DataFrame:
+    """The `warc_records` round trip through the compressed framing
+    layer: encode_warc_gz -> split_gzip_members -> per-member
+    decode_warc. Each member must hold EXACTLY one record (Annex-D
+    invariant — a member spanning two records breaks random access)
+    and the member's raw bytes must re-parse identically to the
+    uncompressed path, so the output shares `warc_records`' oracle:
+    any drift in the gzip layer (boundary, CRC, ordering) flips the
+    driver hash."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            rows = []
+            for doc_id, uri, html in zip(
+                pdf_b["doc_id"], pdf_b["uri"], pdf_b["html"]
+            ):
+                data = encode_warc_gz(int(doc_id), str(uri), str(html))
+                for i, (_off, _clen, raw) in enumerate(
+                    split_gzip_members(data), start=1
+                ):
+                    recs = decode_warc(raw)
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"gzip member {i} holds {len(recs)} records"
+                        )
+                    wtype, hdrs, payload = recs[0]
+                    if wtype == "response":
+                        status, body = _http_split(payload)
+                    else:
+                        status, body = 0, payload
+                    rows.append((
+                        int(doc_id), i, wtype,
+                        hdrs.get("WARC-Target-URI", ""),
+                        int(hdrs["Content-Length"]),
+                        status, len(body),
+                        hashlib.md5(body).hexdigest(),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "rec_idx", "warc_type", "target_uri",
+                "content_length", "http_status", "body_len", "body_md5",
+            ])
+
+    return pages.mapInPandas(
+        work,
+        schema=("doc_id long, rec_idx long, warc_type string, "
+                "target_uri string, content_length long, "
+                "http_status long, body_len long, body_md5 string"),
+    )
+
+
+def warc_gz_quarantine(pages: DataFrame) -> DataFrame:
+    """Warn-and-continue over a bit-rotted compressed archive: for
+    md5-gated files (n3 even) one byte of the response member's CRC32
+    trailer is flipped — the deflate stream still inflates, so ONLY
+    the checksum layer can catch it (zlib raises on the trailer
+    check); the framing layer alone would pass the corrupt file.
+    Healthy files report record/byte totals, damaged ones quarantine
+    with zero counts — the integrity twin of `warc_quarantine`'s
+    framing gate."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            rows = []
+            for doc_id, uri, html, n3 in zip(
+                pdf_b["doc_id"], pdf_b["uri"], pdf_b["html"], pdf_b["n3"]
+            ):
+                data = encode_warc_gz(int(doc_id), str(uri), str(html))
+                if int(n3) % 2 == 0:
+                    # locate the response (2nd) member and flip a CRC bit
+                    offs = [o for o, _c, _r in split_gzip_members(data)]
+                    crc_pos = offs[2] - 8  # member 2's trailer CRC32
+                    data = (data[:crc_pos]
+                            + bytes([data[crc_pos] ^ 0x01])
+                            + data[crc_pos + 1:])
+                try:
+                    body_bytes = 0
+                    n_rec = 0
+                    for _o, _c, raw in split_gzip_members(data):
+                        for wtype, _h, payload in decode_warc(raw):
+                            n_rec += 1
+                            if wtype == "response":
+                                _s, body = _http_split(payload)
+                                body_bytes += len(body)
+                    rows.append((int(doc_id), True, n_rec, body_bytes))
+                except (ValueError, zlib.error):
+                    rows.append((int(doc_id), False, 0, 0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "ok", "n_records", "n_body_bytes",
+            ])
+
+    return pages.mapInPandas(
+        work,
+        schema="doc_id long, ok boolean, n_records long, n_body_bytes long",
+    )
+
+
 def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_records(_pages(spark, sf_dir))
+
+
+def q_warc_records_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return warc_records_gz(_pages(spark, sf_dir))
+
+
+def q_warc_gz_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return warc_gz_quarantine(_pages(spark, sf_dir))
 
 
 def q_warc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,8 +537,14 @@ SQL_WARC_RECORDS, SQL_WARC_QUARANTINE = _sql()
 QUERIES = {
     "warc_records": q_warc_records,
     "warc_quarantine": q_warc_quarantine,
+    # the compressed framing layer must be INVISIBLE in the output:
+    # both gz queries share the uncompressed oracles bit-for-bit
+    "warc_records_gz": q_warc_records_gz,
+    "warc_gz_quarantine": q_warc_gz_quarantine,
 }
 ORACLE_SQL = {
     "warc_records": SQL_WARC_RECORDS,
     "warc_quarantine": SQL_WARC_QUARANTINE,
+    "warc_records_gz": SQL_WARC_RECORDS,
+    "warc_gz_quarantine": SQL_WARC_QUARANTINE,
 }

@@ -329,6 +329,8 @@ _register(_stats)
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
     # new this round — never stamped
+    "warc_records_gz",
+    "warc_gz_quarantine",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

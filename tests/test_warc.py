@@ -124,3 +124,128 @@ def test_plan_shape_no_exchange(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------- gzip members
+
+def test_gz_members_align_with_records():
+    """One gzip member per record (Annex-D invariant), boundaries
+    exact, raw bytes identical to the uncompressed encoding."""
+    import zlib
+
+    from dd_ops_ocr_spark.operators.warc import (
+        encode_warc_gz,
+        split_gzip_members,
+        warc_record_set,
+    )
+
+    html = "<html><body>compressed &amp; framed</body></html>"
+    recs = warc_record_set(9, URI, html)
+    data = encode_warc_gz(9, URI, html)
+    members = split_gzip_members(data)
+    assert len(members) == 3
+    assert [m[2] for m in members] == recs
+    # offsets/lengths tile the file exactly
+    pos = 0
+    for off, clen, _raw in members:
+        assert off == pos
+        pos += clen
+    assert pos == len(data)
+    # the concatenation is ALSO a single valid gzip stream to a naive
+    # multi-member reader (gzip.decompress handles member concat)
+    import gzip as _gzip
+    assert _gzip.decompress(data) == b"".join(recs)
+    del zlib
+
+
+def test_gz_random_access_one_member():
+    """Seek to member 2's offset and recover ONLY the response record
+    — the range-GET path an object-store archive reader uses."""
+    from dd_ops_ocr_spark.operators.warc import (
+        encode_warc_gz,
+        read_member_at,
+        split_gzip_members,
+    )
+
+    html = "a\r\n\r\nWARC/1.0\r\n\r\nb"
+    data = encode_warc_gz(3, URI, html)
+    off = split_gzip_members(data)[1][0]
+    raw = read_member_at(data, off)
+    recs = decode_warc(raw)
+    assert len(recs) == 1 and recs[0][0] == "response"
+    assert _http_split(recs[0][2])[1] == html.encode("utf-8")
+
+
+def test_gz_deterministic_bytes():
+    from dd_ops_ocr_spark.operators.warc import encode_warc_gz
+
+    a = encode_warc_gz(5, URI, "<html>x</html>")
+    assert a == encode_warc_gz(5, URI, "<html>x</html>")
+    assert a[:4] == b"\x1f\x8b\x08\x00"  # MTIME bytes start zeroed
+
+
+def test_gz_corruption_and_truncation_rejected():
+    import zlib
+
+    import pytest as _pytest
+
+    from dd_ops_ocr_spark.operators.warc import (
+        encode_warc_gz,
+        split_gzip_members,
+    )
+
+    data = encode_warc_gz(11, URI, "<html>y</html>")
+    # CRC trailer bit-flip on the middle member: deflate still
+    # inflates, only the checksum layer catches it
+    off3 = split_gzip_members(data)[2][0]
+    bad = (data[:off3 - 8] + bytes([data[off3 - 8] ^ 0x01])
+           + data[off3 - 7:])
+    with _pytest.raises(zlib.error):
+        split_gzip_members(bad)
+    # truncation mid-member
+    with _pytest.raises(ValueError):
+        split_gzip_members(data[:-6])
+    # trailing non-gzip junk
+    with _pytest.raises(zlib.error):
+        split_gzip_members(data + b"junk")
+    # empty file
+    with _pytest.raises(ValueError):
+        split_gzip_members(b"")
+
+
+def test_gz_spark_parity_with_uncompressed(spark):
+    """warc_records_gz must produce row-identical output to
+    warc_records — the compressed framing layer is invisible."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.warc import (
+        _pages,
+        warc_records,
+        warc_records_gz,
+    )
+
+    pages = _pages(spark, SF_SMOKE).limit(20).cache()
+    plain = sorted(map(tuple, warc_records(pages).collect()))
+    gz = sorted(map(tuple, warc_records_gz(pages).collect()))
+    assert plain == gz
+    pages.unpersist()
+
+
+def test_gz_quarantine_boundary(spark):
+    """n3-even docs (flipped response CRC) quarantine; odd docs report
+    full totals — exact md5 boundary, mirroring warc_quarantine."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.warc import (
+        _pages,
+        warc_gz_quarantine,
+    )
+
+    pages = _pages(spark, SF_SMOKE).limit(40).cache()
+    n3 = {p.doc_id: p.n3 for p in pages.collect()}
+    for r in warc_gz_quarantine(pages).collect():
+        if n3[r.doc_id] % 2 == 0:
+            assert (r.ok, r.n_records, r.n_body_bytes) == (False, 0, 0)
+        else:
+            assert r.ok and r.n_records == 3 and r.n_body_bytes > 0
+    pages.unpersist()
