@@ -111,6 +111,92 @@ def inverted_index(docs: DataFrame, chunk: int = CHUNK) -> DataFrame:
     )
 
 
+TOP_K_Q = 5
+BM25_QUANT = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame, queries: DataFrame, k: int = TOP_K_Q
+) -> DataFrame:
+    """Ranked retrieval: top-k (query_id, rank, doc_id, score) per
+    query under BM25 (k1=1.2, b=0.75), integer-exact across engines.
+
+    The standard form per query term,
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+
+    is floats three ways (log idf, avgdl division, score summation
+    order). All three are removed without changing the ranking
+    function's shape: idf -> the family's quantized idf_bits
+    (bits(N)-bits(df)); k1=6/5 and b=3/4 are rationals, and
+    avgdl = L/N (L = total corpus tokens), so multiplying the term's
+    numerator and denominator by 10*L clears every fraction:
+
+        term = idf_bits * (22*L*tf*QUANT) div (10*L*tf + 3*L + 9*dl*N)
+
+    — pure int64, and the per-doc sum of integer terms is
+    order-independent, so the driver hash gate is meaningful.
+    Headroom: 22*L*tf*QUANT must stay under 2^63, i.e. L*tf < ~4e11 —
+    fine for any oracle-checked slice; at 10^12-token corpora drop
+    QUANT (the div just loses trailing digits) or let scores go
+    double, where cross-engine bit-equality is no longer the contract.
+
+    Scale shape: one (doc_id, token) hash agg; dl and (L, N) derive
+    from that SAME aggregate (no second corpus pass); the query-term
+    table is request-sized -> explicit broadcast against the tf
+    stream (the model-side rule, classify.py); one (query_id, doc_id)
+    agg; one per-query window for the cut. Docs sharing no term with
+    a query never materialize — the posting-intersection sparsity
+    BM25 engines rely on."""
+    tf = _doc_token_tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_tok = tf.groupBy("token").agg(F.count("*").alias("df"))
+    totals = tf.agg(
+        F.sum("tf").alias("corpus_len"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    idf = F.greatest(
+        _bits(F.col("n_docs")) - _bits(F.col("df")), F.lit(0)
+    )
+    term = (
+        tf.join(F.broadcast(queries.select("query_id", "token")), "token")
+        .join(F.broadcast(df_tok), "token")
+        # dl is doc-count-sized (data-dependent, NOT the bounded model
+        # side): unhinted — AQE broadcasts it only when it truly is
+        # small; at 10^12 docs this is a correct doc_id hash join
+        # between the matched-posting stream and the length table
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf
+                * F.expr(
+                    f"(22 * corpus_len * tf * CAST({BM25_QUANT} AS BIGINT)) div "
+                    "(10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs)"
+                )
+            ).cast("long").alias("term_score"),
+        )
+    )
+    scored = term.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
 # ------------------------------------------------------------- oracled corpus
 # The raw documents share one ~30-word vocabulary (df ~ N for every
 # token, all idf_bits 0), so keyword signal is PLANTED: every doc gets
@@ -134,6 +220,21 @@ def _docs_with_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             niche,
         ).alias("text"),
     )
+
+
+def _bm25_queries(spark: SparkSession) -> DataFrame:
+    """10 two-term retrieval requests over the planted keyword space:
+    query m = (topic_m, niche_{7m mod 200}). Query 0's two term sets
+    intersect (doc_id % 200 == 0 docs match both), so the per-doc SUM
+    across terms is exercised, not just single-term scoring."""
+    rows = [(m, f"topic{m}") for m in range(10)] + [
+        (m, f"niche{(m * 7) % 200}") for m in range(10)
+    ]
+    return spark.createDataFrame(rows, "query_id int, token string")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs_with_keywords(spark, sf_dir), _bm25_queries(spark))
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,12 +311,50 @@ GROUP BY r.token, r.chunk_id, dft.df
 """
 )
 
+SQL_BM25_TOPK = (
+    f"WITH d AS ({_SQL_KEYWORD_DOCS}),"
+    + _SQL_TF
+    + f"""
+, q AS (
+  SELECT CAST(m AS INT) AS query_id, 'topic' || CAST(m AS VARCHAR) AS token
+  FROM range(10) r(m)
+  UNION ALL
+  SELECT CAST(m AS INT), 'niche' || CAST((m * 7) % 200 AS VARCHAR)
+  FROM range(10) r(m)
+),
+dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS corpus_len,
+               COUNT(DISTINCT doc_id) AS n_docs FROM t),
+term AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(GREATEST(({_SQL_BITS.format(c="n_docs")})
+                       - ({_SQL_BITS.format(c="df")}), 0)
+              * ((22 * corpus_len * t.tf * {BM25_QUANT})
+                 // (10 * corpus_len * t.tf + 3 * corpus_len
+                     + 9 * dlt.dl * n_docs)) AS BIGINT) AS term_score
+  FROM t JOIN q USING (token) JOIN dft USING (token)
+       JOIN dlt USING (doc_id) CROSS JOIN tot
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+        FROM term GROUP BY query_id, doc_id)
+)
+WHERE rank <= {TOP_K_Q}
+"""
+)
+
 QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "inverted_index": q_inverted_index,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE_SQL = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "inverted_index": SQL_INVERTED_INDEX,
+    "bm25_topk": SQL_BM25_TOPK,
 }

@@ -331,6 +331,7 @@ _ROSTER_HEAD = [
     # new this round — never stamped
     "warc_records_gz",
     "warc_gz_quarantine",
+    "bm25_topk",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

@@ -79,3 +79,67 @@ def test_inverted_index_single_chunk_tail(spark):
     rows = [(1, "rare"), (2, "other")]
     out = inverted_index(_df(spark, rows), chunk=8).filter("token='rare'").collect()
     assert len(out) == 1 and out[0]["chunk_id"] == 0 and out[0]["postings"] == "1:1"
+
+
+# ------------------------------------------------------------- BM25
+
+def test_bm25_known_answer(spark):
+    """Hand-computed integer BM25 on a 4-doc corpus (L=9, N=4):
+    term = idf_bits * (22*L*tf*1e6) div (10*L*tf + 3*L + 9*dl*N)."""
+    from dd_ops_ocr_spark.operators.indexing import bm25_topk
+
+    docs = _df(spark, [
+        (1, "a b b"), (2, "a c"), (3, "c c c"), (4, "d"),
+    ])
+    qs = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c")], "query_id int, token string"
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk(docs, qs).collect()
+    }
+    # q0: doc1 = 1*(198e6 div 225) + 2*(396e6 div 315)
+    #          = 880000 + 2514284 = 3394284; doc2 = 198e6 div 189
+    assert got[(0, 1)] == (1, 3394284)
+    assert got[(0, 2)] == (2, 1047619)
+    # q1: doc3 (tf=3) beats doc2 (tf=1) despite shorter doc2
+    assert got[(1, 1)] == (3, 1466666)
+    assert got[(1, 2)] == (2, 1047619)
+    # docs sharing no term with a query never materialize
+    assert len(got) == 4
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter doc scores higher (the b=0.75 dl/avgdl term)."""
+    from dd_ops_ocr_spark.operators.indexing import bm25_topk
+
+    # 4 docs so idf_bits = bits(4)-bits(2) = 1 (the quantized idf is 0
+    # while df > N/2 — ubiquitous terms carry no signal by design)
+    docs = _df(spark, [
+        (1, "x pad pad pad"), (2, "x pad"), (3, "pad"), (4, "pad"),
+    ])
+    qs = spark.createDataFrame([(0, "x")], "query_id int, token string")
+    rows = {r.doc_id: r for r in bm25_topk(docs, qs).collect()}
+    assert rows[2].score > rows[1].score
+    assert rows[2].rank == 1
+
+
+def test_bm25_tiebreak_and_k_cut(spark):
+    """Identical docs tie on score -> doc_id ascending; k bounds rows."""
+    from dd_ops_ocr_spark.operators.indexing import bm25_topk
+
+    docs = _df(spark, [(i, "t filler") for i in range(1, 8)])
+    qs = spark.createDataFrame([(0, "t")], "query_id int, token string")
+    rows = bm25_topk(docs, qs, k=3).collect()
+    assert [(r.rank, r.doc_id) for r in sorted(rows, key=lambda r: r.rank)] \
+        == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_bm25_plan_no_cartesian(spark):
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.indexing import q_bm25_topk
+
+    plan = q_bm25_topk(spark, SF_SMOKE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
