@@ -147,6 +147,58 @@ def collocations(
 # 30-min sessions split realistically). Collocations get a PLANTED
 # multi-word expression: docs with doc_id % 4 == 1 append
 # "new york" (attraction: "york" only ever follows "new"), and the raw
+ROLL_HOURS = 24
+
+
+def rolling_window(events: DataFrame, hours: int = ROLL_HOURS) -> DataFrame:
+    """Per event: count and value-sum of the SAME user's events in the
+    trailing ``hours`` window — the time-RANGE window frame
+    (`rangeBetween` over a numeric order key), the one window surface
+    the session/rank/lag family doesn't touch. Rate limiting, trailing
+    activity scores, and abuse velocity checks are all this frame.
+
+    Exactness: the order key is integer microseconds (`unix_micros` —
+    the sessionize lesson: second-flooring vs rounding diverges between
+    engines) and the summed value is integer CENTS (round(value*100)),
+    so frame sums are order-independent and the hash gate is real.
+    RANGE frames include ALL peers of the current row (SQL standard,
+    both engines), so equal-timestamp events see each other — no
+    tie-order hazard.
+
+    Scale shape: one user_id shuffle; within a partition both engines
+    evaluate the frame as a streaming two-pointer over the sort — O(n)
+    per user, state = one window's rows. Task size is bounded by
+    events-per-user; a pathological hot key needs (user, day)
+    pre-bucketing with a carry-in pass — the bounded.py treatment —
+    noted, not built: the win only exists past ~10^7 events per user."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    span_us = hours * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-span_us, 0)
+    )
+    return (
+        events.select(
+            "event_id", "user_id", us.alias("us"), cents.alias("cents")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).cast("long").alias("n_trailing"),
+            F.sum("cents").over(w).cast("long").alias("v_cents_trailing"),
+        )
+    )
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_window(e)
+
+
 # ~30-word vocabulary supplies the independent-pair background.
 
 MWE = "new york"
@@ -250,12 +302,28 @@ FROM (
 WHERE rank <= {COLLOC_TOP_K}
 """
 
+SQL_ROLLING_WINDOW = f"""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(cents) OVER w AS BIGINT) AS v_cents_trailing
+FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {ROLL_HOURS * 3600 * 1_000_000} PRECEDING
+                   AND CURRENT ROW)
+"""
+
 QUERIES = {
     "session_stats": q_sessionize,
     "collocations": q_collocations,
+    "rolling_window": q_rolling_window,
 }
 
 ORACLE_SQL = {
     "session_stats": SQL_SESSIONIZE,
     "collocations": SQL_COLLOCATIONS,
+    "rolling_window": SQL_ROLLING_WINDOW,
 }

@@ -332,6 +332,7 @@ _ROSTER_HEAD = [
     "warc_records_gz",
     "warc_gz_quarantine",
     "bm25_topk",
+    "rolling_window",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

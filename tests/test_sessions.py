@@ -78,3 +78,50 @@ def test_collocations_min_count_filter(spark):
     rows = [(1, "rare pair common common common common common common")]
     out = collocations(_docs(spark, rows), top_k=10, min_count=5).collect()
     assert all((r["w1"], r["w2"]) != ("rare", "pair") for r in out)
+
+
+# ----------------------------------------------------- rolling window
+
+def _evrows4(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_rolling_window_boundary_inclusive(spark):
+    """RANGE frames are inclusive at both bounds: an event EXACTLY 24h
+    earlier is in the frame; one microsecond past it is not."""
+    from dd_ops_ocr_spark.operators.sessions import rolling_window
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 7, t0, 1.00),
+        (2, 7, t0 + timedelta(hours=24), 2.00),                    # sees e1
+        (3, 7, t0 + timedelta(hours=24, microseconds=1), 4.00),    # not e1
+    ]
+    got = {r.event_id: r for r in rolling_window(_evrows4(spark, rows)).collect()}
+    assert (got[1].n_trailing, got[1].v_cents_trailing) == (1, 100)
+    assert (got[2].n_trailing, got[2].v_cents_trailing) == (2, 300)
+    assert (got[3].n_trailing, got[3].v_cents_trailing) == (2, 600)
+
+
+def test_rolling_window_equal_ts_peers_see_each_other(spark):
+    """Peers of the current row are IN the frame (SQL standard) — no
+    tie-order hazard."""
+    from dd_ops_ocr_spark.operators.sessions import rolling_window
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, 3, t0, 1.00), (2, 3, t0, 2.00)]
+    got = {r.event_id: r for r in rolling_window(_evrows4(spark, rows)).collect()}
+    assert got[1].n_trailing == 2 and got[2].n_trailing == 2
+    assert got[1].v_cents_trailing == got[2].v_cents_trailing == 300
+
+
+def test_rolling_window_user_isolation(spark):
+    from dd_ops_ocr_spark.operators.sessions import rolling_window
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, 1, t0, 1.00), (2, 2, t0, 5.00)]
+    got = {r.event_id: r for r in rolling_window(_evrows4(spark, rows)).collect()}
+    assert got[1].n_trailing == 1 and got[1].v_cents_trailing == 100
+    assert got[2].n_trailing == 1 and got[2].v_cents_trailing == 500
