@@ -42,6 +42,35 @@ def group_quantiles(
     )
 
 
+def group_cardinality(
+    rows: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """(grp, n_rows, n_distinct) — exact distinct-key count per group,
+    the oracle-checkable half of cardinality profiling. The 10^12-row
+    production twin is ``approx_count_distinct`` (HyperLogLog++: O(1)
+    state per group instead of a distinct-shuffle of every key) on the
+    SAME groupBy plan; its output is engine- and seed-specific, so the
+    audit contract is split: this exact op goes through the driver
+    hash gate, and the approx one is pinned in pytest against the
+    exact result with HLL's published error bound (rsd default 5%).
+
+    Plan note: countDistinct rewrites to a two-phase expand-aggregate
+    (partial distinct per partition, then merge) — one shuffle keyed
+    (grp, key), one keyed grp; no row ever carries more than its own
+    key."""
+    return rows.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(key_col).cast("long").alias("n_distinct"),
+    )
+
+
+def q_event_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return group_cardinality(e, "event_type", "user_id").select(
+        F.col("grp").alias("event_type"), "n_rows", "n_distinct"
+    )
+
+
 def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return group_quantiles(e, "event_type", "value").select(
@@ -58,10 +87,19 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+SQL_EVENT_USER_CARDINALITY = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
 QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
+    "event_user_cardinality": q_event_user_cardinality,
 }
 
 ORACLE_SQL = {
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
+    "event_user_cardinality": SQL_EVENT_USER_CARDINALITY,
 }

@@ -333,6 +333,7 @@ _ROSTER_HEAD = [
     "warc_gz_quarantine",
     "bm25_topk",
     "rolling_window",
+    "event_user_cardinality",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

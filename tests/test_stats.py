@@ -25,3 +25,39 @@ def test_odd_count_median_is_middle(spark):
     rows = [("a", 5.0), ("a", 1.0), ("a", 9.0)]
     out = group_quantiles(_df(spark, rows), "grp", "value").collect()[0]
     assert out["p50"] == 5.0
+
+
+def test_cardinality_exact(spark):
+    from dd_ops_ocr_spark.operators.stats import group_cardinality
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 9)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    out = {r.grp: r for r in group_cardinality(df, "grp", "k").collect()}
+    assert (out["a"].n_rows, out["a"].n_distinct) == (3, 2)
+    assert (out["b"].n_rows, out["b"].n_distinct) == (1, 1)
+
+
+def test_approx_cardinality_within_hll_bound(spark):
+    """The production twin (approx_count_distinct, HLL++) must land
+    within a generous multiple of its rsd on the same plan — pinning
+    the audit relationship the exact op documents."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.stats import group_cardinality
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {
+        r.grp: r.n_distinct
+        for r in group_cardinality(e, "event_type", "user_id").collect()
+    }
+    approx = {
+        r.grp: r.n_approx
+        for r in e.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.05).alias("n_approx"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for g, n in exact.items():
+        assert abs(approx[g] - n) <= max(3, 0.2 * n), (g, n, approx[g])
