@@ -26,8 +26,10 @@ Scale shape (10^12 pages):
 RFC 9309 subset implemented: single `User-agent: *` group,
 `Allow`/`Disallow` path-prefix rules, longest-match-wins with Allow
 winning length ties (the published Google/RFC tie rule), empty match
-set = allowed. Seams (documented, not silently wrong): %-encoded rule
-paths, `*`/`$` wildcards, multiple agent groups, `Crawl-delay`.
+set = allowed, and the de-facto `Crawl-delay` extension (parsed per
+host, consumed by `fetch_schedule` below). Seams (documented, not
+silently wrong): %-encoded rule paths, `*`/`$` wildcards, multiple
+agent groups.
 """
 
 from __future__ import annotations
@@ -42,10 +44,11 @@ from dd_ops_ocr_spark.operators.urlops import (
     _NIB_SQL,
 )
 
-# robots gates key on md5(host_id) nibbles 3-4 — a DIFFERENT keyspace
+# robots gates key on md5(host_id) nibbles 3-5 — a DIFFERENT keyspace
 # (md5 of the 0..39 host id, not of doc_id), so they are independent of
-# every doc-level plant by construction.
-_DIS_NIB, _ALW_NIB = 3, 4
+# every doc-level plant by construction. Nibble 5's value sets the
+# host's Crawl-delay (1..4 s).
+_DIS_NIB, _ALW_NIB, _DELAY_NIB = 3, 4, 5
 
 _RULE_RE = "(?m)^(Allow|Disallow): (\\S+)$"
 
@@ -67,12 +70,16 @@ def robots_df(spark: SparkSession) -> DataFrame:
     alignment trick)."""
     hosts = spark.range(_N_DOMAINS)
     md = F.md5(F.col("id").cast("string"))
+    delay = (
+        F.instr(F.lit(_HEX), F.substring(md, _DELAY_NIB, 1)) - 1
+    ) % 4 + 1
     txt = F.concat(
         F.lit("User-agent: *\nDisallow: /admin/\n"),
         F.when(_host_nib_even(md, _DIS_NIB), F.lit("Disallow: /p/\n"))
          .otherwise(F.lit("")),
         F.when(_host_nib_even(md, _ALW_NIB), F.lit("Allow: /p/2\n"))
          .otherwise(F.lit("")),
+        F.concat(F.lit("Crawl-delay: "), delay.cast("string"), F.lit("\n")),
     )
     parsed = hosts.select(
         F.concat(F.lit("www.d"), F.col("id").cast("string"),
@@ -86,6 +93,17 @@ def robots_df(spark: SparkSession) -> DataFrame:
             lambda d, p: F.struct(
                 (d == "Allow").alias("allow"), p.alias("path")
             ),
+        ),
+    ).withColumn(
+        # de-facto Crawl-delay extension: parsed from the TEXT (not
+        # re-derived from the plant), absent -> the 1 s default every
+        # polite crawler assumes
+        "crawl_delay",
+        F.coalesce(
+            F.regexp_extract(
+                "robots_txt", r"(?m)^Crawl-delay: (\d+)$", 1
+            ).try_cast("long"),
+            F.lit(1),
         ),
     )
     return parsed
@@ -136,6 +154,58 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("normalized_url", _PATH_RE, 1).alias("path"),
     )
     return robots_verdicts(pages, robots_df(spark))
+
+
+def fetch_schedule(pages: DataFrame, robots: DataFrame) -> DataFrame:
+    """Politeness scheduler — the step between the frontier and the
+    fetcher: robots-allowed URLs only, one fetch lane per host, slot
+    k on a host fires at k * crawl_delay seconds. Output
+    (doc_id, host, slot, delay_sec, fetch_offset_sec); slot order is
+    doc_id ascending — deterministic, so re-planning a crawl after a
+    failure reproduces the same schedule (the resumability property
+    the ledger gives extraction, applied to fetching).
+
+    Scale shape: the verdict + delay lookup both ride the broadcast
+    host table (host-cardinality, the bounded side); slot assignment
+    is ONE host-keyed window. A mega-host (10^8+ frontier URLs) makes
+    one long task: the fix is the bounded.py treatment — bucket by
+    doc_id range, per-bucket row_number plus a cumulative carry-in
+    base — worth building only past task-size limits, noted not
+    built."""
+    allowed = robots_verdicts(pages, robots).filter("allowed")
+    delayed = allowed.join(
+        F.broadcast(robots.select("host", "crawl_delay")), "host"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return delayed.select(
+        "doc_id",
+        "host",
+        (F.row_number().over(w) - 1).cast("int").alias("slot"),
+        F.col("crawl_delay").cast("long").alias("delay_sec"),
+    ).withColumn(
+        "fetch_offset_sec",
+        (F.col("slot") * F.col("delay_sec")).cast("long"),
+    )
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark.operators.urlops import (
+        normalize_urls,
+        plant_messy_urls,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    pages = normalize_urls(plant_messy_urls(docs)).select(
+        "doc_id",
+        F.regexp_extract("normalized_url", _HOST_ONLY_RE, 1)
+         .alias("host"),
+        F.regexp_extract("normalized_url", _PATH_RE, 1).alias("path"),
+    )
+    return fetch_schedule(pages, robots_df(spark))
 
 
 # The oracle states the DECISION in closed form: the only rule that can
@@ -352,7 +422,46 @@ FROM (
 """
 
 
+def _sql_schedule() -> str:
+    """The robots decision closed form, filtered to allowed rows, plus
+    the delay nibble and a per-host ROW_NUMBER — DuckDB restates the
+    whole frontier->robots->schedule chain."""
+    k = f"(({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})"
+    hmd = f"md5({k}::VARCHAR)"
+    hnib = lambda i: f"substring({hmd}, {i}, 1)"
+    dval = (f"((strpos('0123456789abcdef', {hnib(_DELAY_NIB)}) - 1)"
+            f" % 4 + 1)")
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    'www.d' || {k}::VARCHAR || '.com' AS host,
+    '/p/' || doc_id::VARCHAR
+    || CASE WHEN substring(md5(doc_id::VARCHAR), 11, 1) IN ({_EVEN_IN})
+         OR substring(md5(doc_id::VARCHAR), 12, 1) IN ({_EVEN_IN})
+       THEN '?ref=home' ELSE '' END AS path,
+    {hnib(_DIS_NIB)} IN ({_EVEN_IN}) AS dis_p,
+    {hnib(_ALW_NIB)} IN ({_EVEN_IN}) AS alw_p2,
+    {dval}::BIGINT AS delay_sec
+  FROM documents
+),
+a AS (
+  SELECT doc_id, host, delay_sec
+  FROM u
+  WHERE NOT (dis_p AND path LIKE '/p/%'
+             AND NOT (alw_p2 AND path LIKE '/p/2%'))
+)
+SELECT doc_id, host,
+  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1
+       AS INT) AS slot,
+  delay_sec,
+  CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+       * delay_sec AS BIGINT) AS fetch_offset_sec
+FROM a
+"""
+
+
 SQL_ROBOTS_FILTER = _sql_robots()
+SQL_FETCH_SCHEDULE = _sql_schedule()
 SQL_SITEMAP_URLS = _sql_sitemap()
 SQL_REDIRECT_RESOLVE = _sql_redirects()
 
@@ -360,9 +469,11 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "sitemap_urls": q_sitemap_urls,
     "redirect_resolve": q_redirect_resolve,
+    "fetch_schedule": q_fetch_schedule,
 }
 ORACLE_SQL = {
     "robots_filter": SQL_ROBOTS_FILTER,
     "sitemap_urls": SQL_SITEMAP_URLS,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
+    "fetch_schedule": SQL_FETCH_SCHEDULE,
 }

@@ -334,6 +334,7 @@ _ROSTER_HEAD = [
     "bm25_topk",
     "rolling_window",
     "event_user_cardinality",
+    "fetch_schedule",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

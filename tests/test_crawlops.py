@@ -129,3 +129,81 @@ def test_redirect_plan_shape(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------ fetch schedule
+
+def test_crawl_delay_parsed_and_defaulted(spark):
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.operators.crawlops import robots_df
+
+    r = robots_df(spark).select("host", "robots_txt", "crawl_delay")
+    rows = r.collect()
+    for row in rows:
+        assert f"Crawl-delay: {row.crawl_delay}\n" in row.robots_txt
+        assert 1 <= row.crawl_delay <= 4
+    # absent Crawl-delay -> 1 s default
+    stripped = r.withColumn(
+        "robots_txt",
+        F.regexp_replace("robots_txt", r"(?m)^Crawl-delay: \d+\n", ""),
+    ).withColumn(
+        "crawl_delay",
+        F.coalesce(
+            F.regexp_extract(
+                "robots_txt", r"(?m)^Crawl-delay: (\d+)$", 1
+            ).try_cast("long"),
+            F.lit(1),
+        ),
+    )
+    assert {x.crawl_delay for x in stripped.collect()} == {1}
+
+
+def test_fetch_schedule_spacing_and_exclusion(spark):
+    """Slots are 0..n-1 per host in doc_id order, offsets are
+    slot*delay, and disallowed URLs never get a slot."""
+    from collections import defaultdict
+
+    from dd_ops_ocr_spark.operators.crawlops import (
+        fetch_schedule,
+        robots_df,
+        robots_verdicts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    from dd_ops_ocr_spark.operators.crawlops import (
+        _HOST_ONLY_RE,
+        _PATH_RE,
+    )
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.operators.urlops import (
+        normalize_urls,
+        plant_messy_urls,
+    )
+
+    pages = normalize_urls(plant_messy_urls(docs)).select(
+        "doc_id",
+        F.regexp_extract("normalized_url", _HOST_ONLY_RE, 1).alias("host"),
+        F.regexp_extract("normalized_url", _PATH_RE, 1).alias("path"),
+    ).cache()
+    robots = robots_df(spark)
+    allowed = {
+        r.doc_id for r in robots_verdicts(pages, robots).collect()
+        if r.allowed
+    }
+    sched = fetch_schedule(pages, robots).collect()
+    assert {r.doc_id for r in sched} == allowed
+    by_host = defaultdict(list)
+    for r in sched:
+        by_host[r.host].append(r)
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r.slot)
+        assert [r.slot for r in rows] == list(range(len(rows)))
+        doc_ids = [r.doc_id for r in rows]
+        assert doc_ids == sorted(doc_ids)
+        for r in rows:
+            assert r.fetch_offset_sec == r.slot * r.delay_sec
+    pages.unpersist()
