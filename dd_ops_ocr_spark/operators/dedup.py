@@ -788,6 +788,167 @@ FROM d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+# ----------------------------------------------------------- containment
+#
+# The dedup flavor Jaccard structurally misses: doc A fully QUOTED
+# inside a much larger doc B has containment |sh(A) ∩ sh(B)| / |sh(A)|
+# ≈ 1 while Jaccard |∩|/|∪| ≈ |A|/|B| can be arbitrarily small —
+# aggregator pages, quote farms, and wrapper boilerplate all look like
+# this. MinHash-LSH can't block these either (it estimates Jaccard),
+# so candidates come from RARE-SHINGLE BLOCKING instead: long (16-char)
+# shingles are selective (measured at sf0.01: 101k of 108k have df≤2,
+# every doc holds ≥33 with df≤4), and a df cap makes the blocking join
+# skew-safe BY CONSTRUCTION — a shingle with df ≤ RARE_DF yields at
+# most C(RARE_DF,2) pairs, so no task can blow up regardless of corpus
+# (the stopword pathology that forces chunking in inverted_index simply
+# cannot occur). Verification then computes exact containment both
+# directions on the standard 8-char shingles, candidates only.
+
+BLOCK_SHINGLE = 16
+RARE_DF = 4
+MIN_SHARED_RARE = 3
+CONTAIN_THRESHOLD = 0.9
+CONTAIN_OFFSET = 20_000_000
+_FILLER_TERMS = 20
+
+
+def _block_shingles(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(1, length(text) - {BLOCK_SHINGLE - 1})),"
+                    f" i -> substring(text, i, {BLOCK_SHINGLE}))"
+                )
+            )
+        ).alias("bsh"),
+    )
+
+
+def containment_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, c_a_in_b, c_b_in_a, jaccard) for candidate pairs
+    where either direction's containment ≥ CONTAIN_THRESHOLD (doc_a <
+    doc_b). Candidates = pairs sharing ≥ MIN_SHARED_RARE blocking
+    shingles of document frequency ≤ RARE_DF."""
+    bsh = _block_shingles(d)
+    bdf = bsh.groupBy("bsh").agg(F.count("*").alias("bdf"))
+    # rare blocking keys: the bdf filter output is data-dependent ->
+    # unhinted join (AQE broadcasts it only when it truly is small)
+    rare = bsh.join(bdf.filter(F.col("bdf") <= RARE_DF), "bsh")
+    cand = (
+        rare.select(F.col("doc_id").alias("doc_a"), "bsh")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "bsh"), "bsh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_rare"))
+        .filter(F.col("n_shared_rare") >= MIN_SHARED_RARE)
+        .select("doc_a", "doc_b")
+    )
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+              ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    c_ab = F.col("n_inter") / F.col("n_a")
+    c_ba = F.col("n_inter") / F.col("n_b")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .filter(F.greatest(c_ab, c_ba) >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_a", "doc_b",
+            F.round(c_ab, 6).alias("c_a_in_b"),
+            F.round(c_ba, 6).alias("c_b_in_a"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _docs_with_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a CONTAINER twin for every 25th doc: the full
+    original text followed by ~640 chars of doc-unique md5 filler, so
+    containment(A in twin) = 1.0 exactly (A is a prefix — every 8-gram
+    of A is an 8-gram of the twin) while Jaccard sinks toward
+    |A|/(|A|+|filler|) — the asymmetry the operator exists to catch."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    filler = F.concat(*[
+        F.md5((F.col("doc_id") + F.lit(1_000_000 * (k + 1))).cast("string"))
+        for k in range(_FILLER_TERMS)
+    ])
+    containers = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + CONTAIN_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), filler).alias("text"),
+    )
+    return d.unionByName(containers)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(_docs_with_containers(spark, sf_dir))
+
+
+_SQL_FILLER = " || ".join(
+    f"md5((doc_id + {1_000_000 * (k + 1)})::VARCHAR)"
+    for k in range(_FILLER_TERMS)
+)
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_OFFSET} AS doc_id,
+         text || ' ' || {_SQL_FILLER} AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+bsh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(t.i AS INT), {BLOCK_SHINGLE}) AS bsh
+  FROM d, UNNEST(range(1, GREATEST(1, LENGTH(text) - {BLOCK_SHINGLE - 1}) + 1)) AS t(i)
+),
+bdf AS (SELECT bsh FROM (SELECT bsh, COUNT(*) AS bdf FROM bsh GROUP BY bsh)
+        WHERE bdf <= {RARE_DF}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT s.doc_id, s.bsh FROM bsh s JOIN bdf USING (bsh)) a
+  JOIN (SELECT s.doc_id, s.bsh FROM bsh s JOIN bdf USING (bsh)) b
+    USING (bsh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {MIN_SHARED_RARE}
+),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / za.n_sh, 6) AS c_a_in_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / zb.n_sh, 6) AS c_b_in_a,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE GREATEST(CAST(i.n_inter AS DOUBLE) / za.n_sh,
+               CAST(i.n_inter AS DOUBLE) / zb.n_sh) >= {CONTAIN_THRESHOLD}
+"""
+
+
 QUERIES = {
     "line_dedup_global": q_line_dedup_global,
     "dedup_clusters": q_dedup_clusters,
@@ -798,6 +959,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "containment_pairs": q_containment_pairs,
 }
 
 ORACLE_SQL = {
@@ -810,4 +972,5 @@ ORACLE_SQL = {
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
 }

@@ -335,6 +335,7 @@ _ROSTER_HEAD = [
     "rolling_window",
     "event_user_cardinality",
     "fetch_schedule",
+    "containment_pairs",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

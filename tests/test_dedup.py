@@ -1,0 +1,80 @@
+"""Containment dedup (operators/dedup.py containment_pairs): the
+asymmetric near-dup flavor — quotes/subset docs Jaccard misses."""
+
+from __future__ import annotations
+
+
+# ----------------------------------------------------- containment
+
+def test_containment_quote_pair_found_jaccard_blind(spark):
+    """A doc fully quoted inside a larger doc: containment = 1.0 in
+    the contained direction while Jaccard sits far below the 0.8
+    near-dup gate — the pair ngram_jaccard structurally misses."""
+    from dd_ops_ocr_spark.operators.dedup import containment_pairs
+
+    quoted = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"zz{i}qq{i}ww{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quoted),
+            (2, quoted + " " + filler),
+            (3, "november oscar papa quebec romeo sierra tango"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.c_a_in_b == 1.0
+    assert r.jaccard < 0.8
+
+
+def test_containment_direction_reversed(spark):
+    """Container with the SMALLER doc_id: the b-in-a direction fires."""
+    from dd_ops_ocr_spark.operators.dedup import containment_pairs
+
+    quoted = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"zz{i}qq{i}ww{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quoted + " " + filler), (2, quoted)],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].c_b_in_a == 1.0
+    assert rows[0].c_a_in_b < 1.0
+
+
+def test_containment_unrelated_docs_no_pair(spark):
+    from dd_ops_ocr_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot"),
+            (2, "november oscar papa quebec romeo sierra"),
+        ],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(docs).count() == 0
+
+
+def test_containment_blocking_skew_bound(spark):
+    """A shingle shared by MORE than RARE_DF docs is excluded from
+    blocking (the by-construction skew bound) — docs related ONLY
+    through such a hot shingle never become candidates."""
+    from dd_ops_ocr_spark.operators.dedup import RARE_DF, containment_pairs
+
+    hot = "identical hot shingle content everywhere"
+    docs = spark.createDataFrame(
+        [(i, hot + f" unique tail {i} " + " ".join(
+            f"u{i}x{j}" for j in range(20)))
+         for i in range(RARE_DF + 3)],
+        "doc_id long, text string",
+    )
+    # every pair shares the hot prefix's shingles, but those have
+    # df = RARE_DF+3 > RARE_DF, and the tails are disjoint
+    for r in containment_pairs(docs).collect():
+        # any surviving pair must have qualified through ≥3 RARE
+        # shared shingles, impossible here
+        raise AssertionError(f"unexpected candidate pair {r}")
