@@ -799,6 +799,121 @@ FROM stats s JOIN top t USING (target_url)
 """
 
 
+# ------------------------------------------------------------ tables
+#
+# Structured-data extraction — the htmlops family read chrome, links,
+# and metadata but not DATA: <table> markup is how the web serializes
+# relational facts, and a training pipeline flattens them into
+# (table, row, col, cell) tuples. Real nested fan-out: tables ->
+# rows -> cells via three regexp_extract_all levels + posexplode,
+# entirely narrow (the fan-out never shuffles). Non-greedy matching
+# assumes non-nested tables — the planted corpus guarantees it;
+# nested tables are a documented seam (a stack parser in mapInPandas,
+# the decode_warc idiom, if a corpus needs them).
+
+_TABLE_GATE_NIB = 7  # md5(doc_id) nibble 7 even -> doc carries a table
+_TABLE_RE = "(?is)<table[^>]*>(.*?)</table>"
+_TR_RE = "(?is)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = "(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def plant_html_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, html): gated docs (nibble 7 even)
+    carry one 2-column table — header (name, value) plus 1 + doc_id%3
+    data rows of closed-form cells (k<doc_id>_<r>, (doc_id*r)%97)."""
+    md = F.md5(F.col("doc_id").cast("string"))
+    n_rows = (F.pmod("doc_id", F.lit(3)) + 1).cast("int")
+    data_rows = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n_rows),
+            lambda r: F.concat(
+                F.lit("<tr><td>k"), F.col("doc_id").cast("string"),
+                F.lit("_"), r.cast("string"), F.lit("</td><td>"),
+                F.pmod(F.col("doc_id") * r, F.lit(97)).cast("string"),
+                F.lit("</td></tr>"),
+            ),
+        ),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    table = F.when(
+        F.substring(md, _TABLE_GATE_NIB, 1).isin(_EVEN_NIBBLES),
+        F.concat(
+            F.lit("<table><tr><th>name</th><th>value</th></tr>"),
+            data_rows,
+            F.lit("</table>"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+            table, F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+def extract_tables(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) -> one row per CELL:
+    (doc_id, table_idx, row_idx, col_idx, is_header, cell).
+    Indices are 0-based in document order; is_header marks <th> rows.
+    Docs without tables emit nothing (posexplode drops empties)."""
+    t = pages.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("html", F.lit(_TABLE_RE), 1)
+        ).alias("table_idx", "thtml"),
+    )
+    r = t.select(
+        "doc_id", "table_idx",
+        F.posexplode(
+            F.regexp_extract_all("thtml", F.lit(_TR_RE), 1)
+        ).alias("row_idx", "rhtml"),
+    )
+    c = r.select(
+        "doc_id", "table_idx", "row_idx",
+        F.col("rhtml").rlike("(?is)<th[\\s>]").alias("is_header"),
+        F.posexplode(
+            F.regexp_extract_all("rhtml", F.lit(_CELL_RE), 1)
+        ).alias("col_idx", "raw_cell"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("table_idx").cast("int").alias("table_idx"),
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.col("col_idx").cast("int").alias("col_idx"),
+        "is_header",
+        _visible(F.col("raw_cell")).alias("cell"),
+    )
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_tables(plant_html_table(_docs(spark, sf_dir)))
+
+
+def _sql_tables() -> str:
+    """The PLANT's closed form — pins plant AND the three-level regex
+    parser at once (the warc_records pattern)."""
+    ev = ", ".join(repr(n) for n in _EVEN_NIBBLES)
+    return f"""
+WITH src AS (
+  SELECT doc_id, (doc_id % 3 + 1) AS nr FROM documents
+  WHERE substring(md5(doc_id::VARCHAR), {_TABLE_GATE_NIB}, 1) IN ({ev})
+),
+cols AS (SELECT * FROM (VALUES (0), (1)) c(col_idx))
+SELECT doc_id, CAST(0 AS INT) AS table_idx, CAST(0 AS INT) AS row_idx,
+       CAST(col_idx AS INT) AS col_idx, true AS is_header,
+       CASE col_idx WHEN 0 THEN 'name' ELSE 'value' END AS cell
+FROM src, cols
+UNION ALL
+SELECT doc_id, CAST(0 AS INT), CAST(r.r AS INT),
+       CAST(col_idx AS INT), false,
+       CASE col_idx WHEN 0 THEN 'k' || doc_id::VARCHAR || '_' || r.r::VARCHAR
+            ELSE ((doc_id * r.r) % 97)::VARCHAR END
+FROM src, UNNEST(range(1, nr + 1)) AS r(r), cols
+"""
+
+
 QUERIES = {
     "html_main_content": q_html_main_content,
     "html_block_classify": q_html_block_classify,
@@ -808,6 +923,7 @@ QUERIES = {
     "link_graph_indegree": q_link_graph_indegree,
     "frontier_new_urls": q_frontier_new_urls,
     "anchor_text_agg": q_anchor_text_agg,
+    "html_tables": q_html_tables,
 }
 ORACLE_SQL = {
     "html_main_content": SQL_HTML_MAIN_CONTENT,
@@ -818,4 +934,5 @@ ORACLE_SQL = {
     "link_graph_indegree": _sql_link_graph(),
     "frontier_new_urls": _sql_frontier(),
     "anchor_text_agg": _sql_anchor_text_agg(),
+    "html_tables": _sql_tables(),
 }

@@ -336,6 +336,7 @@ _ROSTER_HEAD = [
     "event_user_cardinality",
     "fetch_schedule",
     "containment_pairs",
+    "html_tables",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

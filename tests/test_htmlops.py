@@ -382,3 +382,49 @@ def test_anchor_text_agg_plan_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "collect_set" not in plan
     assert "row_number" in plan
+
+
+# ------------------------------------------------------------ tables
+
+def test_extract_tables_shapes_and_order(spark):
+    from dd_ops_ocr_spark.operators.htmlops import extract_tables
+
+    html = (
+        "<html><body>"
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td>1</td><td>2</td></tr></table>"
+        "<p>between</p>"
+        "<TABLE class=x><tr><td> only &amp; cell </td></tr></TABLE>"
+        "</body></html>"
+    )
+    pages = spark.createDataFrame([(5, html)], "doc_id long, html string")
+    rows = sorted(
+        extract_tables(pages).collect(),
+        key=lambda r: (r.table_idx, r.row_idx, r.col_idx),
+    )
+    assert [(r.table_idx, r.row_idx, r.col_idx, r.is_header, r.cell)
+            for r in rows] == [
+        (0, 0, 0, True, "A"), (0, 0, 1, True, "B"),
+        (0, 1, 0, False, "1"), (0, 1, 1, False, "2"),
+        (1, 0, 0, False, "only & cell"),
+    ]
+
+
+def test_extract_tables_no_table_emits_nothing(spark):
+    from dd_ops_ocr_spark.operators.htmlops import extract_tables
+
+    pages = spark.createDataFrame(
+        [(1, "<html><body><p>plain</p></body></html>")],
+        "doc_id long, html string",
+    )
+    assert extract_tables(pages).count() == 0
+
+
+def test_extract_tables_plan_narrow(spark):
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.htmlops import q_html_tables
+
+    plan = q_html_tables(spark, SF_SMOKE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
