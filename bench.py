@@ -739,6 +739,17 @@ def main() -> None:
             F.sum("content_length"), F.sum("body_len"),
             F.count("body_md5")).collect()
     )
+    # same round trip through the .warc.gz framing layer (one gzip
+    # member per record, CRC-verified member split): the gz/plain time
+    # ratio IS the compressed-framing cost, independent of the small
+    # documents table
+    from dd_ops_ocr_spark.operators.warc import q_warc_records_gz
+
+    queries["warc_records_gz"] = timed(
+        lambda: q_warc_records_gz(spark, SF_DIR).agg(
+            F.sum("content_length"), F.sum("body_len"),
+            F.count("body_md5")).collect()
+    )
     # byte-real PDF round trip (encode -> xref/flate parse -> text ops)
     # + the reading-order window; consume text and geometry
     from dd_ops_ocr_spark.operators.pdf import q_pdf_text_spans

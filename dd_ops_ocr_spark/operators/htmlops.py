@@ -914,6 +914,112 @@ FROM src, UNNEST(range(1, nr + 1)) AS r(r), cols
 """
 
 
+# ------------------------------------------------- interleaved spans
+#
+# The bridge to the engine's core data model: the north rule's input
+# is an Iceberg table of INTERLEAVED text + media spans per document
+# (kind, text, media_ref, order) — `html_interleaved_spans` is how a
+# crawled HTML page becomes that row shape, the web twin of the PDF
+# page iterator (reference: step1/01_pdf_reader.py feeding step1/03's
+# converter). One alternation regex captures text blocks and <img>
+# tags IN DOCUMENT ORDER (a single regexp_extract_all preserves match
+# order, so interleaving survives); posexplode assigns `order`; kind
+# and the media_ref/text projection are per-row CASE math. Narrow
+# plan — a 10^12-page corpus lands as spans without one shuffle.
+
+_SPAN_ELEM_RE = "(?is)(<p[^>]*>.*?</p>|<img[^>]*>)"
+_IMG_SRC_RE = '(?is)<img[^>]*src="([^"]*)"'
+
+
+def plant_html_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, html): two text paragraphs with
+    1 + doc_id%2 <img> tags interleaved between them — the minimal
+    interleaved page whose span sequence has a closed form."""
+    half = F.floor(F.length("text") / 2).cast("int")
+    part1 = F.substring(F.col("text"), F.lit(1), half)
+    part2 = F.substring(F.col("text"), half + F.lit(1), F.length("text"))
+    imgs = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.pmod("doc_id", F.lit(2)).cast("int")),
+            lambda k: F.concat(
+                F.lit('<img src="/img/'), F.col("doc_id").cast("string"),
+                F.lit("_"), k.cast("string"), F.lit('.jpg">'),
+            ),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>"), part1, F.lit("</p>"),
+            imgs,
+            F.lit("<p>"), part2, F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+
+
+def html_interleaved_spans(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) -> (doc_id, kind, text, media_ref, order): the
+    engine's span-sequence shape. Text spans carry tag-stripped,
+    entity-decoded, whitespace-collapsed content with media_ref '';
+    media spans carry the src with text ''. Empty text blocks are
+    dropped AFTER ordering (order indices stay stable — a span's
+    position is its document position, not its survivor rank)."""
+    ex = pages.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("html", F.lit(_SPAN_ELEM_RE), 1)
+        ).alias("order", "elem"),
+    )
+    is_img = F.col("elem").rlike("(?is)^<img")
+    txt = _visible(F.col("elem"))
+    return ex.select(
+        "doc_id",
+        F.when(is_img, F.lit("media")).otherwise(F.lit("text"))
+         .alias("kind"),
+        F.when(is_img, F.lit("")).otherwise(txt).alias("text"),
+        F.when(is_img, F.regexp_extract("elem", _IMG_SRC_RE, 1))
+         .otherwise(F.lit("")).alias("media_ref"),
+        F.col("order").cast("int").alias("order"),
+    ).where(is_img | (F.length(txt) > 0))
+
+
+def q_html_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return html_interleaved_spans(plant_html_media(_docs(spark, sf_dir)))
+
+
+def _sql_interleaved() -> str:
+    """Closed form of the planted page's span sequence: text half 1 at
+    order 0, 1 + doc_id%2 media refs, text half 2 last."""
+    return """
+WITH src AS (
+  SELECT doc_id,
+         substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS p1,
+         substr(text, CAST(floor(length(text) / 2) AS INT) + 1) AS p2,
+         (doc_id % 2 + 1) AS n_img
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 'text' AS kind,
+         trim(regexp_replace(p1, '\\s+', ' ', 'g')) AS text,
+         '' AS media_ref, 0 AS ord
+  FROM src
+  UNION ALL
+  SELECT doc_id, 'media', '',
+         '/img/' || doc_id::VARCHAR || '_' || k.k::VARCHAR || '.jpg',
+         CAST(1 + k.k AS INT)
+  FROM src, UNNEST(range(0, n_img)) AS k(k)
+  UNION ALL
+  SELECT doc_id, 'text',
+         trim(regexp_replace(p2, '\\s+', ' ', 'g')), '',
+         CAST(n_img + 1 AS INT)
+  FROM src
+)
+SELECT doc_id, kind, text, media_ref, CAST(ord AS INT) AS "order"
+FROM spans WHERE kind = 'media' OR length(text) > 0
+"""
+
+
 QUERIES = {
     "html_main_content": q_html_main_content,
     "html_block_classify": q_html_block_classify,
@@ -924,6 +1030,7 @@ QUERIES = {
     "frontier_new_urls": q_frontier_new_urls,
     "anchor_text_agg": q_anchor_text_agg,
     "html_tables": q_html_tables,
+    "html_interleaved_spans": q_html_interleaved_spans,
 }
 ORACLE_SQL = {
     "html_main_content": SQL_HTML_MAIN_CONTENT,
@@ -935,4 +1042,5 @@ ORACLE_SQL = {
     "frontier_new_urls": _sql_frontier(),
     "anchor_text_agg": _sql_anchor_text_agg(),
     "html_tables": _sql_tables(),
+    "html_interleaved_spans": _sql_interleaved(),
 }

@@ -337,6 +337,7 @@ _ROSTER_HEAD = [
     "fetch_schedule",
     "containment_pairs",
     "html_tables",
+    "html_interleaved_spans",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

@@ -428,3 +428,45 @@ def test_extract_tables_plan_narrow(spark):
     plan = q_html_tables(spark, SF_SMOKE)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------- interleaved spans
+
+def test_interleaved_spans_order_and_kinds(spark):
+    """Text and media spans come out in DOCUMENT order with stable
+    indices; empty blocks drop without renumbering survivors."""
+    from dd_ops_ocr_spark.operators.htmlops import html_interleaved_spans
+
+    html = (
+        '<html><body><p>alpha bravo</p>'
+        '<img src="/img/x.jpg">'
+        '<p>   </p>'                      # empty text block: dropped
+        '<img alt=y src="/img/y.png">'
+        '<p>charlie</p></body></html>'
+    )
+    pages = spark.createDataFrame([(9, html)], "doc_id long, html string")
+    rows = sorted(html_interleaved_spans(pages).collect(),
+                  key=lambda r: r["order"])
+    assert [(r.kind, r.text, r.media_ref, r["order"]) for r in rows] == [
+        ("text", "alpha bravo", "", 0),
+        ("media", "", "/img/x.jpg", 1),
+        # order 2 was the empty block — dropped, index NOT reused
+        ("media", "", "/img/y.png", 3),
+        ("text", "charlie", "", 4),
+    ]
+
+
+def test_interleaved_spans_engine_field_shape(spark):
+    """Output fields line up with the engine's flagship span columns
+    (kind, text, media_ref, order) so landed pages flow straight into
+    the extraction data model."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.htmlops import q_html_interleaved_spans
+
+    df = q_html_interleaved_spans(spark, SF_SMOKE)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "kind", "text", "media_ref", "order",
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
