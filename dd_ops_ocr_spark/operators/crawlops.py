@@ -325,6 +325,95 @@ FROM generate_series(0, {_N_DOMAINS - 1}) AS t(k),
 """
 
 
+# ----------------------------------------------------------------- feeds
+#
+# Atom (RFC 4287) — the third discovery channel beside robots and
+# sitemaps: feeds announce NEW content with timestamps, which drives
+# recrawl scheduling (recrawl_delta consumes what this discovers).
+# Same plant-parse-oracle triangulation and the same aligned-extract
+# narrow plan as sitemaps; a feed is host-cardinality control text.
+
+_FEED_TITLE_RE = "<entry><title>([^<]*)</title>"
+_FEED_LINK_RE = '<link href="([^"]*)"/>'
+_FEED_UPDATED_RE = "<updated>([^<]*)</updated>"
+
+
+def feed_df(spark: SparkSession) -> DataFrame:
+    """(host, feed_xml): an Atom feed per host with 1 + host_id%3
+    entries; entry j links /posts/<j>, updated on day j of the host's
+    month (same month arithmetic as the sitemap lastmod)."""
+    hosts = spark.range(_N_DOMAINS)
+    hid = F.col("id")
+    entry = lambda j: F.when(
+        F.lit(j) <= hid % 3 + 1,
+        F.concat(
+            F.lit(f"<entry><title>Post {j} on d"), hid.cast("string"),
+            F.lit("</title>"),
+            F.lit('<link href="https://www.d'), hid.cast("string"),
+            F.lit(f'.com/posts/{j}"/>'),
+            F.lit("<updated>2026-0"), (hid % 9 + 1).cast("string"),
+            F.lit(f"-0{j}T00:00:00Z</updated></entry>"),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              '<feed xmlns="http://www.w3.org/2005/Atom">'),
+        *[entry(j) for j in range(1, 4)],
+        F.lit("</feed>"),
+    )
+    return hosts.select(
+        F.concat(F.lit("www.d"), hid.cast("string"),
+                 F.lit(".com")).alias("host"),
+        xml.alias("feed_xml"),
+    )
+
+
+def parse_feeds(feeds: DataFrame) -> DataFrame:
+    """(host, feed_xml) -> one row per <entry>: (host, seq, title,
+    link, updated). Three aligned regexp_extract_all arrays + one
+    posexplode — zero exchanges."""
+    arr = feeds.select(
+        "host",
+        F.regexp_extract_all("feed_xml", F.lit(_FEED_TITLE_RE), 1)
+         .alias("titles"),
+        F.regexp_extract_all("feed_xml", F.lit(_FEED_LINK_RE), 1)
+         .alias("links"),
+        F.regexp_extract_all("feed_xml", F.lit(_FEED_UPDATED_RE), 1)
+         .alias("updateds"),
+    )
+    ex = arr.select(
+        "host", "links", "updateds",
+        F.posexplode("titles").alias("pos", "title"),
+    )
+    return ex.select(
+        "host",
+        (F.col("pos") + 1).cast("long").alias("seq"),
+        "title",
+        F.element_at("links", F.col("pos") + 1).alias("link"),
+        F.element_at("updateds", F.col("pos") + 1).alias("updated"),
+    )
+
+
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf_dir unused: feeds are host-cardinality control files (the
+    # sitemap precedent).
+    return parse_feeds(feed_df(spark))
+
+
+def _sql_feed() -> str:
+    return f"""
+SELECT
+  'www.d' || k::VARCHAR || '.com' AS host,
+  j::BIGINT AS seq,
+  'Post ' || j::VARCHAR || ' on d' || k::VARCHAR AS title,
+  'https://www.d' || k::VARCHAR || '.com/posts/' || j::VARCHAR AS link,
+  '2026-0' || ((k % 9) + 1)::VARCHAR || '-0' || j::VARCHAR
+    || 'T00:00:00Z' AS updated
+FROM generate_series(0, {_N_DOMAINS - 1}) AS t(k),
+     LATERAL unnest(generate_series(1, (k % 3) + 1)) AS u(j)
+"""
+
+
 # -------------------------------------------------------------- redirects
 #
 # HTTP redirect-chain resolution — before URL-keyed dedup, every alias
@@ -470,10 +559,12 @@ QUERIES = {
     "sitemap_urls": q_sitemap_urls,
     "redirect_resolve": q_redirect_resolve,
     "fetch_schedule": q_fetch_schedule,
+    "feed_entries": q_feed_entries,
 }
 ORACLE_SQL = {
     "robots_filter": SQL_ROBOTS_FILTER,
     "sitemap_urls": SQL_SITEMAP_URLS,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "fetch_schedule": SQL_FETCH_SCHEDULE,
+    "feed_entries": _sql_feed(),
 }

@@ -338,6 +338,7 @@ _ROSTER_HEAD = [
     "containment_pairs",
     "html_tables",
     "html_interleaved_spans",
+    "feed_entries",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

@@ -207,3 +207,30 @@ def test_fetch_schedule_spacing_and_exclusion(spark):
         for r in rows:
             assert r.fetch_offset_sec == r.slot * r.delay_sec
     pages.unpersist()
+
+
+# ------------------------------------------------------------- feeds
+
+def test_feed_roundtrip_and_alignment(spark):
+    """Every entry's three fields stay positionally aligned, counts
+    follow 1 + host_id%3, and the parse is exchange-free."""
+    from dd_ops_ocr_spark.operators.crawlops import (
+        feed_df,
+        parse_feeds,
+        q_feed_entries,
+    )
+
+    rows = parse_feeds(feed_df(spark)).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, es in by_host.items():
+        hid = int(host[5:-4])
+        assert len(es) == hid % 3 + 1
+        for e in es:
+            assert e.title == f"Post {e.seq} on d{hid}"
+            assert e.link == f"https://www.d{hid}.com/posts/{e.seq}"
+            assert e.updated.startswith(f"2026-0{hid % 9 + 1}-0{e.seq}")
+    plan = q_feed_entries(spark, "")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
