@@ -199,6 +199,64 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_window(e)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(
+    events: DataFrame, steps: tuple = FUNNEL_STEPS
+) -> DataFrame:
+    """(stage, n_users): how many users reached EXACTLY stage k of the
+    ordered funnel (0 = none). A user reaches stage k when an ordered
+    subsequence step1 < step2 < ... < stepk exists in their events
+    (strict timestamp order); greedy earliest-match is provably
+    equivalent to the chained-min formulation (t2 = min ts of step2
+    AFTER t1, ...), which is what the oracle states with three
+    aggregate+join rungs.
+
+    Scale shape: ONE user_id shuffle — per user the funnel walk is a
+    fold over the time-sorted (ts, type) array (`F.aggregate`), so no
+    per-step join rung touches the corpus (the oracle's 3-join form is
+    the clarity statement, not the plan). State per user = its own
+    funnel events; a user with none folds from the empty array to
+    stage 0 (collect_list skips the non-funnel nulls)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("event_type").isin(*steps),
+                    F.struct(us.alias("us"),
+                             F.col("event_type").alias("et")),
+                )
+            )
+        ).alias("seq")
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    walk = F.aggregate(
+        "seq",
+        F.struct(F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("us")),
+        lambda acc, x: F.when(
+            (acc["stage"] < F.lit(len(steps)))
+            & (x["et"] == F.element_at(steps_arr, acc["stage"] + 1))
+            & (x["us"] > acc["us"]),
+            F.struct((acc["stage"] + 1).alias("stage"),
+                     x["us"].alias("us")),
+        ).otherwise(acc),
+    )
+    return (
+        per_user.select(walk["stage"].cast("int").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    return funnel_stages(e)
+
+
 # ~30-word vocabulary supplies the independent-pair background.
 
 MWE = "new york"
@@ -316,14 +374,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
                    AND CURRENT ROW)
 """
 
+# The oracle states the funnel as three chained-min rungs — the
+# textbook formulation the array-walk is provably equivalent to
+# (greedy earliest-match maximizes the reached stage).
+SQL_FUNNEL_STAGES = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (
+  SELECT CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM u
+  LEFT JOIN s1 USING (user_id)
+  LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+)
+GROUP BY stage
+"""
+
 QUERIES = {
     "session_stats": q_sessionize,
     "collocations": q_collocations,
     "rolling_window": q_rolling_window,
+    "funnel_stages": q_funnel_stages,
 }
 
 ORACLE_SQL = {
     "session_stats": SQL_SESSIONIZE,
     "collocations": SQL_COLLOCATIONS,
     "rolling_window": SQL_ROLLING_WINDOW,
+    "funnel_stages": SQL_FUNNEL_STAGES,
 }

@@ -339,6 +339,7 @@ _ROSTER_HEAD = [
     "html_tables",
     "html_interleaved_spans",
     "feed_entries",
+    "funnel_stages",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

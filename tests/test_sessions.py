@@ -125,3 +125,35 @@ def test_rolling_window_user_isolation(spark):
     got = {r.event_id: r for r in rolling_window(_evrows4(spark, rows)).collect()}
     assert got[1].n_trailing == 1 and got[1].v_cents_trailing == 100
     assert got[2].n_trailing == 1 and got[2].v_cents_trailing == 500
+
+
+# ------------------------------------------------------------- funnel
+
+def _fev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_stage_semantics(spark):
+    """Order matters, strict timestamps, greedy matching, and users
+    with no funnel events land in stage 0."""
+    from dd_ops_ocr_spark.operators.sessions import funnel_stages
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full ordered funnel -> 3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE the view/click -> stops at 2
+        (2, t(1), "purchase"), (2, t(2), "view"), (2, t(3), "click"),
+        # u3: click at the SAME timestamp as view -> strict order
+        # fails, stage 1
+        (3, t(1), "view"), (3, t(1), "click"),
+        # u4: greedy walk survives interleaved noise -> 3
+        (4, t(1), "view"), (4, t(2), "click"), (4, t(3), "view"),
+        (4, t(4), "purchase"),
+        # u5: only non-funnel events -> 0
+        (5, t(1), "error"), (5, t(2), "signup"),
+    ]
+    got = {r.stage: r.n_users for r in funnel_stages(_fev(spark, rows)).collect()}
+    assert got == {3: 2, 2: 1, 1: 1, 0: 1}
