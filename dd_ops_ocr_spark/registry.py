@@ -372,13 +372,18 @@ _ROSTER_HEAD = [
     "pdf_text_spans",
     "pdf_doc_audit",
     "html_main_content",
-    "html_block_classify",
-    "html_strip_tags",
+    # core-engine paths outrank the two subsumed html variants for the
+    # final round's 50 driver stamps (block_classify/strip_tags share
+    # html_main_content's machinery and keep the local gate)
+    "flagship_extract_split_landed",
+    "engine_dual_extract",
     "bpe_train",
     "bpe_tokenize",
     "lm_familiarity",
     "decontaminate_bloom",
     "pii_redact",
+    "html_block_classify",
+    "html_strip_tags",
     "url_domain_cap",
     "repetition_stats",
     "corpus_curriculum",
@@ -387,8 +392,6 @@ _ROSTER_HEAD = [
     "line_dedup_global",
     "catalog_skip_scan",
     "topk_ngrams",
-    "flagship_extract_split_landed",
-    "engine_dual_extract",
     "media_metadata_webp",
     "decontaminate",
     "sample_stratified",
