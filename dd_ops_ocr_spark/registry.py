@@ -260,6 +260,7 @@ from dd_ops_ocr_spark.operators import classify as _classify  # noqa: E402
 from dd_ops_ocr_spark.operators import indexing as _indexing  # noqa: E402
 from dd_ops_ocr_spark.operators import nonequi as _nonequi  # noqa: E402
 from dd_ops_ocr_spark.operators import sessions as _sessions  # noqa: E402
+from dd_ops_ocr_spark.operators import routing as _routing  # noqa: E402
 from dd_ops_ocr_spark.operators import stats as _stats  # noqa: E402
 from dd_ops_ocr_spark.operators import crawlops as _crawlops  # noqa: E402
 from dd_ops_ocr_spark.operators import external as _external  # noqa: E402
@@ -318,6 +319,7 @@ _register(_indexing)
 _register(_nonequi)
 _register(_sessions)
 _register(_stats)
+_register(_routing)
 
 
 # ---------------------------------------------------------------- roster order
@@ -340,6 +342,7 @@ _ROSTER_HEAD = [
     "html_interleaved_spans",
     "feed_entries",
     "funnel_stages",
+    "shard_assign",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",
