@@ -257,6 +257,60 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stages(e)
 
 
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users): the retention triangle —
+    users grouped by their first-signup week, counted once per later
+    week they were active in (any event type, at-or-after the signup
+    instant; offset 0 is the signup week itself).
+
+    Week arithmetic is integer microseconds div week-length — no
+    date_trunc, whose week-start convention is an engine knob; the
+    epoch anchor is arbitrary but IDENTICAL in both engines, and only
+    offsets carry meaning.
+
+    Scale shape: one agg for first-signups (user-cardinality,
+    data-dependent -> the activity join stays unhinted), one distinct
+    over (user, cohort, offset) — fused into the final count's
+    expand-aggregate — and the output is triangle-sized (weeks²), not
+    corpus-sized."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = events.select("user_id", "event_type", us.alias("us"))
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    act = (
+        ev.join(signup, "user_id")
+        .filter(F.col("us") >= F.col("s_us"))
+        .select(
+            "user_id",
+            F.floor(F.col("s_us") / _WEEK_US).alias("cohort_week"),
+            (F.floor(F.col("us") / _WEEK_US)
+             - F.floor(F.col("s_us") / _WEEK_US)).alias("week_offset"),
+        )
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    return retention_cohorts(e)
+
+
 # ~30-word vocabulary supplies the independent-pair background.
 
 MWE = "new york"
@@ -409,11 +463,29 @@ FROM (
 GROUP BY stage
 """
 
+SQL_RETENTION_COHORTS = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+signup AS (
+  SELECT user_id, MIN(us) AS s_us FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT CAST(s_us // {_WEEK_US} AS BIGINT) AS cohort_week,
+       CAST(us // {_WEEK_US} - s_us // {_WEEK_US} AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN signup USING (user_id)
+WHERE us >= s_us
+GROUP BY 1, 2
+"""
+
 QUERIES = {
     "session_stats": q_sessionize,
     "collocations": q_collocations,
     "rolling_window": q_rolling_window,
     "funnel_stages": q_funnel_stages,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLE_SQL = {
@@ -421,4 +493,5 @@ ORACLE_SQL = {
     "collocations": SQL_COLLOCATIONS,
     "rolling_window": SQL_ROLLING_WINDOW,
     "funnel_stages": SQL_FUNNEL_STAGES,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }

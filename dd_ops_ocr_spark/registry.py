@@ -343,6 +343,7 @@ _ROSTER_HEAD = [
     "feed_entries",
     "funnel_stages",
     "shard_assign",
+    "retention_cohorts",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

@@ -157,3 +157,32 @@ def test_funnel_stage_semantics(spark):
     ]
     got = {r.stage: r.n_users for r in funnel_stages(_fev(spark, rows)).collect()}
     assert got == {3: 2, 2: 1, 1: 1, 0: 1}
+
+
+# ---------------------------------------------------------- retention
+
+def test_retention_cohort_semantics(spark):
+    """Cohort anchors at the FIRST signup; pre-signup activity never
+    counts; one count per (user, week) however many events; users
+    without a signup are absent."""
+    from dd_ops_ocr_spark.operators.sessions import retention_cohorts
+
+    d = lambda day, h=0: datetime(2024, 1, 1 + day, h)
+    rows = [
+        # u1 signs up day 0, active day 1 (same week) and day 8 (wk+1,
+        # twice — must count once)
+        (1, d(0), "signup"), (1, d(1), "view"),
+        (1, d(8), "view"), (1, d(8, 5), "click"),
+        # u2: activity BEFORE signup (day 0) must not count; signup
+        # day 7 -> cohort week differs from u1's
+        (2, d(0), "view"), (2, d(7), "signup"), (2, d(9), "view"),
+        # u3: no signup -> absent entirely
+        (3, d(0), "view"),
+    ]
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in retention_cohorts(_fev(spark, rows)).collect()
+    }
+    w1 = (1704067200 * 1_000_000) // (7 * 86_400 * 1_000_000)  # 2024-01-01
+    w2 = ((1704067200 + 7 * 86400) * 1_000_000) // (7 * 86_400 * 1_000_000)
+    assert got == {(w1, 0): 1, (w1, w2 - w1): 1, (w2, 0): 1}
