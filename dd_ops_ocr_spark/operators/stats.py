@@ -71,6 +71,42 @@ def q_event_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_CENTS = 50_00  # 50.00-wide value bins
+HIST_N_BINS = 10
+
+
+def group_histogram(
+    rows: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """(grp, bin, n): fixed-width histogram per group — the third leg
+    of the profiling family (quantiles give thresholds, cardinality
+    gives key spread, histograms give SHAPE). Values quantize to
+    integer cents first (the rolling_window idiom), so a bin edge can
+    never fall between two float representations of the same printed
+    value; the cents/width quotient is exact in double (inputs ≪ 2^53)
+    and truncates to the floor for non-negatives. Last bin open-ended
+    (least(_, N-1)). One groupBy shuffle on (grp, bin); output is
+    groups × bins regardless of corpus size."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    bin_ = F.least(
+        (cents / F.lit(HIST_BIN_CENTS)).cast("long"),
+        F.lit(HIST_N_BINS - 1),
+    )
+    return (
+        rows.select(F.col(group_col).alias("grp"),
+                    bin_.cast("int").alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return group_histogram(e, "event_type", "value").select(
+        F.col("grp").alias("event_type"), "bin", "n"
+    )
+
+
 def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return group_quantiles(e, "event_type", "value").select(
@@ -87,6 +123,18 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+SQL_EVENT_VALUE_HISTOGRAM = f"""
+SELECT event_type, CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         LEAST(CAST(round(value * 100) AS BIGINT) // {HIST_BIN_CENTS},
+               {HIST_N_BINS - 1}) AS bin
+  FROM events
+)
+GROUP BY event_type, bin
+"""
+
 SQL_EVENT_USER_CARDINALITY = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -97,9 +145,11 @@ FROM events GROUP BY event_type
 QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_user_cardinality": q_event_user_cardinality,
+    "event_value_histogram": q_event_value_histogram,
 }
 
 ORACLE_SQL = {
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "event_user_cardinality": SQL_EVENT_USER_CARDINALITY,
+    "event_value_histogram": SQL_EVENT_VALUE_HISTOGRAM,
 }

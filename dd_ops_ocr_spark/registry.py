@@ -344,6 +344,7 @@ _ROSTER_HEAD = [
     "funnel_stages",
     "shard_assign",
     "retention_cohorts",
+    "event_value_histogram",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

@@ -61,3 +61,18 @@ def test_approx_cardinality_within_hll_bound(spark):
     assert set(approx) == set(exact)
     for g, n in exact.items():
         assert abs(approx[g] - n) <= max(3, 0.2 * n), (g, n, approx[g])
+
+
+def test_histogram_bins_and_cap(spark):
+    from dd_ops_ocr_spark.operators.stats import group_histogram
+
+    rows = [
+        ("a", 0.01),    # bin 0
+        ("a", 49.99),   # bin 0 (4999 cents // 5000)
+        ("a", 50.00),   # bin 1 boundary lands UP
+        ("a", 7777.0),  # far past the last edge -> capped bin 9
+        ("b", 125.0),   # bin 2
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {(r.grp, r.bin): r.n for r in group_histogram(df, "grp", "value").collect()}
+    assert got == {("a", 0): 2, ("a", 1): 1, ("a", 9): 1, ("b", 2): 1}
