@@ -197,6 +197,36 @@ def bm25_topk(
     )
 
 
+KWIC_WIDTH = 24
+
+
+def kwic_snippets(
+    docs: DataFrame, queries: DataFrame, width: int = KWIC_WIDTH
+) -> DataFrame:
+    """(query_id, doc_id, pos, snippet): the display half of retrieval
+    — a ±width character context window around the FIRST occurrence of
+    each query term in each matching doc (keyword-in-context). Char-
+    level containment by design (instr), so 'topic1' also surfaces
+    inside 'topic10' — stated, deterministic, and identical in both
+    engines; token-exact matching is the inverted index's job, and a
+    ranked pipeline composes bm25_topk -> kwic_snippets.
+
+    Plan note: the contains-condition join is a BroadcastNestedLoopJoin
+    against the REQUEST-sized query table — each corpus row evaluates
+    |queries| instr calls in one scan, which is the right plan for ad-
+    hoc terms; for standing term sets, generate candidates through
+    `inverted_index` instead and this becomes an equi-join."""
+    pos = F.instr(F.col("text"), F.col("token"))
+    start = F.greatest(F.lit(1), pos - width)
+    snip_len = pos - start + F.length("token") + width
+    return docs.join(F.broadcast(queries), pos > 0).select(
+        "query_id",
+        "doc_id",
+        pos.cast("long").alias("pos"),
+        F.col("text").substr(start, snip_len).alias("snippet"),
+    )
+
+
 # ------------------------------------------------------------- oracled corpus
 # The raw documents share one ~30-word vocabulary (df ~ N for every
 # token, all idf_bits 0), so keyword signal is PLANTED: every doc gets
@@ -235,6 +265,12 @@ def _bm25_queries(spark: SparkSession) -> DataFrame:
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs_with_keywords(spark, sf_dir), _bm25_queries(spark))
+
+
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kwic_snippets(
+        _docs_with_keywords(spark, sf_dir), _bm25_queries(spark)
+    )
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,14 +383,40 @@ WHERE rank <= {TOP_K_Q}
 """
 )
 
+_SQL_BM25_QUERIES = """
+  SELECT CAST(m AS INT) AS query_id, 'topic' || CAST(m AS VARCHAR) AS token
+  FROM range(10) r(m)
+  UNION ALL
+  SELECT CAST(m AS INT), 'niche' || CAST((m * 7) % 200 AS VARCHAR)
+  FROM range(10) r(m)
+"""
+
+SQL_KWIC_SNIPPETS = (
+    f"WITH d AS ({_SQL_KEYWORD_DOCS}), q AS ({_SQL_BM25_QUERIES})"
+    + f"""
+SELECT q.query_id, d.doc_id,
+       CAST(strpos(d.text, q.token) AS BIGINT) AS pos,
+       substring(
+         d.text,
+         GREATEST(1, strpos(d.text, q.token) - {KWIC_WIDTH}),
+         strpos(d.text, q.token)
+           - GREATEST(1, strpos(d.text, q.token) - {KWIC_WIDTH})
+           + length(q.token) + {KWIC_WIDTH}
+       ) AS snippet
+FROM d JOIN q ON strpos(d.text, q.token) > 0
+"""
+)
+
 QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "inverted_index": q_inverted_index,
     "bm25_topk": q_bm25_topk,
+    "kwic_snippets": q_kwic_snippets,
 }
 
 ORACLE_SQL = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "inverted_index": SQL_INVERTED_INDEX,
     "bm25_topk": SQL_BM25_TOPK,
+    "kwic_snippets": SQL_KWIC_SNIPPETS,
 }

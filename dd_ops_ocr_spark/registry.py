@@ -345,6 +345,7 @@ _ROSTER_HEAD = [
     "shard_assign",
     "retention_cohorts",
     "event_value_histogram",
+    "kwic_snippets",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

@@ -143,3 +143,21 @@ def test_bm25_plan_no_cartesian(spark):
     plan = q_bm25_topk(spark, SF_SMOKE)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- KWIC
+
+def test_kwic_window_and_edges(spark):
+    from dd_ops_ocr_spark.operators.indexing import kwic_snippets
+
+    text = "x" * 30 + " NEEDLE " + "y" * 30
+    docs = _df(spark, [(1, text), (2, "no match here")])
+    qs = spark.createDataFrame([(0, "NEEDLE")], "query_id int, token string")
+    rows = kwic_snippets(docs, qs, width=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.doc_id == 1 and r.pos == 32
+    assert r.snippet == "xxxx NEEDLE yyyy"
+    # term at the very start: window clamps at 1
+    rows2 = kwic_snippets(_df(spark, [(3, "NEEDLE tail")]), qs, width=5).collect()
+    assert rows2[0].pos == 1 and rows2[0].snippet == "NEEDLE tail"[:11]
