@@ -107,6 +107,61 @@ def q_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_SIGMAS = 3
+
+
+def value_outliers(
+    rows: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Rows more than OUTLIER_SIGMAS population standard deviations
+    from their group mean — the data-quality gate every ingest runs —
+    WITHOUT computing a float mean or stddev: on integer cents,
+
+        |v - s/n| > k·σ   ⟺   (v·n − s)² > k²·(n·Σv² − s²)
+
+    (multiply both sides by n²; σ² = (n·Σv² − s²)/n²). Every quantity
+    is int64, so the verdict is bit-exact across engines — stddev_pop
+    differs in the last ulp between engines and a boundary row would
+    flip the hash. Headroom: (v·n − s)² needs v·n < ~3e9, i.e.
+    n < ~10^5 groups-rows at 5-digit cents; past that lift to
+    decimal(38,0)/HUGEINT (the collocations note).
+
+    Plan: one group agg (n, s, Σv²) joined back UNHINTED (group table
+    is data-dependent; AQE broadcasts real ones), verdict is per-row
+    integer math."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = rows.select(
+        "event_id", F.col(group_col).alias("grp"), cents.alias("v")
+    )
+    stats = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    lhs = (F.col("v") * F.col("n") - F.col("s"))
+    rhs = (
+        F.lit(OUTLIER_SIGMAS * OUTLIER_SIGMAS)
+        * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    return (
+        base.join(stats, "grp")
+        .filter(lhs * lhs > rhs)
+        .select(
+            "event_id",
+            F.col("grp"),
+            F.col("v").alias("v_cents"),
+            F.col("n").cast("long").alias("n_group"),
+        )
+    )
+
+
+def q_event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return value_outliers(e, "event_type", "value").select(
+        "event_id", F.col("grp").alias("event_type"), "v_cents", "n_group"
+    )
+
+
 def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return group_quantiles(e, "event_type", "value").select(
@@ -135,6 +190,24 @@ FROM (
 GROUP BY event_type, bin
 """
 
+SQL_EVENT_VALUE_OUTLIERS = f"""
+WITH base AS (
+  SELECT event_id, event_type AS grp,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+st AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM base GROUP BY grp
+)
+SELECT event_id, grp AS event_type, v AS v_cents, n AS n_group
+FROM base JOIN st USING (grp)
+WHERE (v * n - s) * (v * n - s)
+      > {OUTLIER_SIGMAS * OUTLIER_SIGMAS} * (n * ss - s * s)
+"""
+
 SQL_EVENT_USER_CARDINALITY = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -146,10 +219,12 @@ QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_user_cardinality": q_event_user_cardinality,
     "event_value_histogram": q_event_value_histogram,
+    "event_value_outliers": q_event_value_outliers,
 }
 
 ORACLE_SQL = {
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "event_user_cardinality": SQL_EVENT_USER_CARDINALITY,
     "event_value_histogram": SQL_EVENT_VALUE_HISTOGRAM,
+    "event_value_outliers": SQL_EVENT_VALUE_OUTLIERS,
 }

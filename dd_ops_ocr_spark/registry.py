@@ -346,6 +346,7 @@ _ROSTER_HEAD = [
     "retention_cohorts",
     "event_value_histogram",
     "kwic_snippets",
+    "event_value_outliers",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

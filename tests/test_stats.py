@@ -76,3 +76,38 @@ def test_histogram_bins_and_cap(spark):
     df = spark.createDataFrame(rows, "grp string, value double")
     got = {(r.grp, r.bin): r.n for r in group_histogram(df, "grp", "value").collect()}
     assert got == {("a", 0): 2, ("a", 1): 1, ("a", 9): 1, ("b", 2): 1}
+
+
+def test_outliers_integer_verdict_matches_float_referee(spark):
+    """The integer inequality must agree with the textbook float
+    z-score on a corpus where the boundary is exercised."""
+    import math
+    import random
+
+    from dd_ops_ocr_spark.operators.stats import value_outliers
+
+    rng = random.Random(7)
+    rows = [(i, "g", round(rng.gauss(100.0, 10.0), 2)) for i in range(500)]
+    rows += [(1000, "g", 500.0), (1001, "g", -300.0)]  # planted outliers
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    got = {r.event_id for r in value_outliers(df, "grp", "value").collect()}
+    # float referee (population stddev, cents domain)
+    cents = [round(v * 100) for _, _, v in rows]
+    n = len(cents)
+    mu = sum(cents) / n
+    sd = math.sqrt(sum((c - mu) ** 2 for c in cents) / n)
+    ref = {eid for (eid, _, v) in rows if abs(round(v * 100) - mu) > 3 * sd}
+    assert got == ref
+    assert {1000, 1001} <= got
+
+
+def test_outliers_group_isolation(spark):
+    """An extreme value in one group never flags rows in another."""
+    from dd_ops_ocr_spark.operators.stats import value_outliers
+
+    rows = [(i, "a", 10.0 + (i % 3)) for i in range(60)]
+    rows += [(100, "a", 9000.0)]
+    rows += [(200 + i, "b", 10.0 + (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    got = {r.event_id for r in value_outliers(df, "grp", "value").collect()}
+    assert got == {100}
