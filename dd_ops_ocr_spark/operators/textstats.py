@@ -1579,8 +1579,69 @@ FROM dd JOIN cuts c USING (lang)
 """
 
 
+def q_host_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language mix — the curation report that decides which
+    sites feed which language buckets: (host, pred_lang, n_docs,
+    permille). Composes lang_id with the canonical-URL host (pure
+    doc_id column math, the link-graph no-join idiom); permille is
+    integer (n_docs*1000 div n_host) so the share column hash-checks.
+    Totals derive from the per-(host,lang) aggregate itself — no second
+    corpus pass; everything after the first agg is output-sized."""
+    from dd_ops_ocr_spark.operators.urlops import _HEX, _N_DOMAINS
+
+    langs = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    md = F.md5(F.col("doc_id").cast("string"))
+    nib = lambda i: F.instr(F.lit(_HEX), F.substring(md, i, 1)) - 1
+    host = F.concat(
+        F.lit("www.d"),
+        F.pmod(nib(1) * 16 + nib(2), F.lit(_N_DOMAINS)).cast("string"),
+        F.lit(".com"),
+    )
+    per = (
+        langs.withColumn("host", host)
+        .groupBy("host", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = per.groupBy("host").agg(F.sum("n_docs").alias("n_host"))
+    return per.join(tot, "host").select(
+        "host",
+        "pred_lang",
+        "n_docs",
+        F.expr("CAST(n_docs * 1000 div n_host AS BIGINT)").alias("permille"),
+    )
+
+
+def _sql_host_lang() -> str:
+    from dd_ops_ocr_spark.operators.urlops import _N_DOMAINS, _NIB_SQL
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, ' ' || LOWER(text) || ' ' AS s FROM documents
+), c AS (
+  SELECT doc_id,
+         {_sql_counts}
+  FROM d
+), h AS (
+  SELECT 'www.d' || (({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]})
+                     % {_N_DOMAINS})::VARCHAR || '.com' AS host,
+         {_sql_pred} AS pred_lang
+  FROM c
+), per AS (
+  SELECT host, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM h GROUP BY host, pred_lang
+), tot AS (
+  SELECT host, CAST(SUM(n_docs) AS BIGINT) AS n_host
+  FROM per GROUP BY host
+)
+SELECT host, pred_lang, n_docs,
+       CAST(n_docs * 1000 // n_host AS BIGINT) AS permille
+FROM per JOIN tot USING (host)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
+    "host_lang_profile": q_host_lang_profile,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1600,6 +1661,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "lang_id": SQL_LANG_ID,
+    "host_lang_profile": _sql_host_lang(),
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

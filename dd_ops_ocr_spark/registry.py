@@ -347,6 +347,7 @@ _ROSTER_HEAD = [
     "event_value_histogram",
     "kwic_snippets",
     "event_value_outliers",
+    "host_lang_profile",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",
