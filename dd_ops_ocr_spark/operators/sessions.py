@@ -257,6 +257,68 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stages(e)
 
 
+def conversion_latency(
+    events: DataFrame, steps: tuple = FUNNEL_STEPS
+) -> DataFrame:
+    """One row — (n_converted, p50_us, p95_us): how long full-funnel
+    users took from first step-1 event to the (greedy) completing
+    step-N event. The same walk as `funnel_stages`, additionally
+    carrying the first matched timestamp; latency = final − first in
+    integer microseconds, quantiles exact-interpolated (the
+    event_value_quantiles contract — fine here because the converted
+    set is bounded by design; approx_percentile is the unbounded
+    twin)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("event_type").isin(*steps),
+                    F.struct(us.alias("us"),
+                             F.col("event_type").alias("et")),
+                )
+            )
+        ).alias("seq")
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    walk = F.aggregate(
+        "seq",
+        F.struct(
+            F.lit(0).alias("stage"),
+            F.lit(-1).cast("long").alias("us"),
+            F.lit(-1).cast("long").alias("first_us"),
+        ),
+        lambda acc, x: F.when(
+            (acc["stage"] < F.lit(len(steps)))
+            & (x["et"] == F.element_at(steps_arr, acc["stage"] + 1))
+            & (x["us"] > acc["us"]),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                x["us"].alias("us"),
+                F.when(acc["stage"] == 0, x["us"])
+                 .otherwise(acc["first_us"]).alias("first_us"),
+            ),
+        ).otherwise(acc),
+    )
+    lat = (
+        per_user.select(walk.alias("w"))
+        .filter(F.col("w.stage") == len(steps))
+        .select((F.col("w.us") - F.col("w.first_us")).alias("lat_us"))
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr("percentile(lat_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(lat_us, 0.95)").alias("p95_us"),
+    )
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    return conversion_latency(e)
+
+
 _WEEK_US = 7 * 86_400 * 1_000_000
 
 
@@ -480,12 +542,36 @@ WHERE us >= s_us
 GROUP BY 1, 2
 """
 
+SQL_CONVERSION_LATENCY = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(epoch_us(t3) - epoch_us(t1), 0.5) AS p50_us,
+       quantile_cont(epoch_us(t3) - epoch_us(t1), 0.95) AS p95_us
+FROM s3 JOIN s1 USING (user_id)
+"""
+
 QUERIES = {
     "session_stats": q_sessionize,
     "collocations": q_collocations,
     "rolling_window": q_rolling_window,
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
+    "conversion_latency": q_conversion_latency,
 }
 
 ORACLE_SQL = {
@@ -494,4 +580,5 @@ ORACLE_SQL = {
     "rolling_window": SQL_ROLLING_WINDOW,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
 }

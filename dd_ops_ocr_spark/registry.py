@@ -348,6 +348,7 @@ _ROSTER_HEAD = [
     "kwic_snippets",
     "event_value_outliers",
     "host_lang_profile",
+    "conversion_latency",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

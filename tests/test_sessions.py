@@ -186,3 +186,22 @@ def test_retention_cohort_semantics(spark):
     w1 = (1704067200 * 1_000_000) // (7 * 86_400 * 1_000_000)  # 2024-01-01
     w2 = ((1704067200 + 7 * 86400) * 1_000_000) // (7 * 86_400 * 1_000_000)
     assert got == {(w1, 0): 1, (w1, w2 - w1): 1, (w2, 0): 1}
+
+
+def test_conversion_latency_hand_case(spark):
+    """Latency = greedy completing purchase minus FIRST view; the
+    later duplicate view must not move the anchor."""
+    from dd_ops_ocr_spark.operators.sessions import conversion_latency
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)
+    rows = [
+        (1, t(10), "view"), (1, t(20), "view"),
+        (1, t(30), "click"), (1, t(40), "purchase"),   # 30 s
+        (2, t(0), "view"), (2, t(5), "click"), (2, t(95), "purchase"),  # 95 s
+        (3, t(0), "view"), (3, t(1), "click"),          # not converted
+    ]
+    r = conversion_latency(_fev(spark, rows)).collect()[0]
+    assert r.n_converted == 2
+    assert r.p50_us == (30_000_000 + 95_000_000) / 2
+    # rank 0.95*(n-1) = 0.95 -> 30e6 + 0.95*(95e6-30e6)
+    assert abs(r.p95_us - (30_000_000 + 0.95 * 65_000_000)) < 1e-6
