@@ -949,6 +949,108 @@ WHERE GREATEST(CAST(i.n_inter AS DOUBLE) / za.n_sh,
 """
 
 
+# --------------------------------------------------------- fuzzy match
+#
+# Entity resolution's core primitive: records whose NAMES differ by a
+# typo (edit distance ≤ 1) without an O(n²) comparison. Blocking is
+# TWO disjoint substring blocks (prefix-6 + suffix-6 of the 16-char
+# key): a single substitution lands in at most one block, so the other
+# block still collides — substitution-complete by a pigeonhole
+# argument (the simhash_hamming_pairs chunk-banding idea applied to
+# strings). Insertions/deletions shift every later position and can
+# break both blocks; indel-robust blocking is q-gram sets (documented
+# seam, not silently wrong — the verify step uses full Levenshtein so
+# nothing FALSE ever comes out, the seam only affects recall for
+# indels). Levenshtein is unit-cost classic in both engines, so the
+# verify verdict is engine-exact.
+
+FUZZY_MAX_DIST = 1
+FUZZY_OFFSET = 30_000_000
+
+
+def fuzzy_match_names(recs: DataFrame) -> DataFrame:
+    """(rec_a, rec_b, dist): pairs of records (rec_a < rec_b) whose
+    names are within FUZZY_MAX_DIST edits, found via two-block
+    candidate generation + exact Levenshtein verify on candidates
+    only."""
+    blocks = recs.select(
+        "rec_id", "name",
+        F.explode(
+            F.array(
+                F.concat(F.lit("p:"), F.substring("name", 1, 6)),
+                F.concat(F.lit("s:"), F.substring("name", -6, 6)),
+            )
+        ).alias("blk"),
+    )
+    a = blocks.select(F.col("rec_id").alias("rec_a"),
+                      F.col("name").alias("name_a"), "blk")
+    b = blocks.select(F.col("rec_id").alias("rec_b"),
+                      F.col("name").alias("name_b"), "blk")
+    cand = (
+        a.join(b, "blk")
+        .filter(F.col("rec_a") < F.col("rec_b"))
+        .select("rec_a", "rec_b", "name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.filter(dist <= FUZZY_MAX_DIST)
+        .select("rec_a", "rec_b", dist.cast("int").alias("dist"))
+    )
+
+
+def _fuzzy_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-char names 'rec-'||md5[1:12]; every 30th record gets a typo
+    twin with position 9 substituted to 'z' (hex never contains z, so
+    the edit distance is exactly 1 and never collapses to 0)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    name = F.concat(
+        F.lit("rec-"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)
+    )
+    base = d.select(F.col("doc_id").alias("rec_id"), name.alias("name"))
+    twin = d.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + FUZZY_OFFSET).alias("rec_id"),
+        F.concat(
+            F.substring(name, 1, 8), F.lit("z"), F.substring(name, 10, 7)
+        ).alias("name"),
+    )
+    return base.unionByName(twin)
+
+
+def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_match_names(_fuzzy_records(spark, sf_dir))
+
+
+SQL_FUZZY_MATCH_NAMES = f"""
+WITH recs AS (
+  SELECT doc_id AS rec_id,
+         'rec-' || substring(md5(doc_id::VARCHAR), 1, 12) AS name
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {FUZZY_OFFSET},
+         'rec-' || substring(md5(doc_id::VARCHAR), 1, 4) || 'z'
+                || substring(md5(doc_id::VARCHAR), 6, 7)
+  FROM documents WHERE doc_id % 30 = 0
+),
+blocks AS (
+  SELECT rec_id, name, 'p:' || substring(name, 1, 6) AS blk FROM recs
+  UNION ALL
+  SELECT rec_id, name, 's:' || substring(name, length(name) - 5, 6)
+  FROM recs
+),
+cand AS (
+  SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+                  a.name AS name_a, b.name AS name_b
+  FROM blocks a JOIN blocks b USING (blk)
+  WHERE a.rec_id < b.rec_id
+)
+SELECT rec_a, rec_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "line_dedup_global": q_line_dedup_global,
     "dedup_clusters": q_dedup_clusters,
@@ -960,6 +1062,7 @@ QUERIES = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "containment_pairs": q_containment_pairs,
+    "fuzzy_match_names": q_fuzzy_match_names,
 }
 
 ORACLE_SQL = {
@@ -973,4 +1076,5 @@ ORACLE_SQL = {
     "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "fuzzy_match_names": SQL_FUZZY_MATCH_NAMES,
 }

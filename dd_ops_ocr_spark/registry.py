@@ -349,6 +349,7 @@ _ROSTER_HEAD = [
     "event_value_outliers",
     "host_lang_profile",
     "conversion_latency",
+    "fuzzy_match_names",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",

@@ -78,3 +78,62 @@ def test_containment_blocking_skew_bound(spark):
         # any surviving pair must have qualified through ≥3 RARE
         # shared shingles, impossible here
         raise AssertionError(f"unexpected candidate pair {r}")
+
+
+# ---------------------------------------------------------- fuzzy match
+
+def test_fuzzy_substitution_anywhere_is_found(spark):
+    """Pigeonhole completeness: a single substitution at ANY position
+    of the 16-char key leaves prefix-6 or suffix-6 intact, so every
+    typo twin is found; distance-2 pairs split across both blocks are
+    the documented recall seam."""
+    from dd_ops_ocr_spark.operators.dedup import fuzzy_match_names
+
+    base = "rec-0123456789ab"
+    rows = [(0, base)]
+    # one twin per substitution position
+    for i in range(16):
+        mutated = base[:i] + ("z" if base[i] != "z" else "q") + base[i + 1:]
+        rows.append((100 + i, mutated))
+    recs = spark.createDataFrame(rows, "rec_id long, name string")
+    pairs = {(r.rec_a, r.rec_b) for r in fuzzy_match_names(recs).collect()}
+    for i in range(16):
+        assert (0, 100 + i) in pairs, f"substitution at {i} missed"
+
+
+def test_fuzzy_no_false_positives_and_dist_exact(spark):
+    from dd_ops_ocr_spark.operators.dedup import fuzzy_match_names
+
+    recs = spark.createDataFrame(
+        [
+            (1, "rec-aaaaaaaaaaaa"),
+            (2, "rec-aaaaaaaaaaab"),   # dist 1 -> pair
+            (3, "rec-aaaaaaaaccdd"),   # dist 4 from 1, shares prefix
+            (4, "xyz-bbbbbbbbbbbb"),   # unrelated
+        ],
+        "rec_id long, name string",
+    )
+    rows = fuzzy_match_names(recs).collect()
+    assert {(r.rec_a, r.rec_b, r.dist) for r in rows} == {(1, 2, 1)}
+
+
+def test_fuzzy_planted_twins_all_matched(spark):
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.dedup import (
+        FUZZY_OFFSET,
+        q_fuzzy_match_names,
+    )
+
+    rows = q_fuzzy_match_names(spark, SF_SMOKE).collect()
+    planted = {
+        (r.rec_a, r.rec_b) for r in rows if r.rec_b >= FUZZY_OFFSET
+    }
+    import duckdb
+    n_expected = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet' WHERE doc_id % 30 = 0"
+    ).fetchone()[0]
+    assert {(a, b - FUZZY_OFFSET) for a, b in planted} >= {
+        (d, d) for d in range(0, 1)
+    }  # sanity shape
+    assert len([p for p in planted if p[1] - FUZZY_OFFSET == p[0]]) == n_expected
