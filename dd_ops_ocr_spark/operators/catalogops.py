@@ -117,11 +117,80 @@ WHERE o_orderdate >= TIMESTAMP '{_LO} 00:00:00'
 GROUP BY o_orderpriority
 """
 
+# ----------------------------------------------------------- CDC merge
+#
+# The lakehouse write primitive the read side above assumes: MERGE a
+# keyed changelog (upserts + deletes, each stamped with a sequence
+# number) into a base snapshot. Spark-first shape: union base rows at
+# seq 0 with the changelog, ONE key shuffle, per-key max_by(seq) picks
+# the winner, delete winners drop. No join at all — the union-tag-agg
+# idiom (the asof_join lesson: a keyed reduction beats a join whenever
+# "latest wins" is the semantics). Late/duplicate changelog entries
+# are idempotent by construction: replaying a (key, seq) row changes
+# nothing because max_by is.
+
+from pyspark.sql import functions as _F
+
+
+def cdc_merge(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Apply (key, seq, op['u'|'d'], val) changes to base(key, val):
+    highest seq per key wins; op='d' winners delete the key; base rows
+    carry seq 0 (a change with seq >= 1 always beats base)."""
+    tagged = base.select(
+        "key", _F.lit(0).cast("long").alias("seq"),
+        _F.lit("u").alias("op"), "val",
+    ).unionByName(changes.select("key", "seq", "op", "val"))
+    won = tagged.groupBy("key").agg(
+        _F.max_by(_F.struct("op", "val"), "seq").alias("w")
+    )
+    return (
+        won.filter(_F.col("w.op") != "d")
+        .select("key", _F.col("w.val").alias("val"))
+    )
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base = documents (key=doc_id, val=source); changelog planted:
+    doc_id%5==0 -> update val to 'upd<doc_id>' at seq 1; doc_id%7==0
+    -> delete at seq 2 (beats the update when both apply); plus one
+    new key (max+1) inserted at seq 1."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        _F.col("doc_id").alias("key"), _F.col("source").alias("val")
+    )
+    upd = d.filter(_F.col("key") % 5 == 0).select(
+        "key", _F.lit(1).cast("long").alias("seq"), _F.lit("u").alias("op"),
+        _F.concat(_F.lit("upd"), _F.col("key").cast("string")).alias("val"),
+    )
+    dele = d.filter(_F.col("key") % 7 == 0).select(
+        "key", _F.lit(2).cast("long").alias("seq"), _F.lit("d").alias("op"),
+        _F.lit(None).cast("string").alias("val"),
+    )
+    mx = d.agg(_F.max("key").alias("m"))
+    ins = mx.select(
+        (_F.col("m") + 1).alias("key"), _F.lit(1).cast("long").alias("seq"),
+        _F.lit("u").alias("op"), _F.lit("inserted").alias("val"),
+    )
+    return cdc_merge(d, upd.unionByName(dele).unionByName(ins))
+
+
+SQL_CDC_MERGE = """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+SELECT doc_id AS key,
+       CASE WHEN doc_id % 5 = 0 THEN 'upd' || doc_id::VARCHAR
+            ELSE source END AS val
+FROM documents
+WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT m + 1, 'inserted' FROM mx
+"""
+
 QUERIES = {
     "catalog_skip_scan": q_catalog_skip_scan,
     "catalog_time_travel": q_catalog_time_travel,
+    "cdc_merge": q_cdc_merge,
 }
 ORACLE_SQL = {
     "catalog_skip_scan": _ORACLE,
     "catalog_time_travel": _ORACLE,
+    "cdc_merge": SQL_CDC_MERGE,
 }

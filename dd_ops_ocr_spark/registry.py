@@ -350,6 +350,7 @@ _ROSTER_HEAD = [
     "host_lang_profile",
     "conversion_latency",
     "fuzzy_match_names",
+    "cdc_merge",
     "dup_passage_spans",
     "dup_passage_strip",
     "quality_nb_train",
