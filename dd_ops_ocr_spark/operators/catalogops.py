@@ -129,23 +129,21 @@ GROUP BY o_orderpriority
 # are idempotent by construction: replaying a (key, seq) row changes
 # nothing because max_by is.
 
-from pyspark.sql import functions as _F
-
 
 def cdc_merge(base: DataFrame, changes: DataFrame) -> DataFrame:
     """Apply (key, seq, op['u'|'d'], val) changes to base(key, val):
     highest seq per key wins; op='d' winners delete the key; base rows
     carry seq 0 (a change with seq >= 1 always beats base)."""
     tagged = base.select(
-        "key", _F.lit(0).cast("long").alias("seq"),
-        _F.lit("u").alias("op"), "val",
+        "key", F.lit(0).cast("long").alias("seq"),
+        F.lit("u").alias("op"), "val",
     ).unionByName(changes.select("key", "seq", "op", "val"))
     won = tagged.groupBy("key").agg(
-        _F.max_by(_F.struct("op", "val"), "seq").alias("w")
+        F.max_by(F.struct("op", "val"), "seq").alias("w")
     )
     return (
-        won.filter(_F.col("w.op") != "d")
-        .select("key", _F.col("w.val").alias("val"))
+        won.filter(F.col("w.op") != "d")
+        .select("key", F.col("w.val").alias("val"))
     )
 
 
@@ -155,20 +153,20 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> delete at seq 2 (beats the update when both apply); plus one
     new key (max+1) inserted at seq 1."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        _F.col("doc_id").alias("key"), _F.col("source").alias("val")
+        F.col("doc_id").alias("key"), F.col("source").alias("val")
     )
-    upd = d.filter(_F.col("key") % 5 == 0).select(
-        "key", _F.lit(1).cast("long").alias("seq"), _F.lit("u").alias("op"),
-        _F.concat(_F.lit("upd"), _F.col("key").cast("string")).alias("val"),
+    upd = d.filter(F.col("key") % 5 == 0).select(
+        "key", F.lit(1).cast("long").alias("seq"), F.lit("u").alias("op"),
+        F.concat(F.lit("upd"), F.col("key").cast("string")).alias("val"),
     )
-    dele = d.filter(_F.col("key") % 7 == 0).select(
-        "key", _F.lit(2).cast("long").alias("seq"), _F.lit("d").alias("op"),
-        _F.lit(None).cast("string").alias("val"),
+    dele = d.filter(F.col("key") % 7 == 0).select(
+        "key", F.lit(2).cast("long").alias("seq"), F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("val"),
     )
-    mx = d.agg(_F.max("key").alias("m"))
+    mx = d.agg(F.max("key").alias("m"))
     ins = mx.select(
-        (_F.col("m") + 1).alias("key"), _F.lit(1).cast("long").alias("seq"),
-        _F.lit("u").alias("op"), _F.lit("inserted").alias("val"),
+        (F.col("m") + 1).alias("key"), F.lit(1).cast("long").alias("seq"),
+        F.lit("u").alias("op"), F.lit("inserted").alias("val"),
     )
     return cdc_merge(d, upd.unionByName(dele).unionByName(ins))
 

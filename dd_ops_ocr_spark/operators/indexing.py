@@ -347,17 +347,19 @@ GROUP BY r.token, r.chunk_id, dft.df
 """
 )
 
-SQL_BM25_TOPK = (
-    f"WITH d AS ({_SQL_KEYWORD_DOCS}),"
-    + _SQL_TF
-    + f"""
-, q AS (
+_SQL_BM25_QUERIES = """
   SELECT CAST(m AS INT) AS query_id, 'topic' || CAST(m AS VARCHAR) AS token
   FROM range(10) r(m)
   UNION ALL
   SELECT CAST(m AS INT), 'niche' || CAST((m * 7) % 200 AS VARCHAR)
   FROM range(10) r(m)
-),
+"""
+
+SQL_BM25_TOPK = (
+    f"WITH d AS ({_SQL_KEYWORD_DOCS}),"
+    + _SQL_TF
+    + f"""
+, q AS ({_SQL_BM25_QUERIES}),
 dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM t GROUP BY doc_id),
 tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS corpus_len,
                COUNT(DISTINCT doc_id) AS n_docs FROM t),
@@ -382,14 +384,6 @@ FROM (
 WHERE rank <= {TOP_K_Q}
 """
 )
-
-_SQL_BM25_QUERIES = """
-  SELECT CAST(m AS INT) AS query_id, 'topic' || CAST(m AS VARCHAR) AS token
-  FROM range(10) r(m)
-  UNION ALL
-  SELECT CAST(m AS INT), 'niche' || CAST((m * 7) % 200 AS VARCHAR)
-  FROM range(10) r(m)
-"""
 
 SQL_KWIC_SNIPPETS = (
     f"WITH d AS ({_SQL_KEYWORD_DOCS}), q AS ({_SQL_BM25_QUERIES})"

@@ -219,55 +219,21 @@ def funnel_stages(
     the clarity statement, not the plan). State per user = its own
     funnel events; a user with none folds from the empty array to
     stage 0 (collect_list skips the non-funnel nulls)."""
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    per_user = events.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("event_type").isin(*steps),
-                    F.struct(us.alias("us"),
-                             F.col("event_type").alias("et")),
-                )
-            )
-        ).alias("seq")
-    )
-    steps_arr = F.array(*[F.lit(s) for s in steps])
-    walk = F.aggregate(
-        "seq",
-        F.struct(F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("us")),
-        lambda acc, x: F.when(
-            (acc["stage"] < F.lit(len(steps)))
-            & (x["et"] == F.element_at(steps_arr, acc["stage"] + 1))
-            & (x["us"] > acc["us"]),
-            F.struct((acc["stage"] + 1).alias("stage"),
-                     x["us"].alias("us")),
-        ).otherwise(acc),
-    )
     return (
-        per_user.select(walk["stage"].cast("int").alias("stage"))
+        _funnel_walk(events, steps)
+        .select(F.col("w.stage").cast("int").alias("stage"))
         .groupBy("stage")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
 
 
-def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "ts", "event_type"
-    )
-    return funnel_stages(e)
-
-
-def conversion_latency(
-    events: DataFrame, steps: tuple = FUNNEL_STEPS
-) -> DataFrame:
-    """One row — (n_converted, p50_us, p95_us): how long full-funnel
-    users took from first step-1 event to the (greedy) completing
-    step-N event. The same walk as `funnel_stages`, additionally
-    carrying the first matched timestamp; latency = final − first in
-    integer microseconds, quantiles exact-interpolated (the
-    event_value_quantiles contract — fine here because the converted
-    set is bounded by design; approx_percentile is the unbounded
-    twin)."""
+def _funnel_walk(events: DataFrame, steps: tuple) -> DataFrame:
+    """The one greedy funnel walk both funnel queries consume: one row
+    per user with `w` = struct(stage, us, first_us) — the reached
+    stage, the timestamp of its completing event, and the timestamp of
+    the matched step-1 event (-1 until matched). Shared so the walk
+    semantics (strict ts order, earliest-match step advance) cannot
+    drift between funnel_stages and conversion_latency."""
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     per_user = events.groupBy("user_id").agg(
         F.array_sort(
@@ -300,8 +266,29 @@ def conversion_latency(
             ),
         ).otherwise(acc),
     )
+    return per_user.select(walk.alias("w"))
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    return funnel_stages(e)
+
+
+def conversion_latency(
+    events: DataFrame, steps: tuple = FUNNEL_STEPS
+) -> DataFrame:
+    """One row — (n_converted, p50_us, p95_us): how long full-funnel
+    users took from first step-1 event to the (greedy) completing
+    step-N event. The same walk as `funnel_stages`, additionally
+    carrying the first matched timestamp; latency = final − first in
+    integer microseconds, quantiles exact-interpolated (the
+    event_value_quantiles contract — fine here because the converted
+    set is bounded by design; approx_percentile is the unbounded
+    twin)."""
     lat = (
-        per_user.select(walk.alias("w"))
+        _funnel_walk(events, steps)
         .filter(F.col("w.stage") == len(steps))
         .select((F.col("w.us") - F.col("w.first_us")).alias("lat_us"))
     )
@@ -492,9 +479,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us
 
 # The oracle states the funnel as three chained-min rungs — the
 # textbook formulation the array-walk is provably equivalent to
-# (greedy earliest-match maximizes the reached stage).
-SQL_FUNNEL_STAGES = f"""
-WITH s1 AS (
+# (greedy earliest-match maximizes the reached stage). ONE fragment
+# feeds both funnel oracles so they always encode the same funnel.
+_SQL_FUNNEL_RUNGS = f"""s1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
   WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
 ),
@@ -509,7 +496,10 @@ s3 AS (
   FROM events e JOIN s2 USING (user_id)
   WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
   GROUP BY e.user_id
-),
+)"""
+
+SQL_FUNNEL_STAGES = f"""
+WITH {_SQL_FUNNEL_RUNGS},
 u AS (SELECT DISTINCT user_id FROM events)
 SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM (
@@ -543,22 +533,7 @@ GROUP BY 1, 2
 """
 
 SQL_CONVERSION_LATENCY = f"""
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
-),
-s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t2
-  FROM events e JOIN s1 USING (user_id)
-  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
-  GROUP BY e.user_id
-),
-s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t3
-  FROM events e JOIN s2 USING (user_id)
-  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
-  GROUP BY e.user_id
-)
+WITH {_SQL_FUNNEL_RUNGS}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
        quantile_cont(epoch_us(t3) - epoch_us(t1), 0.5) AS p50_us,
        quantile_cont(epoch_us(t3) - epoch_us(t1), 0.95) AS p95_us

@@ -84,12 +84,14 @@ def group_histogram(
     integer cents first (the rolling_window idiom), so a bin edge can
     never fall between two float representations of the same printed
     value; the cents/width quotient is exact in double (inputs ≪ 2^53)
-    and truncates to the floor for non-negatives. Last bin open-ended
+    and is FLOORED, so negative values land in their own negative bin
+    ids instead of silently merging into bin 0 (cast-truncation would;
+    both engines state floor explicitly). Last bin open-ended above
     (least(_, N-1)). One groupBy shuffle on (grp, bin); output is
     groups × bins regardless of corpus size."""
     cents = F.round(F.col(value_col) * 100).cast("long")
     bin_ = F.least(
-        (cents / F.lit(HIST_BIN_CENTS)).cast("long"),
+        F.floor(cents / F.lit(HIST_BIN_CENTS)).cast("long"),
         F.lit(HIST_N_BINS - 1),
     )
     return (
@@ -183,7 +185,8 @@ SELECT event_type, CAST(bin AS INT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM (
   SELECT event_type,
-         LEAST(CAST(round(value * 100) AS BIGINT) // {HIST_BIN_CENTS},
+         LEAST(CAST(floor(CAST(round(value * 100) AS BIGINT)
+                          / {HIST_BIN_CENTS}.0) AS BIGINT),
                {HIST_N_BINS - 1}) AS bin
   FROM events
 )

@@ -1587,18 +1587,11 @@ def q_host_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (n_docs*1000 div n_host) so the share column hash-checks.
     Totals derive from the per-(host,lang) aggregate itself — no second
     corpus pass; everything after the first agg is output-sized."""
-    from dd_ops_ocr_spark.operators.urlops import _HEX, _N_DOMAINS
+    from dd_ops_ocr_spark.operators.urlops import canonical_host_expr
 
     langs = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-    md = F.md5(F.col("doc_id").cast("string"))
-    nib = lambda i: F.instr(F.lit(_HEX), F.substring(md, i, 1)) - 1
-    host = F.concat(
-        F.lit("www.d"),
-        F.pmod(nib(1) * 16 + nib(2), F.lit(_N_DOMAINS)).cast("string"),
-        F.lit(".com"),
-    )
     per = (
-        langs.withColumn("host", host)
+        langs.withColumn("host", canonical_host_expr("doc_id"))
         .groupBy("host", "pred_lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
@@ -1612,7 +1605,7 @@ def q_host_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_host_lang() -> str:
-    from dd_ops_ocr_spark.operators.urlops import _N_DOMAINS, _NIB_SQL
+    from dd_ops_ocr_spark.operators.urlops import SQL_CANONICAL_HOST
 
     return f"""
 WITH d AS (
@@ -1622,8 +1615,7 @@ WITH d AS (
          {_sql_counts}
   FROM d
 ), h AS (
-  SELECT 'www.d' || (({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]})
-                     % {_N_DOMAINS})::VARCHAR || '.com' AS host,
+  SELECT {SQL_CANONICAL_HOST} AS host,
          {_sql_pred} AS pred_lang
   FROM c
 ), per AS (

@@ -112,6 +112,30 @@ _NIB_SQL = {
 }
 _EVEN_IN = ", ".join(repr(n) for n in _EVEN_NIBBLES)
 
+
+def canonical_host_expr(doc_id_col: str = "doc_id"):
+    """'www.d{(nib1*16 + nib2) % _N_DOMAINS}.com' — the canonical
+    (post-normalization) host of the planted URL grammar, as pure
+    doc_id column math. Single source of truth: every query that
+    composes "by host" (link graph, per-host language mix, messy-URL
+    plants) must build the host THROUGH this helper so a grammar
+    change cannot desynchronize them."""
+    md = F.md5(F.col(doc_id_col).cast("string"))
+
+    def nib(i: int):
+        return F.instr(F.lit(_HEX), F.substring(md, i, 1)) - F.lit(1)
+
+    host_id = F.pmod(nib(1) * 16 + nib(2), F.lit(_N_DOMAINS))
+    return F.concat(F.lit("www.d"), host_id.cast("string"), F.lit(".com"))
+
+
+# DuckDB restatement of canonical_host_expr (same nibble math over the
+# pre-registered tables' doc_id column).
+SQL_CANONICAL_HOST = (
+    f"('www.d' || (({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]})"
+    f" % {_N_DOMAINS})::VARCHAR || '.com')"
+)
+
 SQL_URL_DOMAIN_CAP = f"""
 WITH u AS (
   SELECT doc_id,
@@ -221,12 +245,7 @@ def plant_messy_urls(docs: DataFrame) -> DataFrame:
     def even(i: int):
         return F.substring(md, i, 1).isin(_EVEN_NIBBLES)
 
-    host_id = (
-        (F.instr(F.lit(_HEX), F.substring(md, 1, 1)) - 1) * 16
-        + (F.instr(F.lit(_HEX), F.substring(md, 2, 1)) - 1)
-    ) % _N_DOMAINS
-    lower_host = F.concat(F.lit("www.d"), host_id.cast("string"),
-                          F.lit(".com"))
+    lower_host = canonical_host_expr("doc_id")
     url = F.concat(
         F.when(even(8), F.lit("HTTPS://")).otherwise(F.lit("https://")),
         F.when(even(9), F.upper(lower_host)).otherwise(lower_host),

@@ -78,6 +78,23 @@ def test_histogram_bins_and_cap(spark):
     assert got == {("a", 0): 2, ("a", 1): 1, ("a", 9): 1, ("b", 2): 1}
 
 
+def test_histogram_negative_values_floor_to_own_bins(spark):
+    """Negatives must NOT silently merge into bin 0: floor division
+    sends -25.00 to bin -1 and -50.01 to bin -2, keeping the shape
+    visible (cast-truncation toward zero would fold them into [0,50))."""
+    from dd_ops_ocr_spark.operators.stats import group_histogram
+
+    rows = [
+        ("a", -25.00),   # -2500 cents -> floor(-0.5) = bin -1
+        ("a", -50.00),   # exactly one width below zero -> bin -1
+        ("a", -50.01),   # just past the edge -> bin -2
+        ("a", 0.00),     # bin 0 stays pure
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {(r.grp, r.bin): r.n for r in group_histogram(df, "grp", "value").collect()}
+    assert got == {("a", -1): 2, ("a", -2): 1, ("a", 0): 1}
+
+
 def test_outliers_integer_verdict_matches_float_referee(spark):
     """The integer inequality must agree with the textbook float
     z-score on a corpus where the boundary is exercised."""
