@@ -171,6 +171,89 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def _epoch_day(ts_col: str):
+    """Integer epoch-day from a timestamp column: INTEGER floor-div of
+    epoch microseconds — engine-identical by construction (date_trunc /
+    DATE casts drag in engine week/tz conventions — the session_stats
+    lesson applied to days; and int64 epoch-us exceeds 2^53, so a
+    float division could mis-bin a boundary row — `div` stays in
+    int64). Positive epochs make truncation == floor."""
+    return F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {_US_PER_DAY}"
+    ).cast("long")
+
+
+def rollup_report(rows: DataFrame, dim1: str, day_col, value_col: str
+                  ) -> DataFrame:
+    """(d1, day, lvl, n, v_cents): the reporting layer's hierarchy
+    query — per-(type, day) cells PLUS per-type subtotals PLUS the
+    grand total in ONE pass, via ROLLUP. lvl = grouping_id (0 = leaf
+    cell, 1 = day aggregated, 3 = grand total) disambiguates a
+    subtotal row from a genuinely-NULL dimension value — the marker
+    both engines define identically (bit i set ⟺ argument i
+    aggregated).
+
+    Plan/scale note: Spark compiles rollup to Expand (each input row
+    replicated once per grouping set, here 3×) feeding the SAME
+    hash-aggregate as a flat groupBy — partial aggregation is still
+    map-side, the single exchange carries only per-(set, key) partials,
+    and output is hierarchy-sized. At 10^12 rows the 3× Expand is
+    map-local CPU, not wire; beyond ~5 grouping sets the replication
+    factor is the knob to watch (split the report, or AQE's partial
+    pushdown)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = rows.select(F.col(dim1).alias("d1"), day_col.alias("day"),
+                       cents.alias("v"))
+    return base.rollup("d1", "day").agg(
+        F.grouping_id().cast("int").alias("lvl"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").alias("v_cents"),
+    )
+
+
+def q_event_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rollup_report(e, "event_type", _epoch_day("ts"), "value").select(
+        F.col("d1").alias("event_type"), "day", "lvl", "n", "v_cents"
+    )
+
+
+def timeseries_gap_fill(rows: DataFrame, dim1: str, day_col) -> DataFrame:
+    """(d1, day, n): daily counts per dimension with missing days
+    ZERO-FILLED — the dense grid every downstream charting/anomaly
+    layer assumes, which a plain groupBy cannot produce (absent keys
+    emit no row). The dense day axis is GENERATED, not scanned:
+    sequence(min_day, max_day) on the 1-row global-extent aggregate,
+    exploded, cross-joined against the distinct dimension values —
+    both sides are output-sized (days × dims), so the cross join is a
+    broadcast of two tiny relations, never corpus × corpus. One
+    corpus shuffle (the counts agg); the left join that fills zeros
+    joins two hierarchy-sized tables."""
+    base = rows.select(F.col(dim1).alias("d1"), day_col.alias("day"))
+    counts = base.groupBy("d1", "day").agg(
+        F.count("*").cast("long").alias("n"))
+    days = (
+        base.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    dims = base.select("d1").distinct()
+    grid = dims.crossJoin(days)
+    return (
+        grid.join(counts, ["d1", "day"], "left")
+        .select("d1", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+
+
+def q_event_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return timeseries_gap_fill(e, "event_type", _epoch_day("ts")).select(
+        F.col("d1").alias("event_type"), "day", "n"
+    )
+
+
 SQL_EVENT_VALUE_QUANTILES = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -218,11 +301,43 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+# integer epoch-day (DuckDB // floors; epochs positive): exact twin of
+# _epoch_day without touching floats (epoch-us exceeds 2^53)
+_SQL_EPOCH_DAY = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+
+SQL_EVENT_ROLLUP_REPORT = f"""
+SELECT event_type, {_SQL_EPOCH_DAY} AS day,
+       CAST(GROUPING(event_type, {_SQL_EPOCH_DAY}) AS INT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+FROM events
+GROUP BY ROLLUP (event_type, {_SQL_EPOCH_DAY})
+"""
+
+SQL_EVENT_DAILY_DENSE = f"""
+WITH base AS (
+  SELECT event_type AS d1, {_SQL_EPOCH_DAY} AS day FROM events
+),
+ext AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM base),
+days AS (
+  SELECT unnest(generate_series(lo, hi)) AS day FROM ext
+),
+counts AS (SELECT d1, day, CAST(COUNT(*) AS BIGINT) AS n
+           FROM base GROUP BY d1, day)
+SELECT dims.d1 AS event_type, days.day,
+       COALESCE(counts.n, 0) AS n
+FROM (SELECT DISTINCT d1 FROM base) dims
+CROSS JOIN days
+LEFT JOIN counts ON counts.d1 = dims.d1 AND counts.day = days.day
+"""
+
 QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_user_cardinality": q_event_user_cardinality,
     "event_value_histogram": q_event_value_histogram,
     "event_value_outliers": q_event_value_outliers,
+    "event_rollup_report": q_event_rollup_report,
+    "event_daily_dense": q_event_daily_dense,
 }
 
 ORACLE_SQL = {
@@ -230,4 +345,6 @@ ORACLE_SQL = {
     "event_user_cardinality": SQL_EVENT_USER_CARDINALITY,
     "event_value_histogram": SQL_EVENT_VALUE_HISTOGRAM,
     "event_value_outliers": SQL_EVENT_VALUE_OUTLIERS,
+    "event_rollup_report": SQL_EVENT_ROLLUP_REPORT,
+    "event_daily_dense": SQL_EVENT_DAILY_DENSE,
 }

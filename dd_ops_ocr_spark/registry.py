@@ -408,8 +408,6 @@ _ROSTER_HEAD = [
     "sample_stratified",
     "sequence_pack",
     "bounded_engine_calls",
-    "topk_ngrams",
-    "corpus_curriculum",
     # --- driver 50-prefix boundary: the head above was rebalanced at
     # round-5 close so every operator FAMILY has at least one stamped
     # representative (dup-passage/NB/tf-idf/index/non-equi new rows,

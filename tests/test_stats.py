@@ -128,3 +128,55 @@ def test_outliers_group_isolation(spark):
     df = spark.createDataFrame(rows, "event_id long, grp string, value double")
     got = {r.event_id for r in value_outliers(df, "grp", "value").collect()}
     assert got == {100}
+
+
+def test_rollup_report_levels_and_reconciliation(spark):
+    """lvl disambiguates subtotal NULLs from data NULLs; every subtotal
+    must equal the sum of its leaf cells, and the grand total the sum
+    of everything — the hierarchy invariant ROLLUP promises."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.operators.stats import rollup_report
+
+    rows = [
+        ("a", 1, 10.00), ("a", 1, 2.50), ("a", 2, 1.00),
+        ("b", 1, 5.00), ("b", 3, 0.25),
+    ]
+    df = spark.createDataFrame(rows, "et string, d long, value double")
+    got = {
+        (r.d1, r.day, r.lvl): (r.n, r.v_cents)
+        for r in rollup_report(df, "et", F.col("d"), "value").collect()
+    }
+    # leaves (lvl 0)
+    assert got[("a", 1, 0)] == (2, 1250)
+    assert got[("a", 2, 0)] == (1, 100)
+    assert got[("b", 1, 0)] == (1, 500)
+    assert got[("b", 3, 0)] == (1, 25)
+    # per-type subtotals (lvl 1: day aggregated away)
+    assert got[("a", None, 1)] == (3, 1350)
+    assert got[("b", None, 1)] == (2, 525)
+    # grand total (lvl 3)
+    assert got[(None, None, 3)] == (5, 1875)
+    assert len(got) == 7
+
+
+def test_gap_fill_plants_zero_days(spark):
+    """Missing (dim, day) cells must surface as explicit zero rows over
+    the GLOBAL day extent — including a dim entirely absent on days
+    only other dims cover."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.operators.stats import timeseries_gap_fill
+
+    rows = [("a", 10), ("a", 10), ("a", 13), ("b", 11)]
+    df = spark.createDataFrame(rows, "et string, d long")
+    got = {
+        (r.d1, r.day): r.n
+        for r in timeseries_gap_fill(df, "et", F.col("d")).collect()
+    }
+    assert len(got) == 8  # 2 dims x days 10..13
+    assert got[("a", 10)] == 2 and got[("a", 13)] == 1
+    assert got[("a", 11)] == 0 and got[("a", 12)] == 0  # a's gap
+    assert got[("b", 11)] == 1
+    # b exists only on day 11 but gets the full global extent
+    assert got[("b", 10)] == 0 and got[("b", 12)] == 0 and got[("b", 13)] == 0
