@@ -1051,6 +1051,176 @@ WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
 """
 
 
+# ------------------------------------------------- exact similarity join
+#
+# The EXACT complement to MinHash-LSH: AllPairs/PPJoin-style prefix
+# filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08) finds EVERY
+# token-set pair with Jaccard >= t — no recall loss, no probabilistic
+# bound to tune — at bounded cost. Order each doc's tokens by global
+# rarity (df asc, token asc); if J(x,y) >= t then the two prefixes of
+# length |x| - ceil(t|x|) + 1 MUST share a token (prefix-filtering
+# lemma: a common token set of size >= ceil(t*max(|x|,|y|)) cannot
+# avoid both prefixes). Candidates therefore join only on PREFIX
+# tokens — the rarest by construction, so a stopword can never become
+# the hot blocking key (the inverted_index chunking lesson arrives
+# here for free). Verify is exact set intersection on candidates,
+# stated as an integer cross-product so no float threshold compare
+# can flip a boundary pair: J >= num/den  <=>  (den+num)*inter >=
+# num*(n_a+n_b). A length filter (den*min >= num*max) prunes
+# impossible size ratios before the verify join.
+#
+# Oracle robustness: the output after exact verify is CANONICAL — any
+# complete candidate superset yields the same rows — so engine
+# differences in prefix tie-breaks cannot desynchronize the hash.
+
+JACC_NUM, JACC_DEN = 4, 5  # t = 0.8
+JACC_TWIN_OFFSET = 40_000_000
+
+
+def jaccard_join_exact(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b, jaccard) — ALL pairs with
+    word-set Jaccard >= JACC_NUM/JACC_DEN (doc_a < doc_b), exact."""
+    from dd_ops_ocr_spark.operators.classify import _tokens
+
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"),
+    )
+    dft = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    # per-doc token array in global rarity order; unhinted df join
+    # (data-dependent size — AQE broadcasts it when it truly is small)
+    per = (
+        tok.join(dft, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("a"))
+        .select(
+            "doc_id",
+            F.transform("a", lambda s: s["tok"]).alias("toks"),
+            F.size("a").cast("long").alias("n"),
+        )
+    )
+    # prefix length n - ceil(t*n) + 1, all-integer
+    lcol = (
+        F.col("n")
+        - F.expr(f"({JACC_NUM} * n + {JACC_NUM}) div {JACC_DEN}")
+        + F.lit(1)
+    )
+    pref = per.select(
+        "doc_id", "n", F.explode(F.slice("toks", F.lit(1), lcol)).alias("ptok")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n").alias("pn_a"), "ptok")
+    b = pref.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n").alias("pn_b"), "ptok")
+    cand = (
+        a.join(b, "ptok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(JACC_DEN) * F.least("pn_a", "pn_b")
+               >= F.lit(JACC_NUM) * F.greatest("pn_a", "pn_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    ver = (
+        cand.join(
+            per.select(F.col("doc_id").alias("doc_a"),
+                       F.col("toks").alias("ta"),
+                       F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            per.select(F.col("doc_id").alias("doc_b"),
+                       F.col("toks").alias("tb"),
+                       F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", inter.alias("n_inter"), "n_a", "n_b")
+    )
+    return ver.filter(
+        F.lit(JACC_DEN + JACC_NUM) * F.col("n_inter")
+        >= F.lit(JACC_NUM) * (F.col("n_a") + F.col("n_b"))
+    ).select(
+        "doc_a", "doc_b", "n_inter", "n_a", "n_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def _docs_with_neardup_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a near-dup twin for every 40th doc: same text
+    plus ONE doc-unique token, so the twin's word-set Jaccard is
+    n/(n+1) — >= 0.8 exactly when the base doc has >= 4 distinct
+    words (the verify arithmetic decides, not the plant)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    twins = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + JACC_TWIN_OFFSET).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zq"),
+            F.md5(F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return d.unionByName(twins)
+
+
+def q_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_join_exact(_docs_with_neardup_twins(spark, sf_dir))
+
+
+SQL_JACCARD_JOIN_EXACT = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {JACC_TWIN_OFFSET},
+         text || ' zq' || md5(doc_id::VARCHAR)
+  FROM documents WHERE doc_id % 40 = 0
+),
+tok AS (
+  SELECT DISTINCT doc_id, u.tok
+  FROM d, UNNEST(list_filter(regexp_split_to_array(text, '[ \n\t]+'),
+                             x -> x <> '')) AS u(tok)
+),
+dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+r AS (
+  SELECT t.doc_id, t.tok,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY dft.df, t.tok) AS pos,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM tok t JOIN dft USING (tok)
+),
+pref AS (
+  SELECT doc_id, tok, n FROM r
+  WHERE pos <= n - (({JACC_NUM} * n + {JACC_NUM}) // {JACC_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n AS n_a, b.n AS n_b
+  FROM pref a JOIN pref b USING (tok)
+  WHERE a.doc_id < b.doc_id
+    AND {JACC_DEN} * LEAST(a.n, b.n) >= {JACC_NUM} * GREATEST(a.n, b.n)
+),
+i AS (
+  SELECT c.doc_a, c.doc_b, ANY_VALUE(c.n_a) AS n_a, ANY_VALUE(c.n_b) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.doc_a
+  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_inter,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+FROM i
+WHERE {JACC_DEN + JACC_NUM} * n_inter >= {JACC_NUM} * (n_a + n_b)
+"""
+
+
 QUERIES = {
     "line_dedup_global": q_line_dedup_global,
     "dedup_clusters": q_dedup_clusters,
@@ -1063,6 +1233,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "containment_pairs": q_containment_pairs,
     "fuzzy_match_names": q_fuzzy_match_names,
+    "jaccard_join_exact": q_jaccard_join_exact,
 }
 
 ORACLE_SQL = {
@@ -1077,4 +1248,5 @@ ORACLE_SQL = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "fuzzy_match_names": SQL_FUZZY_MATCH_NAMES,
+    "jaccard_join_exact": SQL_JACCARD_JOIN_EXACT,
 }

@@ -137,3 +137,52 @@ def test_fuzzy_planted_twins_all_matched(spark):
         (d, d) for d in range(0, 1)
     }  # sanity shape
     assert len([p for p in planted if p[1] - FUZZY_OFFSET == p[0]]) == n_expected
+
+
+def test_jaccard_join_exact_equals_bruteforce(spark):
+    """The exactness claim that separates this from LSH: on a corpus
+    with planted near-dups, borderline pairs, and random noise, the
+    prefix-filtered join must equal the O(n^2) referee EXACTLY —
+    complete (no missed pair, the prefix-filtering lemma) AND precise
+    (no pair below threshold)."""
+    import itertools
+
+    from dd_ops_ocr_spark.operators.dedup import (
+        JACC_DEN,
+        JACC_NUM,
+        jaccard_join_exact,
+    )
+
+    def words(i, k):
+        return [f"w{(i * 7 + j * 13) % 97}" for j in range(k)]
+
+    docs = []
+    # random-ish base docs of varied sizes
+    for i in range(60):
+        docs.append((i, " ".join(words(i, 8 + i % 9))))
+    # near-dup twins: one extra unique token (J = n/(n+1))
+    for i in range(0, 60, 10):
+        docs.append((1000 + i, docs[i][1] + f" uniq{i}"))
+    # borderline: exactly 4 of 5 tokens shared (J = 4/6 < 0.8, excluded)
+    docs.append((2000, "a b c d e"))
+    docs.append((2001, "a b c d x"))
+    # exactly at threshold: 4 shared of 4+1 union=5 -> J=0.8 included
+    docs.append((2002, "p q r s"))
+    docs.append((2003, "p q r s t"))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_a, r.n_b)
+        for r in jaccard_join_exact(df).collect()
+    }
+
+    sets = {i: frozenset(t.split()) for i, t in docs}
+    ref = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        if (JACC_DEN + JACC_NUM) * inter >= JACC_NUM * (len(sa) + len(sb)):
+            ref[(a, b)] = (inter, len(sa), len(sb))
+    assert got == ref
+    assert (2002, 2003) in got and (2000, 2001) not in got
+    assert any(b >= 1000 for _, b in got)  # planted twins found
