@@ -182,13 +182,123 @@ UNION ALL
 SELECT m + 1, 'inserted' FROM mx
 """
 
+# ------------------------------------------------------------ Z-order
+#
+# catalog_skip_scan proves 1-D range clustering prunes on ITS column;
+# the multi-dimensional story needs a space-filling curve: lay rows
+# out by the Morton (Z-order) interleave of two dimensions and the
+# parquet footer min/max of EVERY file stays tight on BOTH — a filter
+# on either dimension alone skips ~(1 - 1/sqrt(n_files)) of the files,
+# where linear clustering skips on one and nothing on the other (the
+# Delta/Iceberg OPTIMIZE ZORDER BY mechanic, restated on plain
+# parquet). The key is pure int64 column math (magic-number bit
+# spread, 4 shift-mask rounds per dimension), so it doubles as a
+# repartitionByRange/sortWithinPartitions write key and is
+# oracle-checkable to the bit.
+
+_Z_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(col):
+    """Interleave zeros between the bits of a 16-bit value (classic
+    magic-number spread): b15..b0 -> 0b0 b15 0 b14 ... 0 b0."""
+    v = col
+    for sh, mask in _Z_MASKS:
+        v = F.shiftleft(v, sh).bitwiseOR(v).bitwiseAND(F.lit(mask))
+    return v
+
+
+def zorder_key16(x, y):
+    """32-bit Morton key of two 16-bit-normalized columns: y's bits
+    land on the odd positions (y major at the top bit)."""
+    return _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
+
+
+def _norm16(col, lo, hi):
+    """Scale col in [lo, hi] to [0, 65535], integer-floor-exact: a raw
+    float divide could round up to the next integer where DuckDB's //
+    floors, so divide only after subtracting the remainder — the
+    quotient is then an exact integer well under 2^53 and IEEE division
+    returns it exactly. Equal bounds collapse to 0."""
+    span = hi - lo
+    num = (col - lo) * F.lit(65535)
+    return F.when(span == F.lit(0), F.lit(0)).otherwise(
+        ((num - F.pmod(num, span)) / span).cast("long")
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys for orders over (o_custkey, o_orderdate-as-epoch-day),
+    both min/max-normalized to 16 bits from a 1-row extent aggregate
+    (broadcast, output-sized). At 10^12 rows this column IS the cluster
+    key of the write: repartitionByRange(zkey) + sortWithinPartitions —
+    the proof that files then prune on BOTH dimensions is in
+    tests/test_zorder.py against real parquet footers."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("oday"),
+    )
+    ext = o.agg(
+        F.min("o_custkey").alias("clo"), F.max("o_custkey").alias("chi"),
+        F.min("oday").alias("dlo"), F.max("oday").alias("dhi"),
+    )
+    j = o.crossJoin(F.broadcast(ext))
+    zkey = zorder_key16(
+        _norm16(F.col("o_custkey"), F.col("clo"), F.col("chi")),
+        _norm16(F.col("oday"), F.col("dlo"), F.col("dhi")),
+    )
+    return j.select("o_orderkey", zkey.cast("long").alias("zkey"))
+
+
+def _sql_spread(expr: str) -> str:
+    for sh, mask in _Z_MASKS:
+        expr = f"((({expr}) << {sh} | ({expr})) & {mask})"
+    return expr
+
+
+_SQL_NORM = {
+    "x": "CASE WHEN chi = clo THEN 0 ELSE "
+         "CAST((o_custkey - clo) * 65535 AS BIGINT) // (chi - clo) END",
+    "y": "CASE WHEN dhi = dlo THEN 0 ELSE "
+         "CAST((oday - dlo) * 65535 AS BIGINT) // (dhi - dlo) END",
+}
+
+SQL_ZORDER_KEY = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS oday
+  FROM orders
+),
+ext AS (
+  SELECT MIN(o_custkey) AS clo, MAX(o_custkey) AS chi,
+         MIN(oday) AS dlo, MAX(oday) AS dhi
+  FROM o
+),
+n AS (
+  SELECT o_orderkey, {_SQL_NORM['x']} AS nx, {_SQL_NORM['y']} AS ny
+  FROM o, ext
+)
+SELECT o_orderkey,
+       CAST({_sql_spread('nx')} | ({_sql_spread('ny')} << 1) AS BIGINT)
+         AS zkey
+FROM n
+"""
+
+
 QUERIES = {
     "catalog_skip_scan": q_catalog_skip_scan,
     "catalog_time_travel": q_catalog_time_travel,
     "cdc_merge": q_cdc_merge,
+    "zorder_key": q_zorder_key,
 }
 ORACLE_SQL = {
     "catalog_skip_scan": _ORACLE,
     "catalog_time_travel": _ORACLE,
     "cdc_merge": SQL_CDC_MERGE,
+    "zorder_key": SQL_ZORDER_KEY,
 }
