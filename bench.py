@@ -623,6 +623,22 @@ def main() -> None:
     queries["line_dedup_global"] = timed(
         lambda: q_line_dedup_global(spark, SF_DIR).count()
     )
+    # exact similarity join (AllPairs prefix filtering): rarity-ordered
+    # prefix candidate join + exact-intersection verify; count() cannot
+    # prune the verify (the filter depends on it)
+    from dd_ops_ocr_spark.operators.dedup import q_jaccard_join_exact
+
+    queries["jaccard_join_exact"] = timed(
+        lambda: q_jaccard_join_exact(spark, SF_DIR).count()
+    )
+    # Z-order write key: pure column math + 1-row extent agg over
+    # orders; aggregate the key so codegen runs end to end
+    from dd_ops_ocr_spark.operators.catalogops import q_zorder_key
+
+    queries["zorder_key"] = timed(
+        lambda: q_zorder_key(spark, SF_DIR).agg(
+            F.sum("zkey"), F.max("zkey")).collect()
+    )
     # within-doc repetition filters: zero-exchange doc-local pass; time
     # with a result-consuming agg (a bare count() lets Catalyst prune)
     from dd_ops_ocr_spark.operators.textstats import q_repetition_stats

@@ -327,3 +327,28 @@ def test_repetition_stats_zero_exchange(spark):
     plan = _plan(q_repetition_stats(spark, SF_SMOKE))
     assert "Exchange" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_jaccard_join_exact_no_cartesian(spark):
+    """The prefix-filtered similarity join must be equi-joins all the
+    way down (prefix-token candidates + array verify) — never a
+    CartesianProduct / nested-loop all-pairs shape."""
+    from dd_ops_ocr_spark.operators.dedup import q_jaccard_join_exact
+
+    plan = _plan(q_jaccard_join_exact(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_zorder_key_single_scan_broadcast_extent(spark):
+    """The Morton-key query scans orders, aggregates the 1-row extent,
+    and broadcasts it back — the only join must be the broadcast
+    nested-loop against that single row (a trivially-correct shape at
+    any scale because one side IS one row), and only one exchange
+    (the extent agg) may appear."""
+    from dd_ops_ocr_spark.operators.catalogops import q_zorder_key
+
+    plan = _plan(q_zorder_key(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # extent partial+final agg only
