@@ -540,6 +540,86 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
 FROM s3 JOIN s1 USING (user_id)
 """
 
+# ---------------------------------------------------------- attribution
+#
+# The funnel family's missing primitive: each conversion credits a
+# TOUCH channel — 'first' (the user's earliest touch strictly before
+# the conversion) and 'last' (the latest one). One user shuffle: both
+# credits are ignorenulls window folds over (ts, event_id) row order —
+# no conversion-to-touch join, no per-channel rung — then one
+# output-sized groupBy. The (ts, event_id) composite order makes
+# equal-timestamp ties deterministic in both engines; a conversion
+# with no prior touch lands in channel '(none)' rather than dropping
+# (the report must reconcile to total conversions).
+
+ATTRIB_CONVERSION = FUNNEL_STEPS[-1]
+
+
+def attribution(events: DataFrame) -> DataFrame:
+    """(model['first'|'last'], channel, n_conv) over touch channels =
+    every non-conversion event_type."""
+    from pyspark.sql.window import Window
+
+    touch = F.when(
+        F.col("event_type") != ATTRIB_CONVERSION, F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).filter(F.col("event_type") == ATTRIB_CONVERSION)
+    first = tagged.select(
+        F.lit("first").alias("model"),
+        F.coalesce("first_touch", F.lit("(none)")).alias("channel"),
+    )
+    last = tagged.select(
+        F.lit("last").alias("model"),
+        F.coalesce("last_touch", F.lit("(none)")).alias("channel"),
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "channel")
+        .agg(F.count("*").cast("long").alias("n_conv"))
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+SQL_ATTRIBUTION = f"""
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN event_type <> '{ATTRIB_CONVERSION}'
+              THEN event_type END AS touch,
+         epoch_us(ts) AS us
+  FROM events
+),
+w AS (
+  SELECT event_type,
+         FIRST_VALUE(touch IGNORE NULLS) OVER win AS first_touch,
+         LAST_VALUE(touch IGNORE NULLS) OVER win AS last_touch
+  FROM t
+  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (SELECT * FROM w WHERE event_type = '{ATTRIB_CONVERSION}')
+SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS n_conv
+FROM (
+  SELECT 'first' AS model, COALESCE(first_touch, '(none)') AS channel
+  FROM conv
+  UNION ALL
+  SELECT 'last', COALESCE(last_touch, '(none)') FROM conv
+)
+GROUP BY model, channel
+"""
+
+
 QUERIES = {
     "session_stats": q_sessionize,
     "collocations": q_collocations,
@@ -547,6 +627,7 @@ QUERIES = {
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
     "conversion_latency": q_conversion_latency,
+    "attribution": q_attribution,
 }
 
 ORACLE_SQL = {
@@ -556,4 +637,5 @@ ORACLE_SQL = {
     "funnel_stages": SQL_FUNNEL_STAGES,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "conversion_latency": SQL_CONVERSION_LATENCY,
+    "attribution": SQL_ATTRIBUTION,
 }

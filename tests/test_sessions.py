@@ -205,3 +205,34 @@ def test_conversion_latency_hand_case(spark):
     assert r.p50_us == (30_000_000 + 95_000_000) / 2
     # rank 0.95*(n-1) = 0.95 -> 30e6 + 0.95*(95e6-30e6)
     assert abs(r.p95_us - (30_000_000 + 0.95 * 65_000_000)) < 1e-6
+
+
+def test_attribution_first_last_semantics(spark):
+    """First credits the earliest prior touch, last the latest; a
+    conversion with no prior touch lands in '(none)'; touches AFTER
+    the conversion never count; equal-timestamp ties break by
+    event_id."""
+    from dd_ops_ocr_spark.operators.sessions import attribution
+
+    rows = [
+        # user 1: view -> click -> purchase  (first=view, last=click)
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:05:00", "click"),
+        (3, 1, "2024-01-01 10:10:00", "purchase"),
+        # user 2: purchase with no prior touch, then a view (ignored)
+        (4, 2, "2024-01-01 09:00:00", "purchase"),
+        (5, 2, "2024-01-01 11:00:00", "view"),
+        # user 3: tie at the same ts — event_id order decides
+        (6, 3, "2024-01-01 08:00:00", "signup"),
+        (7, 3, "2024-01-01 08:00:00", "click"),
+        (8, 3, "2024-01-01 08:30:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    )
+    got = {(r.model, r.channel): r.n_conv for r in attribution(df).collect()}
+    assert got == {
+        ("first", "view"): 1, ("last", "click"): 2,
+        ("first", "(none)"): 1, ("last", "(none)"): 1,
+        ("first", "signup"): 1,
+    }
