@@ -303,6 +303,55 @@ FROM events GROUP BY event_type
 
 # integer epoch-day (DuckDB // floors; epochs positive): exact twin of
 # _epoch_day without touching floats (epoch-us exceeds 2^53)
+def table_profile(rows: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_str, max_str) — the
+    ANALYZE-style per-column profile every ingest/data-contract check
+    runs: null share, exact cardinality, and lexicographic bounds over
+    the STRING rendering of each column (one canonical domain, so a
+    bigint and a varchar column profile through identical semantics
+    and the result hash-checks cross-engine).
+
+    Plan: ONE corpus scan — the per-column profiles are parallel
+    aggregate expressions, not per-column passes; count(DISTINCT a),
+    count(DISTINCT b), ... in one agg compiles to a single Expand
+    (one input-row replica per column, map-local) feeding one
+    exchange, exactly the rollup_report cost model. The unpivot to
+    one row per column happens AFTER aggregation (output-sized
+    stack). At 10^12 rows the exact distincts are the audit form;
+    approx_count_distinct on the same plan is the monitoring twin
+    (the group_cardinality contract)."""
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(s.isNull().cast("long")).cast("long").alias(f"null_{c}"),
+            F.countDistinct(s).cast("long").alias(f"nd_{c}"),
+            F.min(s).alias(f"min_{c}"),
+            F.max(s).alias(f"max_{c}"),
+        ]
+    one = rows.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, n_null, n_distinct, min_str, max_str)",
+        "n_rows",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+# integer/varchar columns only: their string rendering is identical in
+# both engines; float/timestamp columns render with engine-specific
+# scientific-notation/trailing-zero conventions, so their profile
+# belongs in pytest, not the hash gate
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "props")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return table_profile(e, _PROFILE_COLS)
+
+
 _SQL_EPOCH_DAY = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
 
 SQL_EVENT_ROLLUP_REPORT = f"""
@@ -331,6 +380,19 @@ CROSS JOIN days
 LEFT JOIN counts ON counts.d1 = dims.d1 AND counts.day = days.day
 """
 
+_SQL_PROFILE_ONE = """
+  SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(COUNT(DISTINCT {c}::VARCHAR) AS BIGINT) AS n_distinct,
+         MIN({c}::VARCHAR) AS min_str, MAX({c}::VARCHAR) AS max_str
+  FROM events
+"""
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    _SQL_PROFILE_ONE.format(c=c) for c in _PROFILE_COLS
+)
+
 QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_user_cardinality": q_event_user_cardinality,
@@ -338,6 +400,7 @@ QUERIES = {
     "event_value_outliers": q_event_value_outliers,
     "event_rollup_report": q_event_rollup_report,
     "event_daily_dense": q_event_daily_dense,
+    "table_profile": q_table_profile,
 }
 
 ORACLE_SQL = {
@@ -347,4 +410,5 @@ ORACLE_SQL = {
     "event_value_outliers": SQL_EVENT_VALUE_OUTLIERS,
     "event_rollup_report": SQL_EVENT_ROLLUP_REPORT,
     "event_daily_dense": SQL_EVENT_DAILY_DENSE,
+    "table_profile": SQL_TABLE_PROFILE,
 }

@@ -180,3 +180,24 @@ def test_gap_fill_plants_zero_days(spark):
     assert got[("b", 11)] == 1
     # b exists only on day 11 but gets the full global extent
     assert got[("b", 10)] == 0 and got[("b", 12)] == 0 and got[("b", 13)] == 0
+
+
+def test_table_profile_nulls_distinct_bounds(spark):
+    """Null counts, exact distincts, and lexicographic bounds over the
+    string rendering; a fully-null column keeps NULL min/max and zero
+    distincts."""
+    from dd_ops_ocr_spark.operators.stats import table_profile
+
+    rows = [
+        (1, "a", None), (2, "b", None), (2, None, None), (10, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, z string")
+    got = {r.column: r for r in table_profile(df, ("k", "s", "z")).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_null == 0
+    assert got["k"].n_distinct == 3
+    # lexicographic over STRINGS: "10" < "2"
+    assert (got["k"].min_str, got["k"].max_str) == ("1", "2")
+    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
+    assert (got["s"].min_str, got["s"].max_str) == ("a", "b")
+    assert got["z"].n_null == 4 and got["z"].n_distinct == 0
+    assert got["z"].min_str is None and got["z"].max_str is None
