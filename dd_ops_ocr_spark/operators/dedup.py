@@ -1021,8 +1021,10 @@ def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_names(_fuzzy_records(spark, sf_dir))
 
 
-SQL_FUZZY_MATCH_NAMES = f"""
-WITH recs AS (
+# ONE fragment feeds the fuzzy-pair oracle and the entity-resolution
+# oracle below, so they always encode the same records/blocking/verify
+# (the funnel-rungs sharing policy).
+_SQL_FUZZY_CORE = f"""recs AS (
   SELECT doc_id AS rec_id,
          'rec-' || substring(md5(doc_id::VARCHAR), 1, 12) AS name
   FROM documents
@@ -1038,16 +1040,75 @@ blocks AS (
   SELECT rec_id, name, 's:' || substring(name, length(name) - 5, 6)
   FROM recs
 ),
-cand AS (
+fcand AS (
   SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
                   a.name AS name_a, b.name AS name_b
   FROM blocks a JOIN blocks b USING (blk)
   WHERE a.rec_id < b.rec_id
+),
+fpairs AS (
+  SELECT rec_a, rec_b,
+         CAST(levenshtein(name_a, name_b) AS INT) AS dist
+  FROM fcand
+  WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+)"""
+
+SQL_FUZZY_MATCH_NAMES = f"""
+WITH {_SQL_FUZZY_CORE}
+SELECT rec_a, rec_b, dist FROM fpairs
+"""
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy name pairs -> connected
+    components -> (rec_id, entity_id, entity_size), singletons kept
+    with entity_id = own rec_id. The composition a master-data /
+    identity pipeline actually materializes — pairs are diagnostics;
+    this is the canonical-id table every downstream join uses. Spark:
+    the fuzzy equi-join plan + the per-round-checkpointed min-label
+    fixpoint (connected_components); labels cover only matched
+    records, so the left join back to the record table is
+    match-set-sized."""
+    recs = _fuzzy_records(spark, sf_dir)
+    pairs = fuzzy_match_names(recs).select(
+        F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs).select(
+        F.col("doc_id").alias("rec_id"), "lab"
+    )
+    ent = recs.join(labels, "rec_id", "left").select(
+        "rec_id", F.coalesce("lab", F.col("rec_id")).alias("entity_id")
+    )
+    sizes = ent.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("entity_size")
+    )
+    return ent.join(sizes, "entity_id").select(
+        "rec_id", "entity_id", "entity_size"
+    )
+
+
+SQL_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE {_SQL_FUZZY_CORE},
+edges AS (
+  SELECT rec_a AS src, rec_b AS dst FROM fpairs
+  UNION ALL
+  SELECT rec_b, rec_a FROM fpairs
+),
+reach(rec_id, lab) AS (
+  SELECT DISTINCT src AS rec_id, src AS lab FROM edges
+  UNION
+  SELECT e.dst, r.lab
+  FROM reach r JOIN edges e ON e.src = r.rec_id
+),
+comp AS (SELECT rec_id, MIN(lab) AS lab FROM reach GROUP BY rec_id),
+ent AS (
+  SELECT recs.rec_id, COALESCE(comp.lab, recs.rec_id) AS entity_id
+  FROM recs LEFT JOIN comp ON comp.rec_id = recs.rec_id
 )
-SELECT rec_a, rec_b,
-       CAST(levenshtein(name_a, name_b) AS INT) AS dist
-FROM cand
-WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+SELECT e.rec_id, e.entity_id, s.entity_size
+FROM ent e
+JOIN (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS entity_size
+      FROM ent GROUP BY entity_id) s USING (entity_id)
 """
 
 
@@ -1234,6 +1295,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "fuzzy_match_names": q_fuzzy_match_names,
     "jaccard_join_exact": q_jaccard_join_exact,
+    "entity_resolution": q_entity_resolution,
 }
 
 ORACLE_SQL = {
@@ -1249,4 +1311,5 @@ ORACLE_SQL = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "fuzzy_match_names": SQL_FUZZY_MATCH_NAMES,
     "jaccard_join_exact": SQL_JACCARD_JOIN_EXACT,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
 }

@@ -186,3 +186,37 @@ def test_jaccard_join_exact_equals_bruteforce(spark):
     assert got == ref
     assert (2002, 2003) in got and (2000, 2001) not in got
     assert any(b >= 1000 for _, b in got)  # planted twins found
+
+
+def test_entity_resolution_transitive_and_singletons(spark):
+    """A-B and B-C fuzzy matches must merge into ONE entity (min id);
+    unmatched records stay singletons with entity_id = own rec_id."""
+    from dd_ops_ocr_spark.operators.dedup import (
+        connected_components,
+        fuzzy_match_names,
+    )
+    from pyspark.sql import functions as F
+
+    # chain: n1 -e-> n2 -e-> n3 (each one substitution apart), n4 alone
+    rows = [
+        (1, "rec-aaaaaaaaaaaa"),
+        (2, "rec-aaaaaaaaaaab"),
+        (3, "rec-aaaaaaaaaabb"),
+        (4, "rec-zzzzzzzzzzzz"),
+    ]
+    recs = spark.createDataFrame(rows, "rec_id long, name string")
+    pairs = fuzzy_match_names(recs).select(
+        F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b")
+    )
+    labels = {
+        r.doc_id: r.lab for r in connected_components(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1}  # transitive chain, min label
+    # the registered query keeps singletons: emulate its left-join tail
+    ent = recs.join(
+        connected_components(pairs).select(
+            F.col("doc_id").alias("rec_id"), "lab"),
+        "rec_id", "left",
+    ).select("rec_id", F.coalesce("lab", F.col("rec_id")).alias("entity_id"))
+    got = {r.rec_id: r.entity_id for r in ent.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
