@@ -223,19 +223,19 @@ def _sql() -> str:
 """)
 
 
-def _sql_hosts() -> str:
+def _sql_host_pairs() -> str:
     """Host-collapsed pair stream: anchors UNION ALL nav links (the
     frontier's pair stream), host regexp'd off BOTH endpoints — src and
     the nav endpoints restated in canonical CLOSED FORM, so the hash
     cross-checks url_normalize yet again — then self-loops and
     unresolvable targets dropped, THEN distinct: same order as the
-    Spark side."""
+    Spark side. ONE fragment feeds host_pagerank AND host_triangles."""
     from dd_ops_ocr_spark.operators.htmlops import (
         _sql_canonical,
         _sql_target_pairs,
     )
 
-    return _sql_from_pairs(f"""
+    return f"""
   SELECT DISTINCT src_url, target_url FROM (
     SELECT
       regexp_extract({_sql_canonical("t.doc_id")}, '{_HOST_RE}', 1)
@@ -250,17 +250,115 @@ def _sql_hosts() -> str:
         AS target_url
     FROM documents
   ) WHERE src_url <> target_url AND target_url <> ''
-""")
+"""
+
+
+def _sql_hosts() -> str:
+    return _sql_from_pairs(_sql_host_pairs())
+
+
+# ----------------------------------------------------- triangle counting
+#
+# The graph family's density primitive (clustering coefficient, link-
+# farm detection — a spam host ring is a triangle-dense subgraph):
+# per-host triangle counts. Spark uses the node-iterator++/forward
+# orientation: direct each undirected edge from lower to higher
+# (degree, id) rank, so every triangle {a<b<c by rank} is found exactly
+# once as a->b, b->c with a->c confirmed by a semi-join — and the wedge
+# join's fan-out is bounded by the max ORIENTED out-degree (~sqrt(m) on
+# any graph), which is what makes the join survive a power-law degree
+# distribution where a naive neighbor join explodes on the hub. The
+# oracle restates triangles with plain id-ordering (u<v per edge, three
+# equi-joins): the triangle SET is orientation-invariant, so the
+# per-host counts hash-match even though the plans differ.
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """(host, n_tri) over a directed (src_url, target_url) pair stream:
+    count of distinct undirected triangles each host participates in
+    (hosts in no triangle emit no row)."""
+    und = pairs.select(
+        F.least("src_url", "target_url").alias("u"),
+        F.greatest("src_url", "target_url").alias("v"),
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    tri = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .join(
+            oriented.select(F.col("a").alias("x"), F.col("b").alias("z")),
+            ["x", "z"],
+            "left_semi",
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+
+
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts(host_edges_df(spark, sf_dir))
+
+
+def _sql_triangles() -> str:
+    return f"""
+WITH pairs AS ({_sql_host_pairs()}),
+und AS (
+  SELECT DISTINCT LEAST(src_url, target_url) AS u,
+                  GREATEST(src_url, target_url) AS v
+  FROM pairs
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  SEMI JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (
+  SELECT a AS host FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY host
+"""
 
 
 SQL_LINK_GRAPH_PAGERANK = _sql()
 SQL_HOST_PAGERANK = _sql_hosts()
+SQL_HOST_TRIANGLES = _sql_triangles()
 
 QUERIES = {
     "link_graph_pagerank": q_link_graph_pagerank,
     "host_pagerank": q_host_pagerank,
+    "host_triangles": q_host_triangles,
 }
 ORACLE_SQL = {
     "link_graph_pagerank": SQL_LINK_GRAPH_PAGERANK,
     "host_pagerank": SQL_HOST_PAGERANK,
+    "host_triangles": SQL_HOST_TRIANGLES,
 }

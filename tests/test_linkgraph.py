@@ -89,3 +89,36 @@ def test_host_pagerank_matches_referee(spark):
     got = {r.url: r.pr
            for r in q_host_pagerank(spark, SF_SMOKE).collect()}
     assert got == _python_pagerank(edges)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: two triangles sharing an edge — the shared
+    edge's endpoints count 2 each, the others 1; a pendant node and a
+    disconnected edge contribute nothing. Direction/duplication of the
+    input pairs must not matter."""
+    from dd_ops_ocr_spark.operators.linkgraph import triangle_counts
+
+    pairs = [
+        # K4 minus (c, d): triangles (a,b,c) and (a,b,d)
+        ("a", "b"), ("b", "a"),      # duplicated reverse edge
+        ("a", "c"), ("b", "c"),
+        ("a", "d"), ("d", "b"),      # mixed direction
+        ("d", "e"),                  # pendant
+        ("x", "y"),                  # disconnected edge
+    ]
+    df = spark.createDataFrame(pairs, "src_url string, target_url string")
+    got = {r.host: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_orientation_handles_hub(spark):
+    """A star hub (no triangles) plus one closed wedge: the hub's huge
+    degree must not fabricate triangles, and the single real triangle
+    through the hub is still found once."""
+    from dd_ops_ocr_spark.operators.linkgraph import triangle_counts
+
+    pairs = [("hub", f"s{i}") for i in range(50)]
+    pairs += [("s0", "s1")]  # closes exactly one triangle hub-s0-s1
+    df = spark.createDataFrame(pairs, "src_url string, target_url string")
+    got = {r.host: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == {"hub": 1, "s0": 1, "s1": 1}
