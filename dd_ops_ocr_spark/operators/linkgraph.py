@@ -324,6 +324,44 @@ def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(host_edges_df(spark, sf_dir))
 
 
+def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+    """(host, deg, n_tri, coeff_permille): local clustering coefficient
+    2*tri/(deg*(deg-1)) as integer permille (floor; both engines state
+    integer division, all operands positive) for every host of degree
+    >= 2 — triangle-free hosts surface with 0, which is the point of
+    the report (a high-degree zero-coefficient host is the hub shape;
+    a high-coefficient cluster is the link-farm shape). Degrees come
+    from one agg over the undirected edge set; triangles from
+    triangle_counts; the join is node-cardinality-sized."""
+    und = pairs.select(
+        F.least("src_url", "target_url").alias("u"),
+        F.greatest("src_url", "target_url").alias("v"),
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("host"))
+        .unionAll(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tri = triangle_counts(pairs)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "host", "left")
+        .select(
+            "host", "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+        .withColumn(
+            "coeff_permille",
+            F.expr("(2000 * n_tri) div (deg * (deg - 1))").cast("long"),
+        )
+    )
+
+
+def q_host_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering_coefficient(host_edges_df(spark, sf_dir))
+
+
 def _sql_triangles() -> str:
     return f"""
 WITH pairs AS ({_sql_host_pairs()}),
@@ -348,17 +386,56 @@ GROUP BY host
 """
 
 
+def _sql_clustering() -> str:
+    return f"""
+WITH pairs AS ({_sql_host_pairs()}),
+und AS (
+  SELECT DISTINCT LEAST(src_url, target_url) AS u,
+                  GREATEST(src_url, target_url) AS v
+  FROM pairs
+),
+deg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS host FROM und UNION ALL SELECT v FROM und)
+  GROUP BY host
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  SEMI JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+ntri AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (
+    SELECT a AS host FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY host
+)
+SELECT d.host, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+       CAST((2000 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+            AS BIGINT) AS coeff_permille
+FROM deg d LEFT JOIN ntri t USING (host)
+WHERE d.deg >= 2
+"""
+
+
 SQL_LINK_GRAPH_PAGERANK = _sql()
 SQL_HOST_PAGERANK = _sql_hosts()
 SQL_HOST_TRIANGLES = _sql_triangles()
+SQL_HOST_CLUSTERING = _sql_clustering()
 
 QUERIES = {
     "link_graph_pagerank": q_link_graph_pagerank,
     "host_pagerank": q_host_pagerank,
     "host_triangles": q_host_triangles,
+    "host_clustering": q_host_clustering,
 }
 ORACLE_SQL = {
     "link_graph_pagerank": SQL_LINK_GRAPH_PAGERANK,
     "host_pagerank": SQL_HOST_PAGERANK,
     "host_triangles": SQL_HOST_TRIANGLES,
+    "host_clustering": SQL_HOST_CLUSTERING,
 }

@@ -303,6 +303,45 @@ FROM events GROUP BY event_type
 
 # integer epoch-day (DuckDB // floors; epochs positive): exact twin of
 # _epoch_day without touching floats (epoch-us exceeds 2^53)
+def trend_report(rows: DataFrame, dim1: str, day_col) -> DataFrame:
+    """(d1, week, n, prev_n, delta, delta_permille): weekly counts per
+    dimension with week-over-week change — the reporting shape where
+    the WINDOW runs over the AGGREGATE's output, not the corpus: one
+    corpus shuffle (the weekly agg), then lag() over partitions that
+    are dimension-sized (weeks per dim), so the window stage costs
+    nothing at any corpus scale. Weeks are integer epoch-day div 7
+    (engine week-start conventions avoided); delta_permille is integer
+    floor-div against the previous week (NULL on the first week and on
+    a zero base), so the hash gate is exact."""
+    base = rows.select(F.col(dim1).alias("d1"),
+                       (day_col / F.lit(7)).cast("long").alias("week"))
+    weekly = base.groupBy("d1", "week").agg(
+        F.count("*").cast("long").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("d1").orderBy("week")
+    prev = F.lag("n").over(w)
+    delta = F.col("n") - prev
+    permille = F.when(
+        prev > 0,
+        F.floor(delta * F.lit(1000) / prev).cast("long"),
+    )
+    return weekly.select(
+        "d1", "week", "n",
+        prev.alias("prev_n"),
+        delta.alias("delta"),
+        permille.alias("delta_permille"),
+    )
+
+
+def q_event_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trend_report(e, "event_type", _epoch_day("ts")).select(
+        F.col("d1").alias("event_type"), "week", "n", "prev_n", "delta",
+        "delta_permille",
+    )
+
+
 def table_profile(rows: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """(column, n_rows, n_null, n_distinct, min_str, max_str) — the
     ANALYZE-style per-column profile every ingest/data-contract check
@@ -393,6 +432,28 @@ SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
     _SQL_PROFILE_ONE.format(c=c) for c in _PROFILE_COLS
 )
 
+# FLOOR over the same double division Spark runs (identical IEEE
+# inputs -> identical rounding -> identical floor), NULL on first week
+SQL_EVENT_WEEKLY_TREND = f"""
+WITH weekly AS (
+  SELECT event_type, ({_SQL_EPOCH_DAY}) // 7 AS week,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, week, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+  FROM weekly
+)
+SELECT event_type, CAST(week AS BIGINT) AS week, n,
+       CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(n - prev_n AS BIGINT) AS delta,
+       CASE WHEN prev_n > 0
+            THEN CAST(FLOOR(CAST((n - prev_n) * 1000 AS DOUBLE) / prev_n)
+                      AS BIGINT) END AS delta_permille
+FROM t
+"""
+
 QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_user_cardinality": q_event_user_cardinality,
@@ -401,6 +462,7 @@ QUERIES = {
     "event_rollup_report": q_event_rollup_report,
     "event_daily_dense": q_event_daily_dense,
     "table_profile": q_table_profile,
+    "event_weekly_trend": q_event_weekly_trend,
 }
 
 ORACLE_SQL = {
@@ -411,4 +473,5 @@ ORACLE_SQL = {
     "event_rollup_report": SQL_EVENT_ROLLUP_REPORT,
     "event_daily_dense": SQL_EVENT_DAILY_DENSE,
     "table_profile": SQL_TABLE_PROFILE,
+    "event_weekly_trend": SQL_EVENT_WEEKLY_TREND,
 }

@@ -122,3 +122,30 @@ def test_triangle_orientation_handles_hub(spark):
     df = spark.createDataFrame(pairs, "src_url string, target_url string")
     got = {r.host: r.n_tri for r in triangle_counts(df).collect()}
     assert got == {"hub": 1, "s0": 1, "s1": 1}
+
+
+def test_clustering_coefficient_shapes(spark):
+    """The two shapes the report separates: a hub (high degree, zero
+    coefficient) vs a clique (coefficient = 1000 permille); floor
+    semantics pinned on a partial wedge."""
+    from dd_ops_ocr_spark.operators.linkgraph import clustering_coefficient
+
+    pairs = [
+        # triangle (clique of 3): every node coeff = 2*1/(2*1) = 1000
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        # hub with 3 spokes, no closure: deg 3, 0 triangles -> 0
+        ("hub", "p"), ("hub", "q"), ("hub", "r"),
+        # node w: deg 3 (a, b, x), one triangle (w,a,b) ->
+        # floor(2000*1/(3*2)) = 333
+        ("w", "a"), ("w", "b"), ("w", "x"),
+    ]
+    df = spark.createDataFrame(pairs, "src_url string, target_url string")
+    got = {r.host: (r.deg, r.n_tri, r.coeff_permille)
+           for r in clustering_coefficient(df).collect()}
+    assert got["hub"] == (3, 0, 0)
+    assert got["w"] == (3, 1, 333)
+    assert got["c"] == (2, 1, 1000)
+    # a and b each gained the w triangle: deg 3 (b/a, c, w), 2 triangles
+    assert got["a"] == (3, 2, 666) and got["b"] == (3, 2, 666)
+    # degree-1 nodes (p, q, r, x) are excluded
+    assert "p" not in got and "x" not in got
