@@ -342,6 +342,77 @@ def q_event_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOP_WIN_MIN = 60   # window length (minutes)
+HOP_SLIDE_MIN = 15  # hop (minutes); WIN/SLIDE windows cover each event
+
+
+def hopping_counts(rows: DataFrame, dim1: str) -> DataFrame:
+    """(d1, win_start_us, n): sliding/hopping-window counts in BATCH —
+    Spark's built-in F.window(slideDuration=...) explodes each event
+    into the WIN/SLIDE windows covering it (map-local), then one
+    (dim, window) shuffle; the dashboard query behind every
+    'requests in the trailing hour, refreshed per quarter hour'. The
+    output key is unix_micros(window.start) so the hash gate compares
+    integers, not timestamp renderings. Spark aligns hop starts to the
+    epoch (starts are multiples of the slide) — the oracle restates
+    exactly that arithmetic, so the query also PINS the engine's
+    window-alignment semantics."""
+    w = F.window("ts", f"{HOP_WIN_MIN} minutes", f"{HOP_SLIDE_MIN} minutes")
+    return (
+        rows.select(F.col(dim1).alias("d1"), w.alias("w"))
+        # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the
+        # cast is epoch-identical (the sessionize pattern)
+        .select("d1", F.unix_micros(F.col("w.start").cast("timestamp"))
+                .alias("win_start_us"))
+        .groupBy("d1", "win_start_us")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_event_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_counts(e, "event_type").select(
+        F.col("d1").alias("event_type"), "win_start_us", "n"
+    )
+
+
+NTILE_K = 4
+
+
+def equidepth_profile(rows: DataFrame, dim1: str, value_col: str
+                      ) -> DataFrame:
+    """(d1, tile, n, lo_cents, hi_cents): equi-depth value profile —
+    the quantile-bucket twin of the fixed-width histogram (equal
+    POPULATION per bucket, data-driven edges). NTILE's split is SQL
+    standard (first n MOD k tiles get the extra row) and identical in
+    both engines; ordering by (cents, event_id) makes ties
+    deterministic, so bucket EDGES hash-check too. One (dim) window
+    shuffle + an output-sized agg; at 10^12 rows per-dimension NTILE
+    serializes a dimension through one task — the honest scale
+    statement is approx_percentile edges for monitoring (the
+    group_quantiles contract), this exact op for bounded-cardinality
+    audits."""
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy("d1").orderBy("v", "event_id")
+    tiled = rows.select(
+        F.col(dim1).alias("d1"), "event_id", cents.alias("v")
+    ).withColumn("tile", F.ntile(NTILE_K).over(w).cast("int"))
+    return tiled.groupBy("d1", "tile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("v").alias("lo_cents"),
+        F.max("v").alias("hi_cents"),
+    )
+
+
+def q_event_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return equidepth_profile(e, "event_type", "value").select(
+        F.col("d1").alias("event_type"), "tile", "n", "lo_cents", "hi_cents"
+    )
+
+
 def table_profile(rows: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """(column, n_rows, n_null, n_distinct, min_str, max_str) — the
     ANALYZE-style per-column profile every ingest/data-contract check
@@ -454,6 +525,39 @@ SELECT event_type, CAST(week AS BIGINT) AS week, n,
 FROM t
 """
 
+# each event's covering hop windows: starts are the multiples of the
+# slide in (us - WIN, us] — exactly Spark's epoch-aligned expansion
+_HOP_US = HOP_SLIDE_MIN * 60 * 1_000_000
+_WIN_US = HOP_WIN_MIN * 60 * 1_000_000
+
+SQL_EVENT_HOPPING_COUNTS = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+x AS (
+  SELECT e.event_type,
+         (e.us // {_HOP_US} - r.j) * {_HOP_US} AS win_start_us
+  FROM e, range({_WIN_US // _HOP_US}) r(j)
+  WHERE (e.us // {_HOP_US} - r.j) * {_HOP_US} > e.us - {_WIN_US}
+)
+SELECT event_type, CAST(win_start_us AS BIGINT) AS win_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY 1, 2
+"""
+
+SQL_EVENT_EQUIDEPTH = f"""
+WITH t AS (
+  SELECT event_type AS d1, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         NTILE({NTILE_K}) OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT),
+                                         event_id) AS tile
+  FROM events
+)
+SELECT d1 AS event_type, CAST(tile AS INT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(v) AS lo_cents, MAX(v) AS hi_cents
+FROM t GROUP BY 1, 2
+"""
+
 QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_user_cardinality": q_event_user_cardinality,
@@ -463,6 +567,8 @@ QUERIES = {
     "event_daily_dense": q_event_daily_dense,
     "table_profile": q_table_profile,
     "event_weekly_trend": q_event_weekly_trend,
+    "event_hopping_counts": q_event_hopping_counts,
+    "event_equidepth": q_event_equidepth,
 }
 
 ORACLE_SQL = {
@@ -474,4 +580,6 @@ ORACLE_SQL = {
     "event_daily_dense": SQL_EVENT_DAILY_DENSE,
     "table_profile": SQL_TABLE_PROFILE,
     "event_weekly_trend": SQL_EVENT_WEEKLY_TREND,
+    "event_hopping_counts": SQL_EVENT_HOPPING_COUNTS,
+    "event_equidepth": SQL_EVENT_EQUIDEPTH,
 }

@@ -201,3 +201,44 @@ def test_table_profile_nulls_distinct_bounds(spark):
     assert (got["s"].min_str, got["s"].max_str) == ("a", "b")
     assert got["z"].n_null == 4 and got["z"].n_distinct == 0
     assert got["z"].min_str is None and got["z"].max_str is None
+
+
+def test_hopping_counts_window_membership(spark):
+    """Every event lands in exactly WIN/SLIDE hop windows; an event on
+    an exact hop boundary belongs to the window STARTING there and not
+    to the one ENDING there (start-inclusive, end-exclusive)."""
+    from dd_ops_ocr_spark.operators.stats import (
+        HOP_SLIDE_MIN,
+        HOP_WIN_MIN,
+        hopping_counts,
+    )
+
+    rows = [
+        (1, "a", "2024-01-01 10:07:00"),   # mid-window event
+        (2, "a", "2024-01-01 11:00:00"),   # exact hop boundary
+    ]
+    df = spark.createDataFrame(rows, "event_id long, et string, ts string")
+    got = {(r.d1, r.win_start_us): r.n
+           for r in hopping_counts(df, "et").collect()}
+    per_event = HOP_WIN_MIN // HOP_SLIDE_MIN
+    assert sum(got.values()) == 2 * per_event
+    h11 = 1704106800000000  # 2024-01-01 11:00:00 UTC in micros
+    # boundary event: member of [11:00, 12:00) ...
+    assert got[("a", h11)] >= 1
+    # ... but NOT of [10:00, 11:00) (end-exclusive)
+    h10 = h11 - 3600 * 1_000_000
+    assert ("a", h10) in got and got[("a", h10)] == 1  # only event 1
+
+
+def test_equidepth_ntile_split_and_edges(spark):
+    """Standard NTILE split (first n MOD k tiles get the extra row)
+    with deterministic tie order; bucket edges are the min/max cents."""
+    from dd_ops_ocr_spark.operators.stats import equidepth_profile
+
+    # 6 rows, k=4 -> tiles of 2,2,1,1
+    rows = [(i, "g", v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])]
+    df = spark.createDataFrame(rows, "event_id long, d string, value double")
+    got = {r.tile: (r.n, r.lo_cents, r.hi_cents)
+           for r in equidepth_profile(df, "d", "value").collect()}
+    assert got == {1: (2, 100, 200), 2: (2, 300, 400),
+                   3: (1, 500, 500), 4: (1, 600, 600)}
