@@ -330,14 +330,24 @@ _register(_routing)
 # the 21 queries outside r04's sample (all last stamped in r03) plus the
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
-    # new this round — never stamped
+    # new this round — never stamped; the final-session additions lead
+    # (each is a family no earlier stamp represents: exact similarity
+    # join, identity resolution, Z-order skipping, graph density,
+    # attribution, GROUPING SETS, ANALYZE profile, sliding windows)
+    "jaccard_join_exact",
+    "entity_resolution",
+    "zorder_key",
+    "host_triangles",
+    "attribution",
+    "event_rollup_report",
+    "table_profile",
+    "event_hopping_counts",
     "warc_records_gz",
     "warc_gz_quarantine",
     "bm25_topk",
     "rolling_window",
     "event_user_cardinality",
     "fetch_schedule",
-    "containment_pairs",
     "html_tables",
     "html_interleaved_spans",
     "feed_entries",
@@ -345,16 +355,13 @@ _ROSTER_HEAD = [
     "shard_assign",
     "retention_cohorts",
     "event_value_histogram",
-    "kwic_snippets",
     "event_value_outliers",
     "host_lang_profile",
     "conversion_latency",
     "fuzzy_match_names",
     "cdc_merge",
     "dup_passage_spans",
-    "dup_passage_strip",
     "quality_nb_train",
-    "quality_nb_score",
     "tfidf_topk",
     "inverted_index",
     "asof_join",
@@ -365,18 +372,12 @@ _ROSTER_HEAD = [
     "anchor_text_agg",
     "host_pagerank",
     "robots_filter",
-    "sitemap_urls",
     "recrawl_delta",
     "charset_transcode",
-    "redirect_resolve",
-    "warc_records",
-    "warc_quarantine",
     "link_graph_pagerank",
     "frontier_new_urls",
-    "link_graph_indegree",
     "url_normalize",
     "html_outlinks",
-    "html_metadata",
     "ccnet_buckets",
     "semdedup",
     "dsir_weights",
@@ -408,6 +409,24 @@ _ROSTER_HEAD = [
     "sample_stratified",
     "sequence_pack",
     "bounded_engine_calls",
+    # within-family variant rows displaced by the final-session ops
+    # above (their family keeps a stamped representative in the 50;
+    # the local oracle gate still checks every one per pytest run):
+    "dup_passage_strip",
+    "quality_nb_score",
+    "containment_pairs",
+    "kwic_snippets",
+    "sitemap_urls",
+    "redirect_resolve",
+    "warc_records",
+    "warc_quarantine",
+    "link_graph_indegree",
+    "html_metadata",
+    # the remaining final-session ops (twins of stamped family rows):
+    "host_clustering",
+    "event_daily_dense",
+    "event_weekly_trend",
+    "event_equidepth",
     # --- driver 50-prefix boundary: the head above was rebalanced at
     # round-5 close so every operator FAMILY has at least one stamped
     # representative (dup-passage/NB/tf-idf/index/non-equi new rows,
