@@ -182,6 +182,85 @@ UNION ALL
 SELECT m + 1, 'inserted' FROM mx
 """
 
+# -------------------------------------------------------- bucketed join
+#
+# The third leg of the physical-layout family (skip_scan = 1-D range
+# pruning, zorder = multi-dim pruning, THIS = co-located joins): tables
+# written with bucketBy(k, key).sortBy(key) land pre-hash-partitioned
+# and pre-sorted on the join key, so a SortMergeJoin between two tables
+# bucketed the same way needs NO exchange on either side — the
+# repeated-join fact/dim layout every warehouse ships. At 10^12 rows
+# this converts every orders-x-customer join from two corpus shuffles
+# into a zero-shuffle zip of co-numbered buckets (tests/test_bucketed.py
+# asserts the exchange-free plan; a LOCAL per-bucket re-sort remains by
+# default since SPARK-28632 — linear and wire-free, eliminable via the
+# legacy bucketedTableScan.outputOrdering conf on one-file buckets).
+#
+# Bucket metadata lives in the session catalog, so the fixture tables
+# are (re)built per session under a pid-unique /tmp database — tiny at
+# test SF, deterministic content, no cross-session metastore needed.
+
+_BUCKETS = 8
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os as _os
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    db = f"bkt_{_os.getpid()}"
+    loc = f"/tmp/ddops_bucketed_{_os.getpid()}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    ot, ct = f"{db}.orders_{tag}", f"{db}.customer_{tag}"
+    # repartition on the bucket key first: ONE file per bucket, which is
+    # the condition under which Spark trusts sortBy and drops the local
+    # Sort below the join too (multi-file buckets keep bucket pruning +
+    # exchange elimination but must re-sort)
+    if not spark.catalog.tableExists(ot):
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .repartition(_BUCKETS, "o_custkey")
+            .write.bucketBy(_BUCKETS, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").saveAsTable(ot)
+        )
+    if not spark.catalog.tableExists(ct):
+        (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .repartition(_BUCKETS, "c_custkey")
+            .write.bucketBy(_BUCKETS, "c_custkey").sortBy("c_custkey")
+            .mode("overwrite").saveAsTable(ct)
+        )
+    return ot, ct
+
+
+def bucketed_enrich(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-segment order stats through the fact-x-dim join: (segment,
+    n_orders, sum_cents). Cents keep the sum integer-exact."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.join(customer,
+                    orders.o_custkey == customer.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), cents.alias("v"))
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             F.sum("v").alias("sum_cents"))
+    )
+
+
+def q_bucketed_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, ct = _bucketed_pair(spark, sf_dir)
+    return bucketed_enrich(spark.table(ot), spark.table(ct))
+
+
+SQL_BUCKETED_ENRICH = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ------------------------------------------------------------ Z-order
 #
 # catalog_skip_scan proves 1-D range clustering prunes on ITS column;
@@ -295,10 +374,12 @@ QUERIES = {
     "catalog_time_travel": q_catalog_time_travel,
     "cdc_merge": q_cdc_merge,
     "zorder_key": q_zorder_key,
+    "bucketed_enrich": q_bucketed_enrich,
 }
 ORACLE_SQL = {
     "catalog_skip_scan": _ORACLE,
     "catalog_time_travel": _ORACLE,
     "cdc_merge": SQL_CDC_MERGE,
     "zorder_key": SQL_ZORDER_KEY,
+    "bucketed_enrich": SQL_BUCKETED_ENRICH,
 }

@@ -342,6 +342,7 @@ _ROSTER_HEAD = [
     "event_rollup_report",
     "table_profile",
     "event_hopping_counts",
+    "bucketed_enrich",
     "warc_records_gz",
     "warc_gz_quarantine",
     "bm25_topk",
@@ -368,7 +369,6 @@ _ROSTER_HEAD = [
     "interval_join",
     "session_stats",
     "collocations",
-    "event_value_quantiles",
     "anchor_text_agg",
     "host_pagerank",
     "robots_filter",
@@ -424,6 +424,7 @@ _ROSTER_HEAD = [
     "html_metadata",
     # the remaining final-session ops (twins of stamped family rows):
     "host_clustering",
+    "event_value_quantiles",
     "event_daily_dense",
     "event_weekly_trend",
     "event_equidepth",
