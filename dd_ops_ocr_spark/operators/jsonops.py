@@ -33,6 +33,39 @@ FROM events
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 through Spark's VARIANT type (the engine-native semi-
+    structured path): parse_json once into an open-schema variant
+    column, typed variant_get extraction, then a grouped report over
+    the extracted field. Same semantics as get_json_object but the
+    binary variant encoding parses the JSON ONCE per row and serves
+    every later path extraction from the encoded form — the right
+    shape when many fields are pulled from one payload at 10^12 rows
+    (get_json_object re-parses the string per call). DuckDB's JSON
+    type plays the same role in the oracle."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        e.select(F.pmod(k, F.lit(10)).alias("k_mod"), k.alias("k"))
+        .groupBy("k_mod")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum
+FROM events
+GROUP BY 1
+"""
+
+
 def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12: base64 encode/decode roundtrip of the doc text (PubSub payload
     decode; api/main.py:532-547)."""
@@ -102,6 +135,7 @@ FROM documents
 QUERIES = {
     "id_generation": q_id_generation,
     "json_extract": q_json_extract,
+    "variant_extract": q_variant_extract,
     "base64_roundtrip": q_base64_roundtrip,
     "session_id_format": q_session_id_format,
 }
@@ -109,6 +143,7 @@ QUERIES = {
 ORACLE_SQL = {
     "id_generation": SQL_ID_GENERATION,
     "json_extract": SQL_JSON_EXTRACT,
+    "variant_extract": SQL_VARIANT_EXTRACT,
     "base64_roundtrip": SQL_BASE64_ROUNDTRIP,
     "session_id_format": SQL_SESSION_ID_FORMAT,
 }

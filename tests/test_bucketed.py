@@ -69,3 +69,27 @@ def test_bucketed_enrich_matches_plain_join(spark):
     want = {r.segment: (r.n_orders, r.sum_cents)
             for r in bucketed_enrich(o, c).collect()}
     assert got == want and len(got) > 0
+
+
+def test_bucket_pruning_point_lookup(spark, no_broadcast):
+    """A point predicate on the bucket key must open ~1/k of the files:
+    the scan reports SelectedBucketsCount 1 out of k — the secondary-
+    index-free point lookup bucketing buys."""
+    from dd_ops_ocr_spark.operators.catalogops import _BUCKETS, _bucketed_pair
+
+    ot, _ = _bucketed_pair(spark, SF_SMOKE)
+    o = spark.table(ot)
+    key = o.select(F.min("o_custkey")).first()[0]
+    # autoBucketedScan drops the bucketed layout when no operator needs
+    # the distribution — a bare filter qualifies, so pin it on to show
+    # the pruning the layout enables
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        q = o.filter(F.col("o_custkey") == key)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert f"SelectedBucketsCount: 1 out of {_BUCKETS}" in plan
+        assert q.count() > 0
+    finally:
+        spark.conf.set(conf, old)
