@@ -352,6 +352,65 @@ def stream_sessionize(
     )
 
 
+def stream_static_enrich(
+    spark: SparkSession, input_dir: str, schema, dim: DataFrame
+):
+    """Stream-static join — the streaming twin of the batch dimension
+    enrich (J5): every micro-batch hash-joins against the BATCH
+    dimension DataFrame, broadcast to the executors per batch. The
+    static side is re-planned each micro-batch, so a dimension that is
+    itself a table (not a cached DataFrame) picks up updates between
+    batches — the slowly-changing-dim behavior PubSub consumers
+    usually bolt on by hand. No watermark needed: the static side
+    never ages."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    return src.join(F.broadcast(dim), "event_type").select(
+        "event_id", "user_id", "event_type", "weight"
+    )
+
+
+def stream_stream_match(
+    spark: SparkSession, input_dir: str, schema,
+    horizon: str = "1 hour", late: str = "30 minutes",
+):
+    """Watermarked stream-stream INNER join: each click matched to the
+    SAME user's purchases within ``horizon`` after it — the funnel
+    pairing computed online. Both sides carry event-time watermarks
+    and the join condition carries the time bound, which is what lets
+    the engine EXPIRE buffered state: a click older than
+    watermark - horizon can never match a future purchase and is
+    dropped from the state store (unbounded state otherwise — the
+    stream-stream-join failure mode at 10^12 events). Matches emit as
+    they arrive (inner join), exactly once per (click, purchase)
+    pair."""
+    clicks = (
+        spark.readStream.schema(schema).parquet(input_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", late)
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(input_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").cast("timestamp").alias("b_ts"),
+        )
+        .withWatermark("b_ts", late)
+    )
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("click_id", "buy_id", F.col("c_user").alias("user_id"))
+
+
 def stream_event_metrics(spark: SparkSession, input_dir: str, schema):
     """Watermarked windowed aggregation over an event stream (the metrics
     side-channel; reference writes OcrPageCount rows per request,

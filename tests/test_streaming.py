@@ -696,3 +696,84 @@ def test_stream_extract_dlq_routes_malformed_docs(spark):
     finally:
         for d in (land, ckpt1, ckpt2, out, dlq):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    """Per-micro-batch broadcast join against a batch dimension must
+    equal the batch join row for row."""
+    from dd_ops_ocr_spark.streaming.jobs import stream_static_enrich
+
+    land = tempfile.mkdtemp(prefix="stream_enrich_")
+    try:
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        ev.coalesce(2).write.mode("overwrite").parquet(f"{land}/in")
+        dim = spark.createDataFrame(
+            [("view", 1), ("click", 5), ("purchase", 20)],
+            "event_type string, weight int",
+        )
+        out = stream_static_enrich(spark, f"{land}/in", ev.schema, dim)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("enrich_stream").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql(
+            "select event_id, weight from enrich_stream"
+        ).toPandas()
+        want = (
+            ev.join(dim, "event_type").select("event_id", "weight")
+        ).toPandas()
+        assert sorted(map(tuple, got.values.tolist())) == \
+            sorted(map(tuple, want.values.tolist()))
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+
+
+def test_stream_stream_match_equals_batch_join(spark):
+    """The watermarked stream-stream inner join must produce exactly
+    the batch interval-join pairs: every click x same-user purchase
+    within the horizon, each pair once."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark.streaming.jobs import stream_stream_match
+
+    land = tempfile.mkdtemp(prefix="stream_ssj_")
+    try:
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        ev.coalesce(2).write.mode("overwrite").parquet(f"{land}/in")
+        out = stream_stream_match(spark, f"{land}/in", ev.schema)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("ssj_stream").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.click_id, r.buy_id)
+            for r in spark.sql(
+                "select click_id, buy_id from ssj_stream").collect()
+        }
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("u"),
+            F.col("ts").cast("timestamp").alias("cts"),
+        )
+        b = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("bu"),
+            F.col("ts").cast("timestamp").alias("bts"),
+        )
+        want = {
+            (r.click_id, r.buy_id)
+            for r in c.join(
+                b,
+                (F.col("u") == F.col("bu"))
+                & (F.col("bts") > F.col("cts"))
+                & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 hour")),
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
