@@ -201,14 +201,26 @@ SELECT m + 1, 'inserted' FROM mx
 # test SF, deterministic content, no cross-session metastore needed.
 
 _BUCKETS = 8
+_BUCKETED_CLEANUP_ARMED = False
 
 
 def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import atexit as _atexit
     import os as _os
+    import shutil as _shutil
 
     tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     db = f"bkt_{_os.getpid()}"
     loc = f"/tmp/ddops_bucketed_{_os.getpid()}"
+    global _BUCKETED_CLEANUP_ARMED
+    if not _BUCKETED_CLEANUP_ARMED:
+        # process-scoped fixture: a stale dir from a crashed/reused pid
+        # is swept NOW (it was never this process's catalog state), and
+        # this process's warehouse is removed at exit — bucket metadata
+        # lives only in the session catalog, so nothing outlives it.
+        _shutil.rmtree(loc, ignore_errors=True)
+        _atexit.register(_shutil.rmtree, loc, ignore_errors=True)
+        _BUCKETED_CLEANUP_ARMED = True
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     ot, ct = f"{db}.orders_{tag}", f"{db}.customer_{tag}"
     # repartition on the bucket key first: ONE file per bucket, which is

@@ -35,16 +35,18 @@ FROM events
 
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 through Spark's VARIANT type (the engine-native semi-
-    structured path): parse_json once into an open-schema variant
+    structured path): try_parse_json once into an open-schema variant
     column, typed variant_get extraction, then a grouped report over
-    the extracted field. Same semantics as get_json_object but the
-    binary variant encoding parses the JSON ONCE per row and serves
-    every later path extraction from the encoded form — the right
-    shape when many fields are pulled from one payload at 10^12 rows
-    (get_json_object re-parses the string per call). DuckDB's JSON
-    type plays the same role in the oracle."""
+    the extracted field. try_parse_json (NOT parse_json, which is
+    strict and would kill the query on one malformed payload in 10^12
+    rows) keeps C6's lenient null-fallback contract; the binary
+    variant encoding parses the JSON ONCE per row and serves every
+    later path extraction from the encoded form — the right shape
+    when many fields are pulled from one payload (get_json_object
+    re-parses the string per call). DuckDB's JSON type plays the same
+    role in the oracle."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.variant_get(v, "$.k", "long")
     return (
         e.select(F.pmod(k, F.lit(10)).alias("k_mod"), k.alias("k"))

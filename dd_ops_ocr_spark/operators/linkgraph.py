@@ -273,19 +273,36 @@ def _sql_hosts() -> str:
 # per-host counts hash-match even though the plans differ.
 
 
+def _undirected(pairs: DataFrame) -> DataFrame:
+    """Distinct undirected (u < v) edge set of a directed pair stream —
+    built ONCE and shared by the triangle and coefficient consumers
+    (the pair-extraction lineage upstream is corpus-scale; computing
+    it twice per query would double the dedup shuffle)."""
+    return pairs.select(
+        F.least("src_url", "target_url").alias("u"),
+        F.greatest("src_url", "target_url").alias("v"),
+    ).distinct()
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("u").alias("host"))
+        .unionAll(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+
+
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """(host, n_tri) over a directed (src_url, target_url) pair stream:
     count of distinct undirected triangles each host participates in
     (hosts in no triangle emit no row)."""
-    und = pairs.select(
-        F.least("src_url", "target_url").alias("u"),
-        F.greatest("src_url", "target_url").alias("v"),
-    ).distinct()
-    deg = (
-        und.select(F.col("u").alias("n"))
-        .unionAll(und.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("deg"))
+    return _triangle_counts_over(_undirected(pairs))
+
+
+def _triangle_counts_over(und: DataFrame) -> DataFrame:
+    deg = _degrees(und).select(
+        F.col("host").alias("n"), F.col("deg")
     )
     e = und.join(
         deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u"
@@ -330,20 +347,14 @@ def clustering_coefficient(pairs: DataFrame) -> DataFrame:
     integer division, all operands positive) for every host of degree
     >= 2 — triangle-free hosts surface with 0, which is the point of
     the report (a high-degree zero-coefficient host is the hub shape;
-    a high-coefficient cluster is the link-farm shape). Degrees come
-    from one agg over the undirected edge set; triangles from
-    triangle_counts; the join is node-cardinality-sized."""
-    und = pairs.select(
-        F.least("src_url", "target_url").alias("u"),
-        F.greatest("src_url", "target_url").alias("v"),
-    ).distinct()
-    deg = (
-        und.select(F.col("u").alias("host"))
-        .unionAll(und.select(F.col("v").alias("host")))
-        .groupBy("host")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
-    tri = triangle_counts(pairs)
+    a high-coefficient cluster is the link-farm shape). The undirected
+    edge set is built ONCE and shared by the degree agg and the
+    triangle pass (the upstream pair extraction is corpus-scale — a
+    second dedup shuffle would double the real cost); the final join
+    is node-cardinality-sized."""
+    und = _undirected(pairs)
+    deg = _degrees(und)
+    tri = _triangle_counts_over(und)
     return (
         deg.filter(F.col("deg") >= 2)
         .join(tri, "host", "left")
@@ -362,42 +373,14 @@ def q_host_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(host_edges_df(spark, sf_dir))
 
 
-def _sql_triangles() -> str:
-    return f"""
-WITH pairs AS ({_sql_host_pairs()}),
-und AS (
+# ONE fragment states the undirected edge set, the triangle join, and
+# the per-host triangle counts; both graph oracles compose it (the
+# funnel-rungs sharing policy — a fix to the triangle SQL cannot
+# desynchronize host_triangles from host_clustering).
+_SQL_UND_TRI = """und AS (
   SELECT DISTINCT LEAST(src_url, target_url) AS u,
                   GREATEST(src_url, target_url) AS v
   FROM pairs
-),
-tri AS (
-  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-  FROM und e1
-  JOIN und e2 ON e2.u = e1.v
-  SEMI JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
-)
-SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tri
-FROM (
-  SELECT a AS host FROM tri
-  UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri
-)
-GROUP BY host
-"""
-
-
-def _sql_clustering() -> str:
-    return f"""
-WITH pairs AS ({_sql_host_pairs()}),
-und AS (
-  SELECT DISTINCT LEAST(src_url, target_url) AS u,
-                  GREATEST(src_url, target_url) AS v
-  FROM pairs
-),
-deg AS (
-  SELECT host, CAST(COUNT(*) AS BIGINT) AS deg
-  FROM (SELECT u AS host FROM und UNION ALL SELECT v FROM und)
-  GROUP BY host
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -412,6 +395,25 @@ ntri AS (
     UNION ALL SELECT b FROM tri
     UNION ALL SELECT c FROM tri
   )
+  GROUP BY host
+)"""
+
+
+def _sql_triangles() -> str:
+    return f"""
+WITH pairs AS ({_sql_host_pairs()}),
+{_SQL_UND_TRI}
+SELECT host, n_tri FROM ntri
+"""
+
+
+def _sql_clustering() -> str:
+    return f"""
+WITH pairs AS ({_sql_host_pairs()}),
+{_SQL_UND_TRI},
+deg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS host FROM und UNION ALL SELECT v FROM und)
   GROUP BY host
 )
 SELECT d.host, d.deg, COALESCE(t.n_tri, 0) AS n_tri,

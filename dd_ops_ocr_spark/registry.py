@@ -384,9 +384,14 @@ _ROSTER_HEAD = [
     "pdf_text_spans",
     "pdf_doc_audit",
     "html_main_content",
-    # core-engine paths outrank the two subsumed html variants for the
-    # final round's 50 driver stamps (block_classify/strip_tags share
-    # html_main_content's machinery and keep the local gate)
+    # --- driver 50-prefix boundary (the driver samples exactly the 50
+    # names ABOVE this line; verified by tests/test_roster.py). Names
+    # below are never-stamped but rank under the head: core-engine
+    # paths outrank the two subsumed html variants (block_classify/
+    # strip_tags share html_main_content's machinery), and the
+    # remaining rows are within-family variants of stamped
+    # representatives — ALL still driver-identically checked by the
+    # local oracle gate on every pytest run.
     "flagship_extract_split_landed",
     "engine_dual_extract",
     "bpe_train",
@@ -428,19 +433,10 @@ _ROSTER_HEAD = [
     "event_daily_dense",
     "event_weekly_trend",
     "event_equidepth",
-    # --- driver 50-prefix boundary: the head above was rebalanced at
-    # round-5 close so every operator FAMILY has at least one stamped
-    # representative (dup-passage/NB/tf-idf/index/non-equi new rows,
-    # then crawl/link/html/pdf/bpe/codec/catalog/composition families).
-    # Names below are never-stamped but rank under the head: variant
-    # rows of a family already sampled (g711/adpcm vs audio_formats,
-    # video_frames vs delta_frames, upscale/debug_draw vs binarize,
-    # native/progressive/interlaced decoder twins, quarantine twins),
-    # and pytest-heavy surfaces (catalog_time_travel,
-    # model_artifact_fetch, doc_validity_audit). The local oracle gate
-    # (tests/test_oracle_sql.py) checks ALL of them driver-identically
-    # on every pytest run — the stamp is redundant evidence, sampled
-    # where it is most diverse.
+    # (variant rows of families already sampled continue: g711/adpcm vs
+    # audio_formats, video_frames vs delta_frames, upscale/debug_draw
+    # vs binarize, native/progressive/interlaced decoder twins,
+    # quarantine twins, pytest-heavy surfaces.)
     "media_audio_g711",
     "media_audio_adpcm",
     "media_upscale",

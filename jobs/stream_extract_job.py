@@ -51,11 +51,15 @@ def main(argv: list[str] | None = None) -> int:
         trigger_once=not args.continuous,
     )
     q.awaitTermination()
-    progress = q.lastProgress or {}
+    # maxFilesPerTrigger splits a drain into several micro-batches;
+    # lastProgress covers only the final (often empty) one — sum the
+    # retained progress history for the run summary
+    batches = q.recentProgress or []
     print(json.dumps({
         "elapsed_sec": round(time.time() - t0, 3),
-        "batch_id": progress.get("batchId"),
-        "num_input_rows": progress.get("numInputRows"),
+        "n_batches": len(batches),
+        "num_input_rows": sum(
+            int(p.get("numInputRows") or 0) for p in batches),
     }))
     spark.stop()
     return 0
