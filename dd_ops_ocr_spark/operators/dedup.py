@@ -1143,15 +1143,23 @@ def jaccard_join_exact(d: DataFrame) -> DataFrame:
     word-set Jaccard >= JACC_NUM/JACC_DEN (doc_a < doc_b), exact."""
     from dd_ops_ocr_spark.operators.classify import _tokens
 
+    n_part = 2 * d.sparkSession.sparkContext.defaultParallelism
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"),
     )
     dft = tok.groupBy("tok").agg(F.count("*").alias("df"))
     # per-doc token array in global rarity order; unhinted df join
-    # (data-dependent size — AQE broadcasts it when it truly is small)
+    # (data-dependent size — AQE broadcasts it when it truly is small).
+    # The explicit doc_id repartition BEFORE the groupBy makes the agg
+    # reuse the user-pinned (coalesce-exempt) distribution: its output
+    # is few ROWS but each row is a multi-KB array built by heavy
+    # per-doc sort work, which AQE's byte-sized coalescing would
+    # otherwise squeeze into one task (measured: a serial stage at
+    # every core count).
     per = (
         tok.join(dft, "tok")
+        .repartition(n_part, "doc_id")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("a"))
         .select(
@@ -1183,18 +1191,31 @@ def jaccard_join_exact(d: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # Two explicit physical choices for the verify stage, both found by
+    # measuring a 2-vs-8-core pair at sf0.1 (3.09M candidates):
+    # 1. Partition pin — AQE sizes exchanges by BYTES; a candidate
+    #    table of two int64s per row coalesces to ~1 task while the
+    #    verify cost is CPU over the joined token ARRAYS. The
+    #    user-specified repartition is exempt from AQE coalescing.
+    # 2. shuffle_hash hints on the array sides — the per-doc array
+    #    table is few ROWS but each row carries a multi-KB array;
+    #    left unhinted the planner broadcasts it and the single-task
+    #    broadcast build serializes the query (measured 40.6 s -> 20.9 s
+    #    at 8 cores when broadcast is suppressed). Scalar-row small
+    #    tables (dft above) stay unhinted — broadcast is right there.
+    cand = cand.repartition(n_part, "doc_a")
     inter = F.size(F.array_intersect("ta", "tb")).cast("long")
     ver = (
         cand.join(
             per.select(F.col("doc_id").alias("doc_a"),
                        F.col("toks").alias("ta"),
-                       F.col("n").alias("n_a")),
+                       F.col("n").alias("n_a")).hint("shuffle_hash"),
             "doc_a",
         )
         .join(
             per.select(F.col("doc_id").alias("doc_b"),
                        F.col("toks").alias("tb"),
-                       F.col("n").alias("n_b")),
+                       F.col("n").alias("n_b")).hint("shuffle_hash"),
             "doc_b",
         )
         .select("doc_a", "doc_b", inter.alias("n_inter"), "n_a", "n_b")
