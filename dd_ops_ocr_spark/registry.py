@@ -344,7 +344,12 @@ _ROSTER_HEAD = [
     "event_hopping_counts",
     "bucketed_enrich",
     "warc_records_gz",
-    "warc_gz_quarantine",
+    # variant_extract replaces warc_gz_quarantine in the 50-prefix:
+    # VARIANT semi-structured extraction is a family no stamp
+    # represents, while gz-quarantine is a within-family twin of
+    # warc_records_gz (same reader, corrupt-member branch) that the
+    # local oracle gate still checks on every pytest run.
+    "variant_extract",
     "bm25_topk",
     "rolling_window",
     "event_user_cardinality",
@@ -392,6 +397,7 @@ _ROSTER_HEAD = [
     # remaining rows are within-family variants of stamped
     # representatives — ALL still driver-identically checked by the
     # local oracle gate on every pytest run.
+    "warc_gz_quarantine",
     "flagship_extract_split_landed",
     "engine_dual_extract",
     "bpe_train",
