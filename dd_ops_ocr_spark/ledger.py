@@ -86,8 +86,22 @@ def bucket_col(n_buckets: int):
 
 
 def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    """Buckets with a committed ledger marker under ``out_dir``.
+
+    The emptiness pre-check must follow the same scheme split as
+    ``_parquet_nonempty``: an ``os.path.isdir`` probe on an ``hdfs://``
+    / ``viewfs://`` / ``s3a://`` ledger path is always False, which
+    would silently report "nothing committed" and make every resume
+    reprocess all buckets (correct output — bucket writes are
+    idempotent overwrites — but checkpointing would be dead weight
+    exactly where it matters)."""
     path = f"{out_dir}/ledger"
-    if not os.path.isdir(path) or not os.listdir(path):
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme in ("", "file"):
+        local = path.split("://", 1)[1] if scheme else path
+        if not os.path.isdir(local) or not os.listdir(local):
+            return set()
+    elif not _hadoop_parquet_nonempty(path):
         return set()
     rows = spark.read.parquet(path).select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
