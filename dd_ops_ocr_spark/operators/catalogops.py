@@ -381,10 +381,78 @@ FROM n
 """
 
 
+# -------------------------------------------------------- SCD Type 2
+#
+# The read-side complement of cdc_merge: instead of keeping only the
+# latest value per key, keep EVERY value with its validity interval —
+# the slowly-changing-dimension history every warehouse dimension
+# carries (reference analogue: the roster-upgrade history that
+# incremental.py preserves per doc_id; here generalized to arbitrary
+# keyed attribute streams). Spark-first shape: ONE hash exchange on
+# key, then two window passes over the SAME (key, seq) sort — lag()
+# collapses consecutive duplicate values (a version opens only when
+# the attribute actually changes), lead() closes each version with the
+# next open's seq. Catalyst plans a single Exchange + one Sort; the
+# filter between the windows preserves both, so the second window adds
+# no wire cost. At 10^12 change events this is the minimal-shuffle
+# plan: no self-join, no collect, partial history per key never leaves
+# its partition.
+
+
+def scd2_history(changes: DataFrame) -> DataFrame:
+    """Collapse a keyed change stream (key, seq, val) into SCD-2
+    versions: one row per value RUN with [valid_from, valid_to) seq
+    bounds (valid_to null = current). Consecutive equal values do not
+    open new versions; vals are assumed non-null (planted fixtures)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy("seq")
+    opens = (
+        changes.withColumn("prev", F.lag("val").over(w))
+        .filter(F.col("prev").isNull() | (F.col("val") != F.col("prev")))
+        .drop("prev")
+    )
+    return opens.select(
+        "key",
+        "val",
+        F.col("seq").alias("valid_from"),
+        F.lead("seq").over(w).alias("valid_to"),
+        F.lead("seq").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders as a per-customer status change stream: key=o_custkey,
+    seq=o_orderkey (arrival order), val=o_orderstatus."""
+    ch = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("val"),
+    )
+    return scd2_history(ch)
+
+
+SQL_SCD2_HISTORY = """
+WITH ch AS (
+    SELECT o_custkey AS key, o_orderkey AS seq, o_orderstatus AS val,
+           LAG(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+    FROM orders
+), opens AS (
+    SELECT key, seq, val FROM ch WHERE prev IS NULL OR val <> prev
+)
+SELECT key, val, seq AS valid_from,
+       LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to,
+       LEAD(seq) OVER (PARTITION BY key ORDER BY seq) IS NULL AS is_current
+FROM opens
+"""
+
+
 QUERIES = {
     "catalog_skip_scan": q_catalog_skip_scan,
     "catalog_time_travel": q_catalog_time_travel,
     "cdc_merge": q_cdc_merge,
+    "scd2_history": q_scd2_history,
     "zorder_key": q_zorder_key,
     "bucketed_enrich": q_bucketed_enrich,
 }
@@ -392,6 +460,7 @@ ORACLE_SQL = {
     "catalog_skip_scan": _ORACLE,
     "catalog_time_travel": _ORACLE,
     "cdc_merge": SQL_CDC_MERGE,
+    "scd2_history": SQL_SCD2_HISTORY,
     "zorder_key": SQL_ZORDER_KEY,
     "bucketed_enrich": SQL_BUCKETED_ENRICH,
 }

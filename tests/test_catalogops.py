@@ -42,3 +42,43 @@ def test_cdc_merge_plan_no_join(spark):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                "CartesianProduct"):
         assert op not in plan
+
+
+def test_scd2_history_semantics(spark):
+    """Hand-pinned change stream: runs collapse, versions chain, the
+    last version per key is open (valid_to null, is_current)."""
+    from dd_ops_ocr_spark.operators.catalogops import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "a"), (1, 11, "a"),   # duplicate run -> ONE version
+            (1, 12, "b"), (1, 15, "a"),   # change, change back -> 2 more
+            (2, 7, "x"),                  # single-event key
+        ],
+        "key long, seq long, val string",
+    )
+    rows = {
+        (r.key, r.valid_from): (r.val, r.valid_to, r.is_current)
+        for r in scd2_history(changes).collect()
+    }
+    assert rows == {
+        (1, 10): ("a", 12, False),
+        (1, 12): ("b", 15, False),
+        (1, 15): ("a", None, True),
+        (2, 7): ("x", None, True),
+    }
+
+
+def test_scd2_history_plan_single_exchange(spark):
+    """Both window passes ride ONE key exchange and one sort — no join,
+    no second shuffle (the filter between lag and lead preserves the
+    (key, seq) distribution and order)."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.catalogops import q_scd2_history
+
+    plan = q_scd2_history(spark, SF_SMOKE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
+    assert "Join" not in plan
