@@ -558,6 +558,55 @@ SELECT d1 AS event_type, CAST(tile AS INT) AS tile,
 FROM t GROUP BY 1, 2
 """
 
+# ------------------------------------------------------------- pivot
+#
+# Long -> wide: the report shape every BI surface asks for, and the
+# inverse of table_profile's stack() unpivot. Spark-first scale note:
+# the built-in DataFrame.pivot is the WRONG physical shape twice over —
+# without a value list it runs a hidden collect-distinct job over the
+# pivot column (an extra corpus pass and an unbounded-width schema
+# hazard at 10^12 rows), and even WITH pinned values it plans a
+# two-phase aggregate: Exchange on (key, pivot) then a second Exchange
+# on key for pivot_first (measured here: 2 hash exchanges). Pinned
+# values admit the strictly better plan — plain conditional aggregates
+# (count(when ...)) in ONE groupBy: map-side CASE WHEN partials, a
+# single key exchange, dense zeros for free. That is also exactly the
+# COUNT(*) FILTER form the oracle states.
+
+
+def pivot_counts(df: DataFrame, row_key: str, pivot_col: str,
+                 values: list[str]) -> DataFrame:
+    """Wide count table: one row per row_key, one column per pinned
+    pivot value (absent combinations are 0, not null, so the wide
+    table is dense and engine-portable)."""
+    return df.groupBy(row_key).agg(*[
+        F.count(F.when(F.col(pivot_col) == v, True))
+        .cast("long").alias(f"n_{v.lower()}")
+        for v in values
+    ])
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders pivoted: priority rows x status columns (O/F/P pinned —
+    the TPC-H status domain), count per cell."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return pivot_counts(
+        orders.select(
+            F.col("o_orderpriority").alias("priority"), "o_orderstatus"
+        ),
+        "priority", "o_orderstatus", ["F", "O", "P"],
+    )
+
+
+SQL_STATUS_PIVOT = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
 QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_user_cardinality": q_event_user_cardinality,
@@ -569,6 +618,7 @@ QUERIES = {
     "event_weekly_trend": q_event_weekly_trend,
     "event_hopping_counts": q_event_hopping_counts,
     "event_equidepth": q_event_equidepth,
+    "status_pivot": q_status_pivot,
 }
 
 ORACLE_SQL = {
@@ -582,4 +632,5 @@ ORACLE_SQL = {
     "event_weekly_trend": SQL_EVENT_WEEKLY_TREND,
     "event_hopping_counts": SQL_EVENT_HOPPING_COUNTS,
     "event_equidepth": SQL_EVENT_EQUIDEPTH,
+    "status_pivot": SQL_STATUS_PIVOT,
 }

@@ -242,3 +242,32 @@ def test_equidepth_ntile_split_and_edges(spark):
            for r in equidepth_profile(df, "d", "value").collect()}
     assert got == {1: (2, 100, 200), 2: (2, 300, 400),
                    3: (1, 500, 500), 4: (1, 600, 600)}
+
+
+def test_pivot_counts_dense_and_ordered(spark):
+    """Absent (row, value) combinations are 0, never null, and pinned
+    values control the schema — no hidden distinct pass."""
+    from dd_ops_ocr_spark.operators.stats import pivot_counts
+
+    df = spark.createDataFrame(
+        [("a", "F"), ("a", "F"), ("a", "O"), ("b", "P")],
+        "k string, s string",
+    )
+    wide = pivot_counts(df, "k", "s", ["F", "O", "P"])
+    assert wide.columns == ["k", "n_f", "n_o", "n_p"]
+    got = {r.k: (r.n_f, r.n_o, r.n_p) for r in wide.collect()}
+    assert got == {"a": (2, 1, 0), "b": (0, 0, 1)}
+
+
+def test_pivot_plan_single_exchange(spark):
+    """Pinned pivot values compile to one groupBy exchange of
+    conditional partial aggregates — same cost model as a plain
+    groupBy, no collect-distinct job, no join."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.stats import q_status_pivot
+
+    plan = q_status_pivot(spark, SF_SMOKE)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
