@@ -352,3 +352,41 @@ def test_zorder_key_single_scan_broadcast_extent(spark):
     plan = _plan(q_zorder_key(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # extent partial+final agg only
+
+
+def test_dynamic_partition_pruning_on_landed_layout(spark):
+    """The landing layout (hive-partitioned corpus, corpus.py
+    materialize_spans) must benefit from Catalyst's DYNAMIC partition
+    pruning: when the partition-key predicate arrives through a joined
+    dimension rather than a literal, the fact scan still prunes —
+    at 10^12 rows the difference is reading one date's partitions vs
+    the whole table. Static pruning is already covered by the salted
+    size_class tests; this pins the runtime (subquery-driven) variant
+    so a conf or layout regression (e.g. landing unpartitioned, or
+    disabling the broadcast that seeds the pruning subquery) is caught
+    as a plan diff."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(2000).select(
+            F.col("id"),
+            (F.col("id") % 8).alias("day"),
+            (F.col("id") * 3).alias("v"),
+        ).write.partitionBy("day").parquet(f"{d}/fact")
+        spark.range(8).select(
+            F.col("id").alias("day"),
+            F.when(F.col("id") < 2, "keep").otherwise("drop").alias("tag"),
+        ).write.parquet(f"{d}/dim")
+
+        fact = spark.read.parquet(f"{d}/fact")
+        dim = spark.read.parquet(f"{d}/dim").filter(F.col("tag") == "keep")
+        joined = fact.join(dim, "day").groupBy("day").agg(F.sum("v").alias("s"))
+
+        plan = _plan(joined)
+        assert "dynamicpruning" in plan.lower(), (
+            f"fact scan lost dynamic partition pruning:\n{plan[:2000]}"
+        )
+        # semantics: only the two kept days survive
+        assert joined.count() == 2
