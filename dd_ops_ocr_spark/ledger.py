@@ -58,11 +58,12 @@ def _parquet_nonempty(path: str) -> bool:
     return _hadoop_parquet_nonempty(path)
 
 
-def _hadoop_parquet_nonempty(path: str) -> bool:
+def _hadoop_parquet_nonempty(path: str, spark: SparkSession | None = None) -> bool:
     """Recursive parquet-file probe via the JVM Hadoop FileSystem API
     (works for any scheme the cluster's Hadoop conf knows). Raises if no
-    active SparkSession — better loud than a silent zero-count marker."""
-    spark = SparkSession.getActiveSession()
+    session is passed AND none is active — better loud than a silent
+    zero-count marker."""
+    spark = spark or SparkSession.getActiveSession()
     if spark is None:  # pragma: no cover - defensive
         raise RuntimeError(
             f"_parquet_nonempty({path!r}): non-local scheme needs an active "
@@ -101,7 +102,7 @@ def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
         local = path.split("://", 1)[1] if scheme else path
         if not os.path.isdir(local) or not os.listdir(local):
             return set()
-    elif not _hadoop_parquet_nonempty(path):
+    elif not _hadoop_parquet_nonempty(path, spark):
         return set()
     rows = spark.read.parquet(path).select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
