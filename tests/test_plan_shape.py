@@ -390,3 +390,52 @@ def test_dynamic_partition_pruning_on_landed_layout(spark):
         )
         # semantics: only the two kept days survive
         assert joined.count() == 2
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark):
+    """The non-partitioned sibling of dynamic partition pruning: when
+    both join sides are too big to broadcast (the 10^12-row regime —
+    simulated here by disabling auto-broadcast) and the application
+    side's scan is large (default threshold 10 GB, reached trivially
+    at deployment scale — simulated by lowering it), Catalyst must
+    inject a bloom filter built from the selective dim side into the
+    fact scan, turning a full-corpus shuffle into a pre-filtered one.
+    Pinned so a conf regression that silently drops the filter (and
+    re-shuffles the whole fact table at scale) shows up as a plan
+    diff."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    saved_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    saved_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with tempfile.TemporaryDirectory() as d:
+            spark.range(200_000).select(
+                F.col("id"), (F.col("id") % 10_000).alias("k"),
+                (F.col("id") * 2).alias("v"),
+            ).write.parquet(f"{d}/fact")
+            spark.range(10_000).select(
+                F.col("id").alias("k"),
+                F.when(F.col("id") < 50, "keep").otherwise("drop").alias("tag"),
+            ).write.parquet(f"{d}/dim")
+
+            fact = spark.read.parquet(f"{d}/fact")
+            dim = spark.read.parquet(f"{d}/dim").filter(F.col("tag") == "keep")
+            j = fact.join(dim, "k").groupBy("tag").agg(F.sum("v").alias("s"))
+
+            plan = _plan(j)
+            assert "bloom" in plan.lower(), (
+                f"runtime bloom filter not injected:\n{plan[:2000]}"
+            )
+            assert j.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_scan)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bcast)
