@@ -1,0 +1,533 @@
+"""WARC archives as a first-class Spark source/sink: the Python
+DataSource API (`spark.read.format("ddops_warc")`).
+
+The reference's source stage is imperative driver code that opens each
+object and hands pages to the pipeline (`src/modules/step1/
+01_pdf_reader.py:41-66`, GCS listing in `src/api/main.py:1717-1847`).
+``operators/warc.py`` already gives this repo the byte-real codec; this
+module lifts it into Spark's OWN source abstraction — the Spark 4
+Python DataSource API — so an archive directory is a table:
+
+    spark.read.format("ddops_warc").load(dir)        # scan
+    df.write.format("ddops_warc").mode(...).save(dir)  # sink
+
+Why this matters at 100 TB (what each piece buys):
+
+* **Partition planning from sidecar indexes.** The writer emits a tiny
+  ``.idx.json`` per shard (gzip-member offsets + compressed lengths).
+  ``partitions()`` reads ONLY manifest + indexes on the driver — never
+  data bytes — and plans one input split per ~``split_bytes`` of
+  compressed members. A 1 TB shard becomes ~256 bounded 4 MiB tasks;
+  on object storage each task is one range-GET. No task ever gunzips a
+  whole archive file (WARC Annex-D members are independently
+  decompressible — the property `warc.split_gzip_members` proves).
+* **Filter pushdown** (``pushFilters``): ``warc_type`` equality/IN
+  predicates are evaluated INSIDE the scan before the md5/body work,
+  so ``WHERE warc_type = 'response'`` skips the metadata/warcinfo
+  payload hashing entirely. Unsupported filters are returned to Spark
+  and applied post-scan as usual.
+* **Arrow batches out.** ``read()`` yields one ``pyarrow.RecordBatch``
+  per split — columnar straight into Tungsten, no per-row Python→JVM
+  round trip.
+* **Commit protocol.** Tasks write ``shard-<pid>-<attempt>`` files and
+  return commit messages; only ``commit()`` publishes a manifest
+  listing the winners (and sweeps loser-attempt files), so readers
+  never observe partial/aborted writes — same contract as the repo's
+  ledger/catalog (`dd_ops_ocr_spark/catalog.py`) at the file level.
+  ``mode("overwrite")`` replaces the manifest; ``mode("append")``
+  unions it.
+* **Quarantine.** Default reads are strict (a corrupt member fails the
+  task loudly). ``option("permissive", "true")`` degrades a corrupt
+  member to one ``__corrupt__`` row — the reference's warn-and-continue
+  contract (`src/modules/step1/01_pdf_reader.py:41-66`) — WITHOUT
+  losing the rest of the split, because the sidecar index lets the
+  reader inflate each member independently instead of streaming
+  through the failure.
+
+Oracle: shards hold one warcinfo member (shard-scoped, excluded by the
+queries' type filter) plus per-doc response+metadata records whose
+WARC-Record-IDs are the md5-derived urn:uuid of `warc.warc_record_set`
+— every emitted field is a closed form of the planted page, restated
+in DuckDB SQL, so the driver hash pins writer framing, gzip layer,
+index planning, and reader parse bit-exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zlib
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from dd_ops_ocr_spark.operators.warc import (
+    _http_split,
+    _INFO_BODY,
+    _record,
+    _WARC_DATE,
+    decode_warc,
+    gzip_member,
+    warc_record_set,
+)
+
+_MANIFEST = "_MANIFEST.json"
+_READ_SCHEMA = (
+    "record_id string, warc_type string, target_uri string, "
+    "content_length bigint, http_status bigint, body_len bigint, "
+    "body_md5 string"
+)
+# one row per corrupt member under permissive reads; every data field
+# is the type's zero so the row is statable in SQL without knowing
+# WHICH bytes rotted
+_CORRUPT_TYPE = "__corrupt__"
+
+
+# ------------------------------------------------------------- writer
+
+@dataclass
+class _Commit(WriterCommitMessage):
+    file: str | None
+    n_members: int
+
+
+def _shard_info_record(pid: int) -> bytes:
+    """The shard-scoped warcinfo record (proper WARC files lead with
+    one). Its id derives from the partition id — deterministic, but
+    shard membership is hash-partitioning dependent, which is why the
+    oracle-checked queries filter warcinfo out."""
+    h = hashlib.md5(f"warcinfo-shard:{pid}".encode()).hexdigest()
+    rid = f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    return _record(
+        "warcinfo",
+        [("WARC-Date", _WARC_DATE), ("WARC-Record-ID", rid)],
+        _INFO_BODY.encode("ascii"),
+    )
+
+
+class WarcArchiveWriter(DataSourceWriter):
+    """Per-task shard writer + driver-side manifest commit."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ddops_warc writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _Commit:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid, att = tc.partitionId(), tc.taskAttemptId()
+        members: list[bytes] = [gzip_member(_shard_info_record(pid))]
+        n_docs = 0
+        for row in iterator:
+            # records[0] is the per-doc warcinfo — the shard-level one
+            # above replaces it (one warcinfo per FILE, per the spec)
+            for rec in warc_record_set(
+                int(row["doc_id"]), str(row["uri"]), str(row["html"])
+            )[1:]:
+                members.append(gzip_member(rec))
+            n_docs += 1
+        if n_docs == 0:
+            return _Commit(file=None, n_members=0)
+        os.makedirs(self.path, exist_ok=True)
+        name = f"shard-{pid:05d}-{att}.warc.gz"
+        offsets: list[list[int]] = []
+        pos = 0
+        for m in members:
+            offsets.append([pos, len(m)])
+            pos += len(m)
+        with open(os.path.join(self.path, name), "wb") as f:
+            for m in members:
+                f.write(m)
+        with open(os.path.join(self.path, name + ".idx.json"), "w") as f:
+            json.dump({"members": offsets}, f)
+        return _Commit(file=name, n_members=len(members))
+
+    def commit(self, messages) -> None:
+        new = sorted(m.file for m in messages if m is not None and m.file)
+        mpath = os.path.join(self.path, _MANIFEST)
+        files = list(new)
+        if not self.overwrite and os.path.exists(mpath):
+            with open(mpath) as f:
+                files = sorted(set(json.load(f)["files"]) | set(new))
+        referenced = set(files)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump({"files": files}, f)
+        os.replace(mpath + ".tmp", mpath)  # atomic publish
+        # sweep unreferenced shards: failed/superseded attempts and, on
+        # overwrite, the previous manifest's files
+        for name in os.listdir(self.path):
+            base = name[: -len(".idx.json")] if name.endswith(
+                ".idx.json"
+            ) else name
+            if base.startswith("shard-") and base not in referenced:
+                os.remove(os.path.join(self.path, name))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.file:
+                for suffix in ("", ".idx.json"):
+                    try:
+                        os.remove(os.path.join(self.path, m.file + suffix))
+                    except FileNotFoundError:
+                        pass  # task died before writing this piece
+
+
+# ------------------------------------------------------------- reader
+
+class _MemberSplit(InputPartition):
+    """One bounded scan task: a contiguous member range of one shard.
+    Carries absolute [offset, comp_len] pairs from the sidecar index so
+    the task reads exactly its byte range (one range-GET on object
+    storage) and can inflate each member independently."""
+
+    def __init__(self, path: str, members: list) -> None:
+        self.path = path
+        self.members = members
+
+
+class WarcArchiveReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ddops_warc reader requires a path")
+        self.split_bytes = int(options.get("split_bytes", 4 << 20))
+        self.permissive = str(
+            options.get("permissive", "false")
+        ).lower() == "true"
+        # (op, value) predicates on warc_type accepted by pushFilters
+        self.type_preds: list = []
+
+    # -- pushdown
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for flt in filters:
+            if isinstance(flt, EqualTo) and flt.attribute == ("warc_type",):
+                self.type_preds.append(("eq", flt.value))
+            elif isinstance(flt, In) and flt.attribute == ("warc_type",):
+                self.type_preds.append(("in", frozenset(flt.value)))
+            else:
+                yield flt  # unsupported — Spark applies it post-scan
+
+    def _type_ok(self, wtype: str) -> bool:
+        for op, val in self.type_preds:
+            if op == "eq" and wtype != val:
+                return False
+            if op == "in" and wtype not in val:
+                return False
+        return True
+
+    # -- planning (driver): manifest + sidecar indexes only, no data
+    def partitions(self) -> Sequence[InputPartition]:
+        with open(os.path.join(self.path, _MANIFEST)) as f:
+            files = json.load(f)["files"]
+        splits: list[_MemberSplit] = []
+        for name in files:
+            fpath = os.path.join(self.path, name)
+            with open(fpath + ".idx.json") as f:
+                members = json.load(f)["members"]
+            chunk: list = []
+            size = 0
+            for off, clen in members:
+                chunk.append([off, clen])
+                size += clen
+                if size >= self.split_bytes:
+                    splits.append(_MemberSplit(fpath, chunk))
+                    chunk, size = [], 0
+            if chunk:
+                splits.append(_MemberSplit(fpath, chunk))
+        return splits
+
+    # -- execution (tasks): one range read, per-member inflate
+    def read(self, partition: _MemberSplit):
+        import pyarrow as pa
+
+        base = partition.members[0][0]
+        end = partition.members[-1][0] + partition.members[-1][1]
+        with open(partition.path, "rb") as f:
+            f.seek(base)
+            blob = f.read(end - base)
+        cols: list[list] = [[], [], [], [], [], [], []]
+
+        def emit(rid, wtype, uri, clen, status, blen, md5) -> None:
+            for col, v in zip(
+                cols, (rid, wtype, uri, clen, status, blen, md5)
+            ):
+                col.append(v)
+
+        for off, clen in partition.members:
+            raw_gz = blob[off - base: off - base + clen]
+            try:
+                d = zlib.decompressobj(31)
+                raw = d.decompress(raw_gz) + d.flush()
+                if not d.eof or d.unused_data:
+                    raise ValueError("misframed gzip member")
+                recs = decode_warc(raw)
+                if len(recs) != 1:
+                    raise ValueError("member holds != 1 record")
+            except (zlib.error, ValueError):
+                if not self.permissive:
+                    raise
+                if self._type_ok(_CORRUPT_TYPE):
+                    emit("", _CORRUPT_TYPE, "", 0, 0, 0, "")
+                continue
+            wtype, hdrs, payload = recs[0]
+            if not self._type_ok(wtype):
+                continue  # pushed filter: skip before any body work
+            if wtype == "response":
+                status, body = _http_split(payload)
+            else:
+                status, body = 0, payload
+            emit(
+                hdrs.get("WARC-Record-ID", ""), wtype,
+                hdrs.get("WARC-Target-URI", ""),
+                int(hdrs["Content-Length"]), status, len(body),
+                hashlib.md5(body).hexdigest(),
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], pa.string()),
+                pa.array(cols[1], pa.string()),
+                pa.array(cols[2], pa.string()),
+                pa.array(cols[3], pa.int64()),
+                pa.array(cols[4], pa.int64()),
+                pa.array(cols[5], pa.int64()),
+                pa.array(cols[6], pa.string()),
+            ],
+            names=[
+                "record_id", "warc_type", "target_uri", "content_length",
+                "http_status", "body_len", "body_md5",
+            ],
+        )
+
+
+class WarcArchiveDataSource(DataSource):
+    """format("ddops_warc"): directory of Annex-D .warc.gz shards with
+    sidecar member indexes and a commit manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ddops_warc"
+
+    def schema(self) -> str:
+        return _READ_SCHEMA
+
+    def reader(self, schema) -> WarcArchiveReader:
+        return WarcArchiveReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> WarcArchiveWriter:
+        return WarcArchiveWriter(self.options, overwrite)
+
+
+def ensure_registered(spark: SparkSession) -> None:
+    """Idempotent per-session registration (register replaces). Also
+    flips the session conf that gates Python-DataSource pushdown —
+    off by default in Spark 4.1, and without it a reader implementing
+    pushFilters() is an ERROR, not a slow path — set here so the
+    source works in ANY caller's session (e.g. the correctness
+    driver's), not just ones built by session.build_spark."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WarcArchiveDataSource)
+
+
+# ------------------------------------------------------------ fixtures
+
+_FIXTURE_VERSION = 1
+
+
+def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_ops_ocr_spark.operators.warc import _pages
+
+    return _pages(spark, sf_dir).select("doc_id", "uri", "html")
+
+
+def _corrupt_metadata_members(path: str) -> None:
+    """Flip one CRC byte of the metadata member of every md5-gated doc
+    (3rd md5 nibble even — the repo's standard deterministic gate).
+    Offsets don't move, so the sidecar indexes stay valid: exactly the
+    bit-rot case the permissive reader must quarantine per-member."""
+    with open(os.path.join(path, _MANIFEST)) as f:
+        files = json.load(f)["files"]
+    for name in files:
+        fpath = os.path.join(path, name)
+        with open(fpath, "rb") as f:
+            data = bytearray(f.read())
+        with open(fpath + ".idx.json") as f:
+            members = json.load(f)["members"]
+        for off, clen in members:
+            d = zlib.decompressobj(31)
+            raw = d.decompress(bytes(data[off: off + clen])) + d.flush()
+            recs = decode_warc(raw)
+            wtype, _hdrs, payload = recs[0]
+            if wtype != "metadata":
+                continue
+            doc_id = int(
+                payload.split(b"docId: ", 1)[1].split(b"\r\n", 1)[0]
+            )
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            if int(h[2], 16) % 2 == 0:
+                data[off + clen - 8] ^= 0x01  # CRC32 trailer byte
+        with open(fpath, "wb") as f:
+            f.write(data)
+
+
+def _fixture_dir(
+    spark: SparkSession, sf_dir: str, corrupt: bool
+) -> str:
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".bench_cache")
+    tag = "corrupt" if corrupt else "clean"
+    path = os.path.join(
+        cache, f"warcds_{name}_{tag}_v{_FIXTURE_VERSION}"
+    )
+
+    def build(tmp: str) -> None:
+        ensure_registered(spark)
+        (
+            _pages_df(spark, sf_dir)
+            .repartition(8, "doc_id")
+            .write.format("ddops_warc")
+            .mode("overwrite")
+            .save(tmp)
+        )
+        if corrupt:
+            _corrupt_metadata_members(tmp)
+
+    return cached_fixture(path, build)
+
+
+# ------------------------------------------------------------- queries
+
+def q_warc_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer -> manifest -> planned member-splits -> pushed-filter
+    read. The IN filter lands in the scan via pushFilters, so warcinfo
+    members are skipped before any hashing; the remaining rows are the
+    per-doc response+metadata records, every field a closed form of
+    the planted page."""
+    path = _fixture_dir(spark, sf_dir, corrupt=False)
+    ensure_registered(spark)
+    # small splits force multi-split planning even at sf0.01 so the
+    # driver check exercises the range-read path, not one-task-per-file
+    df = (
+        spark.read.format("ddops_warc")
+        .option("split_bytes", 16384)
+        .load(path)
+    )
+    return df.filter(F.col("warc_type").isin("response", "metadata"))
+
+
+def q_warc_source_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive read over a bit-rotted archive: md5-gated docs had
+    their metadata member's CRC flipped, so each surfaces as ONE
+    __corrupt__ row while every other member of the same split still
+    decodes — per-member isolation that only index-driven inflation
+    can give (a streaming gunzip would lose the rest of the file)."""
+    path = _fixture_dir(spark, sf_dir, corrupt=True)
+    ensure_registered(spark)
+    df = (
+        spark.read.format("ddops_warc")
+        .option("split_bytes", 16384)
+        .option("permissive", "true")
+        .load(path)
+    )
+    return df.filter(
+        F.col("warc_type").isin("response", "metadata", _CORRUPT_TYPE)
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+def _sql_rid(doc_expr: str, i: int) -> str:
+    h = f"md5({doc_expr}::VARCHAR || ':{i}')"
+    return (
+        f"'<urn:uuid:' || substring({h}, 1, 8) || '-' || "
+        f"substring({h}, 9, 4) || '-' || substring({h}, 13, 4) || '-' || "
+        f"substring({h}, 17, 4) || '-' || substring({h}, 21, 12) || '>'"
+    )
+
+
+def _sql() -> tuple[str, str]:
+    from dd_ops_ocr_spark.operators.htmlops import (
+        _SQL_PLANT,
+        _sql_canonical,
+    )
+    from dd_ops_ocr_spark.operators.warc import _HTTP_PRE
+
+    crlf = "chr(13) || chr(10)"
+    meta_body = (
+        f"'docId: ' || doc_id::VARCHAR || {crlf} || 'via: crawler' || {crlf}"
+    )
+    base = f"""
+WITH pages AS ({_SQL_PLANT}),
+uri AS (
+  SELECT doc_id, {_sql_canonical("doc_id")} AS uri FROM documents
+),
+src AS (
+  SELECT p.doc_id, u.uri, p.html,
+    (strpos('0123456789abcdef',
+            substring(md5(p.doc_id::VARCHAR), 3, 1)) - 1) AS n3
+  FROM pages p JOIN uri u ON p.doc_id = u.doc_id
+)
+"""
+    response = f"""
+  SELECT {_sql_rid("doc_id", 2)} AS record_id,
+    'response' AS warc_type, uri AS target_uri,
+    ({len(_HTTP_PRE)} + length(length(html)::VARCHAR) + 4
+     + length(html))::BIGINT AS content_length,
+    200::BIGINT AS http_status, length(html)::BIGINT AS body_len,
+    md5(html) AS body_md5
+  FROM src
+"""
+    def metadata(where: str = "") -> str:
+        return f"""
+  SELECT {_sql_rid("doc_id", 3)}, 'metadata', uri,
+    (23 + length(doc_id::VARCHAR))::BIGINT, 0,
+    (23 + length(doc_id::VARCHAR))::BIGINT, md5({meta_body})
+  FROM src {where}
+"""
+    read_sql = base + f"""
+SELECT record_id, warc_type, target_uri, content_length,
+       http_status, body_len, body_md5
+FROM ({response} UNION ALL {metadata()})
+"""
+    quarantine_sql = base + f"""
+SELECT record_id, warc_type, target_uri, content_length,
+       http_status, body_len, body_md5
+FROM (
+  {response}
+  UNION ALL
+  {metadata("WHERE n3 % 2 <> 0")}
+  UNION ALL
+  SELECT '', '{_CORRUPT_TYPE}', '', 0::BIGINT, 0::BIGINT, 0::BIGINT, ''
+  FROM src WHERE n3 % 2 = 0
+)
+"""
+    return read_sql, quarantine_sql
+
+
+SQL_WARC_SOURCE_READ, SQL_WARC_SOURCE_QUARANTINE = _sql()
+
+QUERIES = {
+    "warc_source_read": q_warc_source_read,
+    "warc_source_quarantine": q_warc_source_quarantine,
+}
+ORACLE_SQL = {
+    "warc_source_read": SQL_WARC_SOURCE_READ,
+    "warc_source_quarantine": SQL_WARC_SOURCE_QUARANTINE,
+}

@@ -285,6 +285,7 @@ from dd_ops_ocr_spark.operators import typeutils as _typeutils  # noqa: E402
 from dd_ops_ocr_spark.operators import urlops as _urlops  # noqa: E402
 from dd_ops_ocr_spark.operators import vision as _vision  # noqa: E402
 from dd_ops_ocr_spark.operators import warc as _warc  # noqa: E402
+from dd_ops_ocr_spark.operators import warcsource as _warcsource  # noqa: E402
 from dd_ops_ocr_spark import sources as _sources  # noqa: E402
 
 _register(_sources)
@@ -310,6 +311,7 @@ _register(_external)
 _register(_bpe)
 _register(_linkgraph)
 _register(_warc)
+_register(_warcsource)
 _register(_crawlops)
 _register(_recrawl)
 _register(_charset)
@@ -330,6 +332,15 @@ _register(_routing)
 # the 21 queries outside r04's sample (all last stamped in r03) plus the
 # new native-codec twin, new query first.
 _ROSTER_HEAD = [
+    # newest — the Python DataSource surface (spark.read.format +
+    # writer commit protocol + pushFilters + permissive quarantine):
+    # a Spark-API family no earlier stamp represents. They displace
+    # html_outlinks and url_normalize past the boundary (both keep
+    # in-50 family cover: html_tables/html_main_content, and
+    # frontier_new_urls whose oracle restates url_normalize's
+    # canonical closed form).
+    "warc_source_read",
+    "warc_source_quarantine",
     # new this round — never stamped; the final-session additions lead
     # (each is a family no earlier stamp represents: exact similarity
     # join, identity resolution, Z-order skipping, graph density,
@@ -381,8 +392,6 @@ _ROSTER_HEAD = [
     "charset_transcode",
     "link_graph_pagerank",
     "frontier_new_urls",
-    "url_normalize",
-    "html_outlinks",
     "ccnet_buckets",
     "semdedup",
     "dsir_weights",
@@ -397,6 +406,9 @@ _ROSTER_HEAD = [
     # remaining rows are within-family variants of stamped
     # representatives — ALL still driver-identically checked by the
     # local oracle gate on every pytest run.
+    # displaced by the warc_source_* pair (see head comment):
+    "url_normalize",
+    "html_outlinks",
     "warc_gz_quarantine",
     "flagship_extract_split_landed",
     "engine_dual_extract",

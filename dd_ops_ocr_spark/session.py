@@ -39,6 +39,10 @@ def build_spark(
         # the kernel's working set cache-resident; 512 docs x ~160 spans
         # also keeps tail-doc batches (~4.4k spans/doc) bounded.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Python DataSource scans (operators/warcsource.py): without
+        # this, a reader that implements pushFilters() raises at plan
+        # time rather than degrading to a post-scan filter
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

@@ -1,0 +1,163 @@
+"""The Python-DataSource WARC surface (operators/warcsource.py):
+writer commit protocol, index-driven split planning, filter pushdown,
+and per-member permissive quarantine — each pinned at the API level,
+independent of the oracle-checked queries (which test_oracle_sql.py
+covers like every other query)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+from dd_ops_ocr_spark.operators import warcsource as ws
+
+
+def _pages(spark, n=6):
+    rows = [
+        (i, f"http://ex{i}.com/", f"<html><body>doc {i} body</body></html>")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, uri string, html string")
+
+
+def _write(spark, path, n=6, mode="overwrite", shards=2):
+    ws.ensure_registered(spark)
+    (
+        _pages(spark, n)
+        .repartition(shards, "doc_id")
+        .write.format("ddops_warc")
+        .mode(mode)
+        .save(path)
+    )
+
+
+def _manifest(path):
+    with open(os.path.join(path, ws._MANIFEST)) as f:
+        return json.load(f)["files"]
+
+
+def test_roundtrip_and_manifest(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    _write(spark, path)
+    files = _manifest(path)
+    assert files and all(f.startswith("shard-") for f in files)
+    # every shard has its sidecar index and nothing else is in the dir
+    for f in files:
+        assert os.path.exists(os.path.join(path, f + ".idx.json"))
+    pdf = (
+        spark.read.format("ddops_warc").load(path)
+        .toPandas()
+    )
+    # one warcinfo per shard + (response, metadata) per doc
+    assert len(pdf) == len(files) + 6 * 2
+    resp = pdf[pdf.warc_type == "response"].sort_values("target_uri")
+    assert len(resp) == 6
+    want_md5 = [
+        hashlib.md5(
+            f"<html><body>doc {i} body</body></html>".encode()
+        ).hexdigest()
+        for i in range(6)
+    ]
+    assert resp.body_md5.tolist() == want_md5
+    assert (pdf[pdf.warc_type == "metadata"].http_status == 0).all()
+
+
+def test_split_planning_is_index_driven(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    _write(spark, path, shards=2)
+    big = spark.read.format("ddops_warc").load(path)  # default 4 MiB
+    small = (
+        spark.read.format("ddops_warc").option("split_bytes", 128).load(path)
+    )
+    n_files = len(_manifest(path))
+    assert big.rdd.getNumPartitions() == n_files
+    # 128-byte target -> roughly one split per member, far more tasks
+    # than files, and the union of splits still reads every record
+    assert small.rdd.getNumPartitions() > n_files * 3
+    assert small.count() == big.count()
+
+
+def test_pushdown_accepts_only_type_predicates():
+    r = ws.WarcArchiveReader({"path": "/nonexistent"})
+    rest = list(r.pushFilters([
+        EqualTo(("warc_type",), "response"),
+        In(("warc_type",), ("response", "metadata")),
+        GreaterThan(("body_len",), 3),       # unsupported op
+        EqualTo(("target_uri",), "http://"),  # unsupported column
+    ]))
+    assert r.type_preds == [("eq", "response"),
+                            ("in", frozenset({"response", "metadata"}))]
+    assert len(rest) == 2
+
+
+def test_pushed_filter_matches_post_scan_filter(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    _write(spark, path)
+    full = spark.read.format("ddops_warc").load(path).toPandas()
+    pushed = (
+        spark.read.format("ddops_warc").load(path)
+        .filter("warc_type = 'response'")
+        .toPandas()
+    )
+    want = full[full.warc_type == "response"].sort_values(
+        "record_id", ignore_index=True
+    )
+    got = pushed.sort_values("record_id", ignore_index=True)
+    assert got.equals(want)
+
+
+def test_append_unions_overwrite_sweeps(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    _write(spark, path, n=4)
+    first = set(_manifest(path))
+    _write(spark, path, n=4, mode="append")
+    assert set(_manifest(path)) > first  # old shards retained
+    n_appended = spark.read.format("ddops_warc").load(path).count()
+    assert n_appended == 2 * (4 * 2) + len(_manifest(path))
+    _write(spark, path, n=4, mode="overwrite")
+    files = set(_manifest(path))
+    assert files.isdisjoint(first)
+    # swept: nothing in the directory but manifest + live shards/indexes
+    on_disk = {
+        f for f in os.listdir(path) if f != ws._MANIFEST
+    }
+    assert on_disk == files | {f + ".idx.json" for f in files}
+
+
+def test_uncommitted_stray_file_is_invisible(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    _write(spark, path)
+    before = spark.read.format("ddops_warc").load(path).count()
+    # a crashed task's leftover: present on disk, absent from manifest
+    stray = os.path.join(path, "shard-99999-0.warc.gz")
+    with open(stray, "wb") as f:
+        f.write(b"\x1f\x8bgarbage")
+    assert spark.read.format("ddops_warc").load(path).count() == before
+
+
+def test_permissive_quarantines_only_rotten_members(spark, tmp_path):
+    path = str(tmp_path / "arch")
+    _write(spark, path)
+    ws._corrupt_metadata_members(path)  # md5-gated docs' metadata CRC
+    gated = [
+        i for i in range(6)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[2], 16) % 2 == 0
+    ]
+    assert gated, "fixture must gate at least one doc"
+    strict = spark.read.format("ddops_warc").load(path)
+    with pytest.raises(Exception, match="zlib|Error|error"):
+        strict.count()
+    perm = (
+        spark.read.format("ddops_warc")
+        .option("permissive", "true").load(path)
+        .toPandas()
+    )
+    corrupt = perm[perm.warc_type == ws._CORRUPT_TYPE]
+    assert len(corrupt) == len(gated)
+    # every healthy member of the same splits still decoded
+    assert (perm.warc_type == "response").sum() == 6
+    assert (perm.warc_type == "metadata").sum() == 6 - len(gated)
