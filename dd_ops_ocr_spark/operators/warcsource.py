@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -161,12 +162,18 @@ class WarcArchiveWriter(DataSourceWriter):
         new = sorted(m.file for m in messages if m is not None and m.file)
         mpath = os.path.join(self.path, _MANIFEST)
         files = list(new)
+        # "commits" is the append-ordered epoch log the STREAMING reader
+        # offsets into (commit index = offset); "files" stays the flat
+        # union the batch reader scans
+        commits = [new]
         if not self.overwrite and os.path.exists(mpath):
             with open(mpath) as f:
-                files = sorted(set(json.load(f)["files"]) | set(new))
+                prev = json.load(f)
+            files = sorted(set(prev["files"]) | set(new))
+            commits = prev.get("commits", [prev["files"]]) + [new]
         referenced = set(files)
         with open(mpath + ".tmp", "w") as f:
-            json.dump({"files": files}, f)
+            json.dump({"files": files, "commits": commits}, f)
         os.replace(mpath + ".tmp", mpath)  # atomic publish
         # sweep unreferenced shards: failed/superseded attempts and, on
         # overwrite, the previous manifest's files
@@ -198,6 +205,93 @@ class _MemberSplit(InputPartition):
     def __init__(self, path: str, members: list) -> None:
         self.path = path
         self.members = members
+
+
+def _plan_splits(
+    path: str, files: list, split_bytes: int
+) -> list[_MemberSplit]:
+    """Driver-side planning from sidecar indexes only — no data bytes.
+    Shared by the batch reader (whole manifest) and the stream reader
+    (one commit-epoch range)."""
+    splits: list[_MemberSplit] = []
+    for name in files:
+        fpath = os.path.join(path, name)
+        with open(fpath + ".idx.json") as f:
+            members = json.load(f)["members"]
+        chunk: list = []
+        size = 0
+        for off, clen in members:
+            chunk.append([off, clen])
+            size += clen
+            if size >= split_bytes:
+                splits.append(_MemberSplit(fpath, chunk))
+                chunk, size = [], 0
+        if chunk:
+            splits.append(_MemberSplit(fpath, chunk))
+    return splits
+
+
+def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
+    """Task-side execution: one range read, per-member inflate, one
+    Arrow RecordBatch out. ``type_ok`` is the (possibly pushed-down)
+    warc_type predicate."""
+    import pyarrow as pa
+
+    base = partition.members[0][0]
+    end = partition.members[-1][0] + partition.members[-1][1]
+    with open(partition.path, "rb") as f:
+        f.seek(base)
+        blob = f.read(end - base)
+    cols: list[list] = [[], [], [], [], [], [], []]
+
+    def emit(rid, wtype, uri, clen, status, blen, md5) -> None:
+        for col, v in zip(cols, (rid, wtype, uri, clen, status, blen, md5)):
+            col.append(v)
+
+    for off, clen in partition.members:
+        raw_gz = blob[off - base: off - base + clen]
+        try:
+            d = zlib.decompressobj(31)
+            raw = d.decompress(raw_gz) + d.flush()
+            if not d.eof or d.unused_data:
+                raise ValueError("misframed gzip member")
+            recs = decode_warc(raw)
+            if len(recs) != 1:
+                raise ValueError("member holds != 1 record")
+        except (zlib.error, ValueError):
+            if not permissive:
+                raise
+            if type_ok(_CORRUPT_TYPE):
+                emit("", _CORRUPT_TYPE, "", 0, 0, 0, "")
+            continue
+        wtype, hdrs, payload = recs[0]
+        if not type_ok(wtype):
+            continue  # pushed filter: skip before any body work
+        if wtype == "response":
+            status, body = _http_split(payload)
+        else:
+            status, body = 0, payload
+        emit(
+            hdrs.get("WARC-Record-ID", ""), wtype,
+            hdrs.get("WARC-Target-URI", ""),
+            int(hdrs["Content-Length"]), status, len(body),
+            hashlib.md5(body).hexdigest(),
+        )
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols[0], pa.string()),
+            pa.array(cols[1], pa.string()),
+            pa.array(cols[2], pa.string()),
+            pa.array(cols[3], pa.int64()),
+            pa.array(cols[4], pa.int64()),
+            pa.array(cols[5], pa.int64()),
+            pa.array(cols[6], pa.string()),
+        ],
+        names=[
+            "record_id", "warc_type", "target_uri", "content_length",
+            "http_status", "body_len", "body_md5",
+        ],
+    )
 
 
 class WarcArchiveReader(DataSourceReader):
@@ -234,84 +328,63 @@ class WarcArchiveReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         with open(os.path.join(self.path, _MANIFEST)) as f:
             files = json.load(f)["files"]
-        splits: list[_MemberSplit] = []
-        for name in files:
-            fpath = os.path.join(self.path, name)
-            with open(fpath + ".idx.json") as f:
-                members = json.load(f)["members"]
-            chunk: list = []
-            size = 0
-            for off, clen in members:
-                chunk.append([off, clen])
-                size += clen
-                if size >= self.split_bytes:
-                    splits.append(_MemberSplit(fpath, chunk))
-                    chunk, size = [], 0
-            if chunk:
-                splits.append(_MemberSplit(fpath, chunk))
-        return splits
+        return _plan_splits(self.path, files, self.split_bytes)
 
-    # -- execution (tasks): one range read, per-member inflate
+    # -- execution (tasks)
     def read(self, partition: _MemberSplit):
-        import pyarrow as pa
+        return _read_split(partition, self.permissive, self._type_ok)
 
-        base = partition.members[0][0]
-        end = partition.members[-1][0] + partition.members[-1][1]
-        with open(partition.path, "rb") as f:
-            f.seek(base)
-            blob = f.read(end - base)
-        cols: list[list] = [[], [], [], [], [], [], []]
 
-        def emit(rid, wtype, uri, clen, status, blen, md5) -> None:
-            for col, v in zip(
-                cols, (rid, wtype, uri, clen, status, blen, md5)
-            ):
-                col.append(v)
+class WarcArchiveStreamReader(DataSourceStreamReader):
+    """`spark.readStream.format("ddops_warc")`: micro-batches are the
+    writer's COMMIT EPOCHS. The manifest's append-ordered ``commits``
+    list is the offset log — offset = number of epochs consumed — so
+    progress is one integer in Spark's checkpoint, replay of any
+    (start, end] range replans exactly the same member splits, and a
+    crashed query resumes exactly-once without the source keeping any
+    state of its own. Planning stays driver-metadata-only and reads
+    stay executor-side bounded splits (same `_plan_splits` /
+    `_read_split` as the batch scan). An ``overwrite`` of the archive
+    invalidates outstanding offsets by design — same contract as
+    file-stream sources over rewritten directories."""
 
-        for off, clen in partition.members:
-            raw_gz = blob[off - base: off - base + clen]
-            try:
-                d = zlib.decompressobj(31)
-                raw = d.decompress(raw_gz) + d.flush()
-                if not d.eof or d.unused_data:
-                    raise ValueError("misframed gzip member")
-                recs = decode_warc(raw)
-                if len(recs) != 1:
-                    raise ValueError("member holds != 1 record")
-            except (zlib.error, ValueError):
-                if not self.permissive:
-                    raise
-                if self._type_ok(_CORRUPT_TYPE):
-                    emit("", _CORRUPT_TYPE, "", 0, 0, 0, "")
-                continue
-            wtype, hdrs, payload = recs[0]
-            if not self._type_ok(wtype):
-                continue  # pushed filter: skip before any body work
-            if wtype == "response":
-                status, body = _http_split(payload)
-            else:
-                status, body = 0, payload
-            emit(
-                hdrs.get("WARC-Record-ID", ""), wtype,
-                hdrs.get("WARC-Target-URI", ""),
-                int(hdrs["Content-Length"]), status, len(body),
-                hashlib.md5(body).hexdigest(),
-            )
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(cols[0], pa.string()),
-                pa.array(cols[1], pa.string()),
-                pa.array(cols[2], pa.string()),
-                pa.array(cols[3], pa.int64()),
-                pa.array(cols[4], pa.int64()),
-                pa.array(cols[5], pa.int64()),
-                pa.array(cols[6], pa.string()),
-            ],
-            names=[
-                "record_id", "warc_type", "target_uri", "content_length",
-                "http_status", "body_len", "body_md5",
-            ],
-        )
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ddops_warc stream reader requires a path")
+        self.split_bytes = int(options.get("split_bytes", 4 << 20))
+        self.permissive = str(
+            options.get("permissive", "false")
+        ).lower() == "true"
+
+    def _commits(self) -> list:
+        mpath = os.path.join(self.path, _MANIFEST)
+        if not os.path.exists(mpath):
+            return []  # archive not created yet — stream waits
+        with open(mpath) as f:
+            m = json.load(f)
+        return m.get("commits", [m["files"]])
+
+    def initialOffset(self) -> dict:
+        return {"commit": 0}
+
+    def latestOffset(self) -> dict:
+        return {"commit": len(self._commits())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        commits = self._commits()
+        files = [
+            name
+            for epoch in commits[start["commit"]: end["commit"]]
+            for name in epoch
+        ]
+        return _plan_splits(self.path, files, self.split_bytes)
+
+    def read(self, partition: _MemberSplit):
+        return _read_split(partition, self.permissive, lambda _t: True)
+
+    def commit(self, end: dict) -> None:
+        pass  # the manifest IS the log; Spark's checkpoint holds offsets
 
 
 class WarcArchiveDataSource(DataSource):
@@ -327,6 +400,9 @@ class WarcArchiveDataSource(DataSource):
 
     def reader(self, schema) -> WarcArchiveReader:
         return WarcArchiveReader(self.options)
+
+    def streamReader(self, schema) -> WarcArchiveStreamReader:
+        return WarcArchiveStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> WarcArchiveWriter:
         return WarcArchiveWriter(self.options, overwrite)

@@ -161,3 +161,60 @@ def test_permissive_quarantines_only_rotten_members(spark, tmp_path):
     # every healthy member of the same splits still decoded
     assert (perm.warc_type == "response").sum() == 6
     assert (perm.warc_type == "metadata").sum() == 6 - len(gated)
+
+
+def _run_stream(spark, path, ckpt, qname):
+    # memory sink can't recover from a checkpoint; foreachBatch can —
+    # and it's the engine's standard sink (streaming/jobs.py)
+    import pandas as pd
+
+    batches = []
+    q = (
+        spark.readStream.format("ddops_warc")
+        .option("split_bytes", 256)
+        .load(path)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _eid: batches.append(df.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = ["record_id", "warc_type", "target_uri", "content_length",
+            "http_status", "body_len", "body_md5"]
+    out = [b for b in batches if len(b)]
+    return pd.concat(out) if out else pd.DataFrame(columns=cols)
+
+
+def test_stream_reads_commit_epochs_exactly_once(spark, tmp_path):
+    path, ckpt = str(tmp_path / "arch"), str(tmp_path / "ckpt")
+    _write(spark, path, n=4)
+    got1 = _run_stream(spark, path, ckpt, "warc_stream_1")
+    n_files1 = len(_manifest(path))
+    assert len(got1) == 4 * 2 + n_files1
+    # second commit epoch: only the appended shards form the next batch
+    _write(spark, path, n=4, mode="append")
+    got2 = _run_stream(spark, path, ckpt, "warc_stream_2")
+    new_files = len(_manifest(path)) - n_files1
+    # exactly the second epoch's rows: 2 records per doc + one
+    # warcinfo per NEW shard (the epoch-1 shards were not re-read —
+    # same docs, so ids repeat by construction; counts are the proof)
+    assert len(got2) == 4 * 2 + new_files
+    assert (got2.warc_type == "warcinfo").sum() == new_files
+    # nothing new -> an availableNow run sees an empty batch, not a replay
+    got3 = _run_stream(spark, path, ckpt, "warc_stream_3")
+    assert len(got3) == 0
+
+
+def test_stream_replay_from_fresh_checkpoint_is_deterministic(
+    spark, tmp_path
+):
+    path = str(tmp_path / "arch")
+    _write(spark, path, n=3)
+    _write(spark, path, n=3, mode="append")
+    a = _run_stream(spark, path, str(tmp_path / "c1"), "warc_replay_a")
+    b = _run_stream(spark, path, str(tmp_path / "c2"), "warc_replay_b")
+    key = ["record_id", "warc_type", "body_md5"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
