@@ -285,6 +285,7 @@ from dd_ops_ocr_spark.operators import typeutils as _typeutils  # noqa: E402
 from dd_ops_ocr_spark.operators import urlops as _urlops  # noqa: E402
 from dd_ops_ocr_spark.operators import vision as _vision  # noqa: E402
 from dd_ops_ocr_spark.operators import warc as _warc  # noqa: E402
+from dd_ops_ocr_spark.operators import udtfs as _udtfs  # noqa: E402
 from dd_ops_ocr_spark.operators import warcsource as _warcsource  # noqa: E402
 from dd_ops_ocr_spark import sources as _sources  # noqa: E402
 
@@ -312,6 +313,7 @@ _register(_bpe)
 _register(_linkgraph)
 _register(_warc)
 _register(_warcsource)
+_register(_udtfs)
 _register(_crawlops)
 _register(_recrawl)
 _register(_charset)
@@ -341,6 +343,14 @@ _ROSTER_HEAD = [
     # canonical closed form).
     "warc_source_read",
     "warc_source_quarantine",
+    # newest — the Python UDTF surface (lateral table functions + TABLE
+    # arguments with PARTITION BY/ORDER BY): another Spark-API family
+    # with no earlier stamp. They displace event_value_outliers (event
+    # family keeps histogram/rollup/hopping/cardinality in the 50) and
+    # fuzzy_match_names (entity_resolution, in the 50, is built on the
+    # same fuzzy-pair machinery).
+    "udtf_token_explode",
+    "udtf_doc_reassemble",
     # new this round — never stamped; the final-session additions lead
     # (each is a family no earlier stamp represents: exact similarity
     # join, identity resolution, Z-order skipping, graph density,
@@ -372,10 +382,8 @@ _ROSTER_HEAD = [
     "shard_assign",
     "retention_cohorts",
     "event_value_histogram",
-    "event_value_outliers",
     "host_lang_profile",
     "conversion_latency",
-    "fuzzy_match_names",
     "cdc_merge",
     "dup_passage_spans",
     "quality_nb_train",
@@ -406,9 +414,11 @@ _ROSTER_HEAD = [
     # remaining rows are within-family variants of stamped
     # representatives — ALL still driver-identically checked by the
     # local oracle gate on every pytest run.
-    # displaced by the warc_source_* pair (see head comment):
+    # displaced by the warc_source_*/udtf_* pairs (see head comments):
     "url_normalize",
     "html_outlinks",
+    "event_value_outliers",
+    "fuzzy_match_names",
     "warc_gz_quarantine",
     "flagship_extract_split_landed",
     "engine_dual_extract",
