@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 DEFAULT_BUCKETS = 32
 
@@ -136,24 +136,30 @@ def run_with_ledger(
         # the bucket= path component carries the column (hive-style), so
         # loop-written and one-pass-written files share one schema.
         out = extractor(part)
+        # Lineage/metrics observed ON the write pass itself (df.observe):
+        # no read-back scan of the written bucket, no empty-bucket
+        # special case (sums observe as NULL -> 0). docs counts rows
+        # with order == 1 — the extraction contract assigns each doc's
+        # reading order from 1, so it equals countDistinct(doc_id)
+        # (DISTINCT is not allowed in observed metrics); the invariant
+        # is pinned by tests/test_ledger.py.
+        obs = Observation(f"lineage_{run_id}_{b}")
+        out = out.observe(
+            obs,
+            F.sum((F.col("order") == 1).cast("long")).alias("docs"),
+            F.count(F.lit(1)).alias("spans_emitted"),
+            F.sum((F.col("kind") == "text").cast("long")).alias("text_blocks"),
+            F.sum((F.col("kind") != "text").cast("long")).alias("media_blocks"),
+        )
         out.write.mode("overwrite").parquet(f"{out_dir}/data/bucket={b}")
-        # ... ledger commit marker last, with lineage + metrics. An empty
-        # bucket may write no readable parquet; it still gets a zero-count
-        # marker so resume never reprocesses it.
-        if _parquet_nonempty(f"{out_dir}/data/bucket={b}"):
-            stats = spark.read.parquet(f"{out_dir}/data/bucket={b}").agg(
-                F.countDistinct("doc_id").alias("docs"),
-                F.count("*").alias("spans_emitted"),
-                F.sum((F.col("kind") == "text").cast("long")).alias("text_blocks"),
-                F.sum((F.col("kind") != "text").cast("long")).alias("media_blocks"),
-            )
-        else:  # empty bucket: no parquet written — zero-count marker
-            stats = spark.createDataFrame(
-                [(0, 0, 0, 0)],
+        vals = obs.get  # available: the write action above ran the plan
+        stats = (
+            spark.createDataFrame(
+                [tuple(int(vals[c] or 0) for c in
+                       ("docs", "spans_emitted", "text_blocks",
+                        "media_blocks"))],
                 "docs long, spans_emitted long, text_blocks long, media_blocks long",
             )
-        stats = (
-            stats.fillna(0, subset=["docs", "spans_emitted", "text_blocks", "media_blocks"])
             .withColumn("run_id", F.lit(run_id))
             .withColumn("bucket", F.lit(b))
             .withColumn("committed_at_run", F.lit(run_id))
@@ -317,19 +323,26 @@ def run_with_snapshots(
     for b in [x for x in range(n_buckets) if x not in done]:
         part = src.filter(F.col("bucket") == b).drop("bucket")
         out = extractor(part)
-        stats = out.agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.count("*").alias("spans"),
-        ).collect()[0]
+        # One execution per bucket, not two: metrics are OBSERVED on the
+        # snapshot's own write pass (previously an .agg().collect() ran
+        # the whole extraction once just for the stats, then the write
+        # ran it again) and injected into the manifest via the lazy
+        # properties_fn hook, which write_snapshot evaluates after the
+        # data files are staged.
+        obs = Observation(f"lineage_{run_id}_{b}")
+        out = out.observe(
+            obs,
+            F.sum((F.col("order") == 1).cast("long")).alias("docs"),
+            F.count(F.lit(1)).alias("spans"),
+        )
         catalog.write_snapshot(
             out,
             table_dir,
             operation="append" if (done or processed) else "overwrite",
-            properties={
-                "run_id": run_id,
-                "bucket": b,
-                "docs": stats["docs"],
-                "spans_emitted": stats["spans"],
+            properties={"run_id": run_id, "bucket": b},
+            properties_fn=lambda: {
+                "docs": int(obs.get["docs"] or 0),
+                "spans_emitted": int(obs.get["spans"] or 0),
             },
         )
         processed += 1

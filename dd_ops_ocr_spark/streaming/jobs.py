@@ -323,6 +323,41 @@ def stream_assemble_docs_event_time(
     )
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession, input_dir: str, watermark: str = "10 seconds"
+):
+    """Built-in twin of `stream_dedup_stateful` for the span-EVENT
+    shape: ``dropDuplicatesWithinWatermark`` on (doc_id, offset) —
+    Spark's own bounded-state streaming dedup instead of a custom
+    applyInPandasWithState operator.
+
+    The state story is the reason to prefer it at scale: the custom
+    admission guard keeps one state row per doc_id FOREVER (exactly
+    right for "admit each doc once ever", but state grows with the
+    corpus); dropDuplicatesWithinWatermark expires dedup keys once the
+    watermark passes their event time, so state is bounded by the
+    re-delivery horizon, which is the actual shape of PubSub
+    at-least-once duplicates (reference: api/main.py:496-501 retries
+    arrive near the original, not weeks later). Re-deliveries carry
+    the SAME event ts, so after state expiry the watermark filter
+    itself rejects them as late — the no-duplicate guarantee holds
+    both before and after expiry.
+
+    Input schema: (doc_id string, n_total int, offset int, text
+    string, ts timestamp) — one row per span event, as in
+    `stream_assemble_docs_event_time`."""
+    src = (
+        spark.readStream.schema(
+            "doc_id string, n_total int, offset int, text string, "
+            "ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    return src.dropDuplicatesWithinWatermark(["doc_id", "offset"])
+
+
 def stream_sessionize(
     spark: SparkSession, input_dir: str, schema, gap: str = "30 minutes"
 ):

@@ -150,3 +150,50 @@ def test_parquet_nonempty_uri_scheme(spark, tmp_path):
     empty.mkdir()
     assert not _parquet_nonempty(f"file://{empty}")
     assert not _hadoop_parquet_nonempty(f"file://{tmp_path}/missing")
+
+
+def test_observed_lineage_single_pass_and_docs_invariant(spark, spans):
+    """The commit markers' metrics now come from df.observe on the
+    write pass itself. Two claims pinned here: (1) the extraction runs
+    ONCE per bucket (the old snapshot path ran it twice — once for
+    .agg().collect(), once for the write); (2) the observe-compatible
+    docs metric (rows with order == 0) equals countDistinct(doc_id)."""
+    from dd_ops_ocr_spark import pipeline
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_extractor(df):
+        out = pipeline.extract(df)
+
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return out.mapInPandas(bump, out.schema)
+
+    out_dir = tempfile.mkdtemp(prefix="ledger_obs_")
+    try:
+        ledger.run_with_ledger(spark, spans, out_dir, "run_obs",
+                               n_buckets=4,
+                               extractor=counting_extractor)
+        written = spark.read.parquet(f"{out_dir}/data")
+        total_rows = written.count()
+        # single pass: every output row crossed the kernel exactly once
+        assert acc.value == total_rows
+        # marker metrics equal an independent recompute per bucket
+        markers = spark.read.parquet(f"{out_dir}/ledger").toPandas()
+        recompute = (
+            written.groupBy("bucket")
+            .agg(F.countDistinct("doc_id").alias("docs"),
+                 F.count("*").alias("spans_emitted"))
+            .toPandas().set_index("bucket")
+        )
+        got = markers.set_index("bucket")[["docs", "spans_emitted"]]
+        for b in recompute.index:
+            assert got.loc[b, "docs"] == recompute.loc[b, "docs"]
+            assert (got.loc[b, "spans_emitted"]
+                    == recompute.loc[b, "spans_emitted"])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

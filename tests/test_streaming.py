@@ -777,3 +777,76 @@ def test_stream_stream_match_equals_batch_join(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(land, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark(spark):
+    """The built-in bounded-state dedup twin
+    (dropDuplicatesWithinWatermark): in-horizon re-deliveries are
+    dropped by dedup state; after the watermark passes an event's
+    time, a re-delivery (same event ts — that's what a re-delivery is)
+    is rejected by the watermark filter itself, so the no-duplicate
+    guarantee holds on both sides of state expiry while state stays
+    bounded by the horizon."""
+    import datetime
+    import glob
+    import os
+    import shutil as sh
+    import time as _time
+
+    from dd_ops_ocr_spark.streaming.jobs import stream_dedup_within_watermark
+
+    land = tempfile.mkdtemp(prefix="stream_ddw_land_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ddw_ckpt_")
+    schema = "doc_id string, n_total int, offset int, text string, ts timestamp"
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        tmp = f"{land}/_tmp_{name}"
+        df.write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{land}/{name}.parquet"
+        sh.copy(part, dst)
+        sh.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    def ts(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    q = None
+    try:
+        t0 = _time.time() - 100
+        write_file("f1", [("doc_a", 3, 0, "a0", ts(0)),
+                          ("doc_a", 3, 1, "a1", ts(1))], t0)
+        # in-horizon re-delivery of (a,0) + fresh rows; ts(100) pushes
+        # the watermark far past ts(0) for the next batch
+        write_file("f2", [("doc_a", 3, 0, "a0", ts(0)),
+                          ("doc_a", 3, 2, "a2", ts(2)),
+                          ("doc_b", 1, 0, "b0", ts(100))], t0 + 10)
+        # post-expiry re-delivery: watermark (~90s) is far past ts(0),
+        # so this is rejected as late even though dedup state for the
+        # key may already be expired
+        write_file("f3", [("doc_a", 3, 0, "a0", ts(0))], t0 + 20)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            stream_dedup_within_watermark(spark, land)
+            .writeStream.format("memory").queryName("ddw")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(240)
+        got = spark.sql("select doc_id, offset from ddw").toPandas()
+        pairs = sorted(map(tuple, got.values.tolist()))
+        assert pairs == [("doc_a", 0), ("doc_a", 1), ("doc_a", 2),
+                         ("doc_b", 0)], pairs
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        for d in (land, ckpt):
+            sh.rmtree(d, ignore_errors=True)
