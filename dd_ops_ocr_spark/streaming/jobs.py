@@ -323,6 +323,139 @@ def stream_assemble_docs_event_time(
     )
 
 
+ASSEMBLE_TWS_GAP_MS = 15_000  # incomplete-doc eviction gap past the watermark
+
+
+def _make_assemble_processor():
+    """Factory for the transformWithState doc assembler (deferred
+    import keeps module import light and the processor picklable)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class AssembleDocProcessor(StatefulProcessor):
+        """The event-time doc assembler on Spark 4's transformWithState
+        API — the same semantics as `_assemble_event` (assemble spans
+        until n_total arrive, emit once, evict stragglers relative to
+        the watermark, tombstone against late re-delivery) but with the
+        state model the API makes explicit instead of hand-packed
+        tuples:
+
+        * MapState(offset -> text): insert-if-absent IS the per-offset
+          re-delivery dedup (the hand-rolled version packs arrays and
+          dedups in Python);
+        * ValueState n_total;
+        * ValueState emitted = the tombstone, with a TTL so it
+          self-expires instead of living forever (TTL is
+          processing-time based in this API);
+        * a real event-time timer per doc for eviction, re-armed on
+          every arrival, cancelled on emission.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._spans = handle.getMapState(
+                "spans", "offset int", "text string"
+            )
+            self._total = handle.getValueState("n_total", "n_total int")
+            self._emitted = handle.getValueState(
+                "emitted", "emitted boolean",
+                ttlDurationMs=3_600_000,
+            )
+
+        def _emit(self, doc_id: str, complete: bool):
+            pairs = sorted(
+                (k[0], v[0]) for k, v in self._spans.iterator()
+            )
+            out = pd.DataFrame({
+                "doc_id": [doc_id],
+                "n_spans": [len(pairs)],
+                "complete": [complete],
+                "text": ["\n\n".join(t for _o, t in pairs)],
+            })
+            self._spans.clear()
+            self._total.clear()
+            self._emitted.update((True,))
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            return iter([out])
+
+        def handleInputRows(self, key, rows, timerValues):
+            doc_id = key[0]
+            if self._emitted.exists():
+                return iter(())  # tombstone: late re-delivery, drop
+            max_ts_ms = 0
+            for pdf in rows:
+                for off, txt, nt, ts in zip(
+                    pdf["offset"], pdf["text"], pdf["n_total"], pdf["ts"]
+                ):
+                    o = int(off)
+                    if not self._spans.containsKey((o,)):
+                        self._spans.updateValue((o,), (str(txt),))
+                    self._total.update((int(nt),))
+                    max_ts_ms = max(
+                        max_ts_ms, int(pd.Timestamp(ts).value // 10**6)
+                    )
+            total = self._total.get()
+            n_have = sum(1 for _ in self._spans.keys())
+            if total is not None and n_have >= total[0]:
+                return self._emit(doc_id, True)
+            # arm/refresh eviction relative to the watermark; while the
+            # watermark is uninitialized (first micro-batch) anchor to
+            # the newest event ts seen, same rationale as
+            # _assemble_event: a 0-anchored timer would fire the moment
+            # the watermark initializes
+            wm = timerValues.getCurrentWatermarkInMs()
+            anchor = wm if wm > 0 else max_ts_ms
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(anchor + ASSEMBLE_TWS_GAP_MS)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._emitted.exists():
+                return iter(())  # stale timer after emission
+            n_have = sum(1 for _ in self._spans.keys())
+            if n_have == 0:
+                self._total.clear()
+                return iter(())
+            return self._emit(key[0], False)
+
+        def close(self) -> None:
+            pass
+
+    return AssembleDocProcessor()
+
+
+def stream_assemble_docs_tws(
+    spark: SparkSession, input_dir: str, watermark: str = "10 seconds"
+):
+    """`stream_assemble_docs_event_time` re-expressed on Spark 4's
+    transformWithStateInPandas (see _make_assemble_processor for the
+    state model). Requires the RocksDB state store provider — which is
+    what a 10^12-doc run uses anyway (state > executor heap)."""
+    src = (
+        spark.readStream.schema(
+            "doc_id string, n_total int, offset int, text string, "
+            "ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    return src.groupBy("doc_id").transformWithStateInPandas(
+        statefulProcessor=_make_assemble_processor(),
+        outputStructType=(
+            "doc_id string, n_spans long, complete boolean, text string"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def stream_dedup_within_watermark(
     spark: SparkSession, input_dir: str, watermark: str = "10 seconds"
 ):

@@ -850,3 +850,239 @@ def test_stream_dedup_within_watermark(spark):
                 pass
         for d in (land, ckpt):
             sh.rmtree(d, ignore_errors=True)
+
+
+def test_stream_assemble_transform_with_state(spark):
+    """The transformWithStateInPandas assembler must reproduce the
+    applyInPandasWithState event-time assembler's behavior on the same
+    scenario: multi-batch assembly, in-horizon re-delivery deduped by
+    the MapState insert-if-absent, late post-emission re-delivery
+    dropped by the tombstone — exactly one complete row per doc.
+
+    Environment seam: the transformWithState state-server protocol
+    speaks protobuf between the JVM and the Python worker; this
+    container has no protobuf wheel, so the END-TO-END run can only
+    execute where protobuf exists. The processor LOGIC is fully
+    covered by the stub-state tests below either way."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState JVM<->Python state protocol needs "
+               "protobuf (absent in this sandbox)",
+    )
+    import datetime
+    import glob
+    import os
+    import shutil as sh
+    import time as _time
+
+    from dd_ops_ocr_spark.streaming.jobs import stream_assemble_docs_tws
+
+    land = tempfile.mkdtemp(prefix="stream_tws_land_")
+    ckpt = tempfile.mkdtemp(prefix="stream_tws_ckpt_")
+    schema = "doc_id string, n_total int, offset int, text string, ts timestamp"
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        tmp = f"{land}/_tmp_{name}"
+        df.write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{land}/{name}.parquet"
+        sh.copy(part, dst)
+        sh.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    def ts(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    q = None
+    try:
+        t0 = _time.time() - 100
+        write_file("f1", [("doc_a", 3, 0, "a0", ts(0)),
+                          ("doc_a", 3, 20, "a2", ts(1))], t0)
+        # in-horizon re-delivery of offset 20 + the missing span
+        write_file("f2", [("doc_a", 3, 20, "a2", ts(1)),
+                          ("doc_a", 3, 10, "a1", ts(30))], t0 + 10)
+        # late duplicate AFTER emission + a watermark-advancing row
+        write_file("f3", [("doc_a", 3, 0, "a0", ts(2)),
+                          ("doc_w", 9, 0, "w0", ts(120))], t0 + 20)
+
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        q = (
+            stream_assemble_docs_tws(spark, land)
+            .writeStream.format("memory").queryName("asm_tws")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(240)
+        got = spark.sql(
+            "select * from asm_tws where doc_id = 'doc_a'"
+        ).toPandas()
+        assert len(got) == 1, got
+        row = got.iloc[0]
+        assert bool(row["complete"]) and int(row["n_spans"]) == 3
+        assert row["text"] == "a0\n\na1\n\na2"
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        for d in (land, ckpt):
+            sh.rmtree(d, ignore_errors=True)
+
+
+class _StubValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _StubMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def iterator(self):
+        return iter(self._m.items())
+
+    def keys(self):
+        return iter(self._m.keys())
+
+    def clear(self):
+        self._m = {}
+
+
+class _StubHandle:
+    def __init__(self):
+        self._timers = []
+        self.states = {}
+
+    def getMapState(self, name, *_a, **_k):
+        return self.states.setdefault(name, _StubMapState())
+
+    def getValueState(self, name, *_a, **_k):
+        return self.states.setdefault(name, _StubValueState())
+
+    def listTimers(self):
+        return list(self._timers)
+
+    def deleteTimer(self, t):
+        self._timers.remove(t)
+
+    def registerTimer(self, t):
+        self._timers.append(t)
+
+
+class _StubTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+    def getCurrentProcessingTimeInMs(self):
+        return 0
+
+
+def _tws_rows(rows):
+    import pandas as pd
+
+    return iter([pd.DataFrame(
+        rows, columns=["offset", "text", "n_total", "ts"]
+    )])
+
+
+def test_tws_processor_assembles_dedupes_and_tombstones():
+    """Stub-state coverage of the transformWithState assembler logic
+    (the end-to-end test above needs protobuf): insert-if-absent dedup,
+    ordered emission at n_total, timer lifecycle, tombstone."""
+    import pandas as pd
+
+    from dd_ops_ocr_spark.streaming import jobs as sjobs
+
+    p = sjobs._make_assemble_processor()
+    h = _StubHandle()
+    p.init(h)
+    t1 = pd.Timestamp("2026-01-01T12:00:00")
+
+    # batch 1: two of three spans -> no output, eviction timer armed
+    out = list(p.handleInputRows(("doc_a",), _tws_rows(
+        [(0, "a0", 3, t1), (20, "a2", 3, t1)]), _StubTimerValues(0)))
+    assert out == [] or all(len(df) == 0 for df in out)
+    assert len(h._timers) == 1
+    # watermark uninitialized: the timer anchors to the event ts
+    assert h._timers[0] == int(t1.value // 10**6) + sjobs.ASSEMBLE_TWS_GAP_MS
+
+    # batch 2: re-delivery of 20 (stale text must NOT overwrite) + the
+    # missing span -> exactly one complete row, ordered, timer gone
+    out = list(p.handleInputRows(("doc_a",), _tws_rows(
+        [(20, "a2-dup", 3, t1), (10, "a1", 3, t1)]),
+        _StubTimerValues(10_000)))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert bool(row["complete"]) and int(row["n_spans"]) == 3
+    assert row["text"] == "a0\n\na1\n\na2"
+    assert h._timers == []
+
+    # batch 3: late re-delivery after emission -> tombstone drops it
+    out = list(p.handleInputRows(("doc_a",), _tws_rows(
+        [(0, "a0", 3, t1)]), _StubTimerValues(20_000)))
+    assert out == []
+    # expired timer on a tombstoned doc emits nothing
+    assert list(p.handleExpiredTimer(("doc_a",), _StubTimerValues(0),
+                                     None)) == []
+
+
+def test_tws_processor_evicts_incomplete_on_timer():
+    import pandas as pd
+
+    from dd_ops_ocr_spark.streaming import jobs as sjobs
+
+    p = sjobs._make_assemble_processor()
+    h = _StubHandle()
+    p.init(h)
+    t1 = pd.Timestamp("2026-01-01T12:00:00")
+    list(p.handleInputRows(("doc_b",), _tws_rows(
+        [(5, "b1", 4, t1), (1, "b0", 4, t1)]), _StubTimerValues(0)))
+    out = list(p.handleExpiredTimer(("doc_b",), _StubTimerValues(99_999),
+                                    None))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert not bool(row["complete"]) and int(row["n_spans"]) == 2
+    assert row["text"] == "b0\n\nb1"
+    # evicted doc is tombstoned: a straggler arriving later is dropped
+    out = list(p.handleInputRows(("doc_b",), _tws_rows(
+        [(9, "b2", 4, t1)]), _StubTimerValues(99_999)))
+    assert out == []
