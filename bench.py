@@ -766,6 +766,20 @@ def main() -> None:
             F.sum("content_length"), F.sum("body_len"),
             F.count("body_md5")).collect()
     )
+    # Python DataSource scan at volume: a 64x archive landed once
+    # through the DS writer (cached fixture), then the pushed-IN read —
+    # driver plans member-range splits from sidecar indexes, tasks
+    # inflate+parse their byte ranges and skip warcinfo before hashing.
+    # Consume body_len + count so the payload path can't be pruned.
+    from dd_ops_ocr_spark.operators import warcsource as _ws
+
+    _ws.ensure_registered(spark)
+    _ws_arch = _ws.bench_archive(spark, SF_DIR, mult=64)
+    queries["warc_source_scan_64x"] = timed(
+        lambda: spark.read.format("ddops_warc").load(_ws_arch)
+        .filter(F.col("warc_type").isin("response", "metadata"))
+        .agg(F.sum("body_len"), F.count("*")).collect()
+    )
     # byte-real PDF round trip (encode -> xref/flate parse -> text ops)
     # + the reading-order window; consume text and geometry
     from dd_ops_ocr_spark.operators.pdf import q_pdf_text_spans

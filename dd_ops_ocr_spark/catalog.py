@@ -36,7 +36,7 @@ import re
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _norm_table_dir(table_dir: str) -> str:
@@ -308,6 +308,7 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
         all_files = files
         all_stats = dict(stats)
         all_aux = dict(aux_files)
+        all_deletes: list[str] = []
         if parent is not None and operation in ("append", "compact"):
             pm = _read_manifest(table_dir, parent)
             if operation == "append":
@@ -317,9 +318,16 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
                 all_stats = {**pm.get("file_stats", {}), **stats}
                 for k, pfiles in pm.get("aux", {}).items():
                     all_aux[k] = pfiles + aux_files.get(k, [])
+                # appending data resolves nothing: the parent's positional
+                # delete files still mask rows in the carried data files
+                all_deletes = pm.get("delete_files", [])
             else:  # compact rewrites DATA only; aux rides along unchanged
                 for k, pfiles in pm.get("aux", {}).items():
                     all_aux.setdefault(k, pfiles)
+                # deletes are PURGED by a rewrite: compact reads through
+                # read_table, which already applied them, so the new file
+                # set has no masked rows (Iceberg: rewrite removes dangling
+                # deletes)
         manifest = {
             "snapshot_id": (parent or 0) + 1,
             "parent_id": parent,
@@ -328,6 +336,7 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
             "files": all_files,
             "file_stats": all_stats,
             "aux": all_aux,
+            "delete_files": all_deletes,
             # schema rides in the manifest (like Iceberg's) so a snapshot
             # whose data file list is EMPTY — e.g. a batch where every doc
             # legitimately extracted to zero rows — stays readable as an
@@ -444,7 +453,34 @@ def read_table(spark: SparkSession, table_dir: str,
         paths = [os.path.join(table_dir, "data", f) for f in m["files"]]
     if not paths:
         return _empty_df(spark, m)
-    return spark.read.parquet(*[_spark_url(p) for p in paths])
+    df = spark.read.parquet(*[_spark_url(p) for p in paths])
+    deletes = m.get("delete_files", [])
+    if deletes:
+        # merge-on-read: mask positional deletes with a left-anti join
+        # on (file basename, in-file row ordinal) from the hidden
+        # _metadata columns — no data file is ever rewritten at delete
+        # time (Iceberg v2 position deletes). The delete side is tiny
+        # relative to the table, so AQE picks a broadcast anti-join;
+        # compaction (`compact`) is what folds the mask in physically.
+        dels = spark.read.parquet(*[
+            _spark_url(os.path.join(table_dir, "data", f)) for f in deletes
+        ])
+        cols = df.columns
+        df = (
+            df.withColumn(
+                "__cat_file",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("__cat_pos", F.col("_metadata.row_index"))
+            .join(
+                dels,
+                (F.col("__cat_file") == dels["file"])
+                & (F.col("__cat_pos") == dels["pos"]),
+                "left_anti",
+            )
+            .select(*cols)
+        )
+    return df
 
 
 def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -516,6 +552,96 @@ def compact(spark: SparkSession, table_dir: str, num_files: int = 1,
     )
 
 
+def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
+    """MERGE-ON-READ row deletes (Iceberg v2 positional deletes): find
+    the (file, in-file position) of every current row matching
+    ``condition`` (a SQL expression string or Column), write them as
+    positional delete files, and commit a ``delete`` snapshot whose
+    DATA files are untouched. Readers mask the positions (read_table's
+    anti-join); ``compact`` folds the mask in physically and purges it;
+    ``expire_snapshots`` reclaims unreferenced delete files.
+
+    Why this shape at 100 TB: deleting 0.01% of rows (a takedown, a
+    GDPR request, a bad-crawl purge) must not rewrite 100 TB of
+    parquet. Position deletes cost one scan to FIND the rows and a few
+    KB to persist them; the rewrite happens later, amortized into the
+    compaction the table needed anyway.
+
+    The commit is CAS'd on the snapshot the positions were computed
+    against: a concurrent append would otherwise vanish from our
+    carried file list, and a concurrent compact invalidates positions
+    outright — on either, the whole find-and-commit retries against
+    the new current. Re-deleting an already-masked row is a no-op (new
+    positions are anti-joined against existing delete files); if
+    nothing new matches, no snapshot is committed and the current id
+    is returned. Returns the committed (or current) snapshot id."""
+    table_dir = _norm_table_dir(table_dir)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    for _ in range(16):
+        base = current_snapshot_id(table_dir)
+        if base is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+        m = _read_manifest(table_dir, base)
+        if not m["files"]:
+            return base  # nothing to delete from
+        df = (
+            spark.read.parquet(*[
+                _spark_url(os.path.join(table_dir, "data", f))
+                for f in m["files"]
+            ])
+            .withColumn(
+                "__cat_file",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("__cat_pos", F.col("_metadata.row_index"))
+        )
+        # prefixed helper names so a table column named file/pos can't
+        # collide; the persisted delete-file schema is (file, pos)
+        hits = df.filter(cond).select(
+            F.col("__cat_file").alias("file"),
+            F.col("__cat_pos").alias("pos"),
+        )
+        existing = m.get("delete_files", [])
+        if existing:
+            hits = hits.join(
+                spark.read.parquet(*[
+                    _spark_url(os.path.join(table_dir, "data", f))
+                    for f in existing
+                ]),
+                ["file", "pos"],
+                "left_anti",
+            )
+        n = hits.count()
+        if n == 0:
+            return base  # everything already masked (or no match)
+        new_files, _stats = _write_files(hits.coalesce(1), table_dir)
+        manifest = {
+            "snapshot_id": base + 1,
+            "parent_id": base,
+            "operation": "delete",
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "files": m["files"],
+            "file_stats": m.get("file_stats", {}),
+            "aux": m.get("aux", {}),
+            "delete_files": existing + new_files,
+            "schema": m["schema"],
+            "properties": {"deleted_rows": n},
+        }
+        if current_snapshot_id(table_dir) != base:
+            _remove_staged(table_dir, new_files)
+            continue  # table advanced while we scanned — recompute
+        try:
+            return _publish(table_dir, manifest)
+        except FileExistsError:
+            _remove_staged(table_dir, new_files)
+            continue  # lost the claim race — recompute against new base
+    raise CommitConflict(
+        f"delete_where on {table_dir} lost 16 consecutive commit races"
+    )
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and delete the
     data files no surviving snapshot references (Iceberg's
@@ -538,6 +664,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     for m in all_snaps:
         refs = kept_refs if m["snapshot_id"] in keep else dead_refs
         refs.update(m["files"])
+        refs.update(m.get("delete_files", []))
         for files in m.get("aux", {}).values():
             refs.update(files)
     expired = 0

@@ -117,6 +117,50 @@ WHERE o_orderdate >= TIMESTAMP '{_LO} 00:00:00'
 GROUP BY o_orderpriority
 """
 
+
+def _delete_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot table over documents with a positional
+    delete committed on top (catalog.delete_where): data files
+    untouched, a delete snapshot masks doc_id % 7 = 3."""
+    from dd_ops_ocr_spark import catalog
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".bench_cache")
+    path = os.path.join(cache, f"catalog_deldocs_{name}_v{_FIXTURE_VERSION}")
+
+    def build(tmp: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        catalog.write_snapshot(
+            docs.repartition(8, "doc_id"), tmp, operation="overwrite"
+        )
+        catalog.delete_where(spark, tmp, "doc_id % 7 = 3")
+
+    return cached_fixture(path, build)
+
+
+def q_catalog_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the merge-on-read delete mask: the current snapshot
+    still lists the ORIGINAL data files (nothing rewritten); the
+    positional delete files anti-join the masked rows out at scan
+    time. The oracle is the plain complement filter — any drift in
+    position computation, file attribution, or the anti-join flips
+    the driver hash."""
+    from dd_ops_ocr_spark import catalog
+
+    tbl = _delete_fixture(spark, sf_dir)
+    return catalog.read_table(spark, tbl).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_DELETE_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id % 7 <> 3
+"""
+
 # ----------------------------------------------------------- CDC merge
 #
 # The lakehouse write primitive the read side above assumes: MERGE a
@@ -455,6 +499,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "zorder_key": q_zorder_key,
     "bucketed_enrich": q_bucketed_enrich,
+    "catalog_delete_read": q_catalog_delete_read,
 }
 ORACLE_SQL = {
     "catalog_skip_scan": _ORACLE,
@@ -463,4 +508,5 @@ ORACLE_SQL = {
     "scd2_history": SQL_SCD2_HISTORY,
     "zorder_key": SQL_ZORDER_KEY,
     "bucketed_enrich": SQL_BUCKETED_ENRICH,
+    "catalog_delete_read": _DELETE_ORACLE,
 }

@@ -488,6 +488,47 @@ def _fixture_dir(
     return cached_fixture(path, build)
 
 
+def bench_archive(spark: SparkSession, sf_dir: str, mult: int = 64) -> str:
+    """Build-once multiplied archive for the scan bench: the planted
+    pages replicated ``mult``x with disjoint doc_ids, written through
+    the DataSource writer (32 shards + sidecar indexes + manifest).
+    The read side then measures what matters — member-split planning
+    fan-out and per-member inflate+parse throughput — on enough
+    members that per-query overhead is noise."""
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".bench_cache")
+    path = os.path.join(
+        cache, f"warcds_{name}_x{mult}_v{_FIXTURE_VERSION}"
+    )
+
+    def build(tmp: str) -> None:
+        ensure_registered(spark)
+        pages = _pages_df(spark, sf_dir)
+        rep = (
+            pages.crossJoin(
+                F.broadcast(
+                    spark.range(mult).withColumnRenamed("id", "rep")
+                )
+            )
+            .withColumn(
+                "doc_id",
+                F.col("doc_id") + F.col("rep") * F.lit(100_000_000),
+            )
+            .drop("rep")
+        )
+        (
+            rep.repartition(32, "doc_id")
+            .write.format("ddops_warc")
+            .mode("overwrite")
+            .save(tmp)
+        )
+
+    return cached_fixture(path, build)
+
+
 # ------------------------------------------------------------- queries
 
 def q_warc_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -351,6 +351,11 @@ _ROSTER_HEAD = [
     # same fuzzy-pair machinery).
     "udtf_token_explode",
     "udtf_doc_reassemble",
+    # newest — merge-on-read positional deletes (catalog.delete_where +
+    # read-side anti-join mask): a lakehouse write primitive no stamp
+    # represents. Displaces rolling_window (event_hopping_counts keeps
+    # sliding-window aggregation represented in the 50).
+    "catalog_delete_read",
     # new this round — never stamped; the final-session additions lead
     # (each is a family no earlier stamp represents: exact similarity
     # join, identity resolution, Z-order skipping, graph density,
@@ -372,7 +377,6 @@ _ROSTER_HEAD = [
     # local oracle gate still checks on every pytest run.
     "variant_extract",
     "bm25_topk",
-    "rolling_window",
     "event_user_cardinality",
     "fetch_schedule",
     "html_tables",
@@ -419,6 +423,7 @@ _ROSTER_HEAD = [
     "html_outlinks",
     "event_value_outliers",
     "fuzzy_match_names",
+    "rolling_window",
     "warc_gz_quarantine",
     "flagship_extract_split_landed",
     "engine_dual_extract",
