@@ -308,7 +308,13 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
         all_files = files
         all_stats = dict(stats)
         all_aux = dict(aux_files)
+        sid = (parent or 0) + 1
         all_deletes: list[str] = []
+        all_eq_deletes: list = []
+        # per-file sequence numbers (Iceberg's data sequence): equality
+        # deletes apply only to files SEQUENCED BEFORE them, which is
+        # what lets an upsert's own appended rows survive its delete
+        all_seq = {f: sid for f in files}
         if parent is not None and operation in ("append", "compact"):
             pm = _read_manifest(table_dir, parent)
             if operation == "append":
@@ -318,18 +324,20 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
                 all_stats = {**pm.get("file_stats", {}), **stats}
                 for k, pfiles in pm.get("aux", {}).items():
                     all_aux[k] = pfiles + aux_files.get(k, [])
-                # appending data resolves nothing: the parent's positional
-                # delete files still mask rows in the carried data files
+                # appending data resolves nothing: the parent's delete
+                # masks still apply to the carried data files
                 all_deletes = pm.get("delete_files", [])
+                all_eq_deletes = pm.get("eq_delete_files", [])
+                all_seq = {**pm.get("file_seq", {}), **all_seq}
             else:  # compact rewrites DATA only; aux rides along unchanged
                 for k, pfiles in pm.get("aux", {}).items():
                     all_aux.setdefault(k, pfiles)
-                # deletes are PURGED by a rewrite: compact reads through
-                # read_table, which already applied them, so the new file
-                # set has no masked rows (Iceberg: rewrite removes dangling
-                # deletes)
+                # deletes (both kinds) are PURGED by a rewrite: compact
+                # reads through read_table, which already applied them,
+                # so the new file set has no masked rows (Iceberg:
+                # rewrite removes dangling deletes)
         manifest = {
-            "snapshot_id": (parent or 0) + 1,
+            "snapshot_id": sid,
             "parent_id": parent,
             "operation": operation,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -337,6 +345,8 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
             "file_stats": all_stats,
             "aux": all_aux,
             "delete_files": all_deletes,
+            "eq_delete_files": all_eq_deletes,
+            "file_seq": all_seq,
             # schema rides in the manifest (like Iceberg's) so a snapshot
             # whose data file list is EMPTY — e.g. a batch where every doc
             # legitimately extracted to zero rows — stays readable as an
@@ -454,33 +464,64 @@ def read_table(spark: SparkSession, table_dir: str,
     if not paths:
         return _empty_df(spark, m)
     df = spark.read.parquet(*[_spark_url(p) for p in paths])
-    deletes = m.get("delete_files", [])
-    if deletes:
-        # merge-on-read: mask positional deletes with a left-anti join
-        # on (file basename, in-file row ordinal) from the hidden
-        # _metadata columns — no data file is ever rewritten at delete
-        # time (Iceberg v2 position deletes). The delete side is tiny
-        # relative to the table, so AQE picks a broadcast anti-join;
-        # compaction (`compact`) is what folds the mask in physically.
+    return _apply_deletes(spark, table_dir, m, df)
+
+
+def _apply_deletes(spark: SparkSession, table_dir: str, m: dict,
+                   df: DataFrame) -> DataFrame:
+    """Merge-on-read masking at scan time — no data file is ever
+    rewritten by a delete; compaction is what folds masks in.
+
+    * positional deletes (`delete_files`): left-anti join on (file
+      basename, in-file row ordinal) from the hidden ``_metadata``
+      columns (Iceberg v2 position deletes);
+    * equality deletes (`eq_delete_files`, committed by `upsert`):
+      left-anti join on the key columns, restricted BY SEQUENCE — a
+      delete masks only data files sequenced strictly before it
+      (``file_seq``), which is exactly what lets an upsert's own
+      appended rows carry the same keys and survive.
+
+    Every delete side is tiny relative to the table, so AQE broadcasts
+    the anti-joins."""
+    pos = m.get("delete_files", [])
+    eqs = m.get("eq_delete_files", [])
+    if not pos and not eqs:
+        return df
+    cols = df.columns
+    df = df.withColumn(
+        "__cat_file",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn("__cat_pos", F.col("_metadata.row_index"))
+    if pos:
         dels = spark.read.parquet(*[
-            _spark_url(os.path.join(table_dir, "data", f)) for f in deletes
+            _spark_url(os.path.join(table_dir, "data", f)) for f in pos
         ])
-        cols = df.columns
-        df = (
-            df.withColumn(
-                "__cat_file",
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            )
-            .withColumn("__cat_pos", F.col("_metadata.row_index"))
-            .join(
-                dels,
-                (F.col("__cat_file") == dels["file"])
-                & (F.col("__cat_pos") == dels["pos"]),
-                "left_anti",
-            )
-            .select(*cols)
+        df = df.join(
+            dels,
+            (F.col("__cat_file") == dels["file"])
+            & (F.col("__cat_pos") == dels["pos"]),
+            "left_anti",
         )
-    return df
+    if eqs:
+        seq_map = m.get("file_seq", {})
+        files_df = spark.createDataFrame(
+            [(k, int(v)) for k, v in seq_map.items()],
+            "__cat_file string, __cat_seq long",
+        )
+        df = df.join(F.broadcast(files_df), "__cat_file", "left") \
+               .fillna({"__cat_seq": 0})
+        for name, key_cols, dseq in eqs:
+            d = (
+                spark.read.parquet(
+                    _spark_url(os.path.join(table_dir, "data", name))
+                )
+                .select(*[F.col(c).alias(f"__del_{c}") for c in key_cols])
+            )
+            cond = F.col("__cat_seq") < F.lit(int(dseq))
+            for c in key_cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+            df = df.join(d, cond, "left_anti")
+    return df.select(*cols)
 
 
 def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -626,6 +667,8 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
             "file_stats": m.get("file_stats", {}),
             "aux": m.get("aux", {}),
             "delete_files": existing + new_files,
+            "eq_delete_files": m.get("eq_delete_files", []),
+            "file_seq": m.get("file_seq", {}),
             "schema": m["schema"],
             "properties": {"deleted_rows": n},
         }
@@ -640,6 +683,76 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
     raise CommitConflict(
         f"delete_where on {table_dir} lost 16 consecutive commit races"
     )
+
+
+def upsert(spark: SparkSession, table_dir: str, df: DataFrame,
+           keys: list[str]) -> int:
+    """Atomic MERGE-by-key (Iceberg v2 upsert): ONE snapshot that
+    equality-deletes the incoming keys from every prior data file and
+    appends ``df``'s rows. Readers of the new snapshot see exactly
+    "old rows whose key is not in df, plus df" — there is no
+    intermediate state where the keys are deleted but the new rows
+    absent, because both land in the same manifest publish.
+
+    No find scan: unlike `delete_where`, the mask is the key set
+    itself (keyed, not positional), so the write cost is O(|df|)
+    regardless of table size — the shape a streaming CDC sink needs.
+    Sequence numbers scope the delete: it masks only files sequenced
+    before this commit, so df's own rows (same keys, same snapshot)
+    survive. Concurrent upserts serialize through the manifest claim;
+    on a key contested by two upserts the later sequence wins.
+    Retry after a lost claim is safe — nothing here is
+    position-dependent, and a concurrent compact's rewritten files
+    sequence BELOW this commit, so the mask still applies to them.
+
+    Upserting into an empty/nonexistent table degrades to a plain
+    first snapshot. Returns the committed snapshot id."""
+    table_dir = _norm_table_dir(table_dir)
+    files, stats = _write_files(df, table_dir)
+    key_files, _ = _write_files(df.select(*keys).distinct().coalesce(1),
+                                table_dir)
+    while True:
+        parent = _max_manifest_id(table_dir) or None
+        sid = (parent or 0) + 1
+        if parent is None:
+            manifest = {
+                "snapshot_id": sid, "parent_id": None,
+                "operation": "upsert",
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "files": files, "file_stats": stats, "aux": {},
+                "delete_files": [], "eq_delete_files": [],
+                "file_seq": {f: sid for f in files},
+                "schema": df.schema.json(), "properties": {},
+            }
+        else:
+            pm = _read_manifest(table_dir, parent)
+            manifest = {
+                "snapshot_id": sid, "parent_id": parent,
+                "operation": "upsert",
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "files": pm["files"] + files,
+                "file_stats": {**pm.get("file_stats", {}), **stats},
+                "aux": pm.get("aux", {}),
+                "delete_files": pm.get("delete_files", []),
+                "eq_delete_files": pm.get("eq_delete_files", [])
+                + [[key_files[0], list(keys), sid]],
+                "file_seq": {**pm.get("file_seq", {}),
+                             **{f: sid for f in files}},
+                "schema": df.schema.json(),
+                "properties": {},
+            }
+        try:
+            out = _publish(table_dir, manifest)
+        except FileExistsError:
+            continue  # lost the claim — re-read parent and re-stitch
+        if parent is None:
+            # first snapshot: the staged key file ended up unreferenced
+            # (nothing earlier to delete from) — reclaim it AFTER the
+            # publish succeeded, so a lost claim can still use it
+            _remove_staged(table_dir, key_files)
+        return out
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
@@ -665,6 +778,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
         refs = kept_refs if m["snapshot_id"] in keep else dead_refs
         refs.update(m["files"])
         refs.update(m.get("delete_files", []))
+        refs.update(e[0] for e in m.get("eq_delete_files", []))
         for files in m.get("aux", {}).values():
             refs.update(files)
     expired = 0

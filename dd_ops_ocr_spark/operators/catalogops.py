@@ -161,6 +161,62 @@ FROM documents
 WHERE doc_id % 7 <> 3
 """
 
+
+def _upsert_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot table over documents with one atomic upsert
+    committed on top: docs with doc_id % 11 = 5 get n_chars doubled
+    (same key, new value), plus three brand-new doc ids."""
+    from dd_ops_ocr_spark import catalog
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".bench_cache")
+    path = os.path.join(cache, f"catalog_upsdocs_{name}_v{_FIXTURE_VERSION}")
+
+    def build(tmp: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars"
+        )
+        catalog.write_snapshot(
+            docs.repartition(8, "doc_id"), tmp, operation="overwrite"
+        )
+        changes = docs.filter("doc_id % 11 = 5").withColumn(
+            "n_chars", F.col("n_chars") * 2
+        ).unionByName(spark.createDataFrame(
+            [(1_000_000 + k, "xx", k) for k in range(3)],
+            "doc_id long, lang string, n_chars long",
+        ))
+        catalog.upsert(spark, tmp, changes, keys=["doc_id"])
+
+    return cached_fixture(path, build)
+
+
+def q_catalog_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through an atomic MERGE-by-key (equality delete + append in
+    ONE snapshot): updated keys must show the new values — the
+    upsert's own rows survive its equality delete via sequence
+    scoping — old values must be gone, untouched keys intact, and the
+    new keys present. The oracle is the closed-form merge over the
+    source table."""
+    from dd_ops_ocr_spark import catalog
+
+    tbl = _upsert_fixture(spark, sf_dir)
+    return catalog.read_table(spark, tbl).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_UPSERT_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 11 = 5 THEN n_chars * 2 ELSE n_chars END
+         AS n_chars
+FROM documents
+UNION ALL
+SELECT 1000000 + k AS doc_id, 'xx' AS lang, k AS n_chars
+FROM range(3) t(k)
+"""
+
 # ----------------------------------------------------------- CDC merge
 #
 # The lakehouse write primitive the read side above assumes: MERGE a
@@ -500,6 +556,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,
     "bucketed_enrich": q_bucketed_enrich,
     "catalog_delete_read": q_catalog_delete_read,
+    "catalog_upsert_read": q_catalog_upsert_read,
 }
 ORACLE_SQL = {
     "catalog_skip_scan": _ORACLE,
@@ -509,4 +566,5 @@ ORACLE_SQL = {
     "zorder_key": SQL_ZORDER_KEY,
     "bucketed_enrich": SQL_BUCKETED_ENRICH,
     "catalog_delete_read": _DELETE_ORACLE,
+    "catalog_upsert_read": _UPSERT_ORACLE,
 }

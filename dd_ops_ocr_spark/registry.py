@@ -356,6 +356,11 @@ _ROSTER_HEAD = [
     # represents. Displaces rolling_window (event_hopping_counts keeps
     # sliding-window aggregation represented in the 50).
     "catalog_delete_read",
+    # and its write twin: atomic MERGE-by-key (equality delete + append
+    # in one snapshot, sequence-scoped). Displaces funnel_stages
+    # (attribution + conversion_latency keep the conversion-path
+    # family in the 50).
+    "catalog_upsert_read",
     # new this round — never stamped; the final-session additions lead
     # (each is a family no earlier stamp represents: exact similarity
     # join, identity resolution, Z-order skipping, graph density,
@@ -382,7 +387,6 @@ _ROSTER_HEAD = [
     "html_tables",
     "html_interleaved_spans",
     "feed_entries",
-    "funnel_stages",
     "shard_assign",
     "retention_cohorts",
     "event_value_histogram",
@@ -424,6 +428,7 @@ _ROSTER_HEAD = [
     "event_value_outliers",
     "fuzzy_match_names",
     "rolling_window",
+    "funnel_stages",
     "warc_gz_quarantine",
     "flagship_extract_split_landed",
     "engine_dual_extract",

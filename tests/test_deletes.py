@@ -113,3 +113,87 @@ def test_delete_column_name_collision(spark):
         assert set(got.columns) == {"id", "file", "pos"}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_replaces_by_key_atomically(spark, table):
+    """One snapshot = equality-delete incoming keys + append new rows.
+    Updated keys show the NEW values (the upsert's own rows survive
+    the delete via sequence scoping); untouched keys are intact."""
+    up = spark.createDataFrame(
+        [(5, 500), (6, 600), (200, 200)], "id long, grp long"
+    )
+    sid = catalog.upsert(spark, table, up, keys=["id"])
+    m = catalog._read_manifest(table, sid)
+    assert m["operation"] == "upsert"
+    assert len(m["eq_delete_files"]) == 1
+    name, cols, seq = m["eq_delete_files"][0]
+    assert cols == ["id"] and seq == sid
+    got = {r.id: r.grp for r in catalog.read_table(spark, table).collect()}
+    assert len(got) == 101  # 100 originals - 2 replaced + 3 (one new)
+    assert got[5] == 500 and got[6] == 600 and got[200] == 200
+    assert got[7] == 7 % 10  # untouched
+
+
+def test_upsert_then_append_same_key_survives(spark, table):
+    """Sequence scoping: rows appended AFTER an upsert carry the same
+    key and must NOT be masked by the earlier equality delete."""
+    catalog.upsert(
+        spark, table,
+        spark.createDataFrame([(5, 555)], "id long, grp long"), keys=["id"]
+    )
+    catalog.write_snapshot(
+        spark.createDataFrame([(5, 999)], "id long, grp long"),
+        table, operation="append",
+    )
+    grps = sorted(
+        r.grp for r in catalog.read_table(spark, table)
+        .filter("id = 5").collect()
+    )
+    assert grps == [555, 999]
+
+
+def test_upsert_stacks_with_positional_delete_and_compacts(spark, table):
+    catalog.delete_where(spark, table, "id < 10")
+    catalog.upsert(
+        spark, table,
+        spark.createDataFrame([(50, 5050)], "id long, grp long"),
+        keys=["id"],
+    )
+    want = {r.id: r.grp for r in catalog.read_table(spark, table).collect()}
+    assert 0 not in want and want[50] == 5050 and len(want) == 90
+    catalog.compact(spark, table, num_files=2)
+    m = catalog._read_manifest(table, catalog.current_snapshot_id(table))
+    assert m["delete_files"] == [] and m["eq_delete_files"] == []
+    got = {r.id: r.grp for r in catalog.read_table(spark, table).collect()}
+    assert got == want
+
+
+def test_upsert_into_empty_table_is_first_snapshot(spark):
+    d = tempfile.mkdtemp(prefix="cat_ups_empty_")
+    try:
+        sid = catalog.upsert(
+            spark, d,
+            spark.createDataFrame([(1, 10)], "id long, grp long"),
+            keys=["id"],
+        )
+        m = catalog._read_manifest(d, sid)
+        assert m["eq_delete_files"] == []
+        assert [tuple(r) for r in
+                catalog.read_table(spark, d).collect()] == [(1, 10)]
+        # the staged-but-unreferenced key file was reclaimed
+        data = os.path.join(d, "data")
+        assert sorted(os.listdir(data)) == sorted(m["files"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_time_travel_predates_upsert(spark, table):
+    base = catalog.current_snapshot_id(table)
+    catalog.upsert(
+        spark, table,
+        spark.createDataFrame([(5, 555)], "id long, grp long"), keys=["id"]
+    )
+    old = {r.id: r.grp
+           for r in catalog.read_table(spark, table,
+                                       snapshot_id=base).collect()}
+    assert old[5] == 5 % 10 and len(old) == 100
