@@ -439,3 +439,29 @@ def test_runtime_bloom_filter_on_shuffle_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             saved_scan)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bcast)
+
+
+def test_delete_mask_is_broadcast_anti_join(spark, tmp_path):
+    """Merge-on-read masking must stay a broadcast anti-join on the
+    tiny delete side — a sort-merge anti here would shuffle the whole
+    table to honor a few-KB mask. Both mask kinds checked: positional
+    (delete_where) and equality (upsert)."""
+    from pyspark.sql import functions as F
+
+    from dd_ops_ocr_spark import catalog
+
+    d = str(tmp_path / "tbl")
+    df = spark.range(2000).withColumn("grp", F.col("id") % 10)
+    catalog.write_snapshot(df.repartition(4), d, operation="overwrite")
+    catalog.delete_where(spark, d, "id % 97 = 0")
+    catalog.upsert(
+        spark, d,
+        spark.createDataFrame([(5, 50)], "id long, grp long"), keys=["id"],
+    )
+    plan = _plan(catalog.read_table(spark, d))
+    n_anti = plan.count("LeftAnti")
+    assert n_anti >= 2, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= n_anti - plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert "SortMergeJoin" not in plan, plan[:2000]
