@@ -323,6 +323,68 @@ def stream_assemble_docs_event_time(
     )
 
 
+def stream_upsert_sink(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    table_dir: str,
+    keys: list[str],
+    schema,
+    seq_col: str = "seq",
+    trigger_once: bool = True,
+):
+    """Streaming CDC sink into the snapshot catalog: each micro-batch
+    MERGEs by key via catalog.upsert — one atomic snapshot per epoch
+    (equality-delete the batch's keys + append its rows), so readers
+    never observe a half-applied batch and the table converges to
+    last-write-wins per key in epoch order.
+
+    Replay-idempotent by construction, which is exactly what
+    foreachBatch's at-least-once delivery needs: a replayed epoch
+    re-deletes the same keys (including the rows its previous
+    incarnation appended) and re-appends the same rows — net row set
+    unchanged, only the snapshot lineage grows. No epoch-partition
+    bookkeeping required, unlike the parquet sink above, because the
+    MERGE itself is the idempotence mechanism.
+
+    Within one batch, rows are reduced to the highest-``seq_col``
+    occurrence per key before the merge — a batch carrying
+    insert+update for the same key must apply the update, and the
+    winner must be DETERMINISTIC across replays (which is why the
+    changelog carries an explicit sequence column, the cdc_merge
+    contract, rather than relying on batch row order — Spark makes no
+    ordering promise a replay would have to reproduce)."""
+    from dd_ops_ocr_spark import catalog
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return  # empty epoch: no snapshot churn
+        value_cols = [c for c in batch_df.columns if c not in keys]
+        latest = (
+            batch_df.groupBy(*keys)
+            .agg(*[
+                F.max_by(c, F.col(seq_col)).alias(c) for c in value_cols
+            ])
+            .select(*batch_df.columns)
+        )
+        catalog.upsert(spark, table_dir, latest, keys=keys)
+
+    writer = (
+        src.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 ASSEMBLE_TWS_GAP_MS = 15_000  # incomplete-doc eviction gap past the watermark
 
 

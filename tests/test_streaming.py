@@ -1086,3 +1086,61 @@ def test_tws_processor_evicts_incomplete_on_timer():
     out = list(p.handleInputRows(("doc_b",), _tws_rows(
         [(9, "b2", 4, t1)]), _StubTimerValues(99_999)))
     assert out == []
+
+
+def test_stream_upsert_sink_merges_and_replays_idempotently(spark):
+    """CDC micro-batches MERGE into the catalog atomically per epoch:
+    intra-batch rows reduce to the highest-seq row per key, later
+    epochs overwrite earlier ones, and a full replay from a fresh
+    checkpoint leaves the row set unchanged (the merge itself is the
+    idempotence mechanism — no epoch partitions)."""
+    import glob
+    import shutil as sh
+
+    from dd_ops_ocr_spark import catalog
+    from dd_ops_ocr_spark.streaming.jobs import stream_upsert_sink
+
+    land = tempfile.mkdtemp(prefix="stream_ups_land_")
+    ckpt1 = tempfile.mkdtemp(prefix="stream_ups_ck1_")
+    ckpt2 = tempfile.mkdtemp(prefix="stream_ups_ck2_")
+    table = tempfile.mkdtemp(prefix="stream_ups_tbl_")
+    schema = "id long, val string, seq long"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        tmp = f"{land}/_tmp_{name}"
+        df.write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        sh.copy(part, f"{land}/{name}.parquet")
+        sh.rmtree(tmp)
+
+    def rows():
+        return {
+            r.id: r.val
+            for r in catalog.read_table(spark, table).collect()
+        }
+
+    try:
+        # epoch 1: insert + same-key update in ONE batch -> seq wins
+        write_file("f1", [(1, "a", 1), (2, "b", 1), (1, "a2", 2)])
+        stream_upsert_sink(
+            spark, land, ckpt1, table, keys=["id"], schema=schema
+        ).awaitTermination(120)
+        assert rows() == {1: "a2", 2: "b"}
+        # epoch 2: update one key, insert another
+        write_file("f2", [(2, "b2", 3), (3, "c", 3)])
+        stream_upsert_sink(
+            spark, land, ckpt1, table, keys=["id"], schema=schema
+        ).awaitTermination(120)
+        assert rows() == {1: "a2", 2: "b2", 3: "c"}
+        n_snaps = len(catalog.snapshots(table))
+        # full replay (fresh checkpoint) into the SAME table: row set
+        # unchanged, only the snapshot lineage grows
+        stream_upsert_sink(
+            spark, land, ckpt2, table, keys=["id"], schema=schema
+        ).awaitTermination(120)
+        assert rows() == {1: "a2", 2: "b2", 3: "c"}
+        assert len(catalog.snapshots(table)) > n_snaps
+    finally:
+        for d in (land, ckpt1, ckpt2, table):
+            shutil.rmtree(d, ignore_errors=True)
