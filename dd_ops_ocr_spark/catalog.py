@@ -239,6 +239,34 @@ def _advance_pointer(table_dir: str, sid: int) -> None:
         os.rename(cur_tmp, _current_path(table_dir))  # atomic swap
 
 
+def _union_schema(parent_json: str | None, df_schema) -> str:
+    """Schema evolution on append/upsert (Iceberg add-column): the
+    manifest schema becomes parent ∪ new. Existing columns must keep
+    their types (no silent widening/retyping); columns only the new
+    data has are appended and read as NULL out of older files
+    (schema-on-read — `read_table` scans with the manifest schema, so
+    heterogeneous file generations never need mergeSchema inference).
+    Returns the union schema as JSON."""
+    from pyspark.sql.types import StructType
+
+    if not parent_json:
+        return df_schema.json()
+    ps = StructType.fromJson(json.loads(parent_json))
+    by_name = {f.name: f for f in ps.fields}
+    out = list(ps.fields)
+    for f in df_schema.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            out.append(f)
+        elif prev.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution conflict on column {f.name!r}: "
+                f"table has {prev.dataType.simpleString()}, incoming "
+                f"data has {f.dataType.simpleString()}"
+            )
+    return StructType(out).json()
+
+
 class CommitConflict(Exception):
     """The table advanced past ``expected_parent`` before this commit
     could publish — the caller's input snapshot is stale and must be
@@ -351,7 +379,13 @@ def write_snapshot(df: DataFrame, table_dir: str, operation: str = "overwrite",
             # whose data file list is EMPTY — e.g. a batch where every doc
             # legitimately extracted to zero rows — stays readable as an
             # empty DataFrame instead of crashing the parquet reader.
-            "schema": df.schema.json(),
+            # Appends union it with the parent's (schema evolution):
+            # older files' missing columns read as NULL.
+            "schema": (
+                _union_schema(pm.get("schema"), df.schema)
+                if parent is not None and operation == "append"
+                else df.schema.json()
+            ),
             "properties": properties or {},
         }
         try:
@@ -463,8 +497,22 @@ def read_table(spark: SparkSession, table_dir: str,
         paths = [os.path.join(table_dir, "data", f) for f in m["files"]]
     if not paths:
         return _empty_df(spark, m)
-    df = spark.read.parquet(*[_spark_url(p) for p in paths])
+    df = _read_data(spark, m, paths)
     return _apply_deletes(spark, table_dir, m, df)
+
+
+def _read_data(spark: SparkSession, m: dict, paths: list) -> DataFrame:
+    """Scan data files under the MANIFEST schema (schema-on-read):
+    files from before an add-column evolution are missing the newer
+    columns and yield NULLs for them — no mergeSchema inference pass
+    over a million footers, and no dependence on which file Spark
+    samples first."""
+    from pyspark.sql.types import StructType
+
+    reader = spark.read
+    if m.get("schema"):
+        reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+    return reader.parquet(*[_spark_url(p) for p in paths])
 
 
 def _apply_deletes(spark: SparkSession, table_dir: str, m: dict,
@@ -626,9 +674,8 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
         if not m["files"]:
             return base  # nothing to delete from
         df = (
-            spark.read.parquet(*[
-                _spark_url(os.path.join(table_dir, "data", f))
-                for f in m["files"]
+            _read_data(spark, m, [
+                os.path.join(table_dir, "data", f) for f in m["files"]
             ])
             .withColumn(
                 "__cat_file",
@@ -740,7 +787,7 @@ def upsert(spark: SparkSession, table_dir: str, df: DataFrame,
                 + [[key_files[0], list(keys), sid]],
                 "file_seq": {**pm.get("file_seq", {}),
                              **{f: sid for f in files}},
-                "schema": df.schema.json(),
+                "schema": _union_schema(pm.get("schema"), df.schema),
                 "properties": {},
             }
         try:

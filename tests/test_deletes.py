@@ -197,3 +197,45 @@ def test_time_travel_predates_upsert(spark, table):
            for r in catalog.read_table(spark, table,
                                        snapshot_id=base).collect()}
     assert old[5] == 5 % 10 and len(old) == 100
+
+
+def test_schema_evolution_add_column_on_append(spark, table):
+    """Appending data with an extra column evolves the manifest schema
+    (parent union new); old files read the new column as NULL, the
+    pre-evolution snapshot keeps the old schema, and a same-name
+    different-type append is refused."""
+    base = catalog.current_snapshot_id(table)
+    extra = spark.createDataFrame(
+        [(100, 0, "hello")], "id long, grp long, note string"
+    )
+    catalog.write_snapshot(extra, table, operation="append")
+    cur = catalog.read_table(spark, table)
+    assert cur.columns == ["id", "grp", "note"]
+    notes = {r.id: r.note for r in cur.filter("id in (0, 100)").collect()}
+    assert notes == {0: None, 100: "hello"}
+    # time travel: the old snapshot never grew the column
+    old = catalog.read_table(spark, table, snapshot_id=base)
+    assert old.columns == ["id", "grp"]
+    # type conflict refused
+    bad = spark.createDataFrame([(1, "x")], "id long, grp string")
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        catalog.write_snapshot(bad, table, operation="append")
+
+
+def test_schema_evolution_through_upsert_and_delete(spark, table):
+    """Upserts union schemas too, and delete_where predicates can
+    reference an evolved column (NULL on pre-evolution files)."""
+    catalog.upsert(
+        spark, table,
+        spark.createDataFrame(
+            [(5, 50, "v2")], "id long, grp long, tag string"
+        ),
+        keys=["id"],
+    )
+    got = {r.id: (r.grp, r.tag)
+           for r in catalog.read_table(spark, table)
+           .filter("id in (4, 5)").collect()}
+    assert got == {4: (4, None), 5: (50, "v2")}
+    catalog.delete_where(spark, table, "tag = 'v2'")
+    assert 5 not in {r.id for r in
+                     catalog.read_table(spark, table).collect()}
