@@ -217,6 +217,54 @@ SELECT 1000000 + k AS doc_id, 'xx' AS lang, k AS n_chars
 FROM range(3) t(k)
 """
 
+
+def _evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once evolved table: snapshot of (doc_id, n_chars), then an
+    append whose rows carry an extra ``note`` column — the manifest
+    schema unions, pre-evolution files read note as NULL."""
+    from dd_ops_ocr_spark import catalog
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".bench_cache")
+    path = os.path.join(cache, f"catalog_evodocs_{name}_v{_FIXTURE_VERSION}")
+
+    def build(tmp: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        catalog.write_snapshot(
+            docs.repartition(4, "doc_id"), tmp, operation="overwrite"
+        )
+        evolved = spark.createDataFrame(
+            [(2_000_000 + k, 10 * k, f"note-{k}") for k in range(4)],
+            "doc_id long, n_chars long, note string",
+        )
+        catalog.write_snapshot(evolved, tmp, operation="append")
+
+    return cached_fixture(path, build)
+
+
+def q_catalog_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read across a schema evolution boundary: one scan, manifest
+    schema, old files NULL-fill the added column. The oracle states
+    the union closed-form with an explicit NULL for the old rows."""
+    tbl = _evolution_fixture(spark, sf_dir)
+    from dd_ops_ocr_spark import catalog
+
+    return catalog.read_table(spark, tbl).select(
+        "doc_id", "n_chars", "note"
+    )
+
+
+_EVOLUTION_ORACLE = """
+SELECT doc_id, n_chars, NULL::VARCHAR AS note FROM documents
+UNION ALL
+SELECT 2000000 + k, (10 * k)::BIGINT, 'note-' || k::VARCHAR
+FROM range(4) t(k)
+"""
+
 # ----------------------------------------------------------- CDC merge
 #
 # The lakehouse write primitive the read side above assumes: MERGE a
@@ -557,6 +605,7 @@ QUERIES = {
     "bucketed_enrich": q_bucketed_enrich,
     "catalog_delete_read": q_catalog_delete_read,
     "catalog_upsert_read": q_catalog_upsert_read,
+    "catalog_evolution_read": q_catalog_evolution_read,
 }
 ORACLE_SQL = {
     "catalog_skip_scan": _ORACLE,
@@ -567,4 +616,5 @@ ORACLE_SQL = {
     "bucketed_enrich": SQL_BUCKETED_ENRICH,
     "catalog_delete_read": _DELETE_ORACLE,
     "catalog_upsert_read": _UPSERT_ORACLE,
+    "catalog_evolution_read": _EVOLUTION_ORACLE,
 }

@@ -361,6 +361,11 @@ _ROSTER_HEAD = [
     # (attribution + conversion_latency keep the conversion-path
     # family in the 50).
     "catalog_upsert_read",
+    # and the read-across-schema-evolution pin (manifest-schema scan,
+    # NULL-filled added column). Displaces feed_entries (html_tables +
+    # html_interleaved_spans keep structured-HTML parsing in the 50;
+    # the feed XML parser is its within-family sibling).
+    "catalog_evolution_read",
     # new this round — never stamped; the final-session additions lead
     # (each is a family no earlier stamp represents: exact similarity
     # join, identity resolution, Z-order skipping, graph density,
@@ -386,7 +391,6 @@ _ROSTER_HEAD = [
     "fetch_schedule",
     "html_tables",
     "html_interleaved_spans",
-    "feed_entries",
     "shard_assign",
     "retention_cohorts",
     "event_value_histogram",
@@ -429,6 +433,7 @@ _ROSTER_HEAD = [
     "fuzzy_match_names",
     "rolling_window",
     "funnel_stages",
+    "feed_entries",
     "warc_gz_quarantine",
     "flagship_extract_split_landed",
     "engine_dual_extract",
