@@ -699,10 +699,14 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
                 ["file", "pos"],
                 "left_anti",
             )
-        n = hits.count()
+        # single find scan: write the positions, then read the count off
+        # the staged files' parquet footers (a .count() here would run
+        # the whole table scan a second time)
+        new_files, new_stats = _write_files(hits.coalesce(1), table_dir)
+        n = sum(new_stats[f]["rows"] for f in new_files)
         if n == 0:
+            _remove_staged(table_dir, new_files)
             return base  # everything already masked (or no match)
-        new_files, _stats = _write_files(hits.coalesce(1), table_dir)
         manifest = {
             "snapshot_id": base + 1,
             "parent_id": base,

@@ -329,10 +329,15 @@ _register(_routing)
 # ---------------------------------------------------------------- roster order
 # The correctness driver samples a PREFIX of this roster (50 queries per
 # round, insertion order). Rotation policy (VERDICT r4 #4): every round,
-# lead with the queries whose newest driver stamp is oldest, so no
-# query's latest stamp is ever more than two rounds old. For r05 that is
-# the 21 queries outside r04's sample (all last stamped in r03) plus the
-# new native-codec twin, new query first.
+# lead with the queries whose newest driver stamp is oldest — and
+# never-stamped NEW queries outrank everything. The r05 head therefore
+# leads with the final-day Spark-API families (Python DataSource batch+
+# stream, Python UDTFs, catalog row-level deletes/upsert/schema
+# evolution), then the final-session analytics families; each
+# displacement below names the in-50 family representative that keeps
+# the displaced query's capability covered, and the local oracle gate
+# (tests/test_oracle_sql.py) still hash-checks every registered query
+# on every pytest run regardless of roster position.
 _ROSTER_HEAD = [
     # newest — the Python DataSource surface (spark.read.format +
     # writer commit protocol + pushFilters + permissive quarantine):
