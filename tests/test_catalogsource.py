@@ -105,3 +105,52 @@ def test_batch_read_refuses_with_guidance(spark, tmp_path):
     catalog.write_snapshot(spark.range(3), table, operation="overwrite")
     with pytest.raises(Exception, match="read_table"):
         spark.read.format("ddops_catalog").load(table).count()
+
+
+def test_cdc_sink_to_change_feed_roundtrip(spark, tmp_path):
+    """End-to-end incremental loop: a CDC stream lands in the catalog
+    via stream_upsert_sink (atomic MERGE per epoch), and a downstream
+    change-feed subscription receives exactly the rows each upsert
+    APPENDED — the update images, never replays of the base table."""
+    import glob
+    import shutil as sh
+
+    from dd_ops_ocr_spark.streaming.jobs import stream_upsert_sink
+
+    land = str(tmp_path / "land")
+    table = str(tmp_path / "tbl")
+    ck_in, ck_out = str(tmp_path / "ck_in"), str(tmp_path / "ck_out")
+    schema = "id long, val string, seq long"
+    import os
+
+    os.makedirs(land)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        tmp = f"{land}/_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        sh.copy(glob.glob(f"{tmp}/part-*.parquet")[0],
+                f"{land}/{name}.parquet")
+        sh.rmtree(tmp)
+
+    cs.ensure_registered(spark)
+    write_file("f1", [(1, "a", 1), (2, "b", 1)])
+    stream_upsert_sink(
+        spark, land, ck_in, table, keys=["id"], schema=schema
+    ).awaitTermination(120)
+    got1 = _run_feed(spark, table, ck_out)
+    assert sorted(got1.id) == [1, 2]
+    # second CDC epoch: one update, one insert -> the feed sees exactly
+    # those two change rows
+    write_file("f2", [(2, "b2", 2), (3, "c", 2)])
+    stream_upsert_sink(
+        spark, land, ck_in, table, keys=["id"], schema=schema
+    ).awaitTermination(120)
+    got2 = _run_feed(spark, table, ck_out)
+    assert sorted((r.id, r.val) for r in got2.itertuples()) == [
+        (2, "b2"), (3, "c")
+    ]
+    # the table itself converged to last-write-wins
+    vals = {r.id: r.val
+            for r in catalog.read_table(spark, table).collect()}
+    assert vals == {1: "a", 2: "b2", 3: "c"}
