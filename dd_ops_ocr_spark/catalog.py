@@ -9,12 +9,15 @@ actually relies on, directly over parquet files:
     data files; readers list files from a manifest, never from the
     directory, so concurrent writers can't expose partial output.
   * **atomic commit** — data files are written under a staging name,
-    then the manifest is created with ``O_CREAT|O_EXCL`` (exclusive —
-    two committers racing for the same snapshot id cannot both win; the
+    then the manifest is published by writing a tmp file and
+    hard-linking it into place (link fails with EEXIST, so two
+    committers racing for the same snapshot id cannot both win; the
     loser re-reads the parent and retries, Iceberg's optimistic
-    concurrency); the catalog pointer (``_current``) is a one-line file
-    advanced monotonically with atomic renames. A crash mid-write leaves
-    only unreferenced files.
+    concurrency — and a manifest can never be observed half-written);
+    the catalog pointer (``_current``) is a one-line file advanced
+    monotonically with atomic renames. A crash mid-write leaves only
+    unreferenced files (staged data, orphan ``.tmp-*``), never a torn
+    manifest.
   * **time travel** — every snapshot remains readable by id
     (``read_table(..., snapshot_id=k)``); appends create a child
     snapshot referencing the parent (lineage).
@@ -43,7 +46,7 @@ def _norm_table_dir(table_dir: str) -> str:
     """Normalize a table location to a local POSIX path, or refuse loudly.
 
     The catalog's commit protocol is built on two POSIX atomic
-    primitives: O_CREAT|O_EXCL manifest creation (the CAS that makes
+    primitives: create-exclusive manifest linking (the CAS that makes
     concurrent committers safe) and rename() for the ``_current``
     pointer swap. Plain paths and ``file://`` URIs provide both. Object
     stores (s3a://, gs://) provide NEITHER — create-exclusive and rename
@@ -80,7 +83,7 @@ def _norm_table_dir(table_dir: str) -> str:
         return rest
     raise NotImplementedError(
         f"catalog table on {scheme}:// — the manifest CAS and pointer swap "
-        "need POSIX atomicity (O_EXCL create + rename), which object "
+        "need POSIX atomicity (exclusive link + rename), which object "
         "stores do not provide. Deploy the pointer through a metastore "
         "CAS (Hive/Glue/JDBC) as Iceberg does, or mount the table dir on "
         "a POSIX filesystem (HDFS via NFS gateway, local, file://)."
@@ -212,15 +215,34 @@ def _max_manifest_id(table_dir: str) -> int:
 
 
 def _publish(table_dir: str, manifest: dict) -> int:
-    """Create the manifest exclusively (commit point), then advance the
-    pointer. Raises FileExistsError if another committer won this id."""
+    """Atomically publish the manifest (commit point), then advance the
+    pointer. Raises FileExistsError if another committer won this id.
+
+    The manifest is written COMPLETELY to a tmp name, fsynced, then
+    hard-linked into place — link(2) fails with EEXIST when the target
+    exists, so this is the same create-exclusive CAS as O_CREAT|O_EXCL
+    but the manifest file can never be observed half-written. That
+    matters beyond crash hygiene: sid allocation is
+    ``_max_manifest_id()+1`` and every commit loop READS the parent
+    manifest it finds there, so with open-then-write a committer that
+    crashed (or was merely slow) mid-``json.dump`` would leave a torn
+    ``snap-*.json`` that permanently fails every later commit, read of
+    that id, and the change feed's dense snapshot walk. With
+    link-publish a crash before the link leaves only an orphan
+    ``*.tmp-*`` (never matched by ``_max_manifest_id``'s ``.json``
+    filter) and the id is simply reused."""
     os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
     sid = manifest["snapshot_id"]
-    fd = os.open(
-        _manifest_path(table_dir, sid), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-    )
-    with os.fdopen(fd, "w") as f:
+    final = _manifest_path(table_dir, sid)
+    tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())  # durable before visible
+    try:
+        os.link(tmp, final)  # atomic create-exclusive: EEXIST if raced
+    finally:
+        os.unlink(tmp)
     _advance_pointer(table_dir, sid)
     return sid
 

@@ -455,3 +455,39 @@ def test_plan_scan_mixed_iso_granularity_fails_open(spark, table):
     # matched granularity: prunes the 1996 file
     kept, _ = catalog.plan_scan(table, [("ts", ">=", "1997-01-01T00:00:00")])
     assert len(kept) < total
+
+
+def test_publish_crash_leaves_no_torn_manifest(spark, table, monkeypatch):
+    """A committer that dies mid-manifest-write must leave the id
+    unclaimed, not a torn snap-*.json: sid allocation is
+    _max_manifest_id()+1 and every commit loop READS the parent manifest
+    it finds there, so a half-written manifest would permanently fail
+    all later commits, time travel to that id, and the change feed's
+    dense snapshot walk. Link-publish makes the manifest either absent
+    or complete — never partial."""
+    df = spark.range(3).selectExpr("cast(id as string) as doc_id")
+    s1 = catalog.write_snapshot(df, table, "overwrite")
+    meta = os.path.join(table, "metadata")
+
+    real_dump = catalog.json.dump
+
+    def torn_dump(obj, f, **kw):
+        f.write('{"snapshot_id": ')  # partial bytes, then die
+        raise OSError("simulated crash mid-manifest-write")
+
+    monkeypatch.setattr(catalog.json, "dump", torn_dump)
+    with pytest.raises(OSError, match="simulated crash"):
+        catalog.write_snapshot(df, table, "append")
+    monkeypatch.setattr(catalog.json, "dump", real_dump)
+
+    # no torn manifest claimed the id; only the committed one exists
+    snaps = [n for n in os.listdir(meta)
+             if n.startswith("snap-") and n.endswith(".json")]
+    assert snaps == [f"snap-{s1:06d}.json"]
+    assert catalog.current_snapshot_id(table) == s1
+
+    # the id is reusable: the next committer lands at s1+1 and the
+    # table reads whole (commit path re-reads this parent manifest)
+    s2 = catalog.write_snapshot(df, table, "append")
+    assert s2 == s1 + 1
+    assert catalog.read_table(spark, table).count() == 6
