@@ -247,6 +247,18 @@ def _publish(table_dir: str, manifest: dict) -> int:
     return sid
 
 
+def _heal_pointer(table_dir: str) -> None:
+    """Catch ``_current`` up to the newest complete manifest. A
+    committer can crash in the window between manifest link (the
+    commit point) and pointer advance (publication); ``write_snapshot``
+    and ``upsert`` self-heal because they allocate from
+    ``_max_manifest_id``, but loops that base their CAS on
+    ``current_snapshot_id`` (``delete_where``, ``compact``) would
+    spin 16x against the stale base and raise CommitConflict — so they
+    heal first. No-op (one listdir) when the pointer is current."""
+    _advance_pointer(table_dir, 0)
+
+
 def _advance_pointer(table_dir: str, sid: int) -> None:
     """Monotonically advance ``_current``: never move it backwards, even
     when an older committer's rename lands after a newer one's."""
@@ -645,6 +657,7 @@ def compact(spark: SparkSession, table_dir: str, num_files: int = 1,
     them)."""
     table_dir = _norm_table_dir(table_dir)
     for _ in range(16):
+        _heal_pointer(table_dir)
         base = current_snapshot_id(table_dir)
         df = read_table(spark, table_dir, snapshot_id=base)
         if sort_by:
@@ -689,6 +702,7 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
     table_dir = _norm_table_dir(table_dir)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     for _ in range(16):
+        _heal_pointer(table_dir)
         base = current_snapshot_id(table_dir)
         if base is None:
             raise FileNotFoundError(f"no committed snapshot in {table_dir}")

@@ -491,3 +491,38 @@ def test_publish_crash_leaves_no_torn_manifest(spark, table, monkeypatch):
     s2 = catalog.write_snapshot(df, table, "append")
     assert s2 == s1 + 1
     assert catalog.read_table(spark, table).count() == 6
+
+
+def test_lagging_pointer_heals_in_cas_loops(spark, table):
+    """A committer that crashed AFTER linking its manifest but BEFORE
+    advancing _current leaves a committed snapshot the pointer doesn't
+    name yet. write_snapshot/upsert self-heal (they allocate from
+    _max_manifest_id), but delete_where and compact CAS on
+    current_snapshot_id — without healing they would spin 16x against
+    the stale base and raise CommitConflict. Both must adopt the
+    orphaned-complete snapshot and commit on top of it."""
+    import json as _json
+
+    df = spark.range(10).selectExpr("id", "id % 2 AS v")
+    s1 = catalog.write_snapshot(df, table, "overwrite")
+    # simulate the crash window: a COMPLETE manifest at s1+1, pointer
+    # still at s1 (write it directly; _publish would advance)
+    m = catalog._read_manifest(table, s1)
+    m["snapshot_id"], m["parent_id"] = s1 + 1, s1
+    with open(catalog._manifest_path(table, s1 + 1), "w") as f:
+        _json.dump(m, f)
+    assert catalog.current_snapshot_id(table) == s1
+
+    s3 = catalog.delete_where(spark, table, "v = 1")
+    assert s3 == s1 + 2  # committed past the adopted orphan
+    assert catalog.current_snapshot_id(table) == s3
+    assert catalog.read_table(spark, table).count() == 5
+
+    # same crash shape again, then compact
+    m2 = catalog._read_manifest(table, s3)
+    m2["snapshot_id"], m2["parent_id"] = s3 + 1, s3
+    with open(catalog._manifest_path(table, s3 + 1), "w") as f:
+        _json.dump(m2, f)
+    s5 = catalog.compact(spark, table, num_files=1)
+    assert s5 == s3 + 2
+    assert catalog.read_table(spark, table).count() == 5
