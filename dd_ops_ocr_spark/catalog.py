@@ -273,10 +273,42 @@ def _advance_pointer(table_dir: str, sid: int) -> None:
         os.rename(cur_tmp, _current_path(table_dir))  # atomic swap
 
 
+def _same_type_ignore_null(a, b) -> bool:
+    """Type equality that ignores nullability METADATA at every nesting
+    level (field nullable, array containsNull, map valueContainsNull).
+    Spark's DataType.__eq__ includes those flags, but they are not part
+    of the logical type: a collect_list() result carries
+    array<string> containsNull=False while the same data read back from
+    parquet carries containsNull=True — refusing that append as a
+    'schema evolution conflict on array<string> vs array<string>' is
+    both wrong and unactionable."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, ArrayType):
+        return _same_type_ignore_null(a.elementType, b.elementType)
+    if isinstance(a, MapType):
+        return (_same_type_ignore_null(a.keyType, b.keyType)
+                and _same_type_ignore_null(a.valueType, b.valueType))
+    if isinstance(a, StructType):
+        return (
+            len(a.fields) == len(b.fields)
+            and all(
+                fa.name == fb.name
+                and _same_type_ignore_null(fa.dataType, fb.dataType)
+                for fa, fb in zip(a.fields, b.fields)
+            )
+        )
+    return a == b
+
+
 def _union_schema(parent_json: str | None, df_schema) -> str:
     """Schema evolution on append/upsert (Iceberg add-column): the
     manifest schema becomes parent ∪ new. Existing columns must keep
-    their types (no silent widening/retyping); columns only the new
+    their types (no silent widening/retyping — nullability metadata
+    excepted, see ``_same_type_ignore_null``; the parent's declared
+    type wins on a pure nullability difference); columns only the new
     data has are appended and read as NULL out of older files
     (schema-on-read — `read_table` scans with the manifest schema, so
     heterogeneous file generations never need mergeSchema inference).
@@ -292,7 +324,7 @@ def _union_schema(parent_json: str | None, df_schema) -> str:
         prev = by_name.get(f.name)
         if prev is None:
             out.append(f)
-        elif prev.dataType != f.dataType:
+        elif not _same_type_ignore_null(prev.dataType, f.dataType):
             raise ValueError(
                 f"schema evolution conflict on column {f.name!r}: "
                 f"table has {prev.dataType.simpleString()}, incoming "
@@ -570,10 +602,28 @@ def _apply_deletes(spark: SparkSession, table_dir: str, m: dict,
     if not pos and not eqs:
         return df
     cols = df.columns
-    df = df.withColumn(
+    return _mask_deletes(spark, table_dir, m, _with_scan_meta(df)) \
+        .select(*cols)
+
+
+def _with_scan_meta(df: DataFrame) -> DataFrame:
+    """Attach the (file basename, in-file row ordinal) helper columns
+    the delete masks join on, from Spark's hidden ``_metadata``."""
+    return df.withColumn(
         "__cat_file",
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
     ).withColumn("__cat_pos", F.col("_metadata.row_index"))
+
+
+def _mask_deletes(spark: SparkSession, table_dir: str, m: dict,
+                  df: DataFrame) -> DataFrame:
+    """The masking core, on a df that already carries
+    ``__cat_file``/``__cat_pos`` (kept in the output so callers that
+    need row positions — delete_where — can mask BEFORE finding rows:
+    a row already invisible through either mask kind must not be
+    findable, or re-deletes double-count)."""
+    pos = m.get("delete_files", [])
+    eqs = m.get("eq_delete_files", [])
     if pos:
         dels = spark.read.parquet(*[
             _spark_url(os.path.join(table_dir, "data", f)) for f in pos
@@ -603,7 +653,8 @@ def _apply_deletes(spark: SparkSession, table_dir: str, m: dict,
             for c in key_cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__del_{c}"))
             df = df.join(d, cond, "left_anti")
-    return df.select(*cols)
+        df = df.drop("__cat_seq")
+    return df
 
 
 def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -709,16 +760,15 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
         m = _read_manifest(table_dir, base)
         if not m["files"]:
             return base  # nothing to delete from
-        df = (
-            _read_data(spark, m, [
-                os.path.join(table_dir, "data", f) for f in m["files"]
-            ])
-            .withColumn(
-                "__cat_file",
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            )
-            .withColumn("__cat_pos", F.col("_metadata.row_index"))
-        )
+        df = _with_scan_meta(_read_data(spark, m, [
+            os.path.join(table_dir, "data", f) for f in m["files"]
+        ]))
+        # mask FIRST (both delete kinds, same joins readers apply):
+        # rows already invisible — positionally deleted, or replaced by
+        # an upsert's equality delete — must not be findable, or a
+        # re-delete double-counts them and commits a snapshot for rows
+        # nobody could see
+        df = _mask_deletes(spark, table_dir, m, df)
         # prefixed helper names so a table column named file/pos can't
         # collide; the persisted delete-file schema is (file, pos)
         hits = df.filter(cond).select(
@@ -726,15 +776,6 @@ def delete_where(spark: SparkSession, table_dir: str, condition) -> int:
             F.col("__cat_pos").alias("pos"),
         )
         existing = m.get("delete_files", [])
-        if existing:
-            hits = hits.join(
-                spark.read.parquet(*[
-                    _spark_url(os.path.join(table_dir, "data", f))
-                    for f in existing
-                ]),
-                ["file", "pos"],
-                "left_anti",
-            )
         # single find scan: write the positions, then read the count off
         # the staged files' parquet footers (a .count() here would run
         # the whole table scan a second time)
@@ -796,7 +837,14 @@ def upsert(spark: SparkSession, table_dir: str, df: DataFrame,
     first snapshot. Returns the committed snapshot id."""
     table_dir = _norm_table_dir(table_dir)
     files, stats = _write_files(df, table_dir)
-    key_files, _ = _write_files(df.select(*keys).distinct().coalesce(1),
+    # the delete-key file derives from the JUST-STAGED parquet, not
+    # from df again — df may be an arbitrarily expensive plan (a CDC
+    # sink passes a groupBy/max_by per epoch) and executing it twice
+    # doubles every epoch's cost; the staged files are tiny local reads
+    staged = spark.read.parquet(*[
+        _spark_url(os.path.join(table_dir, "data", f)) for f in files
+    ])
+    key_files, _ = _write_files(staged.select(*keys).distinct().coalesce(1),
                                 table_dir)
     while True:
         parent = _max_manifest_id(table_dir) or None

@@ -71,3 +71,14 @@ def cached_fixture(path: str, build: Callable[[str], None]) -> str:
         else:
             raise  # nobody won; surface the real failure
     return path
+
+
+def bench_cache_dir() -> str:
+    """The repo-root ``.bench_cache`` directory — the one place that
+    knows the repo layout, instead of each fixture builder re-deriving
+    it with a dirname chain whose depth silently depends on which
+    package level the caller lives at."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_cache",
+    )

@@ -42,11 +42,10 @@ def _fixture_table(spark: SparkSession, sf_dir: str) -> str:
     Build/publish protocol shared with registry._landed_cache
     (fixture_cache.cached_fixture)."""
     from dd_ops_ocr_spark import catalog
-    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir, cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".bench_cache")
+    cache = bench_cache_dir()
     path = os.path.join(cache, f"catalog_orders_{name}_v{_FIXTURE_VERSION}")
 
     def build(tmp: str) -> None:
@@ -123,11 +122,10 @@ def _delete_fixture(spark: SparkSession, sf_dir: str) -> str:
     delete committed on top (catalog.delete_where): data files
     untouched, a delete snapshot masks doc_id % 7 = 3."""
     from dd_ops_ocr_spark import catalog
-    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir, cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".bench_cache")
+    cache = bench_cache_dir()
     path = os.path.join(cache, f"catalog_deldocs_{name}_v{_FIXTURE_VERSION}")
 
     def build(tmp: str) -> None:
@@ -167,11 +165,10 @@ def _upsert_fixture(spark: SparkSession, sf_dir: str) -> str:
     committed on top: docs with doc_id % 11 = 5 get n_chars doubled
     (same key, new value), plus three brand-new doc ids."""
     from dd_ops_ocr_spark import catalog
-    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir, cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".bench_cache")
+    cache = bench_cache_dir()
     path = os.path.join(cache, f"catalog_upsdocs_{name}_v{_FIXTURE_VERSION}")
 
     def build(tmp: str) -> None:
@@ -223,11 +220,10 @@ def _evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
     append whose rows carry an extra ``note`` column — the manifest
     schema unions, pre-evolution files read note as NULL."""
     from dd_ops_ocr_spark import catalog
-    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir, cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".bench_cache")
+    cache = bench_cache_dir()
     path = os.path.join(cache, f"catalog_evodocs_{name}_v{_FIXTURE_VERSION}")
 
     def build(tmp: str) -> None:

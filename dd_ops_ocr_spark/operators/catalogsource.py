@@ -23,6 +23,18 @@ Delta/Iceberg change-data-feed "insert" subset:
   one — Spark's standard compatible-schema-change-on-restart
   contract.
 
+* history retention: snapshots 1..N replay from the manifest lineage,
+  so a subscriber can start from the beginning — UNLESS
+  ``expire_snapshots`` dropped manifests it hadn't consumed. Hitting
+  an expired snapshot raises with recovery guidance by default;
+  ``option("starting_snapshot", "earliest")`` starts a fresh
+  subscriber at the oldest SURVIVING snapshot (whose full file list
+  is emitted as the initial-state backfill when its parent is gone —
+  the Debezium/Delta startingVersion shape), ``"latest"`` subscribes
+  to future changes only, an integer pins an explicit snapshot id,
+  and ``option("allow_data_loss", "true")`` skips expired snapshots
+  instead of failing (Kafka's failOnDataLoss=false contract).
+
 Planning is driver-metadata-only (manifest diffs); execution reads
 one parquet file per task via pyarrow and yields Arrow RecordBatches.
 Like every file-list source, an ``overwrite`` that REPLACES history
@@ -60,14 +72,37 @@ class CatalogStreamReader(DataSourceStreamReader):
         if not self.table_dir:
             raise ValueError("ddops_catalog stream needs a table path")
         self.schema_json = schema_json
+        self.starting = str(options.get("starting_snapshot", "0"))
+        self.allow_data_loss = str(
+            options.get("allow_data_loss", "false")
+        ).lower() == "true"
 
     def _current(self) -> int:
         from dd_ops_ocr_spark import catalog
 
         return catalog.current_snapshot_id(self.table_dir) or 0
 
+    def _earliest_available(self) -> int:
+        """Oldest snapshot whose manifest still exists (expire_snapshots
+        deletes old manifests); 1 when none were ever expired."""
+        import re as _re
+
+        meta = os.path.join(self.table_dir, "metadata")
+        try:
+            ids = [
+                int(n[5:-5]) for n in os.listdir(meta)
+                if _re.fullmatch(r"snap-\d+\.json", n)
+            ]
+        except FileNotFoundError:
+            ids = []
+        return min(ids, default=1)
+
     def initialOffset(self) -> dict:
-        return {"snap": 0}
+        if self.starting == "earliest":
+            return {"snap": self._earliest_available() - 1}
+        if self.starting == "latest":
+            return {"snap": self._current()}
+        return {"snap": int(self.starting)}
 
     def latestOffset(self) -> dict:
         return {"snap": self._current()}
@@ -77,17 +112,42 @@ class CatalogStreamReader(DataSourceStreamReader):
 
         out: list[_FileSlice] = []
         for sid in range(start["snap"] + 1, end["snap"] + 1):
-            m = catalog._read_manifest(self.table_dir, sid)
+            try:
+                m = catalog._read_manifest(self.table_dir, sid)
+            except FileNotFoundError:
+                # expire_snapshots dropped this manifest (and its
+                # unshared data files) — the rows are unrecoverable
+                if self.allow_data_loss:
+                    continue
+                raise RuntimeError(
+                    f"ddops_catalog: snapshot {sid} of {self.table_dir} "
+                    "was expired before this subscriber consumed it. "
+                    "Restart from a fresh checkpoint with option("
+                    "'starting_snapshot', 'earliest') to backfill from "
+                    "the oldest surviving snapshot, or set option("
+                    "'allow_data_loss', 'true') to skip expired "
+                    "snapshots; expire with keep_last covering "
+                    "subscriber lag to avoid this."
+                ) from None
             if m.get("operation") in ("compact", "delete"):
                 continue  # row set unchanged / removals only
+            prev: set = set()
             if m.get("parent_id"):
-                prev = set(
-                    catalog._read_manifest(
-                        self.table_dir, m["parent_id"]
-                    )["files"]
-                )
-            else:
-                prev = set()
+                try:
+                    prev = set(
+                        catalog._read_manifest(
+                            self.table_dir, m["parent_id"]
+                        )["files"]
+                    )
+                except FileNotFoundError:
+                    # parent expired but THIS manifest survives: the
+                    # added-files delta is uncomputable, so emit the
+                    # full file list — a backfill. Correct for a new
+                    # 'earliest' subscriber (initial state + changes,
+                    # the Debezium/Delta startingVersion shape); for a
+                    # lagging one it restates rows (at-least-once at a
+                    # data-loss boundary, never silent loss).
+                    prev = set()
             for name in m["files"]:
                 if name not in prev:
                     out.append(_FileSlice(
@@ -159,5 +219,6 @@ class CatalogChangeFeedDataSource(DataSource):
 
 
 def ensure_registered(spark: SparkSession) -> None:
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # (no filter-pushdown conf here: this source implements no
+    # pushFilters — the conf only matters for readers that do)
     spark.dataSource.register(CatalogChangeFeedDataSource)

@@ -31,11 +31,19 @@ Why this matters at 100 TB (what each piece buys):
   round trip.
 * **Commit protocol.** Tasks write ``shard-<pid>-<attempt>`` files and
   return commit messages; only ``commit()`` publishes a manifest
-  listing the winners (and sweeps loser-attempt files), so readers
-  never observe partial/aborted writes — same contract as the repo's
-  ledger/catalog (`dd_ops_ocr_spark/catalog.py`) at the file level.
-  ``mode("overwrite")`` replaces the manifest; ``mode("append")``
-  unions it.
+  listing the winners, so readers never observe partial/aborted
+  writes. The manifest is VERSIONED and CAS-published exactly like the
+  catalog's (`dd_ops_ocr_spark/catalog.py`): written complete to a tmp
+  name, then hard-linked to ``_MANIFEST-<v+1>.json`` — link fails with
+  EEXIST when another job claimed the version, and the loser re-reads
+  and re-merges, so two concurrent ``mode("append")`` jobs both land
+  (a read-modify-``os.replace`` would silently drop one's files).
+  ``mode("overwrite")`` starts a fresh file list; ``mode("append")``
+  unions the previous version's. ``commit()`` deletes NOTHING — a
+  sweep there would race a concurrent job's staged-but-uncommitted
+  shards; superseded/orphaned files are reclaimed by the explicit
+  ``vacuum()`` maintenance call (Iceberg's expire/remove_orphan_files
+  split, and the catalog module draws the same line).
 * **Quarantine.** Default reads are strict (a corrupt member fails the
   task loudly). ``option("permissive", "true")`` degrades a corrupt
   member to one ``__corrupt__`` row — the reference's warn-and-continue
@@ -57,6 +65,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
+import uuid
 import zlib
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
@@ -84,7 +94,38 @@ from dd_ops_ocr_spark.operators.warc import (
     warc_record_set,
 )
 
-_MANIFEST = "_MANIFEST.json"
+_MANIFEST = "_MANIFEST.json"  # legacy single-file name (version 0 reads)
+_MANIFEST_V = re.compile(r"^_MANIFEST-(\d+)\.json$")
+
+
+def _manifest_v_path(path: str, version: int) -> str:
+    return os.path.join(path, f"_MANIFEST-{version:06d}.json")
+
+
+def _load_manifest(path: str) -> tuple[dict | None, int]:
+    """Resolve the current manifest: the highest ``_MANIFEST-<v>.json``,
+    falling back to the legacy unversioned ``_MANIFEST.json`` (version
+    0) for archives written before manifests were CAS-versioned.
+    Returns ``(manifest, version)`` — ``(None, 0)`` when the archive
+    has no manifest yet."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return None, 0
+    versions = [
+        int(m.group(1)) for m in map(_MANIFEST_V.match, names) if m
+    ]
+    if versions:
+        v = max(versions)
+        with open(_manifest_v_path(path, v)) as f:
+            return json.load(f), v
+    legacy = os.path.join(path, _MANIFEST)
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            return json.load(f), 0
+    return None, 0
+
+
 _READ_SCHEMA = (
     "record_id string, warc_type string, target_uri string, "
     "content_length bigint, http_status bigint, body_len bigint, "
@@ -160,29 +201,41 @@ class WarcArchiveWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         new = sorted(m.file for m in messages if m is not None and m.file)
-        mpath = os.path.join(self.path, _MANIFEST)
-        files = list(new)
-        # "commits" is the append-ordered epoch log the STREAMING reader
-        # offsets into (commit index = offset); "files" stays the flat
-        # union the batch reader scans
-        commits = [new]
-        if not self.overwrite and os.path.exists(mpath):
-            with open(mpath) as f:
-                prev = json.load(f)
-            files = sorted(set(prev["files"]) | set(new))
-            commits = prev.get("commits", [prev["files"]]) + [new]
-        referenced = set(files)
-        with open(mpath + ".tmp", "w") as f:
-            json.dump({"files": files, "commits": commits}, f)
-        os.replace(mpath + ".tmp", mpath)  # atomic publish
-        # sweep unreferenced shards: failed/superseded attempts and, on
-        # overwrite, the previous manifest's files
-        for name in os.listdir(self.path):
-            base = name[: -len(".idx.json")] if name.endswith(
-                ".idx.json"
-            ) else name
-            if base.startswith("shard-") and base not in referenced:
-                os.remove(os.path.join(self.path, name))
+        # a legitimately-empty job (every task saw zero rows) must still
+        # publish its (empty) manifest — only row-bearing TASKS create
+        # the directory, so the driver ensures it here
+        os.makedirs(self.path, exist_ok=True)
+        # CAS publish loop (same shape as catalog._publish): merge
+        # against the version we read, link-claim the next version,
+        # re-merge and retry on EEXIST — two concurrent appends both
+        # land. No sweep here: commit cannot tell a loser attempt from
+        # a CONCURRENT job's staged-but-uncommitted shard, so deleting
+        # unreferenced files would silently destroy that job's data;
+        # reclamation is vacuum()'s job, called when no write is live.
+        while True:
+            prev, ver = _load_manifest(self.path)
+            if self.overwrite or prev is None:
+                files = list(new)
+                # "commits" is the append-ordered epoch log the
+                # STREAMING reader offsets into (commit index = offset);
+                # "files" stays the flat union the batch reader scans
+                commits = [new]
+            else:
+                files = sorted(set(prev["files"]) | set(new))
+                commits = prev.get("commits", [prev["files"]]) + [new]
+            target = _manifest_v_path(self.path, ver + 1)
+            tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"files": files, "commits": commits}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)  # EEXIST: another job took this v
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            os.unlink(tmp)
+            return
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -192,6 +245,43 @@ class WarcArchiveWriter(DataSourceWriter):
                         os.remove(os.path.join(self.path, m.file + suffix))
                     except FileNotFoundError:
                         pass  # task died before writing this piece
+
+
+def vacuum(path: str) -> dict:
+    """Reclaim shard files no longer referenced by the CURRENT manifest
+    (loser task attempts, files superseded by ``mode("overwrite")``)
+    plus superseded manifest versions and orphan ``.tmp-*``. MUST NOT
+    run concurrently with a live write job — an in-flight job's staged
+    shards are indistinguishable from orphans (the same reason
+    ``commit()`` never sweeps, and the same contract as Iceberg's
+    remove_orphan_files). Returns counts."""
+    manifest, ver = _load_manifest(path)
+    if manifest is None:
+        return {"data_files": 0, "manifests": 0}
+    referenced = set(manifest["files"])
+    n_data = n_manifests = 0
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        mv = _MANIFEST_V.match(name)
+        if mv:
+            if int(mv.group(1)) < ver:
+                os.remove(full)
+                n_manifests += 1
+            continue
+        if name == _MANIFEST and ver > 0:
+            os.remove(full)  # legacy manifest superseded by versioned
+            n_manifests += 1
+            continue
+        if ".tmp-" in name:
+            os.remove(full)
+            continue
+        base = name[: -len(".idx.json")] if name.endswith(
+            ".idx.json"
+        ) else name
+        if base.startswith("shard-") and base not in referenced:
+            os.remove(full)
+            n_data += 1
+    return {"data_files": n_data, "manifests": n_manifests}
 
 
 # ------------------------------------------------------------- reader
@@ -237,6 +327,21 @@ def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
     warc_type predicate."""
     import pyarrow as pa
 
+    if partition is None or not partition.members:
+        # an empty archive plans zero splits; Spark still issues one
+        # read(None) task — answer it with an empty, correctly-typed batch
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([], t) for t in (
+                pa.string(), pa.string(), pa.string(), pa.int64(),
+                pa.int64(), pa.int64(), pa.string(),
+            )],
+            names=[
+                "record_id", "warc_type", "target_uri", "content_length",
+                "http_status", "body_len", "body_md5",
+            ],
+        )
+        return
+
     base = partition.members[0][0]
     end = partition.members[-1][0] + partition.members[-1][1]
     with open(partition.path, "rb") as f:
@@ -250,6 +355,13 @@ def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
 
     for off, clen in partition.members:
         raw_gz = blob[off - base: off - base + clen]
+        # permissive mode must degrade ANY malformed member to one
+        # __corrupt__ row — not just gzip/framing rot. A member can
+        # inflate with a valid CRC yet hold a response whose payload is
+        # not well-formed HTTP, a non-UTF8 header block, or a garbage
+        # Content-Length (foreign tooling, rot that preserves the CRC);
+        # all of those are member-local defects, so the whole
+        # parse-to-row path sits inside the try.
         try:
             d = zlib.decompressobj(31)
             raw = d.decompress(raw_gz) + d.flush()
@@ -258,25 +370,27 @@ def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
             recs = decode_warc(raw)
             if len(recs) != 1:
                 raise ValueError("member holds != 1 record")
-        except (zlib.error, ValueError):
+            wtype, hdrs, payload = recs[0]
+            if not type_ok(wtype):
+                continue  # pushed filter: skip before any body work
+            if wtype == "response":
+                status, body = _http_split(payload)
+            else:
+                status, body = 0, payload
+            row = (
+                hdrs.get("WARC-Record-ID", ""), wtype,
+                hdrs.get("WARC-Target-URI", ""),
+                int(hdrs["Content-Length"]), status, len(body),
+                hashlib.md5(body).hexdigest(),
+            )
+        except (zlib.error, ValueError, KeyError, IndexError,
+                UnicodeDecodeError):
             if not permissive:
                 raise
             if type_ok(_CORRUPT_TYPE):
                 emit("", _CORRUPT_TYPE, "", 0, 0, 0, "")
             continue
-        wtype, hdrs, payload = recs[0]
-        if not type_ok(wtype):
-            continue  # pushed filter: skip before any body work
-        if wtype == "response":
-            status, body = _http_split(payload)
-        else:
-            status, body = 0, payload
-        emit(
-            hdrs.get("WARC-Record-ID", ""), wtype,
-            hdrs.get("WARC-Target-URI", ""),
-            int(hdrs["Content-Length"]), status, len(body),
-            hashlib.md5(body).hexdigest(),
-        )
+        emit(*row)
     yield pa.RecordBatch.from_arrays(
         [
             pa.array(cols[0], pa.string()),
@@ -326,9 +440,12 @@ class WarcArchiveReader(DataSourceReader):
 
     # -- planning (driver): manifest + sidecar indexes only, no data
     def partitions(self) -> Sequence[InputPartition]:
-        with open(os.path.join(self.path, _MANIFEST)) as f:
-            files = json.load(f)["files"]
-        return _plan_splits(self.path, files, self.split_bytes)
+        manifest, _ver = _load_manifest(self.path)
+        if manifest is None:
+            raise FileNotFoundError(
+                f"no committed ddops_warc manifest in {self.path}"
+            )
+        return _plan_splits(self.path, manifest["files"], self.split_bytes)
 
     # -- execution (tasks)
     def read(self, partition: _MemberSplit):
@@ -358,11 +475,9 @@ class WarcArchiveStreamReader(DataSourceStreamReader):
         ).lower() == "true"
 
     def _commits(self) -> list:
-        mpath = os.path.join(self.path, _MANIFEST)
-        if not os.path.exists(mpath):
+        m, _ver = _load_manifest(self.path)
+        if m is None:
             return []  # archive not created yet — stream waits
-        with open(mpath) as f:
-            m = json.load(f)
         return m.get("commits", [m["files"]])
 
     def initialOffset(self) -> dict:
@@ -435,9 +550,8 @@ def _corrupt_metadata_members(path: str) -> None:
     (3rd md5 nibble even — the repo's standard deterministic gate).
     Offsets don't move, so the sidecar indexes stay valid: exactly the
     bit-rot case the permissive reader must quarantine per-member."""
-    with open(os.path.join(path, _MANIFEST)) as f:
-        files = json.load(f)["files"]
-    for name in files:
+    manifest, _ver = _load_manifest(path)
+    for name in manifest["files"]:
         fpath = os.path.join(path, name)
         with open(fpath, "rb") as f:
             data = bytearray(f.read())
@@ -463,11 +577,10 @@ def _corrupt_metadata_members(path: str) -> None:
 def _fixture_dir(
     spark: SparkSession, sf_dir: str, corrupt: bool
 ) -> str:
-    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir, cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".bench_cache")
+    cache = bench_cache_dir()
     tag = "corrupt" if corrupt else "clean"
     path = os.path.join(
         cache, f"warcds_{name}_{tag}_v{_FIXTURE_VERSION}"
@@ -495,11 +608,10 @@ def bench_archive(spark: SparkSession, sf_dir: str, mult: int = 64) -> str:
     The read side then measures what matters — member-split planning
     fan-out and per-member inflate+parse throughput — on enough
     members that per-query overhead is noise."""
-    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir, cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".bench_cache")
+    cache = bench_cache_dir()
     path = os.path.join(
         cache, f"warcds_{name}_x{mult}_v{_FIXTURE_VERSION}"
     )

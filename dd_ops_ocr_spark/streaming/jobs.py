@@ -347,13 +347,22 @@ def stream_upsert_sink(
     bookkeeping required, unlike the parquet sink above, because the
     MERGE itself is the idempotence mechanism.
 
-    Within one batch, rows are reduced to the highest-``seq_col``
-    occurrence per key before the merge — a batch carrying
-    insert+update for the same key must apply the update, and the
-    winner must be DETERMINISTIC across replays (which is why the
-    changelog carries an explicit sequence column, the cdc_merge
-    contract, rather than relying on batch row order — Spark makes no
-    ordering promise a replay would have to reproduce)."""
+    ``seq_col`` is resolved at BOTH scopes. Within one batch, rows are
+    reduced to the highest-``seq_col`` occurrence per key before the
+    merge — a batch carrying insert+update for the same key must apply
+    the update, and the winner must be DETERMINISTIC across replays
+    (which is why the changelog carries an explicit sequence column,
+    the cdc_merge contract, rather than relying on batch row order —
+    Spark makes no ordering promise a replay would have to reproduce).
+    Across epochs, each incoming row is applied only when its sequence
+    is strictly newer than the stored row's — file-listing order is
+    not changelog order (maxFilesPerTrigger slices arrivals
+    arbitrarily), so a delayed file carrying an OLDER change for a key
+    must not regress the newer stored value. The guard joins the
+    incoming keys against the current table scan — the same cost a SQL
+    MERGE pays for its target scan; a replayed epoch's rows compare
+    equal to what it already stored and are filtered to nothing, so
+    replays no longer even grow the snapshot lineage."""
     from dd_ops_ocr_spark import catalog
 
     src = (
@@ -373,6 +382,22 @@ def stream_upsert_sink(
             ])
             .select(*batch_df.columns)
         )
+        if catalog.current_snapshot_id(table_dir) is not None:
+            stored = (
+                catalog.read_table(spark, table_dir)
+                .groupBy(*keys)
+                .agg(F.max(F.col(seq_col)).alias("__stored_seq"))
+            )
+            latest = (
+                latest.join(stored, keys, "left")
+                .filter(
+                    F.col("__stored_seq").isNull()
+                    | (F.col(seq_col) > F.col("__stored_seq"))
+                )
+                .drop("__stored_seq")
+            )
+            if not latest.head(1):
+                return  # nothing strictly newer — no snapshot churn
         catalog.upsert(spark, table_dir, latest, keys=keys)
 
     writer = (

@@ -154,3 +154,71 @@ def test_cdc_sink_to_change_feed_roundtrip(spark, tmp_path):
     vals = {r.id: r.val
             for r in catalog.read_table(spark, table).collect()}
     assert vals == {1: "a", 2: "b2", 3: "c"}
+
+
+def _run_feed_opts(spark, table, ckpt, **opts):
+    batches = []
+    reader = spark.readStream.format("ddops_catalog")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(table)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _eid: batches.append(df.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = [b for b in batches if len(b)]
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+def test_feed_survives_expire_snapshots(spark, tmp_path):
+    """A table maintained with expire_snapshots must not permanently
+    brick the change feed. Default: hitting an expired snapshot raises
+    with recovery guidance. starting_snapshot='earliest': a fresh
+    subscriber backfills the oldest SURVIVING snapshot's full state
+    (its parent manifest is gone, so the full file list IS the delta)
+    and then follows new commits. allow_data_loss: expired snapshots
+    are skipped."""
+    cs.ensure_registered(spark)
+    table = str(tmp_path / "tbl")
+    catalog.write_snapshot(spark.range(3).selectExpr("id"), table,
+                           operation="overwrite")
+    catalog.write_snapshot(spark.range(3, 6).selectExpr("id"), table,
+                           operation="append")
+    catalog.write_snapshot(spark.range(6, 9).selectExpr("id"), table,
+                           operation="append")
+    catalog.expire_snapshots(table, keep_last=1)
+
+    # default from snapshot 0: loud, actionable failure
+    with pytest.raises(Exception, match="expired"):
+        _run_feed_opts(spark, table, str(tmp_path / "ck_fail"))
+
+    # earliest: backfill = the surviving snapshot's complete row set
+    got = _run_feed_opts(spark, table, str(tmp_path / "ck_early"),
+                         starting_snapshot="earliest")
+    assert sorted(got["id"]) == list(range(9))
+
+    # and the same subscription keeps receiving NEW commits incrementally
+    catalog.write_snapshot(spark.range(9, 11).selectExpr("id"), table,
+                           operation="append")
+    inc = _run_feed_opts(spark, table, str(tmp_path / "ck_early"),
+                         starting_snapshot="earliest")
+    assert sorted(inc["id"]) == [9, 10]
+
+    # allow_data_loss from 0: expired snapshots skipped, survivors emit
+    got2 = _run_feed_opts(spark, table, str(tmp_path / "ck_adl"),
+                          allow_data_loss="true")
+    assert sorted(got2["id"]) == list(range(11))
+
+    # latest: future changes only
+    got3 = _run_feed_opts(spark, table, str(tmp_path / "ck_latest"),
+                          starting_snapshot="latest")
+    assert len(got3) == 0
+    catalog.write_snapshot(spark.range(11, 12).selectExpr("id"), table,
+                           operation="append")
+    got4 = _run_feed_opts(spark, table, str(tmp_path / "ck_latest"),
+                          starting_snapshot="latest")
+    assert sorted(got4["id"]) == [11]

@@ -239,3 +239,49 @@ def test_schema_evolution_through_upsert_and_delete(spark, table):
     catalog.delete_where(spark, table, "tag = 'v2'")
     assert 5 not in {r.id for r in
                      catalog.read_table(spark, table).collect()}
+
+
+def test_delete_where_skips_rows_masked_by_upsert(spark, table):
+    """Rows replaced by an upsert's equality delete are invisible to
+    readers — delete_where must not find them either: re-counting a
+    masked row double-reports deleted_rows and commits a snapshot for
+    rows nobody could see."""
+    new = spark.createDataFrame([(7, 99)], "id long, grp long")
+    catalog.upsert(spark, table, new, keys=["id"])
+    # one LIVE row has id=7 (the upserted one); the original is masked
+    sid = catalog.delete_where(spark, table, "id = 7")
+    m = catalog._read_manifest(table, sid)
+    assert m["properties"]["deleted_rows"] == 1  # not 2
+    assert 7 not in _ids(spark, table)
+
+    # deleting rows that are ALL already masked commits nothing
+    cur = catalog.current_snapshot_id(table)
+    assert catalog.delete_where(spark, table, "id = 7") == cur
+
+
+def test_schema_evolution_tolerates_container_nullability(spark):
+    """array<string> containsNull=False (a collect_list result) vs
+    containsNull=True (the same data read back from parquet) is the
+    same logical type — the append must succeed, not raise a
+    'conflict' between two identical simpleStrings. A REAL element-type
+    change still raises."""
+    d = tempfile.mkdtemp(prefix="cat_nul_")
+    try:
+        base = spark.range(5).groupBy((F.col("id") % 2).alias("k")).agg(
+            F.collect_list(F.col("id").cast("string")).alias("tags")
+        )
+        assert not base.schema["tags"].dataType.containsNull
+        catalog.write_snapshot(base, d, "overwrite")
+        roundtrip = catalog.read_table(spark, d)  # parquet: containsNull=True
+        assert roundtrip.schema["tags"].dataType.containsNull
+        catalog.write_snapshot(roundtrip, d, "append")
+        assert catalog.read_table(spark, d).count() == 4
+
+        bad = spark.range(2).select(
+            F.col("id").alias("k"),
+            F.array(F.col("id")).alias("tags"),  # array<bigint>: real change
+        )
+        with pytest.raises(ValueError, match="schema evolution conflict"):
+            catalog.write_snapshot(bad, d, "append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1135,12 +1135,65 @@ def test_stream_upsert_sink_merges_and_replays_idempotently(spark):
         assert rows() == {1: "a2", 2: "b2", 3: "c"}
         n_snaps = len(catalog.snapshots(table))
         # full replay (fresh checkpoint) into the SAME table: row set
-        # unchanged, only the snapshot lineage grows
+        # unchanged AND no lineage churn — every replayed row compares
+        # seq-equal to what it already stored, so the cross-epoch guard
+        # filters each batch to nothing and no snapshot commits
         stream_upsert_sink(
             spark, land, ckpt2, table, keys=["id"], schema=schema
         ).awaitTermination(120)
         assert rows() == {1: "a2", 2: "b2", 3: "c"}
-        assert len(catalog.snapshots(table)) > n_snaps
+        assert len(catalog.snapshots(table)) == n_snaps
     finally:
         for d in (land, ckpt1, ckpt2, table):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_upsert_sink_out_of_order_epoch_cannot_regress(spark):
+    """File-listing order is not changelog order: a delayed file
+    carrying an OLDER sequence for a key must not overwrite the newer
+    stored value when it forms a later epoch — the sink compares each
+    incoming row's seq against the stored row's and drops stale ones
+    (while still applying genuinely-new keys from the same batch)."""
+    import glob
+    import shutil as sh
+
+    from dd_ops_ocr_spark import catalog
+    from dd_ops_ocr_spark.streaming.jobs import stream_upsert_sink
+
+    land = tempfile.mkdtemp(prefix="stream_ooo_land_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ooo_ck_")
+    table = tempfile.mkdtemp(prefix="stream_ooo_tbl_")
+    schema = "id long, val string, seq long"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        tmp = f"{land}/_tmp_{name}"
+        df.write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        sh.copy(part, f"{land}/{name}.parquet")
+        sh.rmtree(tmp)
+
+    def rows():
+        return {
+            r.id: (r.val, r.seq)
+            for r in catalog.read_table(spark, table).collect()
+        }
+
+    try:
+        # epoch 1: the NEWER change arrives first
+        write_file("f1", [(1, "new", 2)])
+        stream_upsert_sink(
+            spark, land, ckpt, table, keys=["id"], schema=schema
+        ).awaitTermination(120)
+        assert rows() == {1: ("new", 2)}
+        # epoch 2: a delayed file with the OLDER change for id=1, plus
+        # a genuinely new key — the stale row is dropped, the new one
+        # still lands
+        write_file("f2", [(1, "old", 1), (2, "other", 1)])
+        stream_upsert_sink(
+            spark, land, ckpt, table, keys=["id"], schema=schema
+        ).awaitTermination(120)
+        assert rows() == {1: ("new", 2), 2: ("other", 1)}
+    finally:
+        for d in (land, ckpt, table):
             shutil.rmtree(d, ignore_errors=True)

@@ -36,8 +36,8 @@ def _write(spark, path, n=6, mode="overwrite", shards=2):
 
 
 def _manifest(path):
-    with open(os.path.join(path, ws._MANIFEST)) as f:
-        return json.load(f)["files"]
+    m, _ver = ws._load_manifest(path)
+    return m["files"]
 
 
 def test_roundtrip_and_manifest(spark, tmp_path):
@@ -121,9 +121,12 @@ def test_append_unions_overwrite_sweeps(spark, tmp_path):
     _write(spark, path, n=4, mode="overwrite")
     files = set(_manifest(path))
     assert files.isdisjoint(first)
-    # swept: nothing in the directory but manifest + live shards/indexes
+    # commit() itself deletes nothing (a sweep there would race a
+    # concurrent job's uncommitted shards); the explicit vacuum()
+    # maintenance call reclaims superseded shards + manifest versions
+    assert ws.vacuum(path)["data_files"] > 0
     on_disk = {
-        f for f in os.listdir(path) if f != ws._MANIFEST
+        f for f in os.listdir(path) if not f.startswith("_MANIFEST")
     }
     assert on_disk == files | {f + ".idx.json" for f in files}
 
@@ -218,3 +221,107 @@ def test_stream_replay_from_fresh_checkpoint_is_deterministic(
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_empty_write_publishes_empty_manifest(spark, tmp_path):
+    """A job whose every task saw zero rows must still commit: an empty
+    manifest in a driver-created directory, readable as zero rows —
+    not a FileNotFoundError from the manifest tmp write."""
+    from dd_ops_ocr_spark.operators import warcsource
+
+    warcsource.ensure_registered(spark)
+    out = str(tmp_path / "empty_archive")
+    (
+        spark.createDataFrame([], "doc_id long, uri string, html string")
+        .write.format("ddops_warc").mode("overwrite").save(out)
+    )
+    assert spark.read.format("ddops_warc").load(out).count() == 0
+
+
+def test_permissive_covers_post_inflate_malformation(spark, tmp_path):
+    """A member that inflates with a valid CRC but holds a response
+    whose payload is not well-formed HTTP must quarantine under
+    permissive reads (and still fail loudly under strict reads) — the
+    try must cover the whole parse-to-row path, not just the gzip
+    layer."""
+    import gzip as _gzip
+    import json as _json
+
+    from dd_ops_ocr_spark.operators import warcsource
+    from dd_ops_ocr_spark.operators.warc import _record, gzip_member
+
+    warcsource.ensure_registered(spark)
+    path = str(tmp_path / "arch")
+    (
+        spark.createDataFrame([(1, "http://x/1", "<p>ok</p>")],
+                              "doc_id long, uri string, html string")
+        .coalesce(1)
+        .write.format("ddops_warc").mode("overwrite").save(path)
+    )
+    # append one VALID-gzip member whose response payload is junk HTTP
+    bad = gzip_member(_record(
+        "response",
+        [("WARC-Date", "2024-01-01T00:00:00Z"),
+         ("WARC-Record-ID", "<urn:uuid:bad>")],
+        b"NOT-HTTP-AT-ALL",
+    ))
+    manifest, _ver = warcsource._load_manifest(path)
+    shard = manifest["files"][0]
+    fpath = os.path.join(path, shard)
+    off = os.path.getsize(fpath)
+    with open(fpath, "ab") as f:
+        f.write(bad)
+    with open(fpath + ".idx.json") as f:
+        idx = _json.load(f)
+    idx["members"].append([off, len(bad)])
+    with open(fpath + ".idx.json", "w") as f:
+        _json.dump(idx, f)
+
+    strict = spark.read.format("ddops_warc").load(path)
+    with pytest.raises(Exception):
+        strict.count()
+
+    perm = (
+        spark.read.format("ddops_warc")
+        .option("permissive", "true").load(path)
+    )
+    rows = perm.collect()
+    kinds = sorted(r.warc_type for r in rows)
+    assert "__corrupt__" in kinds
+    # the shard's other members still decoded
+    assert "response" in kinds and "metadata" in kinds
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two append jobs committing at once must BOTH publish: the loser
+    of the manifest-version link-CAS re-reads and re-merges — a
+    read-modify-replace would silently drop one job's files (and its
+    old sweep could even delete the other's data)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ws.ensure_registered(spark)
+    path = str(tmp_path / "arch")
+    _write(spark, path, n=2)
+    base_files = set(_manifest(path))
+
+    def append(i):
+        (
+            spark.createDataFrame(
+                [(100 + i, f"http://x/{100 + i}", f"<p>{i}</p>")],
+                "doc_id long, uri string, html string",
+            )
+            .coalesce(1)
+            .write.format("ddops_warc").mode("append").save(path)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(append, range(2)))
+
+    files = set(_manifest(path))
+    assert base_files < files
+    # each append added 1 shard (1 task): base + 2 survive the merge
+    assert len(files) == len(base_files) + 2
+    # and every committed row is readable (2 docs * 2 records each + 2
+    # new docs * 2 + one warcinfo per shard)
+    n = spark.read.format("ddops_warc").load(path).count()
+    assert n == (2 + 2) * 2 + len(files)
