@@ -37,6 +37,10 @@ N_MARKER_REPEATS = 2
 
 
 def _tokens(col):
+    """Whitespace tokens with empties dropped — THE tokenization every
+    integer-exact text family shares (indexing/sessions/passages import
+    it from here; a change desynchronizes five families' oracles at
+    once, which is the point: one definition, one drift surface)."""
     return F.filter(F.split(col, "[ \n\t]+"), lambda x: x != F.lit(""))
 
 

@@ -135,10 +135,14 @@ def robots_verdicts(pages: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
-def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document robots verdict over the canonical URLs: plant the
-    messy URL, normalize it (cross-checks url_normalize yet again),
-    split host/path, evaluate the host's parsed robots rules."""
+def _frontier_pages(spark: SparkSession, sf_dir: str):
+    """The (doc_id, host, path) frontier both oracled queries evaluate:
+    plant the messy URL, normalize it (cross-checks url_normalize yet
+    again), split host/path. ONE definition — the module's own
+    canonical_host_expr policy ("a grammar change cannot desynchronize
+    them") applies to the page shape too: a projection change must hit
+    robots_filter and fetch_schedule together or their shared robots
+    join silently diverges."""
     from dd_ops_ocr_spark.operators.urlops import (
         normalize_urls,
         plant_messy_urls,
@@ -147,12 +151,19 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id"
     )
-    pages = normalize_urls(plant_messy_urls(docs)).select(
+    return normalize_urls(plant_messy_urls(docs)).select(
         "doc_id",
         F.regexp_extract("normalized_url", _HOST_ONLY_RE, 1)
          .alias("host"),
         F.regexp_extract("normalized_url", _PATH_RE, 1).alias("path"),
     )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document robots verdict over the canonical URLs: plant the
+    messy URL, normalize it (cross-checks url_normalize yet again),
+    split host/path, evaluate the host's parsed robots rules."""
+    pages = _frontier_pages(spark, sf_dir)
     return robots_verdicts(pages, robots_df(spark))
 
 
@@ -191,20 +202,7 @@ def fetch_schedule(pages: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dd_ops_ocr_spark.operators.urlops import (
-        normalize_urls,
-        plant_messy_urls,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id"
-    )
-    pages = normalize_urls(plant_messy_urls(docs)).select(
-        "doc_id",
-        F.regexp_extract("normalized_url", _HOST_ONLY_RE, 1)
-         .alias("host"),
-        F.regexp_extract("normalized_url", _PATH_RE, 1).alias("path"),
-    )
+    pages = _frontier_pages(spark, sf_dir)
     return fetch_schedule(pages, robots_df(spark))
 
 

@@ -18,27 +18,34 @@ Scale shapes:
 * ``inverted_index``: the classic skew trap is a stopword's posting
   list — at 10^12 docs a single (token) group holds ~10^12 entries and
   one task dies. Postings are therefore CHUNKED: rank docs per token,
-  chunk_id = floor(rank/CHUNK), group by (token, chunk_id) — every task
-  is bounded by CHUNK regardless of df, and a reader streams chunks in
-  order (chunk boundaries are sorted doc_id ranges). Posting lists are
-  serialized "doc:tf" strings — the segment-file shape, and robust to
-  engine array-representation drift in the hash gate.
+  chunk_id = floor(rank/CHUNK), group by (token, chunk_id) — and the
+  rank itself is computed WITHOUT a per-token global sort (a plain
+  row_number over partitionBy(token) would funnel the whole posting
+  list through one window task, re-creating the pathology one stage
+  earlier). Instead, the bounded.py treatment: postings bucket by
+  doc_id range, per-(token, bucket) counts (one row per bucket) fold
+  into cumulative bases, and a bucket-local row_number plus the base
+  is the global rank — every data-carrying task is bounded by
+  BUCKET_W, and the only per-token window runs over count rows (one
+  per bucket; size BUCKET_W to taste: at 10^12 postings and W=10^6
+  that window sees 10^6 rows, not 10^12). Chunk boundaries remain
+  sorted doc_id ranges, so a reader streams chunks in order. Posting
+  lists are serialized "doc:tf" strings — the segment-file shape, and
+  robust to engine array-representation drift in the hash gate.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from dd_ops_ocr_spark.operators.classify import _SQL_BITS, _bits, _tokens
+
 TOP_K = 3
 CHUNK = 8  # small so the oracled corpus exercises multi-chunk tokens
-
-
-def _tokens(col):
-    return F.filter(F.split(col, "[ \n\t]+"), lambda x: x != F.lit(""))
-
-
-def _bits(c):
-    return F.when(c == 0, F.lit(0)).otherwise(F.length(F.bin(c))).cast("long")
+# posting-rank bucket width (doc_id range per bucket). Small here so the
+# oracled corpus crosses bucket boundaries mid-chunk (the carry-in path);
+# at 10^12 postings size it so n_postings/bucket_width fits a window task
+BUCKET_W = 64
 
 
 def _doc_token_tf(docs: DataFrame) -> DataFrame:
@@ -49,8 +56,12 @@ def _doc_token_tf(docs: DataFrame) -> DataFrame:
 def tfidf_topk(docs: DataFrame, k: int = TOP_K) -> DataFrame:
     """Top-k (doc_id, rank, token, score) per doc by tf * idf_bits,
     deterministic tiebreak (score desc, token asc). Docs whose every
-    token scores 0 still emit their k alphabetically-first tokens —
-    anchored output, no silently-absent docs."""
+    token scores 0 still emit their k alphabetically-first tokens (rows
+    derive from the token stream, so zero SCORES never drop a doc) —
+    but a doc with zero TOKENS (empty/whitespace-only text) emits
+    nothing, identically in both engines; callers needing every doc_id
+    anchored regardless re-join the base doc set, the nb_score pattern
+    (classify.py)."""
     tf = _doc_token_tf(docs)
     df_tok = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -78,15 +89,43 @@ def tfidf_topk(docs: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def inverted_index(docs: DataFrame, chunk: int = CHUNK) -> DataFrame:
+def inverted_index(
+    docs: DataFrame, chunk: int = CHUNK, bucket_width: int = BUCKET_W
+) -> DataFrame:
     """(token, chunk_id, df, n_chunk, postings) — postings is the
     serialized "doc:tf doc:tf ..." run for this chunk, doc_ids ascending
     within and across chunks; df rides every row so a reader needs no
-    second lookup. Task size is bounded by ``chunk`` for every token."""
+    second lookup.
+
+    The per-token posting rank is two-phase so no task ever holds a hot
+    token's full list (module docstring): doc_id range-buckets keep
+    bucket order == doc_id order, so bucket-local rank + the cumulative
+    count of earlier buckets IS the global rank — bit-identical to the
+    oracle's single ROW_NUMBER, which only has to be correct, not
+    bounded. Data-carrying tasks are bounded by ``bucket_width`` (per
+    token); the cumulative-base window sees one COUNT row per bucket."""
     tf = _doc_token_tf(docs)
-    w = Window.partitionBy("token").orderBy("doc_id")
-    ranked = tf.withColumn(
-        "chunk_id", F.floor((F.row_number().over(w) - 1) / chunk).cast("int")
+    tf_b = tf.withColumn(
+        "b", F.expr(f"doc_id div {int(bucket_width)}")
+    )
+    counts = tf_b.groupBy("token", "b").agg(F.count("*").alias("n_b"))
+    w_base = (
+        Window.partitionBy("token").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = counts.select(
+        "token", "b",
+        F.coalesce(F.sum("n_b").over(w_base), F.lit(0)).alias("base"),
+    )
+    w_local = Window.partitionBy("token", "b").orderBy("doc_id")
+    ranked = (
+        tf_b.join(base, ["token", "b"])
+        .withColumn(
+            "chunk_id",
+            F.floor(
+                (F.col("base") + F.row_number().over(w_local) - 1) / chunk
+            ).cast("int"),
+        )
     )
     per_chunk = ranked.groupBy("token", "chunk_id").agg(
         F.count("*").alias("n_chunk"),
@@ -299,11 +338,6 @@ t AS (
 dft AS (SELECT token, COUNT(*) AS df FROM t GROUP BY token),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d)
 """
-
-_SQL_BITS = (
-    "CASE WHEN {c} = 0 THEN 0"
-    " ELSE CAST(length(bin(CAST({c} AS BIGINT))) AS BIGINT) END"
-)
 
 SQL_TFIDF_TOPK = (
     f"WITH d AS ({_SQL_KEYWORD_DOCS}),"

@@ -39,17 +39,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from dd_ops_ocr_spark.operators.classify import _tokens  # shared tokenization
+
 K_TOKENS = 20      # window length (Lee et al. use 50 BPE tokens; the
                    # synthetic docs are ~50 words, so 20 keeps the same
                    # windows-per-doc regime at test scale)
 PLANT_TOKENS = 25  # planted shared-passage length in the oracled corpus
 MIN_DOCS = 2
-
-
-def _tokens(col):
-    """Whitespace tokens with empties dropped — identical semantics to
-    the oracle's list_filter(regexp_split_to_array(...))."""
-    return F.filter(F.split(col, "[ \n\t]+"), lambda x: x != F.lit(""))
 
 
 def _window_keys(docs: DataFrame, k: int, hash_mode: str) -> DataFrame:

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from dd_ops_ocr_spark.operators.classify import _SQL_BITS, _bits, _tokens
+
 GAP_MINUTES = 30
 COLLOC_TOP_K = 20
 COLLOC_MIN_COUNT = 5
@@ -70,14 +72,6 @@ def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
         .cast("long")
         .alias("duration_sec"),
     )
-
-
-def _tokens(col):
-    return F.filter(F.split(col, "[ \n\t]+"), lambda x: x != F.lit(""))
-
-
-def _bits(c):
-    return F.when(c == 0, F.lit(0)).otherwise(F.length(F.bin(c))).cast("long")
 
 
 def collocations(
@@ -411,11 +405,6 @@ SELECT user_id, session_idx,
        (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
 FROM idx GROUP BY user_id, session_idx
 """
-
-_SQL_BITS = (
-    "CASE WHEN {c} = 0 THEN 0"
-    " ELSE CAST(length(bin(CAST({c} AS BIGINT))) AS BIGINT) END"
-)
 
 SQL_COLLOCATIONS = f"""
 WITH d AS (

@@ -161,3 +161,25 @@ def test_kwic_window_and_edges(spark):
     # term at the very start: window clamps at 1
     rows2 = kwic_snippets(_df(spark, [(3, "NEEDLE tail")]), qs, width=5).collect()
     assert rows2[0].pos == 1 and rows2[0].snippet == "NEEDLE tail"[:11]
+
+
+def test_inverted_index_rank_carries_across_buckets(spark):
+    """The two-phase posting rank (bucket-local row_number + cumulative
+    base) must reproduce the global doc_id-ordered rank exactly: chunks
+    that SPAN a bucket boundary are the failure mode a wrong carry-in
+    would hit. 20 docs of one token with bucket_width=4 and chunk=8
+    forces every chunk to span multiple buckets."""
+    from dd_ops_ocr_spark.operators.indexing import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "tok") for i in range(20)], "doc_id long, text string"
+    )
+    out = inverted_index(docs, chunk=8, bucket_width=4).orderBy("chunk_id")
+    rows = out.collect()
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    assert [r.n_chunk for r in rows] == [8, 8, 4]
+    assert all(r.df == 20 for r in rows)
+    # postings ascend globally across chunk boundaries
+    assert rows[0].postings == " ".join(f"{i}:1" for i in range(8))
+    assert rows[1].postings == " ".join(f"{i}:1" for i in range(8, 16))
+    assert rows[2].postings == " ".join(f"{i}:1" for i in range(16, 20))
