@@ -43,7 +43,15 @@ _BOM_LE = bytes([0xFF, 0xFE])
 def plant_encoded(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, raw binary): text+marker encoded in
     the gated charset — nibble 15 even: BOM + UTF-16LE; else nibble 16
-    even: ISO-8859-1; else UTF-8."""
+    even: ISO-8859-1; else UTF-8.
+
+    PLANT-ONLY dependence (same standard as warc._pages): the latin-1
+    branch requires the corpus text be Latin-1-encodable — a non-Latin-1
+    character on a nibble-16-even doc raises MALFORMED_CHARACTER_CODING
+    under Spark 4's codified encode (and would break the closed-form
+    round-trip oracle either way). The generated documents table is
+    ASCII, which satisfies this; ``sniff_decode`` itself has no such
+    restriction."""
     md = F.md5(F.col("doc_id").cast("string"))
     txt = F.concat(F.col("text"), F.lit(_MARKER))
     raw = (

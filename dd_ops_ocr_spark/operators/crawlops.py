@@ -214,7 +214,9 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # line would hash-mismatch.
 
 def _sql_robots() -> str:
-    k = f"(({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})"
+    from dd_ops_ocr_spark.operators.urlops import SQL_HOST_ID
+
+    k = SQL_HOST_ID
     hnib = lambda i: f"substring(md5({k}::VARCHAR), {i}, 1)"
     return f"""
 WITH u AS (
@@ -513,7 +515,9 @@ def _sql_schedule() -> str:
     """The robots decision closed form, filtered to allowed rows, plus
     the delay nibble and a per-host ROW_NUMBER — DuckDB restates the
     whole frontier->robots->schedule chain."""
-    k = f"(({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})"
+    from dd_ops_ocr_spark.operators.urlops import SQL_HOST_ID
+
+    k = SQL_HOST_ID
     hmd = f"md5({k}::VARCHAR)"
     hnib = lambda i: f"substring({hmd}, {i}, 1)"
     dval = (f"((strpos('0123456789abcdef', {hnib(_DELAY_NIB)}) - 1)"

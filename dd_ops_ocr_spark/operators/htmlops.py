@@ -110,6 +110,27 @@ def _visible(col):
     return F.trim(F.regexp_replace(out, "\\s+", " "))
 
 
+def _anchor_clean(col):
+    """Anchor-text cleanup: strip nested tags, collapse whitespace,
+    trim — deliberately NO entity decode (unlike _visible: anchors
+    feed exact-match aggregation keys, and both engines must agree on
+    the raw entity bytes). ONE definition with a SQL twin below; the
+    outlink query and the link-graph pair stream both use it, so a
+    future tweak cannot de-align html_outlinks from anchor_text_agg."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(col, _TAG_RE, " "), "\\s+", " "
+        )
+    )
+
+
+def _sql_anchor_clean(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({expr}, '{_TAG_RE}', ' ', "
+        "'g'), '\\s+', ' ', 'g'))"
+    )
+
+
 def classify_blocks(pages: DataFrame) -> DataFrame:
     """(doc_id, html) -> one row per non-empty block:
     (doc_id, block_idx, tag, block_text, text_chars, link_chars,
@@ -419,11 +440,7 @@ def extract_outlinks(pages: DataFrame) -> DataFrame:
         "doc_id", "ts", F.posexplode("hs").alias("pos", "href")
     )
     raw = F.element_at("ts", F.col("pos") + 1)
-    txt = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(raw, _TAG_RE, " "), "\\s+", " "
-        )
-    )
+    txt = _anchor_clean(raw)
     return ex.select(
         "doc_id",
         (F.col("pos") + 1).cast("long").alias("link_idx"),
@@ -451,8 +468,7 @@ arr AS (
   FROM arr
 )
 SELECT doc_id, link_idx, href,
-  trim(regexp_replace(regexp_replace(raw_text, '{_TAG_RE}', ' ', 'g'),
-                      '\\s+', ' ', 'g')) AS anchor_text
+  {_sql_anchor_clean("raw_text")} AS anchor_text
 FROM ex
 """
 
@@ -537,13 +553,7 @@ def _resolved_targets(
         cols.append("src_url")
     if with_text:
         raw = F.element_at("ts", F.col("pos") + 1)
-        cols.append(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(raw, _TAG_RE, " "), "\\s+", " "
-                )
-            ).alias("anchor_text")
-        )
+        cols.append(_anchor_clean(raw).alias("anchor_text"))
     return ex.select(*cols)
 
 
@@ -754,8 +764,7 @@ def _sql_target_pairs_text() -> str:
            regexp_extract(base_host, '^([a-z]+):', 1) || ':' || href
          WHEN href LIKE '/%' THEN base_host || href
          ELSE base_dir || href END AS target_url,
-    trim(regexp_replace(regexp_replace(raw_text, '{_TAG_RE}', ' ', 'g'),
-                        '\\s+', ' ', 'g')) AS anchor_text
+    {_sql_anchor_clean("raw_text")} AS anchor_text
   FROM (
     SELECT p.doc_id, b.base_host, b.base_dir,
       unnest(regexp_extract_all(p.html, '{_LINK_RE}', 1)) AS href,

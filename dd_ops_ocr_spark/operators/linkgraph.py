@@ -105,6 +105,16 @@ def pagerank(edges: DataFrame, iters: int = K_ITERS) -> DataFrame:
             (F.lit(_BASE) + F.coalesce(F.col("s"), F.lit(0)))
             .cast("long").alias("pr"),
         )
+    # materialize the fixed point ONCE (cutting the K-deep iteration
+    # lineage, the dedup_clusters pattern), then RELEASE the loop
+    # invariants: without this every pagerank() call leaks three
+    # MEMORY_AND_DISK caches for the session's lifetime — a bench pass
+    # re-invoking the query leaves corpus-sized blocks pinned and
+    # evicting other operators' caches
+    ranks = ranks.localCheckpoint()
+    edges.unpersist()
+    ed.unpersist()
+    nodes.unpersist()
     return ranks
 
 

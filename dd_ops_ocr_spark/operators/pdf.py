@@ -314,6 +314,13 @@ def _load_obj(data: bytes, offsets: dict[int, int], num: int):
     except (EOFError, ValueError):
         return val, None
     if k == "kw" and t == "stream":
+        if not isinstance(val, dict):
+            # a stream's object body must be its dict; an array/scalar
+            # followed by 'stream' is corrupt input, and .get() on it
+            # would raise AttributeError past the quarantine contract
+            raise ValueError(
+                f"decode_pdf: stream object {num} body is not a dict"
+            )
         # EOL after 'stream' is CRLF or LF
         p = lx.p
         if data[p:p + 2] == b"\r\n":
@@ -326,7 +333,7 @@ def _load_obj(data: bytes, offsets: dict[int, int], num: int):
         raw = data[p:p + length]
         if len(raw) < length:
             raise EOFError("decode_pdf: truncated stream")
-        filt = val.get("Filter") if isinstance(val, dict) else None
+        filt = val.get("Filter")
         if filt == "FlateDecode":
             try:
                 raw = zlib.decompress(raw)

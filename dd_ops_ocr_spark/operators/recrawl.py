@@ -31,8 +31,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dd_ops_ocr_spark.operators.urlops import (
     _EVEN_IN,
     _EVEN_NIBBLES,
-    _N_DOMAINS,
-    _NIB_SQL,
+    SQL_HOST_ID,
+    host_id_col,
     normalize_urls,
     plant_messy_urls,
 )
@@ -67,11 +67,7 @@ def snapshot_b(docs: DataFrame) -> DataFrame:
              .otherwise(F.col("text"))
         ).alias("digest"),
     )
-    host_id = (
-        (F.instr(F.lit("0123456789abcdef"), F.substring(md, 1, 1)) - 1)
-        * 16
-        + (F.instr(F.lit("0123456789abcdef"), F.substring(md, 2, 1)) - 1)
-    ) % _N_DOMAINS
+    host_id = host_id_col()
     b_new = docs.filter(F.col("doc_id") % _NEW_MOD == 0).select(
         F.concat(
             F.lit("https://www.d"), host_id.cast("string"),
@@ -85,13 +81,27 @@ def snapshot_b(docs: DataFrame) -> DataFrame:
 def recrawl_delta(a: DataFrame, b: DataFrame) -> DataFrame:
     """(url, digest) x (url, digest) -> (url, status, digest_old,
     digest_new). Full-outer hash join on url, per-row classification;
-    digests coalesce to '' so the output schema is null-free."""
-    a = a.select("url", F.col("digest").alias("digest_old"))
-    b = b.select("url", F.col("digest").alias("digest_new"))
+    digests coalesce to '' so the output schema is null-free.
+
+    new/gone classify by JOIN-KEY presence (explicit marker columns),
+    not by digest NULLness — a row whose digest is genuinely NULL
+    (md5 of a NULL text on real data) is still PRESENT in its
+    snapshot, and the SQL twin's ``a.url IS NULL`` test agrees with
+    presence, not with digests; NULL-digest matched rows classify as
+    changed (NULL = unknown content, eqNullSafe would call two
+    unknowns 'unchanged')."""
+    a = a.select(
+        "url", F.col("digest").alias("digest_old"),
+        F.lit(True).alias("_in_a"),
+    )
+    b = b.select(
+        "url", F.col("digest").alias("digest_new"),
+        F.lit(True).alias("_in_b"),
+    )
     j = a.join(b, "url", "full_outer")
     status = (
-        F.when(F.col("digest_old").isNull(), F.lit("new"))
-        .when(F.col("digest_new").isNull(), F.lit("gone"))
+        F.when(F.col("_in_a").isNull(), F.lit("new"))
+        .when(F.col("_in_b").isNull(), F.lit("gone"))
         .when(F.col("digest_old") == F.col("digest_new"),
               F.lit("unchanged"))
         .otherwise(F.lit("changed"))
@@ -115,7 +125,7 @@ def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql() -> str:
     from dd_ops_ocr_spark.operators.htmlops import _sql_canonical
 
-    k = f"(({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})"
+    k = SQL_HOST_ID
     rev = (
         f"substring(md5(doc_id::VARCHAR), {_REV_NIB}, 1) IN ({_EVEN_IN})"
     )

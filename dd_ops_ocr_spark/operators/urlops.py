@@ -57,15 +57,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _nib(md, i: int):
+    # hex nibble -> 0..15 via strpos (identical in Spark and DuckDB;
+    # Spark's conv() has no DuckDB twin and CAST('0x..') differs)
+    return F.instr(F.lit(_HEX), F.substring(md, i, 1)) - F.lit(1)
+
+
+def host_id_col(doc_id_col: str = "doc_id"):
+    """(nib1*16 + nib2) % _N_DOMAINS over md5(doc_id) — the planted
+    domain id, THE single definition (SQL twin ``SQL_HOST_ID``).
+    canonical_host_expr builds the canonical host from it; recrawl's
+    /n/<id> plant builds its host from it too — a plant change (nibble
+    positions, _N_DOMAINS) must propagate to every host consumer at
+    once or their joins silently diverge."""
+    md = F.md5(F.col(doc_id_col).cast("string"))
+    return F.pmod(_nib(md, 1) * 16 + _nib(md, 2), F.lit(_N_DOMAINS))
+
+
 def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = F.md5(F.col("doc_id").cast("string"))
+    nib = lambda i: _nib(md, i)
 
-    def nib(i: int):
-        # hex nibble -> 0..15 via strpos (identical in Spark and DuckDB;
-        # Spark's conv() has no DuckDB twin and CAST('0x..') differs)
-        return F.instr(F.lit(_HEX), F.substring(md, i, 1)) - F.lit(1)
-
-    host_id = (nib(1) * 16 + nib(2)) % _N_DOMAINS
+    host_id = host_id_col()
     url = F.concat(
         F.lit("https://"),
         F.when(F.substring(md, 4, 1).isin(_EVEN_NIBBLES), F.lit("www."))
@@ -120,17 +133,14 @@ def canonical_host_expr(doc_id_col: str = "doc_id"):
     composes "by host" (link graph, per-host language mix, messy-URL
     plants) must build the host THROUGH this helper so a grammar
     change cannot desynchronize them."""
-    md = F.md5(F.col(doc_id_col).cast("string"))
-
-    def nib(i: int):
-        return F.instr(F.lit(_HEX), F.substring(md, i, 1)) - F.lit(1)
-
-    host_id = F.pmod(nib(1) * 16 + nib(2), F.lit(_N_DOMAINS))
+    host_id = host_id_col(doc_id_col)
     return F.concat(F.lit("www.d"), host_id.cast("string"), F.lit(".com"))
 
 
 # DuckDB restatement of canonical_host_expr (same nibble math over the
 # pre-registered tables' doc_id column).
+SQL_HOST_ID = f"(({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]}) % {_N_DOMAINS})"
+
 SQL_CANONICAL_HOST = (
     f"('www.d' || (({_NIB_SQL[1]} * 16 + {_NIB_SQL[2]})"
     f" % {_N_DOMAINS})::VARCHAR || '.com')"

@@ -140,3 +140,26 @@ def test_spans_plan_single_exchange(spark):
     )
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n == 1, f"reading-order window should be the only shuffle:\n{plan[:2000]}"
+
+
+def test_stream_on_non_dict_object_raises_valueerror():
+    """A corrupt body where the object before 'stream' parses as an
+    array (not the stream's dict) must fail as ValueError — the
+    quarantine contract — not AttributeError from .get() on a list."""
+    # minimal standalone corrupt doc with a computed xref so the
+    # failure is isolated to the object body, not the table
+    head = b"%PDF-1.4\n"
+    obj = b"1 0 obj [1 2]\nstream\nxxxx\nendstream\nendobj\n"
+    xref_at = len(head) + len(obj)
+    doc = (
+        head + obj
+        + b"xref\n0 2\n0000000000 65535 f \n"
+        + b"%010d 00000 n \n" % len(head)
+        + b"trailer << /Root 1 0 R /Size 2 >>\n"
+        + b"startxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    from dd_ops_ocr_spark.operators.pdf import _load_obj, _xref_offsets
+
+    offsets, _trailer = _xref_offsets(doc)
+    with pytest.raises(ValueError, match="not a dict"):
+        _load_obj(doc, offsets, 1)

@@ -69,3 +69,28 @@ def test_recrawl_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_recrawl_delta_null_digests_classify_by_presence(spark):
+    """A NULL digest must not flip new/gone: presence in a snapshot is
+    the join-key fact (the SQL twin tests a.url IS NULL), digests only
+    decide changed/unchanged. NULL-vs-anything content comparison is
+    'changed' (unknown content), never 'unchanged'."""
+    from dd_ops_ocr_spark.operators.recrawl import recrawl_delta
+
+    schema = "url string, digest string"
+    a = spark.createDataFrame(
+        [("u_both_null", None), ("u_gone", "d1"), ("u_null_vs_d", None)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [("u_both_null", None), ("u_new", None), ("u_null_vs_d", "d2")],
+        schema,
+    )
+    got = {r.url: r.status for r in recrawl_delta(a, b).collect()}
+    assert got == {
+        "u_both_null": "changed",   # present in both, content unknown
+        "u_gone": "gone",           # absent from b despite digest
+        "u_new": "new",             # present in b despite NULL digest
+        "u_null_vs_d": "changed",
+    }
