@@ -200,7 +200,13 @@ def build_spans_df(spark, sf_dir: str, replicate: int = 1):
     return docs.mapInPandas(gen, schema=SPANS_SCHEMA)
 
 
-_spans_cache: dict[tuple[int, str, int], object] = {}
+# keyed on (sf_dir, replicate); the session is checked by IDENTITY and
+# liveness at lookup, never by id() — id(sparkContext) can be recycled
+# by the allocator after a session stops, which would splice a stopped
+# session's persisted plan into a live one (the _cached_pg hazard,
+# plans/bounded.py:72). Dead-session entries are evicted as seen, so
+# the cache also cannot grow one persisted corpus per dead session.
+_spans_cache: dict[tuple[str, int], tuple[object, object]] = {}
 
 
 def build_spans_df_cached(spark, sf_dir: str, replicate: int = 1):
@@ -208,11 +214,25 @@ def build_spans_df_cached(spark, sf_dir: str, replicate: int = 1):
     over the same synthesized corpus in one session (the driver's
     correctness phase runs ~7 flagship-family queries; without this each
     action would re-run the Python generation)."""
-    key = (id(spark.sparkContext), sf_dir, replicate)
-    df = _spans_cache.get(key)
-    if df is None:
-        df = build_spans_df(spark, sf_dir, replicate=replicate).persist()
-        _spans_cache[key] = df
+    key = (sf_dir, replicate)
+    hit = _spans_cache.get(key)
+    if hit is not None:
+        cached_session, df = hit
+        live = False
+        if cached_session is spark:
+            try:
+                live = not spark._jsparkSession.sparkContext().isStopped()
+            except Exception:  # noqa: BLE001 — JVM-side failure = dead
+                live = False
+        if live:
+            return df
+        _spans_cache.pop(key, None)
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — its session may be stopped
+            pass
+    df = build_spans_df(spark, sf_dir, replicate=replicate).persist()
+    _spans_cache[key] = (spark, df)
     return df
 
 
@@ -273,12 +293,18 @@ def land_spans(
     if split_pages is not None:
         # split big docs only: explode with the original array position,
         # bucket by page range, reassemble each part ordered by position
-        # (all JVM expressions — land-time cost, one extra shuffle)
-        small = df.filter(F.col("size_class") == "small").withColumn(
+        # (all JVM expressions). Persist the source FIRST: the small and
+        # big branches below are two consumers of the same plan, and for
+        # a synthesized corpus that plan is the Python span generation —
+        # without the persist each branch re-executes it over the full
+        # corpus, doubling the dominant landing cost (the extra shuffle
+        # was never the expensive part).
+        src = df.persist()
+        small = src.filter(F.col("size_class") == "small").withColumn(
             "part", F.lit(0)
         )
         big = (
-            df.filter(F.col("size_class") == "big")
+            src.filter(F.col("size_class") == "big")
             .select(
                 "doc_id", "size_class", F.posexplode("spans").alias("pos", "s")
             )
@@ -313,11 +339,12 @@ def land_spans(
         .partitionBy("size_class")
         .parquet(out_path)
     )
+    if split_pages is not None:
+        src.unpersist()  # the write materialized both branches
     return out_path
 
 
-def decode_geometry(offset: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """offset -> (page, y, x) per schema.py encoding. Vectorized."""
-    page = offset // STRIDE
-    rem = offset % STRIDE
-    return page, rem // PAGE_W, rem % PAGE_W
+# (the offset -> (page, y, x) decode is `page = offset div STRIDE;
+# y = rem div PAGE_W; x = rem mod PAGE_W` per schema.py — each kernel
+# inlines the vectorized form over its own array layout; oracle.py:62
+# states the scalar spec)

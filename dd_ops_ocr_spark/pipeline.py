@@ -63,11 +63,7 @@ _EMPTY_OUT = pd.DataFrame(
 )
 
 
-def extract_flat_pandas(
-    flat: pd.DataFrame,
-    strip_boilerplate: bool = True,
-    pre_normalized: bool = False,
-) -> pd.DataFrame:
+def extract_flat_pandas(flat: pd.DataFrame) -> pd.DataFrame:
     """Vectorized extraction over a flat span batch.
 
     ``flat`` columns: doc_id(str), kind(str), text(str|None),
@@ -76,11 +72,9 @@ def extract_flat_pandas(
 
     Implements the same spec as ``oracle.extract_doc`` (see that module's
     docstring for the step-by-step semantics and reference citations), but
-    as whole-batch numpy/pandas operations.
-
-    ``strip_boilerplate=False`` is used by the salted path, where the
-    boilerplate keys were already removed by a doc-global JVM-side pass
-    (plans/salting.py) and a bucket-local re-strip would be wrong.
+    as whole-batch numpy/pandas operations. (The salted/bounded plans do
+    NOT call this — they carry their own kernels in plans/; this is the
+    independent pandas triangulation of the Arrow kernel, full spec only.)
     """
     if len(flat) == 0:
         return _EMPTY_OUT.copy()
@@ -95,19 +89,13 @@ def extract_flat_pandas(
     is_text = kind == "text"
 
     # C14 whitespace normalization (vectorized pandas str ops).
-    # pre_normalized: the caller already applied the identical collapse+strip
-    # (e.g. JVM-side regexp in plans/salting.py) — skip the Python regex,
-    # by far the hottest loop in this kernel.
-    if pre_normalized:
-        norm = flat["text"].fillna("").to_numpy(dtype=object)
-    else:
-        norm = (
-            flat["text"]
-            .fillna("")
-            .str.replace(r"\n{2,}", "\n", regex=True)
-            .str.strip()
-            .to_numpy(dtype=object)
-        )
+    norm = (
+        flat["text"]
+        .fillna("")
+        .str.replace(r"\n{2,}", "\n", regex=True)
+        .str.strip()
+        .to_numpy(dtype=object)
+    )
 
     keep = ~is_text | (norm != "")
     df = pd.DataFrame(
@@ -126,46 +114,45 @@ def extract_flat_pandas(
 
     # Boilerplate strip: normalized text repeating in the header/footer zone
     # on >= ceil(BOILERPLATE_FRAC * n_pages) pages of a >=3-page doc.
-    # Runs BEFORE two-up detection (spec order) so the salted path, which
-    # strips doc-globally before salting, sees identical layout inputs.
-    if strip_boilerplate:
-        yv = df["y"].to_numpy()
-        zone = np.where(
-            yv < HEADER_ZONE, 1, np.where(yv >= PAGE_H - FOOTER_ZONE, 2, 0)
-        )
-        zone = np.where(df["kind"].to_numpy() == "text", zone, 0)
-        df["_zone"] = zone
+    # Runs BEFORE two-up detection (spec order) so every plan sees
+    # identical layout inputs.
+    yv = df["y"].to_numpy()
+    zone = np.where(
+        yv < HEADER_ZONE, 1, np.where(yv >= PAGE_H - FOOTER_ZONE, 2, 0)
+    )
+    zone = np.where(df["kind"].to_numpy() == "text", zone, 0)
+    df["_zone"] = zone
 
-        n_pages = (
-            df[["doc_id", "page"]]
-            .drop_duplicates()
-            .groupby("doc_id", sort=False)
-            .size()
+    n_pages = (
+        df[["doc_id", "page"]]
+        .drop_duplicates()
+        .groupby("doc_id", sort=False)
+        .size()
+    )
+    doc_n_pages = df["doc_id"].map(n_pages).to_numpy()
+    cand = df[df["_zone"] > 0]
+    if len(cand):
+        zc = (
+            cand.groupby(["doc_id", "_zone", "text"], sort=False)["page"]
+            .nunique()
+            .rename("zpages")
         )
-        doc_n_pages = df["doc_id"].map(n_pages).to_numpy()
-        cand = df[df["_zone"] > 0]
-        if len(cand):
-            zc = (
-                cand.groupby(["doc_id", "_zone", "text"], sort=False)["page"]
-                .nunique()
-                .rename("zpages")
-            )
-            zpages = (
-                df[["doc_id", "_zone", "text"]]
-                .join(zc, on=["doc_id", "_zone", "text"])["zpages"]
-                .fillna(0)
-                .to_numpy()
-            )
-            thresh = np.ceil(BOILERPLATE_FRAC * doc_n_pages)
-            boiler = (
-                (df["_zone"].to_numpy() > 0)
-                & (doc_n_pages >= MIN_PAGES_BOILERPLATE)
-                & (zpages >= thresh)
-            )
-            df = df[~boiler]
-        df = df.drop(columns=["_zone"])
-        if len(df) == 0:
-            return _EMPTY_OUT.copy()
+        zpages = (
+            df[["doc_id", "_zone", "text"]]
+            .join(zc, on=["doc_id", "_zone", "text"])["zpages"]
+            .fillna(0)
+            .to_numpy()
+        )
+        thresh = np.ceil(BOILERPLATE_FRAC * doc_n_pages)
+        boiler = (
+            (df["_zone"].to_numpy() > 0)
+            & (doc_n_pages >= MIN_PAGES_BOILERPLATE)
+            & (zpages >= thresh)
+        )
+        df = df[~boiler]
+    df = df.drop(columns=["_zone"])
+    if len(df) == 0:
+        return _EMPTY_OUT.copy()
 
     # Two-up detection per (doc, page): empty gutter + >=N spans per side,
     # computed on the spans that survive the strip.
@@ -235,6 +222,14 @@ def extract(
     (both are oracle-tested).
     """
     if include_page:
+        if not use_arrow:
+            # the pandas kernel has no page-carrying variant; silently
+            # substituting the Arrow kernel would defeat a caller's
+            # explicit request for the independent implementation
+            raise ValueError(
+                "include_page=True is only implemented by the Arrow "
+                "kernel; call with use_arrow=True"
+            )
         # downstream integration (operators/integrate.py) groups the fold
         # by page; the graded schema stays the 5-column default.
         def run_pg(batches):
@@ -274,7 +269,8 @@ def _run_arrow(batches, include_page: bool = False):
     if include_page:
         fields.append(("page", pa.int32()))
     out_schema = pa.schema(fields)
-    PAGE_CAP = 1024  # > max pages per doc (409 by int32 offset bound)
+    PAGE_BITS = 10  # page field width in every packed key below;
+    # 2^10 = 1024 > max pages per doc (409 by the int32 offset bound)
 
     for batch in batches:
         tbl = pa.Table.from_batches([batch]).combine_chunks()
@@ -327,11 +323,11 @@ def _run_arrow(batches, include_page: bool = False):
         # distinct pages per doc WITHOUT sorting all spans: scatter into
         # a (doc x page) boolean domain, then read the set bits — O(n +
         # domain) vs np.unique's O(n log n) (profiled ~28% of the kernel)
-        dp = (doc_idx << 10) | page  # (doc, page) composite; PAGE_CAP=2^10
-        seen = np.zeros(len(counts) << 10, dtype=bool)
+        dp = (doc_idx << PAGE_BITS) | page  # (doc, page) composite
+        seen = np.zeros(len(counts) << PAGE_BITS, dtype=bool)
         seen[dp] = True
         dp_dom = np.flatnonzero(seen)
-        n_pages = np.bincount(dp_dom >> 10, minlength=len(counts))
+        n_pages = np.bincount(dp_dom >> PAGE_BITS, minlength=len(counts))
         span_n_pages = n_pages[doc_idx]
 
         boiler = np.zeros(len(ki), dtype=bool)
@@ -375,7 +371,7 @@ def _run_arrow(batches, include_page: bool = False):
         # (np.unique's radix path beats a domain-scatter + searchsorted
         # here — the 6M random-access binary searches cost more than the
         # sort; measured, not assumed)
-        dp = (doc_idx << 10) | page
+        dp = (doc_idx << PAGE_BITS) | page
         dp_codes, dp_inv = np.unique(dp, return_inverse=True)
         m = len(dp_codes)
         left = np.bincount(dp_inv[x < CX - GUTTER_HALF], minlength=m)
@@ -391,14 +387,20 @@ def _run_arrow(batches, include_page: bool = False):
         # sorts ~2x faster than a 5-key lexsort.
         # Bound guard: a future batch-size or page-geometry change must
         # fail loudly here, never silently mis-sort via bit overflow.
+        # Explicit raises, not assert — workers launched with
+        # PYTHONOPTIMIZE/-O compile asserts out, which would turn this
+        # contract into exactly the silent mis-sort it forbids.
         if len(doc_idx):
-            assert doc_idx.max() < (1 << 20), "batch exceeds 2^20 docs"
-            assert page.max() < (1 << 10), "page index exceeds 2^10"
-            assert y.max() < (1 << 12) and x.max() < (1 << 11), (
-                "span coordinates exceed packed key geometry"
-            )
+            if doc_idx.max() >= (1 << 20):
+                raise ValueError("batch exceeds 2^20 docs")
+            if page.max() >= (1 << PAGE_BITS):
+                raise ValueError("page index exceeds 2^10")
+            if y.max() >= (1 << 12) or x.max() >= (1 << 11):
+                raise ValueError(
+                    "span coordinates exceed packed key geometry"
+                )
         key = (
-            (((doc_idx << 10 | page) << 1 | side) << 12 | y) << 11 | x
+            (((doc_idx << PAGE_BITS | page) << 1 | side) << 12 | y) << 11 | x
         )
         srt = np.argsort(key, kind="stable")
         d_s = doc_idx[srt]

@@ -41,7 +41,6 @@ analyses in "CPU and GPU Hash Joins on Skewed Data", ICDE 2024, PAPERS.md.)
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -135,29 +134,49 @@ def _bucketize_kernel(ppb: int):
             )
             zone = np.where(is_text[ki], zone, 0)
 
-            # boilerplate strip — whole-batch vectorized (pandas groupby
-            # over (doc, zone, text) page-nunique), same spec as
-            # pipeline.extract_flat_pandas / oracle.extract_doc step 4.
+            # boilerplate strip — factorized keys + run counting, the
+            # same no-Python-strings form as pipeline._run_arrow (the
+            # old pandas groupby materialized every candidate text via
+            # to_pylist, re-introducing per-row Python objects in the
+            # tail-doc hot kernel); spec unchanged vs
+            # oracle.extract_doc step 4.
             boiler = np.zeros(len(ki), dtype=bool)
             cand = np.flatnonzero(zone > 0)
             if len(cand):
-                n_pages_per_doc = (
-                    pd.DataFrame({"d": d, "p": page})
-                    .drop_duplicates()
-                    .groupby("d", sort=False)
-                    .size()
+                # distinct (doc, page) pairs -> n_pages per doc
+                dpk = (d << 10) | page  # page <= 409 < 2^10
+                seen = np.zeros(
+                    np.int64(len(counts)) << 10, dtype=bool
                 )
-                texts = pc.take(norm, pa.array(ki[cand])).to_pylist()
-                cdf = pd.DataFrame(
-                    {"d": d[cand], "z": zone[cand], "t": texts, "p": page[cand]}
+                seen[dpk] = True
+                dp_dom = np.flatnonzero(seen)
+                n_pages = np.bincount(dp_dom >> 10, minlength=len(counts))
+                span_n_pages = n_pages[d]
+
+                # distinct pages per (doc, zone, text-code)
+                norm_cand = pc.take(norm, pa.array(ki[cand]))
+                codes = pc.dictionary_encode(norm_cand)
+                code_np = np.asarray(
+                    pc.fill_null(codes.indices, -1)
+                    .to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
                 )
-                zp = cdf.groupby(["d", "z", "t"], sort=False)["p"].transform(
-                    "nunique"
+                ukey = (
+                    (d[cand] << 34)
+                    | (np.int64(1) * zone[cand] << 32)
+                    | code_np
                 )
-                npg = cdf["d"].map(n_pages_per_doc).to_numpy()
-                thr = np.ceil(BOILERPLATE_FRAC * npg)
+                pg = page[cand]
+                srt2 = np.lexsort((pg, ukey))
+                uk_s, pg_s = ukey[srt2], pg[srt2]
+                first = np.ones(len(srt2), dtype=bool)
+                first[1:] = (uk_s[1:] != uk_s[:-1]) | (pg_s[1:] != pg_s[:-1])
+                uniq_keys, zpages = np.unique(uk_s[first], return_counts=True)
+                zp_span = zpages[np.searchsorted(uniq_keys, ukey)]
+                thr = np.ceil(BOILERPLATE_FRAC * span_n_pages[cand])
                 boiler[cand] = (
-                    (npg >= MIN_PAGES_BOILERPLATE) & (zp.to_numpy() >= thr)
+                    (span_n_pages[cand] >= MIN_PAGES_BOILERPLATE)
+                    & (zp_span >= thr)
                 )
 
             ki2 = np.flatnonzero(~boiler)
@@ -262,12 +281,14 @@ def _rank_kernel(batches):
 
         # composite sort key: row 20b | page 10b | side 1b | y 12b | x 11b.
         # Bound guard: a batch-size or geometry change must fail loudly,
-        # never silently mis-rank via bit overflow.
-        assert row_idx.max() < (1 << 20), "batch exceeds 2^20 bucket rows"
-        assert page.max() < (1 << 10), "page index exceeds 2^10"
-        assert y.max() < (1 << 12) and x.max() < (1 << 11), (
-            "span coordinates exceed packed key geometry"
-        )
+        # never silently mis-rank via bit overflow. Explicit raises, not
+        # assert — PYTHONOPTIMIZE/-O workers compile asserts out.
+        if row_idx.max() >= (1 << 20):
+            raise ValueError("batch exceeds 2^20 bucket rows")
+        if page.max() >= (1 << 10):
+            raise ValueError("page index exceeds 2^10")
+        if y.max() >= (1 << 12) or x.max() >= (1 << 11):
+            raise ValueError("span coordinates exceed packed key geometry")
         key = (((row_idx << 10 | page) << 1 | side) << 12 | y) << 11 | x
         srt = np.argsort(key, kind="stable")
         r_s = row_idx[srt]
@@ -340,10 +361,21 @@ def extract_salted_pruned(spark, path: str) -> DataFrame:
     The landing boundary is PAGES_PER_BUCKET; this reader must use the
     same constant, so it takes no ppb parameter."""
     src = spark.read.parquet(path)
-    assert "size_class" in src.columns, (
-        f"{path} was not landed with the size_class partition column; "
-        "use corpus.materialize_spans to land it, or extract_salted()"
-    )
+    if "size_class" not in src.columns:
+        raise ValueError(
+            f"{path} was not landed with the size_class partition column; "
+            "use corpus.materialize_spans to land it, or extract_salted()"
+        )
+    if "part" in src.columns:
+        # a split-landed corpus (materialize_spans(split_pages=...))
+        # ALSO carries size_class, but its big docs are continuation
+        # rows — extracting each part as a whole document would compute
+        # boilerplate stats per fragment and restart the rank per part:
+        # silently wrong output, so refuse loudly
+        raise ValueError(
+            f"{path} is a split-landed corpus ((doc_id, part) rows); "
+            "use plans.split_landed.extract_split_landed() for it"
+        )
     small = src.filter(F.col("size_class") == "small").select("doc_id", "spans")
     big = src.filter(F.col("size_class") == "big").select("doc_id", "spans")
     return _salted_from_parts(small, big, PAGES_PER_BUCKET)
