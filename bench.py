@@ -8,12 +8,13 @@ prints ONE JSON line:
   {"metric": "e2e_extract_sec", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>,
    "docs_per_sec": <extract throughput>,
-   "scaling": {"cores_lo": 8, "cores_hi": N, "t_lo_sec": ..,
+   "scaling": {"cores_lo": 2, "cores_hi": 8, "t_lo_sec": ..,
                "t_hi_sec": .., "efficiency": ..}}
 
 Scaling evidence (north_rule: >=0.8 efficiency N -> 4N executors): the
-same extraction job runs at local[N] and local[4N] (default 4 and 16; see
-CORES_LO note) on the same cached input;
+same extraction job runs at local[N] and local[4N] (default 2 and 8; see
+the CORES_LO note for why both levels sit in the unsaturated region of
+this 32-CPU box) on the same cached input;
 efficiency = (T_lo / T_hi) / (cores_hi / cores_lo). Also appended to BENCH.md.
 
 The synthetic spans corpus is generated once per sf into
@@ -169,7 +170,8 @@ def ensure_healthy_host() -> dict:
         print(f"# host degraded: single {t:.3f}s (ref {CALIB_REF_SEC}) "
               f"parallel {tp:.3f}s (ref {PAR_REF_SEC}) — retry "
               f"{attempt + 1}/{CALIB_ATTEMPTS}", file=sys.stderr)
-        time.sleep(CALIB_SLEEP_SEC)
+        if attempt < CALIB_ATTEMPTS - 1:  # no sleep after the last try
+            time.sleep(CALIB_SLEEP_SEC)
     return {"calibration_sec": round(best, 4),
             "ref_sec": CALIB_REF_SEC,
             "parallel_sec": round(best_par, 4),
@@ -194,7 +196,8 @@ def gate_headline(health: dict) -> float:
         print(f"# headline gate: calibration {t:.3f}s > "
               f"{CALIB_REF_SEC * HEADLINE_TOLERANCE:.3f}s — retry "
               f"{attempt + 1}/{HEADLINE_ATTEMPTS}", file=sys.stderr)
-        time.sleep(CALIB_SLEEP_SEC)
+        if attempt < HEADLINE_ATTEMPTS - 1:  # no sleep after the last try
+            time.sleep(CALIB_SLEEP_SEC)
     health["headline_calibration_sec"] = round(best, 4)
     health["headline_gate_ok"] = bool(
         best <= CALIB_REF_SEC * HEADLINE_TOLERANCE
@@ -247,20 +250,38 @@ def _build(cores: int, spans_path: str | None = None):
     )
 
 
+
+def _cached_media(path: str, fmt: str, spark):
+    """Crash-safe build-once media payload cache: route through
+    fixture_cache.cached_fixture (tmp dir + atomic rename + dead-builder
+    sweep) — a bare isdir check mistakes a killed half-written build for
+    a complete fixture and every later run benchmarks a truncated (or
+    unreadable) table."""
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+    from dd_ops_ocr_spark.operators.multimodal import _media_with_payload
+
+    return cached_fixture(
+        path,
+        lambda tmp: _media_with_payload(spark, SF_DIR, fmt=fmt)
+        .write.mode("overwrite").parquet(tmp),
+    )
+
+
 def ensure_spans_cache(spark) -> str:
     from dd_ops_ocr_spark import corpus
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
 
     gv = corpus.GENERATOR_VERSION
     # "sc" = size_class-partitioned layout (materialize_spans partitions by
-    # the salted path's small/big boundary so routing can file-prune)
+    # the salted path's small/big boundary so routing can file-prune);
+    # crash-safe via cached_fixture, same rationale as _cached_media
     path = os.path.join(CACHE, f"spans_{_sf_name()}_x{REPLICATE}_v{gv}sc.parquet")
-    if not os.path.isdir(path):
-        os.makedirs(CACHE, exist_ok=True)
-        corpus.materialize_spans(
-            spark, SF_DIR, path, n_partitions=256,
-            replicate=REPLICATE,
-        )
-    return path
+    return cached_fixture(
+        path,
+        lambda tmp: corpus.materialize_spans(
+            spark, SF_DIR, tmp, n_partitions=256, replicate=REPLICATE,
+        ),
+    )
 
 
 def ensure_flat_cache(spark, spans_path: str) -> str:
@@ -271,17 +292,20 @@ def ensure_flat_cache(spark, spans_path: str) -> str:
 
     from dd_ops_ocr_spark import corpus
 
+    from dd_ops_ocr_spark.fixture_cache import cached_fixture
+
     gv = corpus.GENERATOR_VERSION
     path = os.path.join(CACHE, f"flat_{_sf_name()}_x{REPLICATE}_v{gv}.parquet")
-    if not os.path.isdir(path):
-        (
+    return cached_fixture(
+        path,
+        lambda tmp: (
             spark.read.parquet(spans_path)
             .select("doc_id", F.explode("spans").alias("s"))
             .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
             .write.mode("overwrite")
-            .parquet(path)
-        )
-    return path
+            .parquet(tmp)
+        ),
+    )
 
 
 def timed(fn, repeats: int = 1) -> float:
@@ -412,9 +436,7 @@ def main() -> None:
     media_path = os.path.join(
         CACHE, f"media_jpeg_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet"
     )
-    if not os.path.isdir(media_path):
-        _media_with_payload(spark, SF_DIR, fmt="jpeg").write.mode(
-            "overwrite").parquet(media_path)
+    media_path = _cached_media(media_path, "jpeg", spark)
     media_df = spark.read.parquet(media_path)
     n_media = media_metadata(media_df).count()  # warm
     queries["media_metadata_jpeg"] = timed(
@@ -467,9 +489,7 @@ def main() -> None:
     from dd_ops_ocr_spark.operators.multimodal import media_video_frames
 
     video_path = os.path.join(CACHE, f"media_avi_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
-    if not os.path.isdir(video_path):
-        _media_with_payload(spark, SF_DIR, fmt="avi").write.mode(
-            "overwrite").parquet(video_path)
+    video_path = _cached_media(video_path, "avi", spark)
     video_df = spark.read.parquet(video_path)
     n_frames = media_video_frames(video_df).count()  # warm
     queries["media_video_frames"] = timed(
@@ -534,9 +554,7 @@ def main() -> None:
     from dd_ops_ocr_spark.native import webp as _nwebp
 
     webp_path = os.path.join(CACHE, f"media_webp_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
-    if not os.path.isdir(webp_path):
-        _media_with_payload(spark, SF_DIR, fmt="webp").write.mode(
-            "overwrite").parquet(webp_path)
+    webp_path = _cached_media(webp_path, "webp", spark)
     webp_df = spark.read.parquet(webp_path)
     n_webp = media_metadata(webp_df).count()  # warm
     queries["media_metadata_webp"] = timed(
@@ -575,9 +593,7 @@ def main() -> None:
     )
 
     audio_path = os.path.join(CACHE, f"media_wavmix_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
-    if not os.path.isdir(audio_path):
-        _media_with_payload(spark, SF_DIR, fmt="wav_multi").write.mode(
-            "overwrite").parquet(audio_path)
+    audio_path = _cached_media(audio_path, "wav_multi", spark)
     audio_df = spark.read.parquet(audio_path)
     n_audio = media_audio_codec_features(audio_df).count()  # warm
     queries["media_audio_formats"] = timed(
@@ -589,9 +605,7 @@ def main() -> None:
             n_audio / queries["media_audio_formats"], 1),
     }
     adpcm_path = os.path.join(CACHE, f"media_adpcm_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
-    if not os.path.isdir(adpcm_path):
-        _media_with_payload(spark, SF_DIR, fmt="wav_adpcm").write.mode(
-            "overwrite").parquet(adpcm_path)
+    adpcm_path = _cached_media(adpcm_path, "wav_adpcm", spark)
     adpcm_df = spark.read.parquet(adpcm_path)
     n_adpcm = media_audio_codec_features(adpcm_df).count()  # warm
     queries["media_audio_adpcm"] = timed(
@@ -603,9 +617,7 @@ def main() -> None:
     # inter-frame video: PNG keyframes + mod-256 deltas, idx1 keyframe
     # seek — work per sampled frame bounded by the keyframe interval
     delta_path = os.path.join(CACHE, f"media_avidelta_{_sf_name()}_v{MEDIA_SYNTH_V}.parquet")
-    if not os.path.isdir(delta_path):
-        _media_with_payload(spark, SF_DIR, fmt="avi_delta").write.mode(
-            "overwrite").parquet(delta_path)
+    delta_path = _cached_media(delta_path, "avi_delta", spark)
     delta_df = spark.read.parquet(delta_path)
     n_dframes = media_video_delta_frames(delta_df).count()  # warm
     queries["media_video_delta_frames"] = timed(

@@ -76,9 +76,32 @@ def ensure_spans_fixture(sf_dir: str) -> str:
         {"doc_id": pdf["doc_id"].tolist(), "spans": pdf["spans"].tolist()},
         schema=_ARROW_SCHEMA,
     )
+    # sweep orphan tmp files from DEAD builders first (a killed process
+    # leaves <path>.tmp.<pid> forever otherwise; a LIVE builder's tmp is
+    # untouched — same policy as fixture_cache's dead-builder sweep)
+    import glob as _glob
+
+    for stale in _glob.glob(f"{path}.tmp.*"):
+        try:
+            pid = int(stale.rsplit(".", 1)[-1])
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass  # another sweeper won
+        except (ValueError, PermissionError):
+            pass  # unparsable suffix / someone else's live pid
     tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, path)
+    try:
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+        raise
     return path
 
 

@@ -61,9 +61,15 @@ def extract_incremental(
         delta = spans_df
         roster_seed = None
 
+    # the roster scan + anti-join (the docstring's cost floor) feeds
+    # THREE consumers below — the n_docs count, the extraction write,
+    # and the aux roster write; persist so discovery runs once per
+    # increment, not three times over the full output table
+    delta = delta.persist()
     out = extractor(delta)
     n_docs = delta.count()
     if operation == "append" and n_docs == 0:
+        delta.unpersist()
         return {
             "run_id": run_id,
             "operation": "noop",
@@ -78,6 +84,7 @@ def extract_incremental(
         properties={"run_id": run_id, "docs_processed": n_docs},
         aux={"docids": roster},
     )
+    delta.unpersist()  # write_snapshot materialized both consumers
     return {
         "run_id": run_id,
         "operation": operation,

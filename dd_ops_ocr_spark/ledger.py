@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 DEFAULT_BUCKETS = 32
 
 
-def _parquet_nonempty(path: str) -> bool:
+def _parquet_nonempty(path: str, spark: SparkSession | None = None) -> bool:
     """True when the subtree holds at least one parquet part file. Used to
     distinguish "bucket legitimately wrote nothing" from a genuine read
     failure (corrupt file, transient IO): only the former may commit a
@@ -47,15 +47,22 @@ def _parquet_nonempty(path: str) -> bool:
     Local paths use os.walk; URI paths (hdfs://, s3a://, gs://, ...) go
     through Spark's Hadoop FileSystem API so the check is correct on any
     filesystem — an os.walk on a URI string silently yields nothing,
-    which would downgrade every remote bucket to a zero-count marker."""
+    which would downgrade every remote bucket to a zero-count marker.
+
+    Both branches count only files a Spark reader would read: part
+    files under ``_temporary`` (a crashed job's uncommitted attempts)
+    and hidden (``.``/``_``-prefixed) entries are invisible to
+    ``spark.read.parquet``, so counting them would declare committed
+    data where a read finds none."""
     scheme = path.split("://", 1)[0] if "://" in path else ""
     if scheme in ("", "file"):
         local = path.split("://", 1)[1] if scheme else path
-        for _root, _dirs, files in os.walk(local):
+        for _root, dirs, files in os.walk(local):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
-    return _hadoop_parquet_nonempty(path)
+    return _hadoop_parquet_nonempty(path, spark)
 
 
 def _hadoop_parquet_nonempty(path: str, spark: SparkSession | None = None) -> bool:
@@ -77,8 +84,17 @@ def _hadoop_parquet_nonempty(path: str, spark: SparkSession | None = None) -> bo
         return False
     it = fs.listFiles(hpath, True)  # recursive
     while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            return True
+        p = it.next().getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        # mirror the local probe: uncommitted attempt files under
+        # _temporary (and any hidden dir) are invisible to Spark readers
+        tail = p.toString().split("://", 1)[-1]
+        if any(
+            s.startswith(("_", ".")) for s in tail.split("/")[:-1] if s
+        ):
+            continue
+        return True
     return False
 
 
@@ -97,12 +113,12 @@ def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     idempotent overwrites — but checkpointing would be dead weight
     exactly where it matters)."""
     path = f"{out_dir}/ledger"
-    scheme = path.split("://", 1)[0] if "://" in path else ""
-    if scheme in ("", "file"):
-        local = path.split("://", 1)[1] if scheme else path
-        if not os.path.isdir(local) or not os.listdir(local):
-            return set()
-    elif not _hadoop_parquet_nonempty(path, spark):
+    # probe for COMMITTED parquet, not mere directory-non-emptiness: a
+    # crash during the very first marker write leaves the ledger dir
+    # holding only _SUCCESS/_temporary litter, and a bare isdir/listdir
+    # check would then hand spark.read.parquet a dir with zero visible
+    # data files — AnalysisException on the resume path itself
+    if not _parquet_nonempty(path, spark):
         return set()
     rows = spark.read.parquet(path).select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}

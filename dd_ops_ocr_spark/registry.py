@@ -83,10 +83,11 @@ def _landed_cache(
     from dd_ops_ocr_spark import corpus
     from dd_ops_ocr_spark.fixture_cache import cached_fixture
 
+    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir
+
     name = os.path.basename(sf_dir.rstrip("/"))
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".bench_cache")
-    path = os.path.join(
+    cache = bench_cache_dir()
+    path = os.path.join
         cache,
         f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}{suffix}.parquet",
     )

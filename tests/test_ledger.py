@@ -197,3 +197,21 @@ def test_observed_lineage_single_pass_and_docs_invariant(spark, spans):
                     == recompute.loc[b, "spans_emitted"])
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_committed_buckets_survives_torn_first_marker(spark, tmp_path):
+    """A crash during the very FIRST ledger write leaves the ledger dir
+    with only uncommitted litter (_temporary attempts, _SUCCESS). The
+    resume probe must answer set() — not crash spark.read.parquet with
+    'Unable to infer schema' and kill the resume path outright."""
+    out = tmp_path / "out"
+    lg = out / "ledger"
+    (lg / "_temporary" / "0" / "task").mkdir(parents=True)
+    # a parquet-named attempt file that Spark readers would ignore
+    (lg / "_temporary" / "0" / "task" / "part-0.parquet").write_bytes(
+        b"not parquet"
+    )
+    (lg / "_SUCCESS").write_bytes(b"")
+    from dd_ops_ocr_spark.ledger import committed_buckets
+
+    assert committed_buckets(spark, str(out)) == set()
