@@ -77,12 +77,29 @@ def bounded_engine_calls(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = run_bounded(list(pdf["text"]), engine, max_inflight)
+            # NULL text never reaches the engine: it would crash the
+            # whole task (len(None); a real HTTP engine chokes the same
+            # way) for a single bad row. The row itself still emits —
+            # NULL results, matching the SQL twin's LENGTH(NULL)/
+            # substring(NULL) semantics.
+            texts = list(pdf["text"])
+            nn = [t for t in texts if not pd.isna(t)]
+            outs = iter(run_bounded(nn, engine, max_inflight))
+            res_len: list = []
+            heads: list = []
+            for t in texts:
+                if pd.isna(t):
+                    res_len.append(None)
+                    heads.append(None)
+                else:
+                    o = next(outs)
+                    res_len.append(o["result_len"])
+                    heads.append(o["head"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "result_len": [o["result_len"] for o in outs],
-                    "head": [o["head"] for o in outs],
+                    "result_len": pd.array(res_len, dtype="Int64"),
+                    "head": heads,
                 }
             )
 

@@ -81,13 +81,11 @@ def _landed_cache(
     import os
 
     from dd_ops_ocr_spark import corpus
-    from dd_ops_ocr_spark.fixture_cache import cached_fixture
-
-    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir
+    from dd_ops_ocr_spark.fixture_cache import bench_cache_dir, cached_fixture
 
     name = os.path.basename(sf_dir.rstrip("/"))
     cache = bench_cache_dir()
-    path = os.path.join
+    path = os.path.join(
         cache,
         f"spans_{name}_x1_v{corpus.GENERATOR_VERSION}{suffix}.parquet",
     )

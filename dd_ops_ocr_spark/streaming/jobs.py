@@ -79,10 +79,17 @@ def stream_dedup_stateful(spark: SparkSession, input_dir: str):
 
     def admit(key, pdfs, state):
         doc_id = key[0]
-        n = 0
+        # admit the FIRST row only — a re-delivery can land in the SAME
+        # micro-batch (both copies in one landing file), and summing
+        # every row's spans would emit the doc once with an inflated
+        # count; cross-batch re-delivery is the state.exists branch
+        n = None
         for pdf in pdfs:
             for spans in pdf["spans"]:
-                n += len(spans)
+                n = len(spans)
+                break
+            if n is not None:
+                break
         if state.exists:
             return iter(())  # already admitted in an earlier batch
         state.update((1,))

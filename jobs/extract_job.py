@@ -76,9 +76,12 @@ def main(argv: list[str] | None = None) -> int:
         spark, spans, args.output, run_id,
         n_buckets=args.buckets, extractor=extractor,
     )
-    nq = quarantine.count()
-    if nq:
-        quarantine.write.mode("overwrite").parquet(f"{args.output}/quarantine")
+    # write unconditionally: a re-run over FIXED input must clear the
+    # previous run's quarantine rows (an nq>0-gated write left stale rows
+    # on disk while the summary reported quarantined_docs=0), and the
+    # written table is the count's source so the scan runs once
+    quarantine.write.mode("overwrite").parquet(f"{args.output}/quarantine")
+    nq = spark.read.parquet(f"{args.output}/quarantine").count()
     summary.update(
         elapsed_sec=round(time.monotonic() - t0, 3), quarantined_docs=nq
     )

@@ -38,10 +38,25 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep the query running instead of draining once")
     args = p.parse_args(argv)
 
-    from dd_ops_ocr_spark.session import build_spark
+    from pyspark.sql import SparkSession
+
     from dd_ops_ocr_spark.streaming.jobs import stream_extract
 
-    spark = build_spark()
+    # no .master() here — session.build_spark pins local[N], which would
+    # silently override the spark-submit --master <cluster> this entry
+    # documents (the other jobs/ entries build masterless for the same
+    # reason); raise the progress-history cap so the drain summary below
+    # is complete even for >100-micro-batch drains (Spark retains only
+    # spark.sql.streaming.numRecentProgressUpdates entries)
+    spark = (
+        SparkSession.builder.appName("ddops_stream_extract")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
+        .getOrCreate()
+    )
     t0 = time.time()
     q = stream_extract(
         spark,

@@ -503,3 +503,20 @@ def test_ivf_recall_curve_clustered_vs_clusterless():
     # 12 there; the gap IS the tuning methodology
     assert ivf_recall(clusterless, 2) <= 0.7
     assert ivf_recall(clusterless, 12) >= 0.9
+
+
+def test_bounded_engine_calls_null_text_survives(spark):
+    """One NULL-text row must not crash the task (len(None) inside the
+    engine): the row emits NULL results — the SQL twin's LENGTH(NULL)
+    semantics — and every other row still goes through the engine."""
+    from dd_ops_ocr_spark.operators.external import bounded_engine_calls
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.result_len, r.head)
+           for r in bounded_engine_calls(docs).collect()}
+    assert got[1] == (11, "hello worl")
+    assert got[2] == (None, None)
+    assert got[3] == (1, "x")

@@ -1197,3 +1197,36 @@ def test_stream_upsert_sink_out_of_order_epoch_cannot_regress(spark):
     finally:
         for d in (land, ckpt, table):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_same_batch_duplicate_not_inflated(spark):
+    """A re-delivery can land in the SAME micro-batch (both copies in
+    one landing file): the doc must emit once with the TRUE span count,
+    not the sum over duplicate rows."""
+    import glob
+    import shutil as sh
+
+    from dd_ops_ocr_spark.streaming.jobs import stream_dedup_stateful
+
+    land = tempfile.mkdtemp(prefix="stream_dupb_")
+    try:
+        spans = corpus.build_spans_df(spark, SF_SMOKE).limit(1)
+        true_n = len(spans.collect()[0]["spans"])
+        dup = spans.unionAll(spans).coalesce(1)  # two copies, one file
+        dup.write.mode("overwrite").parquet(f"{land}/tmp")
+        for f in glob.glob(f"{land}/tmp/part-*.parquet"):
+            sh.copy(f, f"{land}/file_0.parquet")
+        sh.rmtree(f"{land}/tmp")
+
+        out = stream_dedup_stateful(spark, land)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory").queryName("dedup_dupb")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from dedup_dupb").collect()
+        assert len(rows) == 1
+        assert rows[0]["n_spans"] == true_n
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
