@@ -183,18 +183,15 @@ def _file_headers(h: int, w: int, hs: int, vs: int,
     return out
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 75,
-                subsampling: str = "4:2:0") -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes."""
-    h, w, _ = pixels.shape
+def _prep_components(pixels, quality: int, subsampling: str):
+    """Shared encoder front half: quant tables, RGB->YCbCr, chroma
+    downsample, padding, quantized zigzag blocks, MCU dims. ONE
+    definition for both encoders — the progressive stream must decode
+    bit-identically to the baseline encoding of the same pixels, which
+    holds only while both quantize identically."""
     qt_l = _scaled_qt(QT_LUMA, quality)
     qt_c = _scaled_qt(QT_CHROMA, quality)
-    # DQT stores tables in zigzag order
-    qt_l_zz = qt_l[ZZ]
-    qt_c_zz = qt_c[ZZ]
-
-    sub = {"4:4:4": (1, 1), "4:2:0": (2, 2)}[subsampling]
-    hs, vs = sub
+    hs, vs = {"4:4:4": (1, 1), "4:2:0": (2, 2)}[subsampling]
     y, cb, cr = _rgb_to_ycbcr(pixels)
     if hs == 2:
         # box-filter 2x2 chroma downsample on an edge-padded plane
@@ -205,7 +202,6 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
     y = _pad_to(y, 8 * vs, 8 * hs)
     cb = _pad_to(cb, 8, 8)
     cr = _pad_to(cr, 8, 8)
-
     comps_q = [
         _quantized_blocks_zz(y, qt_l),
         _quantized_blocks_zz(cb, qt_c),
@@ -213,6 +209,19 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
     ]
     mcus_y = y.shape[0] // (8 * vs)
     mcus_x = y.shape[1] // (8 * hs)
+    return comps_q, mcus_y, mcus_x, hs, vs, qt_l, qt_c
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 75,
+                subsampling: str = "4:2:0") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes."""
+    h, w, _ = pixels.shape
+    comps_q, mcus_y, mcus_x, hs, vs, qt_l, qt_c = _prep_components(
+        pixels, quality, subsampling
+    )
+    # DQT stores tables in zigzag order
+    qt_l_zz = qt_l[ZZ]
+    qt_c_zz = qt_c[ZZ]
 
     dc_codes = _ENC_DC_CODES
     ac_codes = _ENC_AC_CODES
@@ -312,26 +321,9 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75,
     encodes progressive in production; this closes the dependency-free
     fallback's last encode seam."""
     h, w, _ = pixels.shape
-    qt_l = _scaled_qt(QT_LUMA, quality)
-    qt_c = _scaled_qt(QT_CHROMA, quality)
-    sub = {"4:4:4": (1, 1), "4:2:0": (2, 2)}[subsampling]
-    hs, vs = sub
-    y, cb, cr = _rgb_to_ycbcr(pixels)
-    if hs == 2:
-        cbp = _pad_to(cb, 2, 2)
-        crp = _pad_to(cr, 2, 2)
-        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
-        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
-    y = _pad_to(y, 8 * vs, 8 * hs)
-    cb = _pad_to(cb, 8, 8)
-    cr = _pad_to(cr, 8, 8)
-    comps_q = [
-        _quantized_blocks_zz(y, qt_l),
-        _quantized_blocks_zz(cb, qt_c),
-        _quantized_blocks_zz(cr, qt_c),
-    ]
-    mcus_y = y.shape[0] // (8 * vs)
-    mcus_x = y.shape[1] // (8 * hs)
+    comps_q, mcus_y, mcus_x, hs, vs, qt_l, qt_c = _prep_components(
+        pixels, quality, subsampling
+    )
     dc_codes = _ENC_DC_CODES
     ac_codes = _ENC_AC_CODES
 
@@ -957,6 +949,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if nc not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) would entropy-decode
+                # cleanly but _finish_scan applies 3-component YCbCr
+                # math and drops the K plane — silently wrong pixels.
+                # Documented seam, matching the module's error contract.
+                raise NotImplementedError(
+                    f"{nc}-component JPEG (CMYK/YCCK) not supported"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]
@@ -979,6 +979,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         scan_comps.append(j)
             scan_start = pos + seg_len
             if not progressive:
+                if ns != len(comps):
+                    # T.81 allows sequential per-component scans; the
+                    # baseline decoder below assumes ONE fully
+                    # interleaved scan — decoding anyway would misalign
+                    # the Huffman stream and quarantine (or worse,
+                    # garbage-decode) a spec-valid file. Loud seam
+                    # instead; the progressive path handles its own
+                    # scan lists.
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved) baseline JPEG"
+                    )
                 return _decode_scan(
                     payload, scan_start, w, h, comps, qts, huff_dc,
                     huff_ac, restart_interval,

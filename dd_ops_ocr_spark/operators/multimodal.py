@@ -12,9 +12,12 @@ resample -> re-encode -> average-hash):
   * baseline **JPEG** (operators/jpeg.py — the reference's actual media
     format, q95 per step1/03_image_converter.py:42-57).
 
-Formats still needing external codecs (PNG/video) raise
-NotImplementedError at ``decode_image`` and keep the documented
-deterministic-fake fallback (``fake_decode_batch``) for plumbing tests.
+plus pure-python **PNG** (operators/png.py, incl. Adam7) and lossless
+**WebP/VP8L** (operators/webp.py). Format tails that DO still need an
+external codec (lossy VP8, video containers beyond the MJPEG/delta AVI
+codecs, 16-bit PNG) raise NotImplementedError at ``decode_image``; the
+deterministic-fake fallback (``fake_decode_batch``) remains for
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -460,8 +463,9 @@ def synth_avi_payload(media_ref: str) -> bytes:
 
 def real_decode_batch(payloads: pd.Series) -> pd.DataFrame:
     """REAL metadata extraction: detect the format, decode each payload
-    (BMP or baseline JPEG, both pure numpy), and derive true dimensions
-    plus a real average-hash from the pixels."""
+    (BMP / JPEG / PNG / lossless WebP, all pure numpy — see
+    ``decode_image``), and derive true dimensions plus a real
+    average-hash from the pixels."""
     n_bytes, fmts, widths, heights, phashes = [], [], [], [], []
     for p in payloads:
         img = decode_image(p)
@@ -752,6 +756,21 @@ def media_video_frames_quarantined(
     def per_payload(r, p) -> list[dict]:
         payload_frames = avi_frames(p)
         n = len(payload_frames)
+        if n == 0:
+            # a structurally VALID container with zero frame chunks:
+            # without this the source emits neither frame rows nor a
+            # quarantine row and vanishes from the one-row-per-source
+            # accounting the docstring promises
+            return [{
+                "media_ref": r,
+                "frame_idx": None,
+                "src_idx": None,
+                "n_src_frames": 0,
+                "width": None,
+                "height": None,
+                "frame": None,
+                "error": "ValueError: AVI contains no frame chunks",
+            }]
         prows = []
         for i, src in enumerate(sample_indices(n, n_frames)):
             img = decoder(payload_frames[src])
@@ -1134,13 +1153,7 @@ def q_media_metadata_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated byte count, null dims, and ok=false — all statable, so
     the driver hash-checks that quarantine fires on exactly the right
     rows and nothing else degrades."""
-    media = _media_with_payload(spark, sf_dir)
-    corrupt = F.substring(F.md5(F.col("media_ref")), 1, 1) == F.lit("0")
-    media = media.withColumn(
-        "payload",
-        F.when(corrupt, F.expr("substring(payload, 1, 10)"))
-        .otherwise(F.col("payload")),
-    )
+    media = _corrupt_md5_nibble0(_media_with_payload(spark, sf_dir))
     out = media_metadata_quarantined(media)
     return out.select(
         "media_ref", "format", "n_bytes", "width", "height",

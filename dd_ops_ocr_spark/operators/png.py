@@ -81,16 +81,6 @@ def png_dimensions(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
-    pa = np.abs(p - a)
-    pb = np.abs(p - b)
-    pc = np.abs(p - c)
-    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
-        np.uint8
-    )
-
-
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo per-scanline filtering: raw is (h, 1+stride) filter-prefixed
     rows; returns (h, stride) reconstructed bytes."""
@@ -119,15 +109,20 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
                 a = out[y, i - bpp] if i >= bpp else 0
                 out[y, i] = (int(line[i]) + ((int(a) + int(prev[i])) >> 1)) & 0xFF
         elif ft == 4:  # Paeth — sequential along the row
+            # plain int arithmetic: the numpy-scalar _paeth form built
+            # three arrays + two np.where per BYTE, and filter 4 is the
+            # commonest filter real encoders emit — this loop is the
+            # foreign-PNG decode hot spot
             for i in range(stride):
-                a = out[y, i - bpp] if i >= bpp else np.uint8(0)
-                c = prev[i - bpp] if i >= bpp else np.uint8(0)
-                pr = _paeth(
-                    np.asarray(a, dtype=np.uint8),
-                    np.asarray(prev[i], dtype=np.uint8),
-                    np.asarray(c, dtype=np.uint8),
-                )
-                out[y, i] = (int(line[i]) + int(pr)) & 0xFF
+                a = int(out[y, i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[y, i] = (int(line[i]) + pr) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
     return out

@@ -303,9 +303,9 @@ def sample_indices(n_src: int, k: int) -> list[int]:
     round-half-up — NOT Python round(), whose banker's rounding has no
     SQL twin — so the exact same arithmetic is statable in DuckDB:
     idx = (2*i*(n_src-1) + (k-1)) // (2*(k-1))."""
-    if n_src <= 0:
-        return []
+    if n_src <= 0 or k <= 0:
+        return []  # zero samples requested = zero frames decoded
     k = min(k, n_src)  # never emit duplicate frames
-    if k <= 1:
+    if k == 1:
         return [0]
     return [(2 * i * (n_src - 1) + (k - 1)) // (2 * (k - 1)) for i in range(k)]

@@ -234,7 +234,16 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         sym0 = br.read_bits(8 if first_8bits else 1)
         lengths = {sym0: 1}
         if num_symbols == 2:
-            lengths[br.read_bits(8)] = 1
+            sym1 = br.read_bits(8)
+            if sym1 == sym0:
+                # a duplicate would collapse the dict to ONE symbol and
+                # _PrefixCode's single-symbol path then consumes 0 bits
+                # per read — the decoder desynchronizes and emits a
+                # full-size garbage image instead of failing loudly
+                raise ValueError(
+                    "VP8L simple prefix code repeats its symbol"
+                )
+            lengths[sym1] = 1
         return _PrefixCode(lengths)
     num_cl = 4 + br.read_bits(4)
     cl_lengths: dict[int, int] = {}

@@ -209,3 +209,64 @@ def test_progressive_encoder_bit_identical_to_baseline():
                 native.decode_jpeg_native(base),
                 native.decode_jpeg_native(prog),
             )
+
+
+def test_jpeg_unsupported_shapes_raise_loudly():
+    """4-component (CMYK) and multi-scan baseline JPEGs are documented
+    seams: they must raise NotImplementedError, never entropy-decode to
+    silently wrong pixels (the K plane would be dropped) or misalign
+    the Huffman stream into a bogus corrupt-file error."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from dd_ops_ocr_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((16, 16, 3), 128, dtype=np.uint8)
+    good = bytearray(encode_jpeg(px))
+
+    # patch SOF0 to claim 4 components (header-level: the guard must
+    # fire before any entropy work)
+    sof_at = bytes(good).find(b"\xff\xc0")
+    nc_at = sof_at + 4 + 5  # marker(2) + len(2) + prec(1) + h(2) + w(2)
+    bad = bytes(good[:nc_at]) + b"\x04" + bytes(good[nc_at + 1:])
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        decode_jpeg(bad)
+
+    # patch SOS to claim a single-component scan of the 3-component SOF
+    sos_at = bytes(good).find(b"\xff\xda")
+    ln = _struct.unpack_from(">H", good, sos_at + 2)[0]
+    patched = bytearray(good)
+    patched[sos_at + 2:sos_at + 4] = _struct.pack(">H", ln - 4)
+    patched[sos_at + 4] = 1  # ns = 1, keep only comp 1's entry
+    del patched[sos_at + 7:sos_at + 11]  # drop comps 2-3 entries
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(patched))
+
+
+def test_webp_simple_code_duplicate_symbol_rejected():
+    """A 2-symbol VP8L simple prefix code that repeats its symbol would
+    collapse to a 0-bit single-symbol code and desynchronize the whole
+    decode — the reader must reject it loudly."""
+    import pytest
+
+    from dd_ops_ocr_spark.operators.webp import _BitReader, _read_prefix_code
+
+    # bits (LSB-first): 1 (simple), 1 (two symbols), 0 (1-bit first
+    # symbol), symbol0 = 1, then symbol1 = 1 over 8 bits -> duplicate
+    bits = [1, 1, 0, 1] + [1, 0, 0, 0, 0, 0, 0, 0]
+    by = bytearray(2)
+    for i, b in enumerate(bits):
+        by[i // 8] |= b << (i % 8)
+    with pytest.raises(ValueError, match="repeats its symbol"):
+        _read_prefix_code(_BitReader(bytes(by)), 256)
+
+
+def test_sample_indices_zero_requested_returns_none():
+    from dd_ops_ocr_spark.operators.video import sample_indices
+
+    assert sample_indices(10, 0) == []
+    assert sample_indices(10, -3) == []
+    assert sample_indices(0, 3) == []
+    assert sample_indices(10, 1) == [0]

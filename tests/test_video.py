@@ -487,3 +487,44 @@ def test_media_video_delta_frames_end_to_end(spark):
         for r in got:
             assert r["n_src_frames"] == n
             assert r["key_idx"] == r["src_idx"] - r["src_idx"] % DELTA_KF_INTERVAL
+
+
+def test_zero_frame_avi_keeps_one_row_accounting(spark):
+    """A structurally valid AVI with no frame chunks must surface as ONE
+    quarantine-style row (n_src_frames=0, error set), not vanish from
+    the per-source accounting."""
+    from dd_ops_ocr_spark.operators.multimodal import (
+        media_video_frames_quarantined,
+    )
+    import numpy as np
+
+    from dd_ops_ocr_spark.operators.jpeg import encode_jpeg
+    from dd_ops_ocr_spark.operators.video import avi_frames, encode_avi_mjpeg
+
+    # the writer (correctly) refuses zero frames, so surgically remove
+    # the single frame chunk + idx1 entry from a 1-frame container —
+    # structurally valid RIFF, zero '00dc' chunks
+    frame = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    raw = bytearray(encode_avi_mjpeg([frame], 8, 8, fps=10))
+    i = raw.find(b"00dc")
+    size = int.from_bytes(raw[i + 4:i + 8], "little")
+    chunk_len = 8 + size + (size & 1)
+    k = raw.find(b"movi") - 8  # its LIST header
+    msz = int.from_bytes(raw[k + 4:k + 8], "little")
+    raw[k + 4:k + 8] = (msz - chunk_len).to_bytes(4, "little")
+    del raw[i:i + chunk_len]
+    j = raw.find(b"idx1")
+    isz = int.from_bytes(raw[j + 4:j + 8], "little")
+    raw[j + 4:j + 8] = (isz - 16).to_bytes(4, "little")
+    del raw[j + 8:j + 24]
+    rsz = int.from_bytes(raw[4:8], "little")
+    raw[4:8] = (rsz - chunk_len - 16).to_bytes(4, "little")
+    empty_avi = bytes(raw)
+    assert avi_frames(empty_avi) == []  # parseable, zero frames
+    df = spark.createDataFrame(
+        [("m0", bytearray(empty_avi))], "media_ref string, payload binary"
+    )
+    rows = media_video_frames_quarantined(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_src_frames"] == 0
+    assert rows[0]["error"] is not None and "no frame" in rows[0]["error"]
