@@ -13,14 +13,18 @@ Python DataSource API — so an archive directory is a table:
 
 Why this matters at 100 TB (what each piece buys):
 
-* **Partition planning from sidecar indexes.** The writer emits a tiny
-  ``.idx.json`` per shard (gzip-member offsets + compressed lengths).
-  ``partitions()`` reads ONLY manifest + indexes on the driver — never
-  data bytes — and plans one input split per ~``split_bytes`` of
-  compressed members. A 1 TB shard becomes ~256 bounded 4 MiB tasks;
-  on object storage each task is one range-GET. No task ever gunzips a
-  whole archive file (WARC Annex-D members are independently
-  decompressible — the property `warc.split_gzip_members` proves).
+* **O(files) partition planning.** The writer emits a tiny
+  ``.idx.json`` per shard (gzip-member offsets + compressed lengths)
+  and stamps each shard's total member bytes into the manifest.
+  ``partitions()`` reads ONLY the manifest on the driver — never index
+  or data bytes — and plans one byte-range split per ~``split_bytes``
+  of compressed members by pure arithmetic; each TASK resolves its own
+  member offsets from its shard's sidecar index in parallel. A 1 TB
+  shard becomes ~128 bounded 8 MiB tasks; on object storage each task
+  is one small index GET + one range-GET. Driver work and split pickle
+  size stay O(files) however many members the archive holds. No task
+  ever gunzips a whole archive file (WARC Annex-D members are
+  independently decompressible — `warc.split_gzip_members` proves it).
 * **Filter pushdown** (``pushFilters``): ``warc_type`` equality/IN
   predicates are evaluated INSIDE the scan before the md5/body work,
   so ``WHERE warc_type = 'response'`` skips the metadata/warcinfo
@@ -88,6 +92,7 @@ from dd_ops_ocr_spark.operators.warc import (
     _http_split,
     _INFO_BODY,
     _record,
+    _VERSION,
     _WARC_DATE,
     decode_warc,
     gzip_member,
@@ -143,6 +148,7 @@ _CORRUPT_TYPE = "__corrupt__"
 class _Commit(WriterCommitMessage):
     file: str | None
     n_members: int
+    total_bytes: int = 0
 
 
 def _shard_info_record(pid: int) -> bytes:
@@ -197,7 +203,7 @@ class WarcArchiveWriter(DataSourceWriter):
                 f.write(m)
         with open(os.path.join(self.path, name + ".idx.json"), "w") as f:
             json.dump({"members": offsets}, f)
-        return _Commit(file=name, n_members=len(members))
+        return _Commit(file=name, n_members=len(members), total_bytes=pos)
 
     def commit(self, messages) -> None:
         new = sorted(m.file for m in messages if m is not None and m.file)
@@ -212,6 +218,11 @@ class WarcArchiveWriter(DataSourceWriter):
         # a CONCURRENT job's staged-but-uncommitted shard, so deleting
         # unreferenced files would silently destroy that job's data;
         # reclamation is vacuum()'s job, called when no write is live.
+        new_stats = {
+            m.file: m.total_bytes
+            for m in messages
+            if m is not None and m.file
+        }
         while True:
             prev, ver = _load_manifest(self.path)
             if self.overwrite or prev is None:
@@ -220,13 +231,22 @@ class WarcArchiveWriter(DataSourceWriter):
                 # STREAMING reader offsets into (commit index = offset);
                 # "files" stays the flat union the batch reader scans
                 commits = [new]
+                stats = dict(new_stats)
             else:
                 files = sorted(set(prev["files"]) | set(new))
                 commits = prev.get("commits", [prev["files"]]) + [new]
+                # per-file member-byte totals let partitions() plan
+                # byte-range splits without parsing sidecar indexes on
+                # the driver (O(files), not O(members)); files committed
+                # before stats existed simply stay absent and planning
+                # falls back to index-driven splits for the archive
+                stats = {**prev.get("stats", {}), **new_stats}
             target = _manifest_v_path(self.path, ver + 1)
             tmp = f"{target}.tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
-                json.dump({"files": files, "commits": commits}, f)
+                json.dump(
+                    {"files": files, "commits": commits, "stats": stats}, f
+                )
                 f.flush()
                 os.fsync(f.fileno())
             try:
@@ -297,13 +317,42 @@ class _MemberSplit(InputPartition):
         self.members = members
 
 
+class _RangeSplit(InputPartition):
+    """One bounded scan task as a compressed BYTE range of one shard:
+    every member whose start offset lies in [lo, hi) belongs to this
+    split (``hi is None`` = to end of file, so members appended after
+    the manifest stats were stamped still scan). The task resolves its
+    member list from the shard's own sidecar index — parallel,
+    executor-side — so the DRIVER plans from per-file byte totals only:
+    O(files) work and ~100-byte pickled splits instead of parsing every
+    member index and shipping megabytes of offset lists per query."""
+
+    def __init__(self, path: str, lo: int, hi: int | None) -> None:
+        self.path = path
+        self.lo = lo
+        self.hi = hi
+
+
 def _plan_splits(
-    path: str, files: list, split_bytes: int
-) -> list[_MemberSplit]:
-    """Driver-side planning from sidecar indexes only — no data bytes.
-    Shared by the batch reader (whole manifest) and the stream reader
-    (one commit-epoch range)."""
-    splits: list[_MemberSplit] = []
+    path: str, files: list, split_bytes: int, stats: dict | None = None
+) -> list[InputPartition]:
+    """Driver-side planning — no data bytes. When the manifest carries
+    per-file member-byte totals (``stats``), planning is pure
+    arithmetic over them; otherwise (legacy manifests) it falls back
+    to parsing each sidecar index on the driver. Shared by the batch
+    reader (whole manifest) and the stream reader (one epoch range)."""
+    if stats is not None and all(name in stats for name in files):
+        splits: list[InputPartition] = []
+        for name in files:
+            fpath = os.path.join(path, name)
+            total = int(stats[name])
+            n = max(1, -(-total // split_bytes))  # ceil
+            bounds = [total * i // n for i in range(n)]
+            for i, lo in enumerate(bounds):
+                hi = bounds[i + 1] if i + 1 < n else None
+                splits.append(_RangeSplit(fpath, lo, hi))
+        return splits
+    splits = []
     for name in files:
         fpath = os.path.join(path, name)
         with open(fpath + ".idx.json") as f:
@@ -321,13 +370,76 @@ def _plan_splits(
     return splits
 
 
-def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
+_CRLF2 = b"\r\n\r\n"
+_VERSION_LINE = _VERSION + b"\r\n"
+_VLEN = len(_VERSION_LINE)
+
+
+def _parse_member(raw: bytes):
+    """Parse ONE inflated gzip member into the scan's columns. A
+    specialization of ``decode_warc`` + the single-record check for the
+    hot path: one UTF-8 decode and one split over the header block
+    instead of per-piece decodes and repeated ``find`` calls. Raises
+    the same exception CLASSES on the same malformed inputs (bad
+    version line, truncated/malformed/non-UTF8 headers, missing or
+    garbage Content-Length, payload overrun, missing terminator,
+    trailing bytes after the record, missing WARC-Type) so strict and
+    permissive classification is unchanged; ``tests/test_warcsource``
+    and the driver-checked quarantine oracle pin this equivalence."""
+    if not raw.startswith(_VERSION_LINE):
+        raise ValueError("bad WARC version line")
+    # the header terminator CRLFCRLF can start at byte _VLEN - 2 (the
+    # version line's own CRLF + an immediate blank line = empty headers)
+    hdr_end = raw.find(_CRLF2, _VLEN - 2)
+    if hdr_end < 0:
+        raise ValueError("truncated WARC header block")
+    headers: dict[str, str] = {}
+    if hdr_end > _VLEN:
+        for line in raw[_VLEN:hdr_end].decode("utf-8").split("\r\n"):
+            name, sep, value = line.partition(":")
+            if not sep:
+                raise ValueError(f"malformed WARC header {line!r}")
+            headers[name.strip()] = value.strip()
+    if "Content-Length" not in headers:
+        raise ValueError("WARC record without Content-Length")
+    clen = int(headers["Content-Length"])
+    pos = hdr_end + 4
+    n = len(raw)
+    if clen < 0 or pos + clen + 4 > n:
+        raise ValueError("WARC payload overruns member")
+    if raw[pos + clen: pos + clen + 4] != _CRLF2:
+        raise ValueError("missing WARC record terminator")
+    if pos + clen + 4 != n:
+        raise ValueError("member holds != 1 record")
+    wtype = headers.get("WARC-Type")
+    if not wtype:
+        raise ValueError("WARC record without WARC-Type")
+    return wtype, headers, raw[pos: pos + clen], clen
+
+
+def _resolve_members(partition) -> list:
+    """The [offset, comp_len] pairs a split owns. ``_MemberSplit``
+    carries them; ``_RangeSplit`` resolves them task-side from the
+    shard's sidecar index (members whose start offset is in [lo, hi))."""
+    if isinstance(partition, _RangeSplit):
+        with open(partition.path + ".idx.json") as f:
+            members = json.load(f)["members"]
+        lo, hi = partition.lo, partition.hi
+        return [
+            m for m in members
+            if m[0] >= lo and (hi is None or m[0] < hi)
+        ]
+    return partition.members
+
+
+def _read_split(partition, permissive: bool, type_ok):
     """Task-side execution: one range read, per-member inflate, one
     Arrow RecordBatch out. ``type_ok`` is the (possibly pushed-down)
     warc_type predicate."""
     import pyarrow as pa
 
-    if partition is None or not partition.members:
+    members = _resolve_members(partition) if partition is not None else None
+    if partition is None or not members:
         # an empty archive plans zero splits; Spark still issues one
         # read(None) task — answer it with an empty, correctly-typed batch
         yield pa.RecordBatch.from_arrays(
@@ -342,8 +454,8 @@ def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
         )
         return
 
-    base = partition.members[0][0]
-    end = partition.members[-1][0] + partition.members[-1][1]
+    base = members[0][0]
+    end = members[-1][0] + members[-1][1]
     with open(partition.path, "rb") as f:
         f.seek(base)
         blob = f.read(end - base)
@@ -353,7 +465,8 @@ def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
         for col, v in zip(cols, (rid, wtype, uri, clen, status, blen, md5)):
             col.append(v)
 
-    for off, clen in partition.members:
+    md5_ = hashlib.md5
+    for off, clen in members:
         raw_gz = blob[off - base: off - base + clen]
         # permissive mode must degrade ANY malformed member to one
         # __corrupt__ row — not just gzip/framing rot. A member can
@@ -367,10 +480,7 @@ def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
             raw = d.decompress(raw_gz) + d.flush()
             if not d.eof or d.unused_data:
                 raise ValueError("misframed gzip member")
-            recs = decode_warc(raw)
-            if len(recs) != 1:
-                raise ValueError("member holds != 1 record")
-            wtype, hdrs, payload = recs[0]
+            wtype, hdrs, payload, rec_clen = _parse_member(raw)
             if not type_ok(wtype):
                 continue  # pushed filter: skip before any body work
             if wtype == "response":
@@ -380,8 +490,8 @@ def _read_split(partition: _MemberSplit, permissive: bool, type_ok):
             row = (
                 hdrs.get("WARC-Record-ID", ""), wtype,
                 hdrs.get("WARC-Target-URI", ""),
-                int(hdrs["Content-Length"]), status, len(body),
-                hashlib.md5(body).hexdigest(),
+                rec_clen, status, len(body),
+                md5_(body).hexdigest(),
             )
         except (zlib.error, ValueError, KeyError, IndexError,
                 UnicodeDecodeError):
@@ -413,7 +523,10 @@ class WarcArchiveReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ddops_warc reader requires a path")
-        self.split_bytes = int(options.get("split_bytes", 4 << 20))
+        # 8 MiB default: larger bounded range-GETs mean fewer, larger
+        # tasks (guide-style shuffle/task-count hygiene) while each
+        # split still inflates one bounded byte range
+        self.split_bytes = int(options.get("split_bytes", 8 << 20))
         self.permissive = str(
             options.get("permissive", "false")
         ).lower() == "true"
@@ -438,14 +551,17 @@ class WarcArchiveReader(DataSourceReader):
                 return False
         return True
 
-    # -- planning (driver): manifest + sidecar indexes only, no data
+    # -- planning (driver): manifest metadata only, no data bytes
     def partitions(self) -> Sequence[InputPartition]:
         manifest, _ver = _load_manifest(self.path)
         if manifest is None:
             raise FileNotFoundError(
                 f"no committed ddops_warc manifest in {self.path}"
             )
-        return _plan_splits(self.path, manifest["files"], self.split_bytes)
+        return _plan_splits(
+            self.path, manifest["files"], self.split_bytes,
+            manifest.get("stats"),
+        )
 
     # -- execution (tasks)
     def read(self, partition: _MemberSplit):
@@ -469,31 +585,34 @@ class WarcArchiveStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ddops_warc stream reader requires a path")
-        self.split_bytes = int(options.get("split_bytes", 4 << 20))
+        # 8 MiB default: larger bounded range-GETs mean fewer, larger
+        # tasks (guide-style shuffle/task-count hygiene) while each
+        # split still inflates one bounded byte range
+        self.split_bytes = int(options.get("split_bytes", 8 << 20))
         self.permissive = str(
             options.get("permissive", "false")
         ).lower() == "true"
 
-    def _commits(self) -> list:
+    def _commits(self) -> tuple[list, dict | None]:
         m, _ver = _load_manifest(self.path)
         if m is None:
-            return []  # archive not created yet — stream waits
-        return m.get("commits", [m["files"]])
+            return [], None  # archive not created yet — stream waits
+        return m.get("commits", [m["files"]]), m.get("stats")
 
     def initialOffset(self) -> dict:
         return {"commit": 0}
 
     def latestOffset(self) -> dict:
-        return {"commit": len(self._commits())}
+        return {"commit": len(self._commits()[0])}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        commits = self._commits()
+        commits, stats = self._commits()
         files = [
             name
             for epoch in commits[start["commit"]: end["commit"]]
             for name in epoch
         ]
-        return _plan_splits(self.path, files, self.split_bytes)
+        return _plan_splits(self.path, files, self.split_bytes, stats)
 
     def read(self, partition: _MemberSplit):
         return _read_split(partition, self.permissive, lambda _t: True)
@@ -536,7 +655,7 @@ def ensure_registered(spark: SparkSession) -> None:
 
 # ------------------------------------------------------------ fixtures
 
-_FIXTURE_VERSION = 1
+_FIXTURE_VERSION = 2  # v2: manifests carry per-file stats for O(files) planning
 
 
 def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -325,3 +325,66 @@ def test_concurrent_appends_both_land(spark, tmp_path):
     # new docs * 2 + one warcinfo per shard)
     n = spark.read.format("ddops_warc").load(path).count()
     assert n == (2 + 2) * 2 + len(files)
+
+
+def test_parse_member_matches_decode_warc():
+    """The scan path's specialized single-record parse must classify
+    and extract exactly like decode_warc + the len==1 check, for valid
+    records and for every malformed-input class the permissive reader
+    quarantines."""
+    from dd_ops_ocr_spark.operators.warc import (
+        _record, decode_warc, warc_record_set,
+    )
+
+    valid = warc_record_set(7, "http://x/7", "<p>seven</p>")
+    mutants = [
+        b"",                                    # empty
+        b"WARC/9.9\r\nA: b\r\n\r\nx\r\n\r\n",   # bad version
+        b"WARC/1.0\r\nNoColonHere\r\n\r\n",     # malformed header line
+        b"WARC/1.0\r\n\r\n\r\n\r\n",            # no headers at all
+        b"WARC/1.0\r\nContent-Length: zz\r\n\r\n\r\n\r\n",  # garbage CL
+        b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort\r\n\r\n",  # overrun
+        b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 1\r\n\r\nXno-term",
+        # non-UTF8 header block
+        b"WARC/1.0\r\nWARC-Type: \xff\xfe\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+        # two records in one member
+        valid[1] + valid[2],
+        # trailing garbage after a valid record
+        valid[1] + b"junk",
+    ]
+    for raw in list(valid) + mutants:
+        try:
+            recs = decode_warc(raw)
+            if len(recs) != 1:
+                raise ValueError("member holds != 1 record")
+            want = ("ok", recs[0][0], recs[0][1], recs[0][2])
+        except (ValueError, KeyError, IndexError, UnicodeDecodeError):
+            want = ("err",)
+        try:
+            wtype, hdrs, payload, clen = ws._parse_member(raw)
+            got = ("ok", wtype, hdrs, payload)
+            assert clen == int(hdrs["Content-Length"])
+        except (ValueError, KeyError, IndexError, UnicodeDecodeError):
+            got = ("err",)
+        assert got[0] == want[0], f"classification differs for {raw[:40]!r}"
+        if want[0] == "ok":
+            assert got[1:] == want[1:], f"fields differ for {raw[:40]!r}"
+
+
+def test_range_planning_matches_index_planning(spark, tmp_path):
+    """Stats-driven byte-range splits must read exactly the member set
+    the legacy index-driven splits read, at any split size."""
+    path = str(tmp_path / "arch")
+    _write(spark, path, n=9, shards=3)
+    manifest, _ver = ws._load_manifest(path)
+    assert manifest.get("stats"), "new writer must stamp per-file stats"
+    for sb in (64, 1024, 1 << 20):
+        ranged = ws._plan_splits(
+            path, manifest["files"], sb, manifest["stats"])
+        legacy = ws._plan_splits(path, manifest["files"], sb, None)
+        assert all(isinstance(s, ws._RangeSplit) for s in ranged)
+        assert all(isinstance(s, ws._MemberSplit) for s in legacy)
+        got = sorted(
+            tuple(m) for s in ranged for m in ws._resolve_members(s))
+        want = sorted(tuple(m) for s in legacy for m in s.members)
+        assert got == want
