@@ -23,11 +23,13 @@ plans/sql_extract.py) so that EVERY task is bounded by PAGE granularity:
     within (doc, page, side) — co-partitioned with the base join, no
     extra exchange, partitions bounded by one page's spans.
 
-Two full-data shuffles total (candidate anti-join + per-page stats
-join) versus the SQL path's one — the price of removing the O(doc)
-task. tests/test_task_skew.py measures per-task runtimes via the
-status store and asserts max <= 4x median on this path with a planted
-100x doc (SURVEY §5 test 5), where the nested paths exceed it.
+ONE full-data shuffle total: the corpus is hash-partitioned by
+(doc_id, page) once, and the candidate anti-join (equi-keyed on that
+pair, the zone/key-hash equalities as a residual predicate), the
+per-page stats join, and the reading-order window all execute on that
+partitioning. tests/test_task_skew.py measures per-task runtimes via
+the status store and asserts max <= 4x median on this path with a
+planted 100x doc (SURVEY §5 test 5), where the nested paths exceed it.
 """
 
 from __future__ import annotations
@@ -204,11 +206,16 @@ def extract_exploded_bounded(flat: DataFrame) -> DataFrame:
     tot = pg.groupBy("doc_id", "page").agg(
         *[F.sum(c).alias(f"t_{c}") for c in stat_cols]
     )
-    removed = (
-        pg.join(boiler_keys, ["doc_id", "zone", "th"])
-        .groupBy("doc_id", "page")
-        .agg(*[F.sum(c).alias(f"r_{c}") for c in stat_cols])
+    # boiler keys expanded to the pages they occur on: pg holds a row
+    # for (doc, page, zone, th) iff some span on that page carries that
+    # hash, so membership in bp is EXACTLY membership in boiler_keys
+    # for any corpus row — which lets the anti-join below carry `page`
+    # in its key and co-partition with the per-page stats join.
+    bp = pg.join(boiler_keys, ["doc_id", "zone", "th"])
+    removed = bp.groupBy("doc_id", "page").agg(
+        *[F.sum(c).alias(f"r_{c}") for c in stat_cols]
     )
+    boiler_pages = bp.select("doc_id", "page", "zone", "th")
     pp = tot.join(removed, ["doc_id", "page"], "left").select(
         "doc_id",
         "page",
@@ -225,22 +232,48 @@ def extract_exploded_bounded(flat: DataFrame) -> DataFrame:
         & (F.col("nright_g") >= TWOUP_MIN_SIDE)
     )
 
-    # ONE anti-join over all corpus rows — the single full-width scan.
+    # ONE anti-join over all corpus rows — the single full-width scan,
+    # and the plan's ONLY full-width exchange. The corpus is hash-
+    # partitioned by (doc_id, page) ONCE; that partitioning is a subset
+    # of the anti-join's keys (doc_id, page, zone, jk) — bp carries the
+    # page each boilerplate key occurs on, see above — so the anti-join
+    # runs without its own exchange, its output keeps the (doc_id,
+    # page) partitioning, and the per-page stats join AND the final
+    # reading-order window both reuse it. (The previous shape shuffled
+    # the full-width corpus twice: once by (doc_id, zone, jk) for the
+    # anti-join and again by (doc_id, page) for the stats join.)
     # The join key is never null: candidate rows keep their content
     # hash, every other row gets a per-row unique hash — it can never
-    # match boiler_keys (whose zone is 1|2 and whose hash is a candidate
-    # content hash), and, critically, it DISTRIBUTES: hashing a
-    # mega-doc's non-candidate rows on a constant null key would
-    # re-concentrate the doc into one task, the exact skew this plan
-    # bans.
+    # match bp (whose zone is 1|2 and whose hash is a candidate content
+    # hash), and, critically, it DISTRIBUTES: hashing a mega-doc's
+    # non-candidate rows on a constant null key would re-concentrate
+    # the doc into one task, the exact skew this plan bans. Task bound
+    # stays page granularity: (doc_id, page) has ~n_pages distinct
+    # values spread over the shuffle partitions.
+    # The anti-join is EQUI-KEYED on (doc_id, page) only; the (zone,
+    # key-hash) equalities ride along as a residual predicate (written
+    # as `l - r = 0` so ExtractEquiJoinKeys cannot lift them back into
+    # the join key — with spark.sql.requireAllClusterKeysForCoPartition
+    # at its default, a 4-key join would force a second full-width
+    # hash partitioning on all 4 keys). bp rows per page are a handful,
+    # so the residual check per (doc, page) group is O(1) per row.
     cols = ["doc_id", "kind", "norm", "media_ref", "page", "y", "x"]
+    bpj = boiler_pages.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("page").alias("b_page"),
+        F.col("zone").alias("b_zone"),
+        F.col("th").alias("b_jk"),
+    )
+    left = flat.withColumn(
+        "jk", F.coalesce(F.col("th"), F.xxhash64("doc_id", "page", "x", "y"))
+    )
     kept = (
-        flat.withColumn(
-            "jk", F.coalesce(F.col("th"), F.xxhash64("doc_id", "page", "x", "y"))
-        )
-        .join(
-            boiler_keys.withColumnRenamed("th", "jk"),
-            ["doc_id", "zone", "jk"],
+        left.join(
+            bpj,
+            (F.col("doc_id") == F.col("b_doc"))
+            & (F.col("page") == F.col("b_page"))
+            & ((F.col("zone") - F.col("b_zone")) == 0)
+            & ((F.col("jk") - F.col("b_jk")) == 0),
             "left_anti",
         )
         .select(*cols)
