@@ -47,6 +47,7 @@ from dd_ops_ocr_spark.schema import (
     PAGE_W,
     STRIDE,
     TWOUP_MIN_SIDE,
+    norm_text_expr,
 )
 
 
@@ -121,9 +122,10 @@ def extract_exploded_bounded(flat: DataFrame) -> DataFrame:
     corpus; no task's input exceeds page granularity (plus constant-size
     aggregate rows), regardless of document size distribution.
     """
-    norm = F.regexp_replace(
-        F.regexp_replace("text", "\n{2,}", "\n"), r"(?U)(^\s+)|(\s+$)", ""
-    )
+    # C14 normalize via schema.norm_text_expr (equivalent to the regex
+    # pair, ~2.5x cheaper — this plan pays the pass twice: pg build +
+    # the kept scan; tests/test_textnorm.py pins the equivalence)
+    norm = norm_text_expr("text")
     zone = (
         F.when(F.col("y") < HEADER_ZONE, 1)
         .when(F.col("y") >= PAGE_H - FOOTER_ZONE, 2)
