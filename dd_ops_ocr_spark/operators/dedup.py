@@ -1181,6 +1181,11 @@ def jaccard_join_exact(d: DataFrame) -> DataFrame:
                     F.col("n").alias("pn_a"), "ptok")
     b = pref.select(F.col("doc_id").alias("doc_b"),
                     F.col("n").alias("pn_b"), "ptok")
+    # the pair dedup runs ON the doc_a partitioning (aggregation
+    # accepts subset clustering), so one shuffle serves both the
+    # distinct and the first verify join below — the old
+    # .distinct().repartition(doc_a) shape shuffled the pair table
+    # twice back to back
     cand = (
         a.join(b, "ptok")
         .filter(
@@ -1189,7 +1194,8 @@ def jaccard_join_exact(d: DataFrame) -> DataFrame:
                >= F.lit(JACC_NUM) * F.greatest("pn_a", "pn_b"))
         )
         .select("doc_a", "doc_b")
-        .distinct()
+        .repartition(n_part, "doc_a")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     # Two explicit physical choices for the verify stage, both found by
     # measuring a 2-vs-8-core pair at sf0.1 (3.09M candidates):
@@ -1203,7 +1209,6 @@ def jaccard_join_exact(d: DataFrame) -> DataFrame:
     #    broadcast build serializes the query (measured 40.6 s -> 20.9 s
     #    at 8 cores when broadcast is suppressed). Scalar-row small
     #    tables (dft above) stay unhinted — broadcast is right there.
-    cand = cand.repartition(n_part, "doc_a")
     inter = F.size(F.array_intersect("ta", "tb")).cast("long")
     ver = (
         cand.join(

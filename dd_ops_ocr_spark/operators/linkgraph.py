@@ -77,7 +77,18 @@ def pagerank(edges: DataFrame, iters: int = K_ITERS) -> DataFrame:
     # fixed point). At real scale edges land as parquet once and these
     # persists are the in-session equivalent; MEMORY_AND_DISK default
     # so a node-sized spill degrades to disk instead of OOM.
-    edges = edges.persist()
+    # localCheckpoint (not persist): BOTH materializes the edge list
+    # once AND truncates its logical plan. The edge builders
+    # (host_edges_df's planted-URL normalize chain especially) carry
+    # ~60 KB expression trees; with persist alone Catalyst re-analyzes
+    # and re-optimizes that tree inside every unrolled iteration's
+    # plan — measured 2+ s of pure DRIVER time per pagerank call on a
+    # 1.5k-edge graph (guide 7.3 "planning time" signature: cost is
+    # data-size-independent). Same lineage-cut pattern as the
+    # dedup_clusters fixpoint; the fault-tolerance trade (executor
+    # loss reruns the job instead of recomputing partitions) is the
+    # standard one for iterative graph loops.
+    edges = edges.localCheckpoint()
     outdeg = edges.groupBy("src_url").agg(
         F.count(F.lit(1)).alias("outdeg")
     )
@@ -112,7 +123,6 @@ def pagerank(edges: DataFrame, iters: int = K_ITERS) -> DataFrame:
     # re-invoking the query leaves corpus-sized blocks pinned and
     # evicting other operators' caches
     ranks = ranks.localCheckpoint()
-    edges.unpersist()
     ed.unpersist()
     nodes.unpersist()
     return ranks

@@ -209,8 +209,21 @@ def normalize_urls(d: DataFrame, url_col: str = "url") -> DataFrame:
     URLs, and collapsing the rest to a common mangled key would merge
     distinct documents in url-keyed dedup."""
     url = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    # stage the extracted parts as real columns (same rationale and
+    # SPARK-36718 guarantee as plant_messy_urls): scheme/hostport/
+    # nofrag are each referenced 2-4x downstream, and inlined they
+    # re-duplicate the whole upstream url tree per reference
+    staged = d.select(
+        "*",
+        F.lower(F.regexp_extract(url, _SCHEME_RE, 1)).alias("_scheme"),
+        F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1)).alias("_hostport"),
+        F.regexp_replace(
+            F.regexp_extract(url, _REST_RE, 1), "#.*$", ""
+        ).alias("_nofrag"),
+    )
+    scheme = F.col("_scheme")
+    hostport = F.col("_hostport")
+    nofrag = F.col("_nofrag")
     host = (
         F.when(
             (scheme == "http") & hostport.endswith(":80"),
@@ -222,8 +235,6 @@ def normalize_urls(d: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .otherwise(hostport)
     )
-    nofrag = F.regexp_replace(F.regexp_extract(url, _REST_RE, 1),
-                              "#.*$", "")
     rawpath = F.regexp_extract(nofrag, "^([^?]*)", 1)
     path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
     q = F.regexp_extract(nofrag, "\\?(.*)$", 1)
@@ -239,8 +250,10 @@ def normalize_urls(d: DataFrame, url_col: str = "url") -> DataFrame:
              .otherwise(F.lit("")),
         ),
     ).otherwise(url)
-    return d.withColumn("normalized_url", norm).withColumn(
-        "changed", F.col("normalized_url") != url
+    return (
+        staged.withColumn("normalized_url", norm)
+        .withColumn("changed", F.col("normalized_url") != url)
+        .drop("_scheme", "_hostport", "_nofrag")
     )
 
 
@@ -250,12 +263,23 @@ def plant_messy_urls(docs: DataFrame) -> DataFrame:
     :443, tracking-vs-real query params, and a fragment. Nibbles are
     disjoint from the domain-cap plant's (1..5), so the two messes
     compose independently."""
-    md = F.md5(F.col("doc_id").cast("string"))
+    # stage md5 and the lowercase host as REAL columns first: each is
+    # referenced by several gates below, and as inline subtrees they
+    # get re-duplicated through every downstream reference — for the
+    # layered callers (link graph's plant->normalize->plant chain) the
+    # logical plan grew to ~60 KB and Catalyst analysis dominated the
+    # query (guide 7.3). Non-cheap multiply-referenced aliases survive
+    # CollapseProject (SPARK-36718), so the tree stays factored.
+    staged = docs.select(
+        "*",
+        F.md5(F.col("doc_id").cast("string")).alias("_md"),
+        canonical_host_expr("doc_id").alias("_lh"),
+    )
 
     def even(i: int):
-        return F.substring(md, i, 1).isin(_EVEN_NIBBLES)
+        return F.substring(F.col("_md"), i, 1).isin(_EVEN_NIBBLES)
 
-    lower_host = canonical_host_expr("doc_id")
+    lower_host = F.col("_lh")
     url = F.concat(
         F.when(even(8), F.lit("HTTPS://")).otherwise(F.lit("https://")),
         F.when(even(9), F.upper(lower_host)).otherwise(lower_host),
@@ -267,7 +291,7 @@ def plant_messy_urls(docs: DataFrame) -> DataFrame:
     )
     # preserve input columns: callers that carry html (link graph)
     # stay join-free — the url is pure doc_id column math
-    return docs.select("*", url.alias("url"))
+    return staged.select("*", url.alias("url")).drop("_md", "_lh")
 
 
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
