@@ -52,7 +52,6 @@ import struct
 import zlib
 from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _CRLF = b"\r\n"
@@ -281,6 +280,8 @@ def warc_records(pages: DataFrame) -> DataFrame:
     the RECOVERED payload bytes (for responses: the HTTP body), so a
     single mis-framed byte anywhere flips the driver hash."""
 
+    import pandas as pd
+
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_b in batches:
             rows = []
@@ -324,6 +325,8 @@ def warc_quarantine(pages: DataFrame) -> DataFrame:
     ends with the 4-byte terminator preceded by payload/headers), so
     the gate is exact."""
 
+    import pandas as pd
+
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_b in batches:
             rows = []
@@ -363,6 +366,8 @@ def warc_records_gz(pages: DataFrame) -> DataFrame:
     uncompressed path, so the output shares `warc_records`' oracle:
     any drift in the gzip layer (boundary, CRC, ordering) flips the
     driver hash."""
+
+    import pandas as pd
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_b in batches:
@@ -413,6 +418,8 @@ def warc_gz_quarantine(pages: DataFrame) -> DataFrame:
     Healthy files report record/byte totals, damaged ones quarantine
     with zero counts — the integrity twin of `warc_quarantine`'s
     framing gate."""
+
+    import pandas as pd
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_b in batches:

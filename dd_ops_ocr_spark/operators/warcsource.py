@@ -869,13 +869,28 @@ FROM (
     return read_sql, quarantine_sql
 
 
-SQL_WARC_SOURCE_READ, SQL_WARC_SOURCE_QUARANTINE = _sql()
-
 QUERIES = {
     "warc_source_read": q_warc_source_read,
     "warc_source_quarantine": q_warc_source_quarantine,
 }
-ORACLE_SQL = {
-    "warc_source_read": SQL_WARC_SOURCE_READ,
-    "warc_source_quarantine": SQL_WARC_SOURCE_QUARANTINE,
-}
+
+
+def __getattr__(name: str):
+    """PEP 562 lazy oracle SQL: ``_sql()`` pulls htmlops (and through it
+    pandas) for the closed-form page/URL expressions — ~0.3 s of import
+    the Python-DataSource PLAN worker would otherwise pay on every
+    ``ddops_warc`` query, since unpickling the reader imports this
+    module. The registry (driver side) still sees ORACLE_SQL eagerly at
+    its own import; the SQL text is byte-identical."""
+    if name in ("SQL_WARC_SOURCE_READ", "SQL_WARC_SOURCE_QUARANTINE",
+                "ORACLE_SQL"):
+        read_sql, quarantine_sql = _sql()
+        g = globals()
+        g["SQL_WARC_SOURCE_READ"] = read_sql
+        g["SQL_WARC_SOURCE_QUARANTINE"] = quarantine_sql
+        g["ORACLE_SQL"] = {
+            "warc_source_read": read_sql,
+            "warc_source_quarantine": quarantine_sql,
+        }
+        return g[name]
+    raise AttributeError(name)
