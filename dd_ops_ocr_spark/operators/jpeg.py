@@ -71,11 +71,23 @@ QT_CHROMA = np.array([
 ], dtype=np.int64)
 
 
+_QT_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
-    """libjpeg quality scaling."""
+    """libjpeg quality scaling (memoized: a corpus encodes at a handful
+    of distinct qualities, and the encoder calls this twice per
+    payload)."""
     quality = min(100, max(1, quality))
-    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+    key = (base.tobytes(), quality)
+    qt = _QT_CACHE.get(key)
+    if qt is None:
+        scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+        qt = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+        if len(_QT_CACHE) > 512:
+            _QT_CACHE.clear()
+        _QT_CACHE[key] = qt
+    return qt
 
 
 def _dct_matrix() -> np.ndarray:
@@ -123,8 +135,9 @@ def _quantized_blocks_zz(plane: np.ndarray, qt: np.ndarray):
     """All 8x8 blocks of a padded plane -> (zigzag coeff rows, index of
     the last nonzero AC coeff per row, blocks-per-row). DCT + quantize
     run as ONE broadcast matmul chain over every block (the per-block
-    matmul loop was the encoder's hot spot); rows come back as Python
-    lists for the serial bit-emission pass."""
+    matmul loop was the encoder's hot spot); rows stay numpy for the
+    vectorized bit-emission pass (the serial emitters index them
+    per-element and cast with int())."""
     H, W = plane.shape
     nby, nbx = H // 8, W // 8
     blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
@@ -133,7 +146,7 @@ def _quantized_blocks_zz(plane: np.ndarray, qt: np.ndarray):
     qz = q[:, ZZ]
     nzm = qz[:, 1:] != 0
     last = np.where(nzm.any(axis=1), 63 - np.argmax(nzm[:, ::-1], axis=1), 0)
-    return qz.tolist(), last.tolist(), nbx
+    return qz, last.astype(np.int64), nbx
 
 
 def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -150,7 +163,19 @@ def _pad_to(arr: np.ndarray, mh: int, mw: int) -> np.ndarray:
     h, w = arr.shape
     ph = (mh - h % mh) % mh
     pw = (mw - w % mw) % mw
-    return np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    # manual edge pad: np.pad's generic machinery costs ~90 us/call on
+    # these tiny planes — two broadcast+concatenate are ~6 us and
+    # byte-identical (edge mode replicates the last row/column)
+    if ph:
+        arr = np.concatenate(
+            [arr, np.broadcast_to(arr[-1:], (ph, arr.shape[1]))]
+        )
+    if pw:
+        arr = np.concatenate(
+            [arr, np.broadcast_to(arr[:, -1:], (arr.shape[0], pw))],
+            axis=1,
+        )
+    return arr
 
 
 def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
@@ -212,17 +237,12 @@ def _prep_components(pixels, quality: int, subsampling: str):
     return comps_q, mcus_y, mcus_x, hs, vs, qt_l, qt_c
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 75,
-                subsampling: str = "4:2:0") -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes."""
-    h, w, _ = pixels.shape
-    comps_q, mcus_y, mcus_x, hs, vs, qt_l, qt_c = _prep_components(
-        pixels, quality, subsampling
-    )
-    # DQT stores tables in zigzag order
-    qt_l_zz = qt_l[ZZ]
-    qt_c_zz = qt_c[ZZ]
-
+def _emit_scan_serial(comps_q, mcus_y: int, mcus_x: int,
+                      hs: int, vs: int) -> bytes:
+    """Reference (serial, per-coefficient) baseline scan emission —
+    the T.81 F.1 procedure written out plainly. ``_emit_scan_vector``
+    must produce byte-identical output (tests/test_jpeg pins it); this
+    path stays as the executable spec and the arbiter when debugging."""
     dc_codes = _ENC_DC_CODES
     ac_codes = _ENC_AC_CODES
     buf = bytearray()
@@ -245,8 +265,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
     def emit(ci: int, bi: int, pred: int) -> int:
         rows, lasts, _ = comps_q[ci]
         coef = rows[bi]
-        last = lasts[bi]
-        dc = coef[0]
+        last = int(lasts[bi])
+        dc = int(coef[0])
         diff = dc - pred
         if diff == 0:
             c, ln = dc_codes[0]
@@ -258,7 +278,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
             put(diff if diff > 0 else diff + (1 << size) - 1, size)
         run = 0
         for k in range(1, last + 1):
-            v = coef[k]
+            v = int(coef[k])
             if v == 0:
                 run += 1
                 continue
@@ -294,9 +314,202 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75,
         append(b)
         if b == 0xFF:
             append(0x00)
-    scan = bytes(buf)
+    return bytes(buf)
 
-    out = _file_headers(h, w, hs, vs, qt_l_zz, qt_c_zz, b"\xff\xc0")
+
+# lookup arrays for the vectorized emitter (size/symbol -> code, length);
+# length 0 marks a symbol the encoder tables do not define, so the vector
+# path can raise the same KeyError the dict lookup would
+_DC_CODE_ARR = np.zeros(17, dtype=np.int64)
+_DC_LEN_ARR = np.zeros(17, dtype=np.int64)
+for _s, (_c, _l) in _ENC_DC_CODES.items():
+    _DC_CODE_ARR[_s], _DC_LEN_ARR[_s] = _c, _l
+_AC_CODE_ARR = np.zeros(256, dtype=np.int64)
+_AC_LEN_ARR = np.zeros(256, dtype=np.int64)
+for _s, (_c, _l) in _ENC_AC_CODES.items():
+    _AC_CODE_ARR[_s], _AC_LEN_ARR[_s] = _c, _l
+_EOB_CODE, _EOB_LEN = _ENC_AC_CODES[0x00]
+_ZRL_CODE, _ZRL_LEN = _ENC_AC_CODES[0xF0]
+
+_ORDER_CACHE: dict[tuple, tuple[np.ndarray, list[np.ndarray]]] = {}
+
+
+def _mcu_emit_order(mcus_y: int, mcus_x: int, hs: int, vs: int,
+                    ybw: int, cbw: int, n_y: int, n_c: int):
+    """MCU-interleaved block emission order, memoized per geometry.
+
+    Returns (rows, sels): ``rows[i]`` is the row of the vertically
+    stacked [Y; Cb; Cr] coefficient matrix emitted i-th (exactly the
+    order the serial loop visits blocks), and ``sels[ci]`` the emitted
+    positions belonging to component ci (for per-component DC
+    prediction)."""
+    key = (mcus_y, mcus_x, hs, vs, ybw, cbw)
+    hit = _ORDER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    npb = vs * hs + 2  # blocks emitted per MCU
+    my = np.arange(mcus_y, dtype=np.int64)[:, None]
+    mx = np.arange(mcus_x, dtype=np.int64)[None, :]
+    out = np.empty((mcus_y, mcus_x, npb), dtype=np.int64)
+    yblk = (
+        ((my * vs)[..., None, None] + np.arange(vs)[None, None, :, None])
+        * ybw
+        + (mx * hs)[..., None, None]
+        + np.arange(hs)[None, None, None, :]
+    )
+    out[..., : vs * hs] = yblk.reshape(mcus_y, mcus_x, vs * hs)
+    cbi = my * cbw + mx
+    out[..., vs * hs] = cbi + n_y
+    out[..., vs * hs + 1] = cbi + n_y + n_c
+    rows = out.reshape(-1)
+    pos = np.arange(rows.size, dtype=np.int64).reshape(-1, npb)
+    sels = [
+        pos[:, : vs * hs].reshape(-1),
+        pos[:, vs * hs].copy(),
+        pos[:, vs * hs + 1].copy(),
+    ]
+    if len(_ORDER_CACHE) > 256:  # bound worker-lifetime memory
+        _ORDER_CACHE.clear()
+    _ORDER_CACHE[key] = (rows, sels)
+    return rows, sels
+
+
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length for |x| < 2**53 (frexp exponent is
+    exact there); bit_length(0) == 0 like the Python int method."""
+    return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+
+def _emit_scan_vector(comps_q, mcus_y: int, mcus_x: int,
+                      hs: int, vs: int) -> bytes:
+    """Vectorized baseline scan emission — byte-identical to
+    ``_emit_scan_serial`` (test-pinned), built from whole-array numpy:
+
+    * blocks gathered into emission (MCU-interleaved) order in one take;
+    * DC sizes/magnitudes and AC run-lengths (incl. ZRL expansion and
+      EOB placement) computed as flat arrays;
+    * the bitstream assembled by expanding each (value, length) item to
+      its bits, ``packbits``, then FF-stuffing with one ``insert`` —
+      the T.81 B.1.1.5 1-padding falls out as appended 1-bits."""
+    qz0, l0, ybw = comps_q[0]
+    qz1, l1, cbw = comps_q[1]
+    qz2, l2, _ = comps_q[2]
+    n_y, n_c = qz0.shape[0], qz1.shape[0]
+    rows, sels = _mcu_emit_order(
+        mcus_y, mcus_x, hs, vs, ybw, cbw, n_y, n_c
+    )
+    M = np.concatenate([qz0, qz1, qz2])[rows]
+    L = np.concatenate([l0, l1, l2])[rows]
+    nb = M.shape[0]
+
+    # ---- DC: per-component first differences in emission order
+    dcv = M[:, 0]
+    diff = np.empty_like(dcv)
+    for sel in sels:
+        seq = dcv[sel]
+        d = np.empty_like(seq)
+        if seq.size:
+            d[0] = seq[0]
+            d[1:] = seq[1:] - seq[:-1]
+        diff[sel] = d
+    dsize = _bitlen(np.abs(diff))
+    if dsize.size and int(dsize.max()) > 11:
+        raise KeyError(int(dsize.max()))  # same failure as dc_codes[size]
+    dc_code = _DC_CODE_ARR[dsize]
+    dc_len = _DC_LEN_ARR[dsize]
+    dc_mag = np.where(
+        diff > 0, diff, diff + np.left_shift(np.int64(1), dsize) - 1
+    )  # size 0 (diff == 0) yields a 0-length item: no bits, like no put()
+
+    # ---- AC: run-lengths over the nonzero coefficients
+    A = M[:, 1:]
+    bi, k1 = np.nonzero(A)
+    v = A[bi, k1]
+    kk = k1 + 1
+    first = np.empty(bi.shape, dtype=bool)
+    prevk = np.zeros_like(kk)
+    if bi.size:
+        first[0] = True
+        first[1:] = bi[1:] != bi[:-1]
+        prevk[1:] = kk[:-1]
+        prevk[first] = 0
+    run = kk - prevk - 1
+    nzrl = run >> 4  # ZRL count before this symbol
+    asize = _bitlen(np.abs(v))
+    sym = ((run & 15) << 4) | asize
+    ac_code = _AC_CODE_ARR[sym]
+    ac_len = _AC_LEN_ARR[sym]
+    if bi.size and not ac_len.all():
+        raise KeyError(int(sym[np.argmin(ac_len)]))  # like ac_codes[sym]
+    ac_mag = np.where(
+        v > 0, v, v + np.left_shift(np.int64(1), asize) - 1
+    )
+
+    # ---- assemble the (value, length) item stream in emission order
+    items_per_entry = nzrl + 2  # ZRLs + code + magnitude
+    if bi.size:
+        ac_per_block = np.bincount(
+            bi, weights=items_per_entry, minlength=nb
+        ).astype(np.int64)
+    else:
+        ac_per_block = np.zeros(nb, dtype=np.int64)
+    eob = (L < 63).astype(np.int64)
+    ipb = 2 + ac_per_block + eob
+    S = np.cumsum(ipb) - ipb  # block start offsets
+    total = int(ipb.sum())
+    vals = np.zeros(total, dtype=np.int64)
+    lens = np.zeros(total, dtype=np.int64)
+    vals[S] = dc_code
+    lens[S] = dc_len
+    vals[S + 1] = dc_mag
+    lens[S + 1] = dsize
+    if bi.size:
+        E = np.cumsum(items_per_entry) - items_per_entry
+        firsts = np.flatnonzero(first)
+        counts = np.diff(np.append(firsts, bi.size))
+        wb = E - np.repeat(E[firsts], counts)  # offset within the block
+        p0 = S[bi] + 2 + wb
+        tz = int(nzrl.sum())
+        if tz:
+            zpos = np.repeat(p0, nzrl) + (
+                np.arange(tz) - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+            )
+            vals[zpos] = _ZRL_CODE
+            lens[zpos] = _ZRL_LEN
+        cpos = p0 + nzrl
+        vals[cpos] = ac_code
+        lens[cpos] = ac_len
+        vals[cpos + 1] = ac_mag
+        lens[cpos + 1] = asize
+    ep = np.flatnonzero(eob)
+    vals[S[ep] + ipb[ep] - 1] = _EOB_CODE
+    lens[S[ep] + ipb[ep] - 1] = _EOB_LEN
+
+    # ---- bits -> bytes -> FF-stuffed scan
+    tb = int(lens.sum())
+    idx = np.repeat(np.arange(vals.size), lens)
+    within = np.arange(tb) - np.repeat(np.cumsum(lens) - lens, lens)
+    bits = (vals[idx] >> (lens[idx] - 1 - within)) & 1
+    pad = (-tb) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.int64)])
+    packed = np.packbits(bits.astype(np.uint8))
+    ffpos = np.flatnonzero(packed == 0xFF)
+    if ffpos.size:
+        packed = np.insert(packed, ffpos + 1, np.uint8(0))
+    return packed.tobytes()
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 75,
+                subsampling: str = "4:2:0") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes."""
+    h, w, _ = pixels.shape
+    comps_q, mcus_y, mcus_x, hs, vs, qt_l, qt_c = _prep_components(
+        pixels, quality, subsampling
+    )
+    scan = _emit_scan_vector(comps_q, mcus_y, mcus_x, hs, vs)
+    # DQT stores tables in zigzag order
+    out = _file_headers(h, w, hs, vs, qt_l[ZZ], qt_c[ZZ], b"\xff\xc0")
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += scan
@@ -361,7 +574,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75,
     put, flush = scan_writer()
 
     def put_dc(ci: int, bi: int, pred: int) -> int:
-        dc = comps_q[ci][0][bi][0]
+        dc = int(comps_q[ci][0][bi][0])
         diff = dc - pred
         if diff == 0:
             c, ln = dc_codes[0]
@@ -407,8 +620,8 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75,
                 bi = by * stride + bx
                 coef = rows[bi]
                 run = 0
-                for k in range(1, lasts[bi] + 1):
-                    v = coef[k]
+                for k in range(1, int(lasts[bi]) + 1):
+                    v = int(coef[k])
                     if v == 0:
                         run += 1
                         continue
