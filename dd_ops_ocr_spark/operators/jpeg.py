@@ -669,28 +669,48 @@ def _build_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
     key = (tuple(bits), tuple(vals))
     lut = _LUT_CACHE.get(key)
     if lut is None:
-        codes = _canonical_codes(bits, vals)
-        arr = np.zeros(1 << 16, dtype=np.int32)
-        for sym, (code, ln) in codes.items():
-            lo = code << (16 - ln)
-            arr[lo: lo + (1 << (16 - ln))] = (ln << 8) | sym
-        lut = arr.tolist()
+        lut = _build_decode_lut_np(bits, vals).tolist()
         if len(_LUT_CACHE) > 64:  # bound worker-lifetime memory
             _LUT_CACHE.clear()
         _LUT_CACHE[key] = lut
     return lut
 
 
-def _entropy_segments(payload: bytes, pos: int) -> tuple[list[list[int]], int]:
+_LUT_NP_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _build_decode_lut_np(bits: list[int], vals: list[int]) -> np.ndarray:
+    """The same 65536-entry packed LUT as an int64 numpy array — the
+    batch decoder stacks these and gathers with fancy indexing."""
+    key = (tuple(bits), tuple(vals))
+    arr = _LUT_NP_CACHE.get(key)
+    if arr is None:
+        codes = _canonical_codes(bits, vals)
+        arr = np.zeros(1 << 16, dtype=np.int64)
+        for sym, (code, ln) in codes.items():
+            lo = code << (16 - ln)
+            arr[lo: lo + (1 << (16 - ln))] = (ln << 8) | sym
+        if len(_LUT_NP_CACHE) > 64:
+            _LUT_NP_CACHE.clear()
+        _LUT_NP_CACHE[key] = arr
+    return arr
+
+
+def _entropy_segments_np(
+    payload: bytes, pos: int
+) -> tuple[list[np.ndarray], int]:
     """RST-delimited entropy segments starting at ``pos``, plus the
     absolute index of the terminating marker's 0xFF (so multi-scan
     progressive parsing can resume at the next marker).
 
     Each segment is unstuffed (FF 00 -> FF) with vectorized numpy — no
-    per-byte Python — and packed as a 32-bit sliding-window list:
+    per-byte Python — and packed as a 32-bit sliding-window array:
     ``seg[i]`` holds the 32 bits beginning at byte offset ``i`` (tail
     zero-padded), so the decode loop reads any <=16-bit code or <=16-bit
-    magnitude with one index + shift + mask."""
+    magnitude with one index + shift + mask. Arrays come back as int64
+    numpy (the batch decoder gathers them directly); the serial decoders
+    ``tolist()`` them (scalar list indexing beats numpy scalar indexing
+    ~5x in the per-symbol loop)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     ff = np.flatnonzero(arr[pos:-1] == 0xFF) + pos
     nxt = arr[ff + 1]
@@ -721,10 +741,16 @@ def _entropy_segments(payload: bytes, pos: int) -> tuple[list[list[int]], int]:
             keep = np.ones(len(seg), dtype=bool)
             keep[drop] = False
             seg = seg[keep]
-        b = np.concatenate([seg, np.zeros(4, dtype=np.uint8)]).astype(np.uint32)
+        b = np.concatenate([seg, np.zeros(4, dtype=np.uint8)]).astype(np.int64)
         word = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
-        segs.append(word.tolist())
+        segs.append(word)
     return segs, end
+
+
+def _entropy_segments(payload: bytes, pos: int) -> tuple[list[list[int]], int]:
+    """Serial-decoder view of ``_entropy_segments_np``: plain lists."""
+    segs, end = _entropy_segments_np(payload, pos)
+    return [s.tolist() for s in segs], end
 
 
 def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
@@ -761,11 +787,24 @@ def _decode_scan(payload, pos, w, h, comps, qts, huff_dc, huff_ac,
         # quarantine path) have always handled for truncated payloads.
         raise EOFError("truncated JPEG scan") from None
 
+    comp_blocks = [
+        np.asarray(rows, dtype=np.int64).reshape(-1, 64)
+        for rows in blocks_out
+    ]
+    return _assemble_scan(
+        comps, comp_blocks, qts, mcus_x, mcus_y, vmax, hmax, w, h
+    )
+
+
+def _assemble_scan(comps, comp_blocks, qts, mcus_x, mcus_y,
+                   vmax, hmax, w, h) -> np.ndarray:
+    """Dequant + IDCT + plane assembly over per-component (n_blocks, 64)
+    zigzag coefficient matrices in MCU visit order — shared by the
+    serial and batch entropy decoders."""
     planes = []
     dct_t = DCT.T
-    for c, rows in zip(comps, blocks_out):
+    for c, coef_zz in zip(comps, comp_blocks):
         # zigzag coefficients * zigzag quant table, de-zigzag, batch IDCT
-        coef_zz = np.asarray(rows, dtype=np.int64)
         qt_zz = qts[c["tq"]][ZZ]
         blocks = (coef_zz * qt_zz[None, :])[:, UNZZ].reshape(-1, 8, 8)
         # two broadcast matmuls beat einsum here: einsum's per-call path
@@ -1228,3 +1267,424 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if progressive and grids is not None:
         return _assemble_grids(comps, grids, qts, mcus_x, mcus_y, w, h)
     raise ValueError("no SOS marker found")
+
+
+# ------------------------------------------------------- batch decoder
+#
+# Cross-payload vectorized baseline decode: the per-symbol Huffman loop
+# is inherently serial WITHIN one payload, but a corpus batch decodes
+# many payloads at once — so the interpreter keeps one lane of state
+# per payload and each numpy step decodes ONE symbol for EVERY active
+# lane (peek -> stacked-LUT gather -> masked DC/AC apply). Lanes that
+# hit anything the fast path does not model (or any malformed stream)
+# are marked failed and re-decoded by the serial decoder, which remains
+# the authority on both pixels and exception classes — the batch path
+# can only ever be a fast path, never a semantic fork (tests pin
+# pixel-exact equality against decode_jpeg on every success).
+
+
+def _parse_baseline_for_batch(payload: bytes):
+    """Header walk for the batch fast path. Returns the parsed scan
+    context, or None when the payload needs the serial decoder
+    (progressive, restart intervals, grayscale, any structural
+    anomaly — the serial path raises the contract exceptions)."""
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        qts: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+        comps: list[dict] = []
+        h = w = 0
+        pos = 2
+        n = len(payload)
+        while pos + 2 <= n:
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            if pos + 2 > n:
+                return None
+            (seg_len,) = struct.unpack_from(">H", payload, pos)
+            seg = payload[pos + 2: pos + seg_len]
+            if len(seg) < seg_len - 2:
+                return None
+            if marker == 0xDB:
+                o = 0
+                while o < len(seg):
+                    pq, tq = seg[o] >> 4, seg[o] & 0xF
+                    if pq != 0:
+                        return None
+                    if o + 65 > len(seg):
+                        return None
+                    zz = np.frombuffer(
+                        seg, dtype=np.uint8, count=64, offset=o + 1
+                    )
+                    qt = np.zeros(64, dtype=np.int64)
+                    qt[ZZ] = zz
+                    qts[tq] = qt
+                    o += 65
+            elif marker == 0xC4:
+                o = 0
+                while o < len(seg):
+                    tc, th = seg[o] >> 4, seg[o] & 0xF
+                    bits = list(seg[o + 1: o + 17])
+                    nv = sum(bits)
+                    vals = list(seg[o + 17: o + 17 + nv])
+                    if len(bits) < 16 or len(vals) < nv:
+                        return None
+                    huff[(tc, th)] = (bits, vals)
+                    o += 17 + nv
+            elif marker in (0xC0, 0xC1):
+                _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if nc != 3:
+                    return None
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                    )
+            elif marker == 0xDD:
+                (ri,) = struct.unpack_from(">H", seg, 0)
+                if ri != 0:
+                    return None  # restart intervals -> serial path
+            elif marker == 0xDA:
+                ns = seg[0]
+                if not comps or ns != len(comps):
+                    return None
+                for i in range(ns):
+                    cid, tt = seg[1 + 2 * i: 3 + 2 * i]
+                    hit = False
+                    for c in comps:
+                        if c["id"] == cid:
+                            c["td"], c["ta"] = tt >> 4, tt & 0xF
+                            hit = True
+                    if not hit:
+                        return None
+                for c in comps:
+                    if (0, c.get("td")) not in huff:
+                        return None
+                    if (1, c.get("ta")) not in huff:
+                        return None
+                    if c["tq"] not in qts:
+                        return None
+                    if c["h"] < 1 or c["v"] < 1:
+                        return None
+                return {
+                    "h": h, "w": w, "comps": comps, "qts": qts,
+                    "huff": huff, "scan_start": pos + seg_len,
+                }
+            elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+                pass  # APPn / COM: skip like the serial walk
+            else:
+                return None  # any other frame type / unknown marker
+            pos += seg_len
+        return None
+    except Exception:
+        return None
+
+
+_SCHED_CACHE: dict[tuple, tuple] = {}
+
+
+def _lane_schedule(nblk: tuple[int, ...], n_mcus: int):
+    """Per-block component ids for one lane (MCU visit order), plus the
+    per-MCU slot positions of each component (for splitting decoded
+    blocks back out per component). Memoized per (nblk, n_mcus)."""
+    key = (nblk, n_mcus)
+    hit = _SCHED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pattern = np.repeat(
+        np.arange(len(nblk), dtype=np.int64), np.asarray(nblk)
+    )
+    sched = np.tile(pattern, n_mcus)
+    slots = [np.flatnonzero(pattern == ci) for ci in range(len(nblk))]
+    if len(_SCHED_CACHE) > 4096:
+        _SCHED_CACHE.clear()
+    _SCHED_CACHE[key] = (sched, slots)
+    return sched, slots
+
+
+_BATCH_CHUNK = 2048  # lanes per inner batch (bounds W/C/IDCT memory)
+
+
+def decode_jpeg_batch(payloads) -> list:
+    """Decode many JPEG payloads; element i is the (h, w, 3) uint8 RGB
+    array for payloads[i], or the exact Exception instance
+    ``decode_jpeg(payloads[i])`` raises. Baseline single-scan 3-component
+    payloads without restart intervals ride the vectorized multi-lane
+    entropy interpreter; everything else (progressive, grayscale, DRI,
+    malformed) falls back to the serial decoder per payload."""
+    out: list = [None] * len(payloads)
+    lanes: list[tuple[int, dict, np.ndarray]] = []
+    for i, p in enumerate(payloads):
+        ctx = _parse_baseline_for_batch(p)
+        if ctx is None:
+            out[i] = _decode_scalar(p)
+            continue
+        try:
+            segs, _ = _entropy_segments_np(p, ctx["scan_start"])
+        except Exception:
+            out[i] = _decode_scalar(p)
+            continue
+        if len(segs) != 1:
+            out[i] = _decode_scalar(p)
+            continue
+        lanes.append((i, p, ctx, segs[0]))
+    for lo in range(0, len(lanes), _BATCH_CHUNK):
+        _decode_lane_chunk(payloads, lanes[lo: lo + _BATCH_CHUNK], out)
+    return out
+
+
+_HDR_CACHE: dict[bytes, tuple] = {}
+
+
+def _lane_template(p: bytes, ctx: dict):
+    """Everything the batch pipeline derives from a payload's HEADER
+    (tables, geometry, per-block LUT/QT schedules), memoized on the raw
+    header bytes — a corpus re-uses a handful of encoder settings, so
+    per-lane prep collapses to one dict hit."""
+    hdr = p[: ctx["scan_start"]]
+    tpl = _HDR_CACHE.get(hdr)
+    if tpl is None:
+        comps = ctx["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-ctx["w"] // (8 * hmax))
+        mcus_y = -(-ctx["h"] // (8 * vmax))
+        n_mcus = mcus_x * mcus_y
+        nblk = tuple(c["v"] * c["h"] for c in comps)
+        sched, slots = _lane_schedule(nblk, n_mcus)
+        dc_luts = [
+            _build_decode_lut_np(*ctx["huff"][(0, c["td"])])
+            for c in comps
+        ]
+        ac_luts = [
+            _build_decode_lut_np(*ctx["huff"][(1, c["ta"])])
+            for c in comps
+        ]
+        tpl = (
+            ctx, mcus_x, mcus_y, vmax, hmax, nblk, slots, sched,
+            dc_luts, ac_luts,
+        )
+        if len(_HDR_CACHE) > 4096:
+            _HDR_CACHE.clear()
+        _HDR_CACHE[hdr] = tpl
+    return tpl
+
+
+def _decode_lane_chunk(payloads, lanes, out) -> None:
+    """Run one chunk of eligible lanes through the stacked entropy
+    interpreter, then per-lane dequant + IDCT + color conversion.
+    Results land in ``out`` positionally; failed lanes are re-decoded
+    serially (the serial decoder is the authority on exceptions)."""
+    nl = len(lanes)
+    lut_rows: dict[int, int] = {}
+    lut_list: list[np.ndarray] = []
+
+    def lut_row(arr: np.ndarray) -> int:
+        r = lut_rows.get(id(arr))
+        if r is None:
+            r = len(lut_list)
+            lut_rows[id(arr)] = r
+            lut_list.append(arr)
+        return r
+
+    sched_cache: dict[tuple, tuple] = {}
+    seg_base = np.empty(nl, dtype=np.int64)
+    seg_nmax = np.empty(nl, dtype=np.int64)  # max valid window index
+    lane_geom = []
+    words = []
+    sched_parts = []
+    dcl_parts = []
+    acl_parts = []
+    blk_base = np.empty(nl, dtype=np.int64)
+    blk_end = np.empty(nl, dtype=np.int64)
+    woff = 0
+    boff = 0
+    for li, (i, p, ctx, word) in enumerate(lanes):
+        (ctx, mcus_x, mcus_y, vmax, hmax, nblk, slots, sched,
+         dc_luts, ac_luts) = _lane_template(p, ctx)
+        # per-block LUT row ids, cached per (tables, schedule) pair
+        skey = (id(sched),) + tuple(id(t) for t in dc_luts + ac_luts)
+        hit = sched_cache.get(skey)
+        if hit is None:
+            dc_ids = np.array([lut_row(t) for t in dc_luts], np.int64)
+            ac_ids = np.array([lut_row(t) for t in ac_luts], np.int64)
+            hit = (dc_ids[sched], ac_ids[sched])
+            sched_cache[skey] = hit
+        dcl, acl = hit
+        seg_base[li] = woff
+        seg_nmax[li] = word.size - 1
+        words.append(word)
+        sched_parts.append(sched)
+        dcl_parts.append(dcl)
+        acl_parts.append(acl)
+        blk_base[li] = boff
+        blk_end[li] = boff + sched.size
+        lane_geom.append(
+            (i, ctx, mcus_x, mcus_y, vmax, hmax, nblk, slots)
+        )
+        woff += word.size
+        boff += sched.size
+
+    W = np.concatenate(words)
+    sched_all = np.concatenate(sched_parts)
+    dcl_all = np.concatenate(dcl_parts)
+    acl_all = np.concatenate(acl_parts)
+    LUT = np.stack(lut_list)
+    C = np.zeros((boff, 64), dtype=np.int64)
+
+    failed = _decode_entropy_lanes(
+        W, seg_base, seg_nmax, sched_all, dcl_all, acl_all, LUT, C,
+        blk_base, blk_end,
+    )
+
+    # ---- assemble successes, serial-redo failures
+    for li, (i, ctx, mcus_x, mcus_y, vmax, hmax, nblk, slots) in enumerate(
+        lane_geom
+    ):
+        if failed[li]:
+            out[i] = _decode_scalar(payloads[i])
+            continue
+        lane_c = C[blk_base[li]: blk_end[li]]
+        npb = sum(nblk)
+        lane_r = lane_c.reshape(-1, npb, 64)
+        comp_blocks = [
+            lane_r[:, sl, :].reshape(-1, 64) for sl in slots
+        ]
+        out[i] = _assemble_scan(
+            ctx["comps"], comp_blocks, ctx["qts"], mcus_x, mcus_y,
+            vmax, hmax, ctx["w"], ctx["h"],
+        )
+
+
+def _decode_scalar(payload: bytes):
+    """decode_jpeg with the exception captured instead of raised (the
+    batch API reports per-payload failures positionally)."""
+    try:
+        return decode_jpeg(payload)
+    except Exception as exc:  # re-raised by the caller per payload
+        return exc
+
+
+def _decode_entropy_lanes(W, seg_base, seg_nmax, sched, dcl, acl, LUT, C,
+                          blk_base, blk_end) -> np.ndarray:
+    """The multi-lane entropy interpreter: one Huffman symbol per active
+    lane per step, all numpy. Writes coefficients into C (zigzag order,
+    one row per block in MCU visit order) and returns the per-lane
+    failed mask. A lane fails on exactly the conditions the serial loop
+    raises for (invalid code, AC index out of range, running off the
+    window array, oversized magnitude category); failed lanes are
+    re-decoded serially by the caller, so failure here only needs to be
+    detected, never classified."""
+    nl = seg_base.size
+    failed = np.zeros(nl, dtype=bool)
+    # fully compacted per-lane state: every array below holds ONLY the
+    # still-active lanes, so no step pays gather/scatter through a lane
+    # index — `lane` maps back to the original lane id for the failed
+    # mask, `pred` rides along as compacted rows
+    lane = np.flatnonzero(blk_end > blk_base)
+    bp = np.zeros(lane.size, dtype=np.int64)
+    gblk = blk_base[lane].copy()
+    kst = np.zeros(lane.size, dtype=np.int64)  # 0 = DC next, else AC k
+    pred = np.zeros((lane.size, 4), dtype=np.int64)
+    base = seg_base[lane].copy()
+    nmax = seg_nmax[lane].copy()
+    bend = blk_end[lane].copy()
+    one = np.int64(1)
+    # hard step bound: every step consumes >=1 bit on every live lane,
+    # so 8 * max window bytes + slack can never be reached by a valid
+    # stream; treat leftovers as failed (serial redo decides)
+    max_steps = int(8 * (seg_nmax.max() + 8) + 1024) if nl else 0
+    for _ in range(max_steps):
+        if lane.size == 0:
+            break
+        byt = bp >> 3
+        bad = byt > nmax
+        wv = W[base + np.minimum(byt, nmax)]
+        pk = (wv >> (16 - (bp & 7))) & 0xFFFF
+        isdc = kst == 0
+        lid = np.where(isdc, dcl[gblk], acl[gblk])
+        e = LUT[lid, pk]
+        ln = e >> 8
+        sym = e & 0xFF
+        bad |= ln == 0  # invalid Huffman code
+        bp = bp + ln
+        size = np.where(isdc, sym, sym & 0xF)
+        bad |= size > 16  # scalar raises on the negative shift
+        need = (size > 0) & ~bad
+        byt2 = bp >> 3
+        bad |= need & (byt2 > nmax)
+        wv2 = W[base + np.minimum(byt2, nmax)]
+        sz = np.maximum(size, 1)
+        mv = (wv2 >> (32 - (bp & 7) - sz)) & ((one << sz) - 1)
+        bp = bp + np.where(need, size, 0)
+        ext = np.where(mv >= (one << (sz - 1)), mv, mv - (one << sz) + 1)
+        ok = ~bad
+
+        # DC apply
+        dm = isdc & ok
+        if dm.any():
+            gm = gblk[dm]
+            cm = sched[gm]
+            pv = pred[dm, cm] + np.where(need[dm], ext[dm], 0)
+            pred[dm, cm] = pv
+            C[gm, 0] = pv
+            kst[dm] = 1
+
+        # AC apply
+        am = ~isdc & ok
+        blockdone = np.zeros(lane.size, dtype=bool)
+        if am.any():
+            eobm = am & (sym == 0x00)
+            zrlm = am & (sym == 0xF0)
+            nrm = am & ~eobm & ~zrlm
+            kn = kst.copy()
+            kn[zrlm] += 16
+            kn[nrm] += sym[nrm] >> 4
+            oor = nrm & (kn > 63)  # "AC index out of range"
+            if oor.any():
+                bad |= oor
+                ok &= ~oor
+                nrm &= ~oor
+            wrm = nrm & need
+            if wrm.any():
+                C[gblk[wrm], kn[wrm]] = ext[wrm]
+            kn[nrm] += 1
+            sel = am & ok
+            kst[sel] = kn[sel]
+            blockdone = (eobm | ((zrlm | nrm) & (kn >= 64))) & ok
+
+        if bad.any():
+            failed[lane[bad]] = True
+        if blockdone.any():
+            gblk[blockdone] += 1
+            kst[blockdone] = 0
+            finished = blockdone & (gblk == bend)
+            keep = ok & ~finished
+        else:
+            keep = ok
+        if not keep.all():
+            lane = lane[keep]
+            bp = bp[keep]
+            gblk = gblk[keep]
+            kst = kst[keep]
+            pred = pred[keep]
+            base = base[keep]
+            nmax = nmax[keep]
+            bend = bend[keep]
+    else:
+        # step bound hit: whatever is still active did not terminate
+        if lane.size:
+            failed[lane] = True
+    return failed

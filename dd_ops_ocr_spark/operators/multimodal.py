@@ -165,6 +165,49 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def decode_images_batch(payloads) -> list[np.ndarray]:
+    """``[decode_image(p) for p in payloads]``, batched: JPEG payloads
+    ride the vectorized multi-lane decoder (operators/jpeg.
+    decode_jpeg_batch — pixel-exact and exception-exact vs decode_jpeg,
+    test-pinned); every other format decodes per payload. Error behavior
+    matches the sequential loop: the first failing payload's exception
+    propagates, in payload order."""
+    plist = list(payloads)
+    out: list = [None] * len(plist)
+    jidx = [i for i, p in enumerate(plist) if detect_format(p) == "jpeg"]
+    if jidx:
+        from dd_ops_ocr_spark.operators.jpeg import decode_jpeg_batch
+
+        for i, r in zip(
+            jidx, decode_jpeg_batch([plist[i] for i in jidx])
+        ):
+            out[i] = r
+    for i, p in enumerate(plist):
+        r = out[i]
+        if r is None:
+            out[i] = decode_image(p)
+        elif isinstance(r, BaseException):
+            raise r
+    return out
+
+
+def _batch_decode_list(payloads, decoder):
+    """Batch twin of ``[decoder(p) for p in payloads]`` for the known
+    pure decoders (the injection-seam defaults); None when the decoder
+    has no batch equivalent, so callers fall back to the loop."""
+    if decoder is decode_image:
+        return decode_images_batch(payloads)
+    from dd_ops_ocr_spark.operators import jpeg as _jpeg
+
+    if decoder is _jpeg.decode_jpeg:
+        out = _jpeg.decode_jpeg_batch(list(payloads))
+        for r in out:
+            if isinstance(r, BaseException):
+                raise r
+        return out
+    return None
+
+
 def resize_nn(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Nearest-neighbor resample to (th, tw)."""
     h, w, _ = img.shape
@@ -467,8 +510,8 @@ def real_decode_batch(payloads: pd.Series) -> pd.DataFrame:
     ``decode_image``), and derive true dimensions plus a real
     average-hash from the pixels."""
     n_bytes, fmts, widths, heights, phashes = [], [], [], [], []
-    for p in payloads:
-        img = decode_image(p)
+    imgs = decode_images_batch(payloads)
+    for p, img in zip(payloads, imgs):
         n_bytes.append(len(p))
         fmts.append(detect_format(p))
         heights.append(img.shape[0])
@@ -614,9 +657,12 @@ def media_resize(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            imgs = _batch_decode_list(pdf["payload"], decoder)
+            if imgs is None:
+                imgs = [decoder(p) for p in pdf["payload"]]
             out_payload = [
-                encoder(resize_nn(decoder(p), target_w, target_h))
-                for p in pdf["payload"]
+                encoder(resize_nn(img, target_w, target_h))
+                for img in imgs
             ]
             yield pd.DataFrame(
                 {
@@ -652,9 +698,11 @@ def media_frame_sample(
             n = len(pdf)
             if n == 0:
                 continue
+            imgs = _batch_decode_list(pdf["payload"], decoder)
+            if imgs is None:
+                imgs = [decoder(p) for p in pdf["payload"]]
             refs, idxs, frames = [], [], []
-            for r, p in zip(pdf["media_ref"], pdf["payload"]):
-                img = decoder(p)
+            for r, img in zip(pdf["media_ref"], imgs):
                 for i in range(n_frames):
                     refs.append(r)
                     idxs.append(i)
@@ -697,19 +745,29 @@ def media_video_frames(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            refs, fidx, sidx, nsrc, ws, hs, frames = [], [], [], [], [], [], []
+            # container walk first (cheap struct parsing), then ONE
+            # batch decode over every sampled frame of the whole Arrow
+            # batch — frames are where the pixel work is, so they get
+            # the multi-lane decoder's full width. (On a batch with
+            # multiple corrupt payloads the surviving exception may be
+            # a later container's walk error instead of an earlier
+            # frame's decode error — either way the task fails; the
+            # quarantined variant keeps strict per-payload order.)
+            refs, fidx, sidx, nsrc, frames = [], [], [], [], []
             for r, p in zip(pdf["media_ref"], pdf["payload"]):
                 payload_frames = avi_frames(p)
                 n = len(payload_frames)
                 for i, src in enumerate(sample_indices(n, n_frames)):
-                    img = decoder(payload_frames[src])
                     refs.append(r)
                     fidx.append(i)
                     sidx.append(src)
                     nsrc.append(n)
-                    hs.append(img.shape[0])
-                    ws.append(img.shape[1])
                     frames.append(payload_frames[src])
+            imgs = _batch_decode_list(frames, decoder)
+            if imgs is None:
+                imgs = [decoder(f) for f in frames]
+            hs = [img.shape[0] for img in imgs]
+            ws = [img.shape[1] for img in imgs]
             yield pd.DataFrame(
                 {
                     "media_ref": np.asarray(refs, dtype=object),
