@@ -283,6 +283,40 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
     return _PrefixCode(lengths)
 
 
+_PREFIX_CACHE: dict[tuple[int, int], list[tuple[np.ndarray, _PrefixCode]]] = {}
+
+
+def _read_prefix_code_cached(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    """Memoized ``_read_prefix_code``: a corpus re-uses a handful of
+    encoder table sections (and the stream's code section starts at a
+    deterministic bit offset), so after the first payload the per-stream
+    table parse collapses to one bit-window compare. Keyed by
+    (alphabet_size, start bit); each candidate stores the EXACT bit span
+    it was parsed from, so a stream with different tables can never
+    alias — it misses, parses fresh, and becomes its own candidate.
+    Parse failures propagate unchanged and are never cached."""
+    key = (alphabet_size, br.pos)
+    cands = _PREFIX_CACHE.get(key)
+    if cands:
+        seg = br._bits
+        p = br.pos
+        for bits, code in cands:
+            n = bits.size
+            if p + n <= seg.size and np.array_equal(seg[p: p + n], bits):
+                br.pos = p + n
+                return code
+    start = br.pos
+    code = _read_prefix_code(br, alphabet_size)
+    if len(_PREFIX_CACHE) > 256:  # bound worker-lifetime memory
+        _PREFIX_CACHE.clear()
+        cands = None
+    if cands is None:
+        cands = _PREFIX_CACHE.setdefault(key, [])
+    if len(cands) < 8:  # degenerate table diversity just re-parses
+        cands.append((br._bits[start: br.pos].copy(), code))
+    return code
+
+
 def _is_fixed8(code: _PrefixCode) -> bool:
     """True when the code is exactly the encoder's fixed canonical
     8-bit code (code(s) == s for 0..255) — the vectorized decode path."""
@@ -327,11 +361,11 @@ def decode_webp(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             "VP8L meta-prefix groups: use the native libwebp seam"
         )
-    green = _read_prefix_code(br, _GREEN_ALPHABET)
-    red = _read_prefix_code(br, 256)
-    blue = _read_prefix_code(br, 256)
-    alpha = _read_prefix_code(br, 256)
-    _read_prefix_code(br, _DIST_ALPHABET)  # distance (unused by literals)
+    green = _read_prefix_code_cached(br, _GREEN_ALPHABET)
+    red = _read_prefix_code_cached(br, 256)
+    blue = _read_prefix_code_cached(br, 256)
+    alpha = _read_prefix_code_cached(br, 256)
+    _read_prefix_code_cached(br, _DIST_ALPHABET)  # distance (never read)
     n = w * h
     if (
         _is_fixed8(green) and _is_fixed8(red) and _is_fixed8(blue)
