@@ -171,10 +171,26 @@ def host_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("normalized_url", _HOST_RE, 1)
          .alias("target_url"),
     )
-    return anchor.unionAll(nav).filter(
+    # distinct BEFORE the self-loop/empty filter (they commute on sets;
+    # the oracle's WHERE-then-DISTINCT states the same edge set), with a
+    # localCheckpoint between them. The order matters for a reason the
+    # optimizer cannot see: PushDownPredicate substitutes the filter
+    # through the union and the staged plant/normalize projections, and
+    # the inlined predicate re-duplicates the whole URL expression tree
+    # per reference — measured 4.2 KB -> 63.5 KB optimized plan and
+    # 0.46 s -> 3.3 s on the SAME 33k-row stream (r6; the SPARK-36718
+    # staging stops CollapseProject but not predicate pushdown). The
+    # checkpoint materializes the DISTINCT pair stream — host-pair
+    # cardinality (~#sites^2 + #sites self-loops), the output size
+    # class, never corpus-sized — so the filter then runs on
+    # materialized rows with no lineage to push into. It also gives
+    # every consumer (pagerank, triangles, clustering) the
+    # materialize-once edge list pagerank() previously rebuilt.
+    pairs = anchor.unionAll(nav).distinct().localCheckpoint()
+    return pairs.filter(
         (F.col("src_url") != F.col("target_url"))
         & (F.col("target_url") != "")
-    ).distinct()
+    )
 
 
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,8 +264,11 @@ def _sql_host_pairs() -> str:
     frontier's pair stream), host regexp'd off BOTH endpoints — src and
     the nav endpoints restated in canonical CLOSED FORM, so the hash
     cross-checks url_normalize yet again — then self-loops and
-    unresolvable targets dropped, THEN distinct: same order as the
-    Spark side. ONE fragment feeds host_pagerank AND host_triangles."""
+    unresolvable targets dropped around a DISTINCT (drop-then-dedup
+    here, dedup-then-drop on the Spark side since r6: the two commute
+    on sets, and the Spark order exists to keep the self-loop predicate
+    from being pushdown-inlined into the URL expression trees). ONE
+    fragment feeds host_pagerank AND host_triangles."""
     from dd_ops_ocr_spark.operators.htmlops import (
         _sql_canonical,
         _sql_target_pairs,
