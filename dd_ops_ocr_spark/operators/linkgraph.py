@@ -135,20 +135,12 @@ def q_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOST_RE = "^(https?://[^/]+)"
 
 
-def host_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (src_host, target_host) edges — the FULL page-level pair
-    stream (resolved anchors PLUS the frontier's cross-doc nav links,
-    the same union ``q_frontier_new_urls`` aggregates) collapsed to host
-    granularity, intra-host links dropped (at host grain they are
-    self-loops, and a page's links to its own site say nothing about
-    cross-site endorsement; dropping them is the standard domain-rank
-    construction). On the planted corpus every chrome/content anchor is
-    root-relative — all of those provably drop as self-loops — so the
-    surviving graph is exactly the nav edges whose md5-derived domains
-    differ. The collapse happens BEFORE the distinct, so the shuffle
-    dedupes host pairs (output-sized, ~#sites², not page pairs); the
-    nav side is pure doc_id column math (plant→normalize on id and
-    id+1 over the SAME rows), so no join is introduced anywhere."""
+def _host_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw page-level (src_host, target_host) pair stream feeding
+    ``host_edges_df`` — resolved anchors PLUS the frontier's cross-doc
+    nav links, collapsed to host granularity, BEFORE dedup and the
+    self-loop filter (split out so tests can pin that the two
+    downstream orderings state the same edge set)."""
     from dd_ops_ocr_spark.operators.htmlops import _resolved_targets
     from dd_ops_ocr_spark.operators.urlops import (
         normalize_urls,
@@ -171,6 +163,23 @@ def host_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("normalized_url", _HOST_RE, 1)
          .alias("target_url"),
     )
+    return anchor.unionAll(nav)
+
+
+def host_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src_host, target_host) edges — the FULL page-level pair
+    stream (resolved anchors PLUS the frontier's cross-doc nav links,
+    the same union ``q_frontier_new_urls`` aggregates) collapsed to host
+    granularity, intra-host links dropped (at host grain they are
+    self-loops, and a page's links to its own site say nothing about
+    cross-site endorsement; dropping them is the standard domain-rank
+    construction). On the planted corpus every chrome/content anchor is
+    root-relative — all of those provably drop as self-loops — so the
+    surviving graph is exactly the nav edges whose md5-derived domains
+    differ. The collapse happens BEFORE the distinct, so the shuffle
+    dedupes host pairs (output-sized, ~#sites², not page pairs); the
+    nav side is pure doc_id column math (plant→normalize on id and
+    id+1 over the SAME rows), so no join is introduced anywhere."""
     # distinct BEFORE the self-loop/empty filter (they commute on sets;
     # the oracle's WHERE-then-DISTINCT states the same edge set), with a
     # localCheckpoint between them. The order matters for a reason the
@@ -186,7 +195,7 @@ def host_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized rows with no lineage to push into. It also gives
     # every consumer (pagerank, triangles, clustering) the
     # materialize-once edge list pagerank() previously rebuilt.
-    pairs = anchor.unionAll(nav).distinct().localCheckpoint()
+    pairs = _host_pair_stream(spark, sf_dir).distinct().localCheckpoint()
     return pairs.filter(
         (F.col("src_url") != F.col("target_url"))
         & (F.col("target_url") != "")

@@ -149,3 +149,38 @@ def test_clustering_coefficient_shapes(spark):
     assert got["a"] == (3, 2, 666) and got["b"] == (3, 2, 666)
     # degree-1 nodes (p, q, r, x) are excluded
     assert "p" not in got and "x" not in got
+
+
+def test_host_edges_distinct_filter_commute(spark):
+    """host_edges_df runs distinct BEFORE the self-loop/empty filter
+    (r6: filter pushdown below the union re-inlined the URL expression
+    trees per predicate reference — 4.2 KB -> 63.5 KB plan). The oracle
+    states WHERE then DISTINCT; the two orders commute on sets, and
+    this pins it: same multiset of rows (so distinct survived the
+    reorder — no duplicate edges) as the naive oracle-order plan built
+    from the SAME raw pair stream."""
+    from tests.conftest import SF_SMOKE
+
+    from dd_ops_ocr_spark.operators.linkgraph import (
+        _host_pair_stream,
+        host_edges_df,
+    )
+
+    got = sorted(
+        (r.src_url, r.target_url)
+        for r in host_edges_df(spark, SF_SMOKE).collect()
+    )
+    from pyspark.sql import functions as F
+
+    naive = sorted(
+        (r.src_url, r.target_url)
+        for r in _host_pair_stream(spark, SF_SMOKE)
+        .filter(
+            (F.col("src_url") != F.col("target_url"))
+            & (F.col("target_url") != "")
+        )
+        .distinct()
+        .collect()
+    )
+    assert got == naive
+    assert len(got) == len(set(got)), "duplicate edge survived distinct"
